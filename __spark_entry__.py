@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship hourly windowed aggregation at sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2 + [EXT]).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only for
+ops whose kernels are not SQL-expressible: minhash LSH banding, simhash,
+sign-LSH top-k — those get rows-only checks).
+
+Column-name and type parity notes:
+* every computed column is aliased identically in Spark and SQL;
+* double aggregates are rounded at the final projection in BOTH engines
+  (2 dp money, 4 dp averages, 6 dp ratios/similarities) — both engines
+  round doubles via shortest-decimal semantics, verified identical;
+* integer SUMs are CAST to BIGINT in DuckDB (its SUM(BIGINT) widens to
+  HUGEINT, Spark stays long).
 """
 
 from __future__ import annotations
@@ -12,27 +20,460 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_zeal_spark.io import load_table
+from data_pipeline_zeal_spark.operators import api, dedup, etl, hourly, similarity, text
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+_SIM_QUERY_IDS = list(range(10))
+
+
+def _hourly(spark: SparkSession, sf_dir: str, with_value_count: bool = False) -> DataFrame:
+    """Rounded hourly aggregate of the events table (reference A1-A6)."""
+    agg = hourly.aggregate_events(load_table(spark, sf_dir, "events"))
+    out = agg.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "event_count",
+        "unique_user_count",
+        F.round("total_value", 3).alias("total_value"),
+        F.round(F.round("total_value", 3) / F.col("value_count"), 4).alias("avg_value"),
+        *(["value_count"] if with_value_count else []),
+    )
+    return out
+
+
+_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS event_count,
+       count(DISTINCT user_id) AS unique_user_count,
+       round(sum(value), 3) AS total_value,
+       round(round(sum(value), 3) / count(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+_HOURLY_SQL_VC = _HOURLY_SQL.replace(
+    "AS avg_value\n",
+    "AS avg_value,\n       count(value) AS value_count\n",
+)
+assert "value_count" in _HOURLY_SQL_VC
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's core streaming aggregation, batch form,
+    on /root/testdata/sf0.001 (driver checks rows > 0)."""
+    return _hourly(spark, "/root/testdata/sf0.001", with_value_count=True)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- reference parity: streaming aggregation, batch form (A1-A6, A10) ---
+    q["hourly_agg"] = lambda s, d: _hourly(s, d, with_value_count=True)
+
+    # --- reference parity: API query surface (Q1-Q9) ---
+    q["agg_filtered_page"] = lambda s, d: api.get_aggregations(
+        _hourly(s, d),
+        event_type="click",
+        from_time="2024-01-05 00:00:00",
+        to_time="2024-01-25 00:00:00",
+        limit=50,
+        offset=10,
+    )
+    q["agg_latest"] = lambda s, d: api.get_latest_aggregations(_hourly(s, d), limit=20)
+    q["agg_stats"] = lambda s, d: api.get_stats(_hourly(s, d))
+    q["agg_event_types"] = lambda s, d: api.get_event_types(_hourly(s, d))
+    q["agg_rollup_by_type"] = lambda s, d: api.rollup_by_type(_hourly(s, d))
+
+    # --- [EXT] batch ETL over the TPC-H-style schema ---
+    q["tpch_q1_pricing_summary"] = lambda s, d: etl.pricing_summary(
+        load_table(s, d, "lineitem")
+    )
+    q["tpch_q3_shipping_priority"] = lambda s, d: etl.shipping_priority(
+        load_table(s, d, "customer"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "lineitem"),
+    )
+    q["tpch_q5_local_supplier"] = lambda s, d: etl.local_supplier_volume(
+        load_table(s, d, "region"),
+        load_table(s, d, "nation"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "lineitem"),
+    )
+    q["tpch_q6_revenue_forecast"] = lambda s, d: etl.revenue_forecast(
+        load_table(s, d, "lineitem")
+    )
+    q["top_orders_per_customer"] = lambda s, d: etl.top_orders_per_customer(
+        load_table(s, d, "orders")
+    )
+    q["customer_order_stats"] = lambda s, d: etl.customer_order_stats(
+        load_table(s, d, "customer"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "nation"),
+    )
+    q["nations_without_suppliers"] = lambda s, d: etl.nations_customers_without_suppliers(
+        load_table(s, d, "customer"), load_table(s, d, "supplier")
+    )
+    q["order_priority_rollup"] = lambda s, d: etl.order_priority_rollup(
+        load_table(s, d, "orders")
+    )
+    q["part_type_stats"] = lambda s, d: etl.part_type_stats(load_table(s, d, "part"))
+    q["order_lineitem_detail"] = lambda s, d: etl.order_lineitem_detail(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    )
+
+    # --- [EXT] text analysis over documents ---
+    q["text_stats"] = lambda s, d: text.text_stats(load_table(s, d, "documents"))
+    q["text_quality_score"] = lambda s, d: text.quality_score(
+        load_table(s, d, "documents")
+    )
+    q["text_language_id"] = lambda s, d: text.language_id(
+        load_table(s, d, "documents")
+    )
+    q["text_lang_profile"] = lambda s, d: text.lang_profile(
+        load_table(s, d, "documents")
+    )
+    q["text_fingerprint"] = lambda s, d: text.fingerprint(
+        load_table(s, d, "documents")
+    ).select("doc_id", "md5_fingerprint")
+    q["text_source_token_totals"] = lambda s, d: text.source_token_totals(
+        load_table(s, d, "documents")
+    )
+
+    # --- [EXT] dedup ---
+    q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicates(
+        load_table(s, d, "documents")
+    )
+    q["dedup_exact_survivors"] = lambda s, d: dedup.exact_dedup(
+        load_table(s, d, "documents")
+    )
+    q["dedup_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs(
+        load_table(s, d, "documents"), threshold=0.2
+    )
+    q["dedup_minhash_lsh_pairs"] = lambda s, d: dedup.minhash_lsh_pairs(
+        load_table(s, d, "documents"), threshold=0.2
+    )
+    q["dedup_simhash"] = lambda s, d: dedup.simhash(load_table(s, d, "documents"))
+    q["dedup_embedding_near"] = lambda s, d: dedup.embedding_near_dup_pairs(
+        load_table(s, d, "embeddings"), threshold=0.9
+    )
+
+    # --- [EXT] similarity search ---
+    q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
+    )
+    q["sim_lsh_topk"] = lambda s, d: similarity.lsh_topk(
+        load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
+    )
+    q["sim_label_centroids"] = lambda s, d: similarity.label_centroids(
+        load_table(s, d, "embeddings")
+    )
+    return q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+#: tokenization / shingling shared fragments (must mirror functions/textfn.py)
+_TOK = r"CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END"
+
+_SHINGLES = f"""
+CASE WHEN len({_TOK}) <= 3 THEN [array_to_string({_TOK}, ' ')]
+     ELSE list_transform(range(1, len({_TOK}) - 1),
+                         i -> array_to_string(({_TOK})[i:i+2], ' '))
+END
+"""
+
+_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "les", "des", "est", "une", "dans", "pour", "que"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"],
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_intersect(list_distinct(toks), [{lst}]))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["hourly_agg"] = _HOURLY_SQL_VC
+    o["agg_filtered_page"] = f"""
+WITH hourly AS ({_HOURLY_SQL})
+SELECT window_start, window_end, event_type, event_count, unique_user_count,
+       total_value, avg_value
+FROM hourly
+WHERE event_type = 'click'
+  AND window_start >= TIMESTAMP '2024-01-05 00:00:00'
+  AND window_end <= TIMESTAMP '2024-01-25 00:00:00'
+ORDER BY window_start DESC, event_type ASC
+LIMIT 50 OFFSET 10
+"""
+    o["agg_latest"] = f"""
+WITH hourly AS ({_HOURLY_SQL})
+SELECT * FROM hourly ORDER BY window_start DESC, event_type ASC LIMIT 20
+"""
+    o["agg_stats"] = f"""
+WITH hourly AS ({_HOURLY_SQL})
+SELECT event_type,
+       CAST(sum(event_count) AS BIGINT) AS total_events,
+       CAST(sum(unique_user_count) AS BIGINT) AS total_unique_users,
+       round(avg(event_count), 4) AS avg_events_per_window,
+       count(*) AS window_count
+FROM hourly GROUP BY event_type
+ORDER BY total_events DESC, event_type ASC
+"""
+    o["agg_event_types"] = f"""
+WITH hourly AS ({_HOURLY_SQL})
+SELECT DISTINCT event_type FROM hourly ORDER BY event_type
+"""
+    o["agg_rollup_by_type"] = f"""
+WITH hourly AS ({_HOURLY_SQL})
+SELECT event_type, CAST(sum(event_count) AS BIGINT) AS total_events
+FROM hourly GROUP BY event_type ORDER BY event_type
+"""
+
+    o["tpch_q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty,
+       round(round(sum(l_extendedprice), 2) / count(*), 4) AS avg_price,
+       round(round(sum(l_discount), 2) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+    o["tpch_q3_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+    o["tpch_q5_local_supplier"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+    o["tpch_q6_revenue_forecast"] = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.08
+  AND l_quantity < 24
+"""
+    o["top_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank
+  FROM orders
+) t WHERE rank <= 3
+"""
+    o["customer_order_stats"] = """
+SELECT n_name,
+       count(*) AS order_count,
+       count(DISTINCT o_custkey) AS customer_count,
+       round(sum(o_totalprice), 2) AS total_revenue,
+       round(round(sum(o_totalprice), 2) / count(*), 4) AS avg_order_value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+    o["nations_without_suppliers"] = """
+SELECT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey AS nationkey FROM supplier
+) ORDER BY nationkey
+"""
+    o["order_priority_rollup"] = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS order_count,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+    o["part_type_stats"] = """
+SELECT p_brand, p_type,
+       count(*) AS part_count,
+       round(avg(p_size), 4) AS avg_size,
+       round(round(sum(p_retailprice), 2) / count(*), 4) AS avg_retail
+FROM part GROUP BY p_brand, p_type ORDER BY p_brand, p_type
+"""
+    o["order_lineitem_detail"] = """
+SELECT o_orderkey, l_linenumber, o_orderdate,
+       round(l_extendedprice, 2) AS l_extendedprice, l_returnflag
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus = 'F'
+ORDER BY o_orderkey, l_linenumber
+LIMIT 100
+"""
+
+    # --- text ---
+    o["text_stats"] = f"""
+SELECT doc_id, lang,
+       length(text) AS char_count,
+       len({_TOK}) AS n_tokens,
+       round(CASE WHEN len({_TOK}) = 0 THEN 0.0
+                  ELSE list_sum(list_transform({_TOK}, t -> length(t)::DOUBLE))
+                       / len({_TOK}) END, 4) AS avg_token_len,
+       round((length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))::DOUBLE
+             / greatest(length(text), 1), 6) AS punct_ratio
+FROM documents
+"""
+    stop_hits = " + ".join(_marker_sql(lg) for lg in _MARKERS)
+    o["text_quality_score"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) >= 16 THEN 1 ELSE 0 END
+         + CASE WHEN (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))::DOUBLE
+                      / greatest(length(text), 1) < 0.2 THEN 1 ELSE 0 END
+         + CASE WHEN ({stop_hits}) > 0 THEN 1 ELSE 0 END AS pts
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(pts / 3.0, 4) AS quality_score,
+       CASE WHEN round(pts / 3.0, 4) >= 0.67 THEN 1 ELSE 0 END AS keep
+FROM s
+"""
+    langs = sorted(_MARKERS)
+    score_cols = ",\n         ".join(f"{_marker_sql(lg)} AS score_{lg}" for lg in langs)
+    best = f"greatest({', '.join('score_' + lg for lg in langs)})"
+    pred = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{lg} = best THEN '{lg}'" for lg in langs
+    ) + " END"
+    o["text_language_id"] = f"""
+WITH t AS (SELECT doc_id, lang, {_TOK} AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+         {score_cols}
+      FROM t),
+b AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, lang, {pred} AS predicted_lang, best AS marker_hits FROM b
+"""
+    o["text_lang_profile"] = f"""
+SELECT lang,
+       count(*) AS doc_count,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len({_TOK})), 4) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+    o["text_fingerprint"] = "SELECT doc_id, md5(text) AS md5_fingerprint FROM documents"
+    o["text_source_token_totals"] = f"""
+SELECT source,
+       count(*) AS doc_count,
+       CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+    # --- dedup ---
+    o["dedup_exact_groups"] = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS rep_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(text) ORDER BY rep_doc_id
+"""
+    o["dedup_exact_survivors"] = """
+SELECT * FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+ORDER BY doc_id
+"""
+    o["dedup_jaccard_pairs"] = f"""
+WITH sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+            / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0), 6) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+    o["dedup_embedding_near"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+ORDER BY vec_a, vec_b
+"""
+    # dedup_minhash_lsh_pairs, dedup_simhash: hash-kernel ops, rows-only check.
+
+    # --- similarity ---
+    ids = ", ".join(str(i) for i in _SIM_QUERY_IDS)
+    o["sim_cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+    # sim_lsh_topk: approximate (recall < 1), rows-only check.
+    o["sim_label_centroids"] = """
+WITH pos AS (
+  SELECT label, p, avg(embedding[p]::DOUBLE) AS m
+  FROM embeddings, range(1, 65) t(p)
+  GROUP BY label, p
+)
+SELECT label, list(round(m, 6) ORDER BY p) AS centroid
+FROM pos GROUP BY label ORDER BY label
+"""
+    return o

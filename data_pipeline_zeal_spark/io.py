@@ -1,0 +1,53 @@
+"""Fixture / table IO helpers.
+
+Keeps scans declarative (``spark.read.parquet``) so Catalyst can push filters
+and prune columns down to the parquet footers; never materializes eagerly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Columns stored as TIMESTAMP(NANOS) in the fixture parquet.  Spark reads
+#: them as long (``spark.sql.legacy.parquet.nanosAsLong``); we convert to
+#: microsecond timestamps with integer division (`div`), matching DuckDB's
+#: nanos→micros truncation.
+NANO_TS_COLS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one fixture table (nano-timestamps normalized)."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in NANO_TS_COLS.get(name, []):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or FIXTURE_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each fixture table as a temp view for ``spark.sql`` use."""
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

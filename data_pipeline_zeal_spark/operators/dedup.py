@@ -1,0 +1,210 @@
+"""[EXT] Deduplication operators over the ``documents`` table.
+
+Four tiers, cheapest-first — the standard training-corpus dedup ladder:
+
+1. exact        — md5-hash groupBy (one shuffle on the hash).
+2. n-gram Jaccard — verified word-shingle Jaccard on candidate pairs.
+3. MinHash + LSH  — banded minhash signatures; candidates come from band-
+                    bucket self-joins, so the shuffle is on (band, bandhash)
+                    buckets instead of O(n^2) pairs.  The scale path.
+4. SimHash      — 64-bit sign-sum fingerprint; near-dups share close
+                    fingerprints (bucket by prefix for blocking).
+
+Everything below is JVM built-in expressions (xxhash64 / transform /
+aggregate / explode); no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokens, word_shingles
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup via full-text md5: one row per distinct text with the
+    surviving representative (min doc_id) and the duplicate count.
+    Shuffle key = 128-bit hash → uniformly distributed, no skew."""
+    return (
+        documents.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .orderBy("rep_doc_id")
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """The surviving rows after exact dedup (keep lowest doc_id per text)."""
+    w_rep = exact_duplicates(documents).select(F.col("rep_doc_id").alias("doc_id"))
+    return documents.join(w_rep, "doc_id", "left_semi").orderBy("doc_id")
+
+
+def jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, shingle_n: int = 3
+) -> DataFrame:
+    """Word-shingle Jaccard similarity for all candidate pairs above a
+    threshold (exact, O(n^2) pairs — the verification kernel that the LSH
+    tier calls on its candidates; exposed standalone for small inputs and
+    oracle checking).  Pre-aggregating to distinct shingle sets keeps the
+    join payload small."""
+    docs = documents.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens("text"), shingle_n)).alias("sh"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signatures: for each of ``num_hashes`` seeded xxhash64
+    functions, the minimum hash over the document's shingle set.  All
+    array-level (`transform`/`array_min`) — no explode, no shuffle."""
+    sh = F.array_distinct(word_shingles(tokens("text"), shingle_n))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return documents.select("doc_id", sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs (the 100 TB-scale dedup path).
+
+    signatures → split into ``bands`` bands of r rows → hash each band →
+    explode to (band_id, band_hash) → self-join on the bucket → verify the
+    candidates with exact shingle Jaccard → threshold.
+
+    The only shuffles are (a) the bucket join, keyed by band hash (uniform)
+    and (b) the candidate verification join; candidate count ≈ true-pair
+    count for sensible (bands, rows) choices, vs O(n^2) for brute force."""
+    r = num_hashes // bands
+    docs = documents.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens("text"), shingle_n)).alias("sh"),
+    )
+    sigs = docs.select(
+        "doc_id",
+        "sh",
+        F.array(
+            *[
+                F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(i))))
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    banded = sigs.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh", "bb.band", "bb.bucket")
+
+    left = banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    right = banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        cand.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """SimHash fingerprints: per-token 64-bit hashes vote ±1 on each bit;
+    the sign vector packs into one long.  Implemented with explode +
+    bit-position aggregation (map-side combine keeps the shuffle at
+    #docs x 1 rows)."""
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(2 ** i).cast("long") if i < 63 else F.when(
+            F.col(f"b{i}") > 0, F.lit(-(2 ** 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash")).orderBy("doc_id")
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.  Brute-force kernel (exact);
+    at scale, call it per-LSH-bucket (see ``similarity.lsh_topk``) instead
+    of on the full cross join."""
+    from ..functions.vector import as_double, cosine
+
+    e = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )

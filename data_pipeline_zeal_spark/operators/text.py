@@ -1,0 +1,127 @@
+"""[EXT] Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline text ops: token counting, quality scoring,
+heuristic language ID, document fingerprinting.  All hot-path expressions
+are JVM built-ins (split/regexp/array functions) — one narrow scan, no
+shuffle except the final group-bys, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import (
+    LANG_MARKERS,
+    marker_overlap,
+    punct_count,
+    token_count,
+    tokens,
+)
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document statistics: chars, tokens, avg token length, punctuation
+    ratio.  Narrow map-only job — scales linearly, zero shuffle."""
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("char_count"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.when(n_tok == 0, F.lit(0.0)).otherwise(
+                F.aggregate(
+                    F.transform(toks, lambda t: F.length(t).cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / n_tok
+            ),
+            4,
+        ).alias("avg_token_len"),
+        F.round(punct_count("text") / F.greatest(F.length("text"), F.lit(1)), 6).alias(
+            "punct_ratio"
+        ),
+    )
+
+
+def quality_score(documents: DataFrame, min_tokens: int = 16) -> DataFrame:
+    """Heuristic quality scoring: length band + punctuation ratio + stopword
+    presence folded into a [0,1] score with a keep/drop flag (the usual
+    pre-training corpus filter shape)."""
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    stop_hits = sum(marker_overlap(toks, lg) for lg in LANG_MARKERS)
+    length_ok = (n_tok >= min_tokens).cast("int")
+    punct_ok = (
+        punct_count("text") / F.greatest(F.length("text"), F.lit(1)) < 0.2
+    ).cast("int")
+    stop_ok = (stop_hits > 0).cast("int")
+    score = F.round((length_ok + punct_ok + stop_ok) / F.lit(3.0), 4)
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        score.alias("quality_score"),
+        (score >= F.lit(0.67)).cast("int").alias("keep"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language identification: distinct-overlap of the token set
+    against tiny per-language marker profiles; argmax with a stable
+    alphabetical tiebreak; 'und' when nothing matches.  Pure expression —
+    no UDF, no shuffle."""
+    toks = tokens("text")
+    scored = documents.select("doc_id", "lang", toks.alias("toks"))
+    for lg in sorted(LANG_MARKERS):
+        scored = scored.withColumn(f"score_{lg}", marker_overlap(F.col("toks"), lg))
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in sorted(LANG_MARKERS)])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in sorted(LANG_MARKERS):  # alphabetical order = deterministic tiebreak
+        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return scored.select(
+        "doc_id", "lang", pred.alias("predicted_lang"), best.alias("marker_hits")
+    )
+
+
+def lang_profile(documents: DataFrame) -> DataFrame:
+    """Corpus profile per (declared) language: doc count, char/token stats."""
+    return (
+        documents.select("lang", F.col("n_chars"), token_count("text").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic document fingerprints: full-text md5 (engine-portable)
+    plus a 64-bit xxhash for fast joins.  Map-only."""
+    return documents.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("md5_fingerprint"),
+        F.xxhash64(F.col("text")).alias("xx64_fingerprint"),
+    )
+
+
+def source_token_totals(documents: DataFrame) -> DataFrame:
+    """Token accounting per source — the "how many tokens do we have"
+    question every training-data pipeline asks.  Partial aggregation
+    collapses the shuffle to #sources rows."""
+    return (
+        documents.select("source", token_count("text").alias("n_tok"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
