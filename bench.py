@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver collect overhead).  A warmup run of the smallest query absorbs
+JVM/codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline_zeal_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline suite: the flagship aggregation, the join/window/rollup ETL
+#: spine, and the LLM-data operators.  dedup_jaccard_pairs (O(n^2) exact
+#: kernel) is deliberately excluded — minhash_lsh is the at-scale path.
+HEADLINE = [
+    "hourly_agg",
+    "agg_stats",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_revenue_forecast",
+    "top_orders_per_customer",
+    "customer_order_stats",
+    "order_priority_rollup",
+    "text_stats",
+    "text_language_id",
+    "text_source_token_totals",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sim_label_centroids",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as em
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name=f"bench-sf{sf}")
+    queries = em.queries()
+
+    _force(queries["agg_event_types"](spark, SF_DIR))  # warmup
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(queries[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

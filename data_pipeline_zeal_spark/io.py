@@ -41,6 +41,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def with_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only if the scan yields fewer partitions than cores.
+
+    Small single-file inputs (like the local fixtures) produce one parquet
+    split, serializing CPU-bound per-row work; at production scale the scan
+    already has thousands of splits and this is a no-op (no shuffle added)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textfn import tokens, word_shingles
+from ..io import with_min_parallelism
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -51,7 +52,7 @@ def jaccard_pairs(
     tier calls on its candidates; exposed standalone for small inputs and
     oracle checking).  Pre-aggregating to distinct shingle sets keeps the
     join payload small."""
-    docs = documents.select(
+    docs = with_min_parallelism(documents).select(
         "doc_id",
         F.array_distinct(word_shingles(tokens("text"), shingle_n)).alias("sh"),
     )
@@ -76,16 +77,26 @@ def minhash_signatures(
     documents: DataFrame, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
     """MinHash signatures: for each of ``num_hashes`` seeded xxhash64
-    functions, the minimum hash over the document's shingle set.  All
-    array-level (`transform`/`array_min`) — no explode, no shuffle."""
-    sh = F.array_distinct(word_shingles(tokens("text"), shingle_n))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    functions, the minimum hash over the document's shingle set.
+
+    Physical shape: explode shingles → ``num_hashes`` xxhash columns →
+    hash-aggregate MIN per doc.  The explode looks wasteful but keeps every
+    expression inside whole-stage codegen (one giant array<transform> tree
+    per row falls back to interpreted evaluation and is ~10x slower); the
+    aggregation is map-side-combined so the shuffle is #docs rows."""
+    sh = with_min_parallelism(documents).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens("text"), shingle_n))).alias(
+            "s"
+        ),
     )
-    return documents.select("doc_id", sig.alias("signature"))
+    agg = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -105,23 +116,18 @@ def minhash_lsh_pairs(
     and (b) the candidate verification join; candidate count ≈ true-pair
     count for sensible (bands, rows) choices, vs O(n^2) for brute force."""
     r = num_hashes // bands
-    docs = documents.select(
+    docs = with_min_parallelism(documents).select(
         "doc_id",
         F.array_distinct(word_shingles(tokens("text"), shingle_n)).alias("sh"),
     )
-    sigs = docs.select(
+    # Banding carries ONLY (doc_id, band, bucket) through the explode and the
+    # bucket self-join — the heavy shingle arrays are re-attached just for the
+    # (much smaller) candidate verification, so the wide data never shuffles
+    # through the O(bands x docs) bucket exchange.
+    banded = minhash_signatures(documents, num_hashes, shingle_n).withColumnRenamed(
+        "signature", "sig"
+    ).select(
         "doc_id",
-        "sh",
-        F.array(
-            *[
-                F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(i))))
-                for i in range(num_hashes)
-            ]
-        ).alias("sig"),
-    )
-    banded = sigs.select(
-        "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -135,25 +141,33 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
-    left = banded.select(
-        "band", "bucket", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    )
-    right = banded.select(
-        "band", "bucket", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-    )
     cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        banded.alias("l")
+        .join(
+            banded.alias("rr"),
+            (F.col("l.band") == F.col("rr.band"))
+            & (F.col("l.bucket") == F.col("rr.bucket"))
+            & (F.col("l.doc_id") < F.col("rr.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("rr.doc_id").alias("doc_b")
+        )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = cand.join(
+        docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
     return (
-        cand.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        verified.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
@@ -164,7 +178,7 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     the sign vector packs into one long.  Implemented with explode +
     bit-position aggregation (map-side combine keeps the shuffle at
     #docs x 1 rows)."""
-    tok = documents.select(
+    tok = with_min_parallelism(documents).select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     votes = [
@@ -196,7 +210,7 @@ def embedding_near_dup_pairs(
     of on the full cross join."""
     from ..functions.vector import as_double, cosine
 
-    e = embeddings.select(
+    e = with_min_parallelism(embeddings).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine
+from ..io import with_min_parallelism
 
 
 def _query_set(embeddings: DataFrame, query_ids: list[int]) -> DataFrame:
@@ -36,7 +37,7 @@ def cosine_topk(
     big side), rank with a per-query window.  Ties broken by vec_id so the
     result is fully deterministic."""
     q = _query_set(embeddings, query_ids)
-    cand = embeddings.select(
+    cand = with_min_parallelism(embeddings).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     scored = (
@@ -94,7 +95,7 @@ def lsh_topk(
     bucket.  The corpus-side join key is the bucket id, so the shuffle
     moves each vector once into its bucket instead of k x corpus pairs.
     Recall < 1.0 by construction (that's the trade)."""
-    cand = embeddings.select(
+    cand = with_min_parallelism(embeddings).select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
     ).withColumn("bucket", lsh_bucket_expr(F.col("v"), dim, planes))
@@ -122,7 +123,7 @@ def label_centroids(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     """Per-label centroid vectors (the IVF coarse-quantizer building block):
     element-wise mean via posexplode + re-assemble.  Shuffle keyed by
     (label, position) — uniform, scales with labels x dim not rows."""
-    pos = embeddings.select(
+    pos = with_min_parallelism(embeddings).select(
         "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
     )
     per_pos = pos.groupBy("label", "pos").agg(F.avg("x").alias("m"))
