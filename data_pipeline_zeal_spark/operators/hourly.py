@@ -54,10 +54,16 @@ def aggregate_events(
     unique_user_count, [unique_session_count,] total_<value>, avg_<value>,
     <value>_count — aliased stably so batch results hash-match the oracle.
     """
-    if exact_distinct:
-        distinct = lambda c: F.countDistinct(F.col(c))  # noqa: E731
-    else:
+    if not exact_distinct:
         distinct = lambda c: F.approx_count_distinct(F.col(c), approx_rsd)  # noqa: E731
+    elif df.isStreaming:
+        # Spark rejects COUNT(DISTINCT) in streaming aggregations;
+        # size(collect_set()) is the exact equivalent (both skip nulls) at
+        # the cost of per-key set state — precisely the reference's own
+        # memory profile (Python sets, aggregation.py:16-17).
+        distinct = lambda c: F.size(F.collect_set(F.col(c))).cast("long")  # noqa: E731
+    else:
+        distinct = lambda c: F.countDistinct(F.col(c))  # noqa: E731
 
     aggs = [
         F.count(F.lit(1)).alias("event_count"),

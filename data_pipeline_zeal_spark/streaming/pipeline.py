@@ -1,0 +1,301 @@
+"""Structured Streaming pipeline — the reference's processor, Spark-native.
+
+Reference lifecycle (SURVEY.md §3.1): Kafka JSON events → in-memory hourly
+window state → grace-period flush → Postgres idempotent upsert → offset
+commit.  The Spark mapping, stage by stage:
+
+* Kafka batched poll + bad-record drop (``kafka_consumer.py:71-107``)
+  → ``readStream.format("kafka")`` + permissive ``from_json`` + null filter
+  (:func:`parse_events`; ``maxOffsetsPerTrigger`` = the poll batch size).
+* dict-based hourly window state (``aggregation.py:44-67``)
+  → the SAME :func:`~..operators.hourly.aggregate_events` used in batch;
+  Spark's state store replaces the dict.
+* grace-period window close (``aggregation.py:69-79``, grace 60 s vs
+  processing-time ``now``) → ``withWatermark(ts, grace)`` (event-time; the
+  reference stamps events with wall-clock at creation, ``events.py:34``, so
+  the two coincide in live operation).
+* periodic flush (``aggregation_service.py:138-164``, every 60 s)
+  → ``trigger(processingTime="60 seconds")``.
+* Postgres ``INSERT ... ON CONFLICT DO UPDATE`` (``upsert_aggregation.sql``)
+  → ``foreachBatch`` upsert sink.  Update-mode re-emission + key-overwrite
+  reproduces the reference's effectively-once contract (at-least-once
+  delivery into an idempotent keyed write).
+
+Deliberate deviation (documented): a late event arriving after its window
+was flushed causes the reference to REBUILD the window from scratch and
+overwrite the DB row with partial counts (``aggregation.py:53-58``) — data
+loss.  Here update mode re-emits the *cumulative* corrected row within the
+watermark, and drops events later than the watermark.  Strictly better;
+noted for parity audits.
+
+Offset commit (``aggregation_service.py:157-158`` write-then-commit) is
+subsumed by checkpointing: offsets are persisted only after the batch's
+sink write completes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.hourly import aggregate_events
+from ..schemas import EVENT_WIRE_SCHEMA
+
+#: Logical primary key of the aggregate table
+#: (reference ``001_initial_schema.sql:13``: UNIQUE (window_start, event_type)).
+UPSERT_KEYS = ["window_start", "event_type"]
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+def read_event_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "user-activity-events",
+    max_offsets_per_trigger: int | None = 100,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka JSON event source (reference S1: batched poll of ≤N messages —
+    ``maxOffsetsPerTrigger`` is the Spark analog of the poll batch size)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return parse_events(reader.load().selectExpr("CAST(value AS STRING) AS raw"))
+
+
+def read_event_stream_json(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based JSONL event source (deterministic test/replay transport:
+    same wire format as the Kafka topic, one JSON object per line)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return parse_events(reader.load(path).select(F.col("value").alias("raw")))
+
+
+def parse_events(raw: DataFrame) -> DataFrame:
+    """Wire JSON → typed events; malformed messages are DROPPED, not failed
+    (reference ``kafka_consumer.py:104-107``).  Permissive ``from_json``
+    yields null structs for undeserializable rows; the filter on required
+    fields removes them."""
+    parsed = raw.select(
+        F.from_json(F.col("raw"), EVENT_WIRE_SCHEMA).alias("e")
+    ).select("e.*")
+    return parsed.filter(
+        F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("timestamp").isNotNull()
+    )
+
+
+def write_events_kafka(
+    events: DataFrame, bootstrap_servers: str, topic: str = "user-activity-events"
+):
+    """Kafka sink writer (reference S3: one JSON message per event, keyed by
+    user_id).  Returns the DataStreamWriter — caller sets trigger/checkpoint.
+    Producer tuning (acks, linger, compression — reference S3/S4) passes
+    through ``kafka.``-prefixed options."""
+    payload = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in events.columns])).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
+
+
+# ---------------------------------------------------------------------------
+# the streaming aggregation
+# ---------------------------------------------------------------------------
+
+
+def streaming_hourly_aggregate(
+    events: DataFrame,
+    grace_period: str = "60 seconds",
+    exact_distinct: bool = True,
+    ts_col: str = "timestamp",
+    session_col: str | None = "session_id",
+    value_col: str = "duration_ms",
+) -> DataFrame:
+    """Watermarked hourly aggregation over a streaming event DataFrame —
+    the reference's A1-A7 in one declarative plan, sharing
+    :func:`aggregate_events` with the batch path (stream/batch equivalence
+    is guaranteed by construction and tested).
+
+    ``exact_distinct=True`` matches reference semantics (Python sets,
+    ``aggregation.py:62-63``); at 100 TB switch to False for HyperLogLog
+    state (the reference's unbounded-set flaw, fixed)."""
+    return aggregate_events(
+        events.withWatermark(ts_col, grace_period),
+        ts_col=ts_col,
+        user_col="user_id",
+        session_col=session_col,
+        value_col=value_col,
+        exact_distinct=exact_distinct,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+
+
+class ParquetUpsertSink:
+    """Idempotent keyed upsert into a parquet directory — the fixture-mode
+    stand-in for the reference's Postgres ``ON CONFLICT DO UPDATE`` (S5).
+
+    Each micro-batch: read current table, anti-join away rows whose key
+    appears in the batch, union the batch, write to a fresh snapshot dir,
+    atomically swap.  Last-write-wins per (window_start, event_type) —
+    identical to ``upsert_aggregation.sql:12-19``.  Replayed batches
+    (at-least-once) rewrite the same rows: effectively-once."""
+
+    def __init__(self, path: str, keys: list[str] | None = None) -> None:
+        self.path = path
+        self.keys = keys or UPSERT_KEYS
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates(self.keys)  # one row per key per batch
+        if os.path.isdir(self.path):
+            current = spark.read.parquet(self.path)
+            merged = current.join(
+                batch.select(*self.keys), on=self.keys, how="left_anti"
+            ).unionByName(batch)
+        else:
+            merged = batch
+        tmp = f"{self.path}.__tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}.__old_{batch_id}"
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+
+def postgres_upsert_sql(table: str = "hourly_aggregations") -> str:
+    """The production sink SQL (reference ``upsert_aggregation.sql:1-19``),
+    for use inside a ``foreachBatch`` that holds a JDBC/psycopg connection:
+    execute once per batch row-set (e.g. executemany / execute_values)."""
+    return f"""
+INSERT INTO {table}
+  (window_start, window_end, event_type, event_count,
+   unique_user_count, unique_session_count, total_duration_ms, avg_duration_ms)
+VALUES (%s, %s, %s, %s, %s, %s, %s, %s)
+ON CONFLICT (window_start, event_type) DO UPDATE SET
+  window_end = EXCLUDED.window_end,
+  event_count = EXCLUDED.event_count,
+  unique_user_count = EXCLUDED.unique_user_count,
+  unique_session_count = EXCLUDED.unique_session_count,
+  total_duration_ms = EXCLUDED.total_duration_ms,
+  avg_duration_ms = EXCLUDED.avg_duration_ms
+""".strip()
+
+
+def jdbc_upsert_sink(
+    table: str, connection_factory: Callable
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch upsert into Postgres through any DB-API connection
+    factory (kept dependency-free: the reference uses psycopg2's
+    ``execute_values``; executemany is the portable equivalent)."""
+    sql = postgres_upsert_sql(table)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        rows = [tuple(r) for r in batch.dropDuplicates(UPSERT_KEYS).collect()]
+        if not rows:
+            return
+        conn = connection_factory()
+        try:
+            with conn.cursor() as cur:
+                cur.executemany(sql, rows)
+            conn.commit()
+        except Exception:
+            conn.rollback()  # reference: rollback+raise, postgres_repository.py:92-97
+            raise
+        finally:
+            conn.close()
+
+    return _sink
+
+
+# ---------------------------------------------------------------------------
+# pipeline driver
+# ---------------------------------------------------------------------------
+
+
+def start_pipeline(
+    events: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    flush_interval: str | None = "60 seconds",
+    grace_period: str = "60 seconds",
+    exact_distinct: bool = True,
+    available_now: bool = False,
+    query_name: str = "hourly-aggregation",
+) -> StreamingQuery:
+    """events → watermarked hourly agg → foreachBatch upsert.
+
+    ``flush_interval`` = the reference's FLUSH_INTERVAL_SECONDS (A8);
+    ``available_now=True`` = drain mode (the reference's shutdown
+    ``flush_all`` / manual flush, A9)."""
+    agg = streaming_hourly_aggregate(
+        events, grace_period=grace_period, exact_distinct=exact_distinct
+    )
+    writer = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif flush_interval is not None:
+        writer = writer.trigger(processingTime=flush_interval)
+    return writer.start()
+
+
+def drain(query: StreamingQuery, timeout_seconds: float | None = None) -> None:
+    """Process everything available, then stop — the manual-flush /
+    shutdown-drain control path (reference ``flush_all``,
+    ``aggregation_service.py:166-186``)."""
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout_seconds)
+
+
+def pipeline_status(query: StreamingQuery) -> dict:
+    """Engine-state introspection (reference A11 ``get_memory_stats`` /
+    ``pipeline_status`` endpoints) straight from StreamingQueryProgress —
+    no metrics-text scraping needed."""
+    p = query.lastProgress
+    state = (p.get("stateOperators") or [{}])[0] if p else {}
+    return {
+        "query_name": query.name,
+        "is_active": query.isActive,
+        "batch_id": p.get("batchId") if p else None,
+        "num_input_rows": p.get("numInputRows") if p else None,
+        "input_rows_per_second": p.get("inputRowsPerSecond") if p else None,
+        "active_windows": state.get("numRowsTotal"),
+        "state_rows_updated": state.get("numRowsUpdated"),
+        "watermark": (p.get("eventTime") or {}).get("watermark") if p else None,
+    }

@@ -1,0 +1,190 @@
+"""Streaming pipeline tests (deterministic: file source + availableNow).
+
+The property under test is the reference contract (SURVEY.md §3.1):
+stream == batch for the same events (unified Spark semantics), malformed
+messages dropped not failed, replay is effectively-once through the keyed
+upsert, and late data within the watermark corrects the aggregate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_pipeline_zeal_spark.operators.hourly import aggregate_events
+from data_pipeline_zeal_spark.sources.generator import generate_events
+from data_pipeline_zeal_spark.streaming.pipeline import (
+    ParquetUpsertSink,
+    parse_events,
+    read_event_stream_json,
+    start_pipeline,
+)
+
+
+def _write_jsonl(path: str, lines: list[str]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def _event(i: int, ts: str, etype: str = "page_view", user: str = "user_1",
+           duration: int | None = 1000) -> str:
+    return json.dumps(
+        {
+            "event_id": f"e{i}",
+            "user_id": user,
+            "event_type": etype,
+            "timestamp": ts,
+            "session_id": f"s{i % 3}",
+            "page_url": "/home",
+            "duration_ms": duration,
+            "metadata": None,
+        }
+    )
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def _run_drain(spark, src_dir, sink, ckpt):
+    events = read_event_stream_json(spark, src_dir)
+    q = start_pipeline(events, sink, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_equals_batch(spark, workdir):
+    """The streaming aggregate over a drained file source must equal the
+    batch aggregate of the same events — same shared operator."""
+    lines = [
+        _event(i, f"2024-01-01 10:{i:02d}:00", etype=t, user=f"user_{i % 4}",
+               duration=None if i % 3 == 0 else 500 + i)
+        for i, t in enumerate(
+            ["page_view", "click", "page_view", "search", "click", "page_view"] * 5
+        )
+    ]
+    _write_jsonl(f"{workdir}/in/part-0.jsonl", lines)
+    sink = ParquetUpsertSink(f"{workdir}/agg")
+    _run_drain(spark, f"{workdir}/in", sink, f"{workdir}/ckpt")
+
+    got = {tuple(sorted(r.asDict().items())) for r in sink.read(spark).collect()}
+
+    batch_events = parse_events(
+        spark.read.text(f"{workdir}/in").selectExpr("value AS raw")
+    )
+    want = {
+        tuple(sorted(r.asDict().items()))
+        for r in aggregate_events(
+            batch_events,
+            ts_col="timestamp",
+            session_col="session_id",
+            value_col="duration_ms",
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_malformed_messages_dropped(spark, workdir):
+    """Bad JSON / missing required fields are dropped, not failed
+    (reference kafka_consumer.py:104-107)."""
+    lines = [
+        _event(1, "2024-01-01 10:00:00"),
+        "{ not json at all",
+        json.dumps({"user_id": "u", "event_type": None}),
+        _event(2, "2024-01-01 10:30:00"),
+    ]
+    _write_jsonl(f"{workdir}/in/part-0.jsonl", lines)
+    sink = ParquetUpsertSink(f"{workdir}/agg")
+    _run_drain(spark, f"{workdir}/in", sink, f"{workdir}/ckpt")
+    [row] = sink.read(spark).collect()
+    assert row.event_count == 2
+
+
+def test_replay_is_effectively_once(spark, workdir):
+    """Re-processing the same input from a fresh checkpoint (at-least-once
+    replay) leaves the sink unchanged: keyed upsert = idempotent."""
+    lines = [_event(i, "2024-01-01 10:00:00") for i in range(10)]
+    _write_jsonl(f"{workdir}/in/part-0.jsonl", lines)
+    sink = ParquetUpsertSink(f"{workdir}/agg")
+    _run_drain(spark, f"{workdir}/in", sink, f"{workdir}/ckpt1")
+    first = sorted(tuple(r) for r in sink.read(spark).collect())
+    _run_drain(spark, f"{workdir}/in", sink, f"{workdir}/ckpt2")  # replay
+    second = sorted(tuple(r) for r in sink.read(spark).collect())
+    assert first == second
+    assert first[0][3] == 10  # event_count survives, not doubled
+
+
+def test_late_data_updates_window(spark, workdir):
+    """A second micro-batch carrying in-watermark late events re-emits the
+    corrected cumulative row, which overwrites via the keyed upsert —
+    strictly better than the reference's rebuild-and-overwrite."""
+    _write_jsonl(
+        f"{workdir}/in/part-0.jsonl",
+        [_event(i, "2024-01-01 10:05:00") for i in range(5)],
+    )
+    sink = ParquetUpsertSink(f"{workdir}/agg")
+    events = read_event_stream_json(spark, f"{workdir}/in", max_files_per_trigger=1)
+    q = start_pipeline(events, sink, f"{workdir}/ckpt", available_now=True)
+    q.awaitTermination(120)
+    [row] = sink.read(spark).collect()
+    assert row.event_count == 5
+
+    # late (but in-watermark) events for the SAME window arrive in a new file
+    _write_jsonl(
+        f"{workdir}/in/part-1.jsonl",
+        [_event(100 + i, "2024-01-01 10:01:00") for i in range(3)],
+    )
+    events = read_event_stream_json(spark, f"{workdir}/in", max_files_per_trigger=1)
+    q = start_pipeline(events, sink, f"{workdir}/ckpt", available_now=True)
+    q.awaitTermination(120)
+    [row] = sink.read(spark).collect()
+    assert row.event_count == 8  # cumulative, not partial-rebuild
+
+
+def test_generator_distributions(spark):
+    """Generator honors the reference's conditional-field rules and pools."""
+    df = generate_events(spark, 5000, num_users=50).cache()
+    rows = df.collect()
+    types = {r.event_type for r in rows}
+    assert types <= {
+        "page_view", "click", "scroll", "form_submit", "video_play",
+        "video_pause", "purchase", "add_to_cart", "search", "logout",
+    }
+    for r in rows:
+        has_url = r.event_type in ("page_view", "click", "scroll")
+        assert (r.page_url is not None) == has_url
+        has_dur = r.event_type in ("page_view", "video_play")
+        assert (r.duration_ms is not None) == has_dur
+        if r.duration_ms is not None:
+            assert 100 <= r.duration_ms <= 30000
+        if r.event_type == "search":
+            assert "query" in r.metadata
+        elif r.event_type == "purchase":
+            assert "amount" in r.metadata
+        else:
+            assert r.metadata is None
+    n_users = df.select("user_id").distinct().count()
+    assert n_users <= 50
+    n_sessions = df.select("session_id").distinct().count()
+    assert n_sessions > n_users  # sessions rotate
+    df.unpersist()
+
+
+def test_generated_events_flow_through_pipeline(spark, workdir):
+    """End-to-end: generator → wire JSON → stream parse → hourly agg."""
+    df = generate_events(spark, 2000, num_users=20)
+    from pyspark.sql import functions as F
+
+    df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    ).write.mode("overwrite").text(f"{workdir}/in")
+    sink = ParquetUpsertSink(f"{workdir}/agg")
+    _run_drain(spark, f"{workdir}/in", sink, f"{workdir}/ckpt")
+    agg = sink.read(spark)
+    assert agg.count() > 0
+    total = agg.groupBy().sum("event_count").collect()[0][0]
+    assert total == 2000
