@@ -23,7 +23,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_zeal_spark.io import load_table
-from data_pipeline_zeal_spark.operators import api, dedup, etl, hourly, similarity, text
+from data_pipeline_zeal_spark.operators import (
+    api,
+    dedup,
+    etl,
+    events_ext,
+    hourly,
+    multimodal,
+    similarity,
+    text,
+)
 
 # ---------------------------------------------------------------------------
 # shared builders
@@ -171,6 +180,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: dedup.simhash(load_table(s, d, "documents"))
     q["dedup_embedding_near"] = lambda s, d: dedup.embedding_near_dup_pairs(
         load_table(s, d, "embeddings"), threshold=0.9
+    )
+
+    # --- [EXT] extended event analytics ---
+    q["events_props_profile"] = lambda s, d: events_ext.props_profile(
+        load_table(s, d, "events")
+    )
+    q["events_daily_cube"] = lambda s, d: events_ext.daily_type_cube(
+        load_table(s, d, "events")
+    )
+    q["events_daily_moving_avg"] = lambda s, d: events_ext.daily_moving_average(
+        load_table(s, d, "events")
+    )
+    q["events_sessionize"] = lambda s, d: events_ext.sessionize(
+        load_table(s, d, "events")
+    )
+    q["events_type_share"] = lambda s, d: events_ext.type_share(
+        load_table(s, d, "events")
+    )
+    q["events_top_users"] = lambda s, d: events_ext.top_users_by_activity(
+        load_table(s, d, "events")
+    )
+    q["events_hour_profile"] = lambda s, d: events_ext.hour_of_day_profile(
+        load_table(s, d, "events")
+    )
+    q["events_approx_distinct"] = lambda s, d: events_ext.approx_distinct_users(
+        load_table(s, d, "events")
+    )
+
+    # --- [EXT] multimodal plumbing (stubbed decode kernel; rows-only) ---
+    q["multimodal_decode"] = lambda s, d: multimodal.decode_image(
+        multimodal.synth_media(s, 256)
+    )
+
+    # --- [EXT] synthetic generator (hash-kernel; rows-only) ---
+    from data_pipeline_zeal_spark.sources.generator import generate_events
+
+    q["generator_profile"] = lambda s, d: (
+        generate_events(s, 10_000, num_users=100)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.countDistinct("session_id").alias("sessions"),
+        )
+        .orderBy("event_type")
     )
 
     # --- [EXT] similarity search ---
@@ -415,6 +469,79 @@ SELECT source,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source ORDER BY source
 """
+
+    # --- extended event analytics ---
+    o["events_props_profile"] = """
+SELECT event_type,
+       count(*) AS n,
+       count(k) AS k_present,
+       min(k) AS k_min,
+       max(k) AS k_max,
+       round(avg(k), 4) AS k_avg
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+    o["events_daily_cube"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n
+FROM events
+GROUP BY CUBE (CAST(date_trunc('day', ts) AS TIMESTAMP), event_type)
+ORDER BY day NULLS FIRST, event_type NULLS FIRST
+"""
+    o["events_daily_moving_avg"] = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT day, n,
+       round(avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         AS ma_7d
+FROM daily ORDER BY day
+"""
+    o["events_sessionize"] = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+numbered AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_num
+  FROM g
+)
+SELECT user_id, session_num,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_num
+ORDER BY user_id, session_num
+"""
+    o["events_type_share"] = """
+WITH counts AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+SELECT event_type, n,
+       round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS share
+FROM counts ORDER BY event_type
+"""
+    o["events_top_users"] = """
+WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT user_id, n,
+       CAST(dense_rank() OVER (ORDER BY n DESC, user_id ASC) AS INTEGER)
+         AS activity_rank
+FROM counts ORDER BY n DESC, user_id ASC LIMIT 100
+"""
+    o["events_hour_profile"] = """
+SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS unique_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # events_approx_distinct: estimator-specific (HLL++), rows-only check.
+    # multimodal_decode / generator_profile: hash-kernel ops, rows-only.
 
     # --- dedup ---
     o["dedup_exact_groups"] = """

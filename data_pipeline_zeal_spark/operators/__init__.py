@@ -1,1 +1,10 @@
-from . import api, dedup, etl, hourly, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    api,
+    dedup,
+    etl,
+    events_ext,
+    hourly,
+    multimodal,
+    similarity,
+    text,
+)

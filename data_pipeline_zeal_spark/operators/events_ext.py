@@ -1,0 +1,149 @@
+"""[EXT] Extended event-table operators: JSON extraction, cube, moving
+windows, sessionization, ranking.
+
+These widen the engine past the reference's five SQL templates to the
+shapes an analytics user reaches for next.  All built-ins; the analytic
+windows are partitioned (never a global unpartitioned sort over raw
+events), and the sessionizer is the classic gap-and-island plan — one
+shuffle on user_id, everything after is within-partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def props_profile(events: DataFrame) -> DataFrame:
+    """JSON property extraction + aggregate: the ``props`` column carries a
+    JSON object; pull ``$.k`` as an int and profile it per event type.
+    ``get_json_object`` is JVM-side (Jackson) — no Python in the path."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.col("k")).alias("k_present"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 4).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def daily_type_cube(events: DataFrame) -> DataFrame:
+    """GROUP BY CUBE(day, event_type): all subtotal combinations in one
+    pass (Catalyst expands grouping sets without rescanning)."""
+    return (
+        events.select(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .cube("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("day").asc_nulls_first(), F.col("event_type").asc_nulls_first()
+        )
+    )
+
+
+def daily_moving_average(events: DataFrame, days: int = 7) -> DataFrame:
+    """Daily event counts with a trailing N-day moving average — the
+    monitoring-dashboard query.  Two-level: aggregate first (tiny), then a
+    window over ~#days rows; the expensive input never sees the window."""
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-(days - 1), 0)
+    return daily.select(
+        "day",
+        "n",
+        F.round(F.avg("n").over(w), 4).alias(f"ma_{days}d"),
+    ).orderBy("day")
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands): a new session starts
+    when a user is idle longer than ``gap_minutes``.  One shuffle on
+    user_id; lag + running sum are within-partition.  Emits per-session
+    stats — the batch analog of a streaming session window."""
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = events.select(
+        "user_id", "ts", "event_id", new_session.alias("is_new")
+    ).withColumn(
+        "session_num",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return (
+        numbered.groupBy("user_id", "session_num")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_num")
+    )
+
+
+def type_share(events: DataFrame) -> DataFrame:
+    """Per-type event share of total — windowed aggregate over an
+    aggregate (the single-row total broadcast happens via an unpartitioned
+    window over #types rows, not over raw events)."""
+    counts = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return counts.select(
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("share"),
+    ).orderBy("event_type")
+
+
+def top_users_by_activity(events: DataFrame, k: int = 100) -> DataFrame:
+    """Dense-ranked most-active users.  Aggregate-then-rank: the window
+    runs over #users rows, and the final top-k is a TakeOrdered."""
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.select(
+            "user_id",
+            "n",
+            F.dense_rank().over(w).cast("int").alias("activity_rank"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
+def hour_of_day_profile(events: DataFrame) -> DataFrame:
+    """Diurnal profile: counts by hour-of-day x type (date-part coverage)."""
+    return (
+        events.groupBy(
+            F.hour(F.col("ts")).alias("hour_of_day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .orderBy("hour_of_day", "event_type")
+    )
+
+
+def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog distinct-user counts per type — the documented 100 TB
+    alternative to exact distinct (bounded state vs the reference's
+    unbounded sets).  Estimator-specific → rows-only correctness check."""
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+        .orderBy("event_type")
+    )
