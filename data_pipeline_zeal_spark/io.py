@@ -63,3 +63,43 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each fixture table as a temp view for ``spark.sql`` use."""
     for name in FIXTURE_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run ANSI SQL over the fixture tables (the engine's ad-hoc query
+    entry — Catalyst replaces the reference's template loader + Postgres,
+    reference ``utils/infrastructure/query_loader.py:6-11``)."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    predicates: list[str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source (reference S6: the API's pooled Postgres reads).
+
+    For parallel reads pass ``partition_column`` + bounds (Spark issues one
+    range-partitioned query per partition) or explicit ``predicates``;
+    a bare read is a single-connection scan — fine for the aggregate table
+    (small), wrong for facts."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if predicates:
+        return spark.read.jdbc(url, table, predicates=predicates)
+    return reader.load()

@@ -1,0 +1,72 @@
+"""Observability surface (reference S10 / A11, Spark-native).
+
+The reference exposes pipeline health as Prometheus counters/gauges set by
+hand throughout the processor (``aggregation_service.py:15-50,113-136``) and
+then *scrapes its own metrics text* to serve ``/api/pipeline/memory``
+(``pipeline_status.py:70-119``).  Spark already emits every one of those
+signals in ``StreamingQueryProgress``; this listener just accumulates them
+into a queryable snapshot — counters for rows/batches/errors, gauges for
+state size and watermark — with no metrics-text round-trip.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class MetricsListener(StreamingQueryListener):
+    """Accumulates per-query throughput/state metrics from progress events.
+
+    Register with ``spark.streams.addListener(listener)``; read
+    ``listener.snapshot()`` from any thread (the reference's admin/API
+    surface), or export to a metrics registry from ``onQueryProgress``."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._queries: dict[str, dict[str, Any]] = {}
+
+    # -- listener callbacks -------------------------------------------------
+    def onQueryStarted(self, event) -> None:
+        with self._lock:
+            self._queries[str(event.id)] = {
+                "name": event.name,
+                "batches": 0,
+                "total_input_rows": 0,
+                "last_input_rows_per_second": 0.0,
+                "last_batch_duration_ms": None,
+                "state_rows": None,
+                "watermark": None,
+                "terminated": False,
+                "exception": None,
+            }
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        with self._lock:
+            m = self._queries.setdefault(str(p.id), {"name": p.name})
+            m["batches"] = m.get("batches", 0) + 1
+            m["total_input_rows"] = (
+                m.get("total_input_rows", 0) + (p.numInputRows or 0)
+            )
+            m["last_input_rows_per_second"] = p.inputRowsPerSecond
+            m["last_batch_duration_ms"] = (p.durationMs or {}).get("triggerExecution")
+            ops = p.stateOperators or []
+            m["state_rows"] = ops[0].numRowsTotal if ops else None
+            m["watermark"] = (p.eventTime or {}).get("watermark")
+
+    def onQueryTerminated(self, event) -> None:
+        with self._lock:
+            m = self._queries.setdefault(str(event.id), {})
+            m["terminated"] = True
+            m["exception"] = event.exception
+
+    def onQueryIdle(self, event) -> None:  # pragma: no cover - no-op
+        pass
+
+    # -- read side ----------------------------------------------------------
+    def snapshot(self) -> dict[str, dict[str, Any]]:
+        with self._lock:
+            return {k: dict(v) for k, v in self._queries.items()}

@@ -1,0 +1,148 @@
+"""Reference-semantics unit tests for the hourly aggregation operator
+(SURVEY.md §5): hour-boundary window assignment, NULL-if-empty AVG,
+null-skipping SUM, exact distincts, and the upsert sink contract.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import types as T
+
+from data_pipeline_zeal_spark.operators.hourly import aggregate_events
+from data_pipeline_zeal_spark.streaming.pipeline import (
+    jdbc_upsert_sink,
+    postgres_upsert_sql,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _agg(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return {
+        (r.window_start, r.event_type): r
+        for r in aggregate_events(df, ts_col="ts").collect()
+    }
+
+
+def test_hour_boundary_belongs_to_starting_window(spark):
+    """An event at exactly 13:00:00.000 belongs to [13:00, 14:00) —
+    reference truncation semantics (aggregation.py:48-49)."""
+    t13 = datetime.datetime(2024, 1, 1, 13, 0, 0)
+    t1259 = datetime.datetime(2024, 1, 1, 12, 59, 59, 999999)
+    out = _agg(spark, [(t13, "click", "u1", 1.0), (t1259, "click", "u1", 1.0)])
+    assert out[(datetime.datetime(2024, 1, 1, 13, 0), "click")].event_count == 1
+    assert out[(datetime.datetime(2024, 1, 1, 12, 0), "click")].event_count == 1
+    w = out[(datetime.datetime(2024, 1, 1, 13, 0), "click")]
+    assert w.window_end == datetime.datetime(2024, 1, 1, 14, 0)
+
+
+def test_avg_null_when_no_values(spark):
+    """AVG is NULL (not 0) for a window with no non-null values —
+    reference aggregation.py:31-36."""
+    t = datetime.datetime(2024, 1, 1, 9, 30)
+    out = _agg(spark, [(t, "click", "u1", None), (t, "click", "u2", None)])
+    row = out[(datetime.datetime(2024, 1, 1, 9, 0), "click")]
+    assert row.avg_value is None
+    assert row.total_value is None
+    assert row.value_count == 0
+    assert row.event_count == 2
+
+
+def test_sum_skips_nulls_and_counts_contributors(spark):
+    """SUM skips nulls; the contributing count tracks only non-null values —
+    reference aggregation.py:65-67."""
+    t = datetime.datetime(2024, 1, 1, 9, 30)
+    out = _agg(
+        spark,
+        [(t, "pv", "u1", 10.0), (t, "pv", "u1", None), (t, "pv", "u2", 30.0)],
+    )
+    row = out[(datetime.datetime(2024, 1, 1, 9, 0), "pv")]
+    assert row.total_value == 40.0
+    assert row.value_count == 2
+    assert row.avg_value == 20.0
+    assert row.event_count == 3
+
+
+def test_exact_distinct_users(spark):
+    t = datetime.datetime(2024, 1, 1, 9, 30)
+    rows = [(t, "pv", f"u{i % 3}", 1.0) for i in range(12)]
+    out = _agg(spark, rows)
+    assert out[(datetime.datetime(2024, 1, 1, 9, 0), "pv")].unique_user_count == 3
+
+
+def test_postgres_upsert_sql_shape():
+    """The production sink SQL carries the reference's conflict contract
+    (upsert_aggregation.sql:12-19): conflict on the logical PK, update all
+    aggregate columns."""
+    sql = postgres_upsert_sql()
+    assert "ON CONFLICT (window_start, event_type) DO UPDATE" in sql
+    for col in [
+        "event_count",
+        "unique_user_count",
+        "unique_session_count",
+        "total_duration_ms",
+        "avg_duration_ms",
+    ]:
+        assert f"{col} = EXCLUDED.{col}" in sql
+
+
+class _RecordingConn:
+    """DB-API stub recording executemany batches."""
+
+    rows: list = []
+    committed = False
+    rolled_back = False
+
+    def cursor(self):
+        conn = self
+
+        class Cur:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def executemany(self, sql, rows):
+                conn.rows = list(rows)
+
+        return Cur()
+
+    def commit(self):
+        self.committed = True
+
+    def rollback(self):
+        self.rolled_back = True
+
+    def close(self):
+        pass
+
+
+def test_jdbc_upsert_sink_plumbing(spark):
+    """foreachBatch sink dedups per key and ships one executemany batch in
+    a committed transaction (reference postgres_repository.py:59-98)."""
+    t = datetime.datetime(2024, 1, 1, 9, 0)
+    batch = spark.createDataFrame(
+        [(t, "click", 5), (t, "click", 7), (t, "pv", 3)],
+        T.StructType(
+            [
+                T.StructField("window_start", T.TimestampType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("event_count", T.LongType()),
+            ]
+        ),
+    )
+    conn = _RecordingConn()
+    sink = jdbc_upsert_sink("hourly_aggregations", lambda: conn)
+    sink(batch, 0)
+    assert conn.committed
+    assert len(conn.rows) == 2  # (t, click) deduped to one row + (t, pv)

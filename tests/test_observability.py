@@ -1,0 +1,63 @@
+"""MetricsListener captures progress from a real streaming query."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from data_pipeline_zeal_spark.streaming.observability import MetricsListener
+from data_pipeline_zeal_spark.streaming.pipeline import (
+    ParquetUpsertSink,
+    read_event_stream_json,
+    start_pipeline,
+)
+
+
+def test_metrics_listener_accumulates(spark, tmp_path):
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        os.makedirs(f"{tmp_path}/in")
+        lines = [
+            json.dumps(
+                {
+                    "event_id": f"e{i}",
+                    "user_id": "u1",
+                    "event_type": "click",
+                    "timestamp": "2024-01-01 10:00:00",
+                    "session_id": "s1",
+                    "page_url": None,
+                    "duration_ms": None,
+                    "metadata": None,
+                }
+            )
+            for i in range(25)
+        ]
+        (tmp_path / "in" / "p0.jsonl").write_text("\n".join(lines))
+        sink = ParquetUpsertSink(f"{tmp_path}/agg")
+        q = start_pipeline(
+            read_event_stream_json(spark, f"{tmp_path}/in"),
+            sink,
+            f"{tmp_path}/ckpt",
+            available_now=True,
+            query_name="obs-test",
+        )
+        q.awaitTermination(120)
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            snap = listener.snapshot()
+            m = next(
+                (v for v in snap.values() if v.get("name") == "obs-test"), None
+            )
+            if m and m.get("terminated") and m.get("total_input_rows", 0) >= 25:
+                break
+            time.sleep(0.5)
+        assert m is not None
+        assert m["total_input_rows"] == 25
+        assert m["batches"] >= 1
+        assert m["terminated"] is True
+        assert m["exception"] is None
+    finally:
+        spark.streams.removeListener(listener)
