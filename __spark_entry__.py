@@ -179,7 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["dedup_simhash"] = lambda s, d: dedup.simhash(load_table(s, d, "documents"))
     q["dedup_embedding_near"] = lambda s, d: dedup.embedding_near_dup_pairs(
-        load_table(s, d, "embeddings"), threshold=0.9
+        load_table(s, d, "embeddings"), threshold=0.4
     )
 
     # --- [EXT] extended event analytics ---
@@ -570,7 +570,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 ORDER BY vec_a, vec_b
 """
     # dedup_minhash_lsh_pairs, dedup_simhash: hash-kernel ops, rows-only check.

@@ -181,23 +181,23 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     tok = with_min_parallelism(documents).select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
+    # per-bit ONE counts (plain sum of the extracted bit — cheaper than a
+    # conditional +/-1 vote); majority test is 2*ones > n.
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"b{i}")
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(bits)
     ]
-    agg = tok.groupBy("doc_id").agg(*votes)
+    agg = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *votes)
     packed = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        majority = (F.col(f"b{i}") * 2) > F.col("n")
+        term = (
+            F.when(majority, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+            if i < 63
+            else F.when(majority, F.lit(-(2 ** 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-        term = bit * F.lit(2 ** i).cast("long") if i < 63 else F.when(
-            F.col(f"b{i}") > 0, F.lit(-(2 ** 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
         packed = term if packed is None else packed + term
     return agg.select("doc_id", packed.alias("simhash")).orderBy("doc_id")
 

@@ -15,9 +15,10 @@ Scale design notes (targets: 1000-executor cluster, ~100 TB):
   ``sources/bucketing`` notes) and AQE handles skewed keys.
 * Aggregations group on low-cardinality keys (flags, priorities, nations) so
   map-side partial aggregation collapses the shuffle to ~partitions x groups.
-* Monetary aggregates are rounded to 2 decimals at the final projection only
-  (cheap, stable for oracle comparison; intermediate math stays in doubles
-  inside whole-stage codegen).
+* Double aggregates are rounded at the final projection to the exact decimal
+  precision of the true value (inputs are fixed-decimal), which makes results
+  bit-stable across engines and summation orders; averages divide the
+  canonicalized sum.  Intermediate math stays in doubles inside codegen.
 """
 
 from __future__ import annotations

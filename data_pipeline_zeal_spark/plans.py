@@ -1,0 +1,54 @@
+"""Physical-plan introspection utilities.
+
+The engine's performance contract is structural: filters reach the parquet
+scan, projections prune columns, small dimensions broadcast, hot expressions
+stay inside whole-stage codegen.  These helpers extract that structure from
+the executed plan so tests and tuning sessions can ASSERT it instead of
+eyeballing ``explain`` output.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanSummary:
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    broadcast_joins: int = 0
+    sort_merge_joins: int = 0
+    shuffles: int = 0
+    codegen_stages: int = 0
+    has_take_ordered: bool = False
+    has_partial_agg: bool = False
+
+    def scans_column(self, col: str) -> bool:
+        return any(col in s for s in self.read_schemas)
+
+
+def explain_mode(df: DataFrame, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    jmode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return qe.explainString(jmode)
+
+
+def summarize(df: DataFrame) -> PlanSummary:
+    s = explain_mode(df, "formatted")
+    # codegen stage markers only appear in the simple-mode tree
+    simple = explain_mode(df, "simple")
+    return PlanSummary(
+        pushed_filters=[
+            m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", s) if m
+        ],
+        read_schemas=re.findall(r"ReadSchema: ([^\n]*)", s),
+        broadcast_joins=s.count("BroadcastHashJoin"),
+        sort_merge_joins=s.count("SortMergeJoin"),
+        shuffles=s.count("Exchange"),
+        codegen_stages=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", simple))),
+        has_take_ordered="TakeOrderedAndProject" in s,
+        has_partial_agg="partial_" in simple,
+    )
