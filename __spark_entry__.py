@@ -208,6 +208,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events")
     )
 
+    q["events_session_window"] = lambda s, d: events_ext.session_window_stats(
+        load_table(s, d, "events")
+    )
+    q["events_sliding_window"] = lambda s, d: events_ext.sliding_window_counts(
+        load_table(s, d, "events")
+    )
+    q["inactive_customers"] = lambda s, d: etl.inactive_customers(
+        load_table(s, d, "customer"), load_table(s, d, "orders")
+    )
+    q["part_search"] = lambda s, d: etl.part_search(load_table(s, d, "part"))
+    q["price_quantiles"] = lambda s, d: etl.price_quantiles(
+        load_table(s, d, "lineitem")
+    )
+
     # --- [EXT] multimodal plumbing (stubbed decode kernel; rows-only) ---
     q["multimodal_decode"] = lambda s, d: multimodal.decode_image(
         multimodal.synth_media(s, 256)
@@ -542,6 +556,68 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
     # events_approx_distinct: estimator-specific (HLL++), rows-only check.
     # multimodal_decode / generator_profile: hash-kernel ops, rows-only.
+    o["events_session_window"] = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) >= 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_num
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_num
+ORDER BY user_id, session_start
+"""
+    o["events_sliding_window"] = """
+SELECT ws AS window_start,
+       ws + INTERVAL 2 HOUR AS window_end,
+       event_type,
+       count(*) AS n
+FROM (
+  SELECT date_trunc('hour', ts) - to_hours(o) AS ws, event_type
+  FROM events, unnest([0, 1]) t(o)
+)
+GROUP BY ws, event_type
+ORDER BY window_start, event_type
+"""
+    o["inactive_customers"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+)
+ORDER BY c_custkey
+"""
+    o["part_search"] = r"""
+SELECT p_partkey, p_name, p_type,
+       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+       upper(p_brand) AS brand_upper
+FROM part
+WHERE p_name LIKE 'red %' OR p_type LIKE '%STANDARD%'
+ORDER BY p_partkey
+"""
+    o["price_quantiles"] = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
     # --- dedup ---
     o["dedup_exact_groups"] = """

@@ -272,3 +272,63 @@ def order_lineitem_detail(
         .orderBy("o_orderkey", "l_linenumber")
         .limit(limit)
     )
+
+
+def inactive_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    date_from: str = "1995-01-01",
+    date_to: str = "1995-07-01",
+) -> DataFrame:
+    """Anti-join: customers with NO orders in a window — left_anti keeps the
+    big side unshuffled beyond its join key and never materializes matches."""
+    active = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from))
+        & (F.col("o_orderdate") < F.lit(date_to))
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        customer.join(active, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def part_search(
+    part: DataFrame, name_prefix: str = "red ", type_like: str = "%STANDARD%"
+) -> DataFrame:
+    """String-predicate search: LIKE + prefix + regexp extraction.  String
+    predicates push to the scan (StringStartsWith/StringContains reach the
+    parquet reader)."""
+    return (
+        part.filter(
+            F.col("p_name").startswith(name_prefix)
+            | F.col("p_type").like(type_like)
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_type",
+            F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_word"),
+            F.upper(F.col("p_brand")).alias("brand_upper"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def price_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per return flag (``percentile`` —
+    exact, sort-based; use ``approx_percentile`` (t-digest/GK) at 100 TB
+    where a full per-group sort is not worth it)."""
+    pct = lambda q: F.round(  # noqa: E731
+        F.percentile(F.col("l_extendedprice"), F.lit(q)), 4
+    )
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            pct(0.25).alias("p25"),
+            pct(0.5).alias("p50"),
+            pct(0.75).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -147,3 +147,44 @@ def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
         .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native Spark session windows (``F.session_window``): per-user
+    activity sessions that merge while events are within ``gap``.  Batch
+    form here; the identical expression works in Structured Streaming with
+    a watermark (merging session state) — the operator the reference lacks
+    (SURVEY §2.4: tumbling only).  Cross-checked against the gaps-and-
+    islands SQL formulation in the oracle."""
+    return (
+        events.groupBy("user_id", F.session_window(F.col("ts"), gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame, width: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in width/slide windows.
+    Spark expands assignments inline (no self-join); the aggregate stays
+    (windows x types)-sized."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), width, slide).alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start", "event_type")
+    )
