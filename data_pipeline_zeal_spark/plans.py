@@ -45,10 +45,12 @@ def summarize(df: DataFrame) -> PlanSummary:
             m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", s) if m
         ],
         read_schemas=re.findall(r"ReadSchema: ([^\n]*)", s),
-        broadcast_joins=s.count("BroadcastHashJoin"),
-        sort_merge_joins=s.count("SortMergeJoin"),
-        shuffles=s.count("Exchange"),
+        # operator counts come from the simple tree (one line per operator;
+        # formatted mode repeats each operator in its details section)
+        broadcast_joins=simple.count("BroadcastHashJoin"),
+        sort_merge_joins=simple.count("SortMergeJoin"),
+        shuffles=len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", simple)),
         codegen_stages=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", simple))),
-        has_take_ordered="TakeOrderedAndProject" in s,
+        has_take_ordered="TakeOrderedAndProject" in simple,
         has_partial_agg="partial_" in simple,
     )

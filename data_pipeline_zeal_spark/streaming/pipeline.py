@@ -152,6 +152,31 @@ def streaming_hourly_aggregate(
     )
 
 
+def streaming_session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    grace_period: str = "60 seconds",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Streaming session windows (merging state): per-user sessions that
+    close once the watermark passes session_end.  The [EXT] stateful
+    operator the reference lacks — same expression as the batch
+    ``events_ext.session_window_stats`` (tested equivalent)."""
+    from pyspark.sql import functions as F  # local to avoid shadowing
+
+    return (
+        events.withWatermark(ts_col, grace_period)
+        .groupBy("user_id", F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # sinks
 # ---------------------------------------------------------------------------

@@ -188,3 +188,48 @@ def test_generated_events_flow_through_pipeline(spark, workdir):
     assert agg.count() > 0
     total = agg.groupBy().sum("event_count").collect()[0][0]
     assert total == 2000
+
+
+def test_streaming_session_windows_match_batch(spark, workdir):
+    """Streaming session windows (merging state) drain to the same sessions
+    as the batch session_window operator on identical input."""
+    from data_pipeline_zeal_spark.operators.events_ext import session_window_stats
+    from data_pipeline_zeal_spark.streaming.pipeline import streaming_session_stats
+    from pyspark.sql import functions as F
+
+    lines = []
+    i = 0
+    for user in ["user_1", "user_2"]:
+        for base_h, n in [(10, 4), (12, 3)]:  # two sessions per user
+            for j in range(n):
+                lines.append(
+                    _event(i, f"2024-01-01 {base_h}:{j * 5:02d}:00", user=user)
+                )
+                i += 1
+    _write_jsonl(f"{workdir}/in/part-0.jsonl", lines)
+
+    events = read_event_stream_json(spark, f"{workdir}/in")
+    q = (
+        streaming_session_stats(events, gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_stream")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(sorted(r.asDict().items()))
+        for r in spark.table("sessions_stream").collect()
+    }
+
+    batch_events = parse_events(
+        spark.read.text(f"{workdir}/in").selectExpr("value AS raw")
+    ).select("user_id", F.col("timestamp").alias("ts"))
+    want = {
+        tuple(sorted(r.asDict().items()))
+        for r in session_window_stats(batch_events).collect()
+    }
+    assert got == want
+    assert len(got) == 4  # 2 users x 2 sessions
