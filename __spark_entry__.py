@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_source_token_totals"] = lambda s, d: text.source_token_totals(
         load_table(s, d, "documents")
     )
+    q["text_token_frequencies"] = lambda s, d: text.token_frequencies(
+        load_table(s, d, "documents")
+    )
 
     # --- [EXT] dedup ---
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicates(
@@ -249,6 +252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
     )
     q["sim_label_centroids"] = lambda s, d: similarity.label_centroids(
+        load_table(s, d, "embeddings")
+    )
+    q["sim_embedding_norms"] = lambda s, d: similarity.embedding_norms(
         load_table(s, d, "embeddings")
     )
     return q
@@ -617,6 +623,24 @@ SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+    o["text_token_frequencies"] = f"""
+SELECT token, count(*) AS freq
+FROM (SELECT unnest({_TOK}) AS token FROM documents)
+GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100
+"""
+    o["sim_embedding_norms"] = """
+WITH n AS (
+  SELECT label, sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vectors,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vectors
+FROM n GROUP BY label ORDER BY label
 """
 
     # --- dedup ---

@@ -136,3 +136,24 @@ def label_centroids(embeddings: DataFrame, dim: int = 64) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding L2-norm profile + unit-normalization check —
+    the hygiene pass before any cosine-based retrieval (zero vectors and
+    un-normalized rows break downstream similarity)."""
+    from ..functions.vector import norm
+
+    n = norm(as_double(F.col("embedding")))
+    return (
+        with_min_parallelism(embeddings)
+        .select("label", n.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.sum((F.col("nrm") == 0).cast("long")).alias("zero_vectors"),
+        )
+        .orderBy("label")
+    )

@@ -125,3 +125,20 @@ def source_token_totals(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def token_frequencies(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus token histogram: explode tokens → count → top-k.  The
+    explode fan-out is bounded by corpus token count; partial aggregation
+    combines per-partition before the shuffle, and the top-k is a
+    TakeOrdered (no global sort)."""
+    from ..io import with_min_parallelism
+
+    return (
+        with_min_parallelism(documents)
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(k)
+    )
