@@ -221,6 +221,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "customer"), load_table(s, d, "orders")
     )
     q["part_search"] = lambda s, d: etl.part_search(load_table(s, d, "part"))
+    q["priority_with_returns"] = lambda s, d: etl.priority_with_returns(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    )
+    q["returned_item_revenue"] = lambda s, d: etl.returned_item_revenue(
+        load_table(s, d, "customer"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "nation"),
+    )
+    q["promo_revenue_share"] = lambda s, d: etl.promo_revenue_share(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    )
+    q["large_volume_customers"] = lambda s, d: etl.large_volume_customers(
+        load_table(s, d, "customer"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "lineitem"),
+    )
     q["price_quantiles"] = lambda s, d: etl.price_quantiles(
         load_table(s, d, "lineitem")
     )
@@ -256,6 +273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["sim_embedding_norms"] = lambda s, d: similarity.embedding_norms(
         load_table(s, d, "embeddings")
+    )
+    q["sim_ivf_topk"] = lambda s, d: similarity.ivf_topk(
+        load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
     )
     return q
 
@@ -616,6 +636,50 @@ FROM part
 WHERE p_name LIKE 'red %' OR p_type LIKE '%STANDARD%'
 ORDER BY p_partkey
 """
+    o["priority_with_returns"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+    o["returned_item_revenue"] = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+    o["promo_revenue_share"] = """
+SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4)
+         AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue,
+       round(round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4)
+             / round(sum(l_extendedprice * (1 - l_discount)), 4) * 100.0, 6)
+         AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+    o["large_volume_customers"] = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 200
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+"""
+    # sim_ivf_topk: approximate (probed cells), rows-only check.
     o["price_quantiles"] = """
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

@@ -332,3 +332,89 @@ def price_quantiles(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def priority_with_returns(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Semi-join (EXISTS) coverage, TPC-H Q4 shape: count orders per
+    priority that have at least one returned line item.  left_semi never
+    duplicates or materializes the match side."""
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    limit: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top customers by revenue lost to returns.
+    Fact-side filter first, dimensions broadcast, top-k TakeOrdered."""
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(limit)
+    )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from PROMO parts — conditional
+    aggregation over a broadcast dimension join."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.sum(promo), 4).alias("promo_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+            F.round(
+                F.round(F.sum(promo), 4) / F.round(F.sum(rev), 4) * 100.0, 6
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_quantity: float = 200.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a bound
+    (aggregate-subquery + HAVING), joined back to customers.  The HAVING
+    runs on the already-aggregated (small) side before the joins."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_quantity)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+    )

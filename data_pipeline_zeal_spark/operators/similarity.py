@@ -157,3 +157,55 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style two-stage ANN: coarse-quantize by cluster (the fixture's
+    ``label`` is the inverted-file cell id; in production it comes from a
+    k-means pass — see :func:`label_centroids`), probe each query's
+    ``nprobe`` nearest centroids, then run the exact cosine kernel only on
+    those cells.
+
+    Scale shape: centroids are tiny (cells x dim) → broadcast; the corpus
+    is touched only in the probed cells (~nprobe/cells of the data), and
+    the per-cell search is the same broadcast-query kernel as brute force.
+    Recall < 1 when a true neighbor lives outside the probed cells."""
+    cents = label_centroids(embeddings).select(
+        F.col("label").alias("cell"), F.col("centroid")
+    )
+    q = _query_set(embeddings, query_ids)
+    # rank cells per query by centroid cosine, keep nprobe
+    qc = q.join(F.broadcast(cents))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qv"), F.col("centroid"))), F.asc("cell")
+    )
+    probes = (
+        qc.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = with_min_parallelism(embeddings).select(
+        "vec_id",
+        F.col("label").alias("cell"),
+        as_double(F.col("embedding")).alias("v"),
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
