@@ -35,6 +35,10 @@ HEADLINE = [
     "top_orders_per_customer",
     "customer_order_stats",
     "order_priority_rollup",
+    "priority_with_returns",
+    "promo_revenue_share",
+    "events_sessionize",
+    "events_session_window",
     "text_stats",
     "text_language_id",
     "text_source_token_totals",
