@@ -275,7 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings")
     )
     q["sim_ivf_topk"] = lambda s, d: similarity.ivf_topk(
-        load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
+        load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10, nprobe=4
     )
     return q
 

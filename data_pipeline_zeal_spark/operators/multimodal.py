@@ -118,6 +118,51 @@ def decode_image(media: DataFrame, batch_hint_rows: int = 1024) -> DataFrame:
     )
 
 
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("clipped", T.IntegerType(), False),
+    ]
+)
+
+
+def _fake_audio_features(payload: bytes) -> tuple[int, float, int]:
+    """STUB audio feature kernel — deterministic fake standing in for a real
+    audio library (not installed here).  Real implementation:
+    ``samples, sr = soundfile.read(io.BytesIO(payload)); return len(samples),
+    rms(samples), n_clipped(samples)``."""
+    if not payload:
+        raise NotImplementedError("empty payload; real decoder not available")
+    n = 1000 + (payload[0] << 8 | payload[1]) % 7000
+    rms = round(sum(payload[:64]) / (64 * 255.0), 6)
+    clipped = sum(1 for b in payload[:64] if b > 250)
+    return n, rms, clipped
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction via the same Arrow-batched ``mapInPandas``
+    path as :func:`decode_image` — sample count, RMS level, clipping count
+    per payload (quality gates for an audio training corpus)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_audio_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": [f[0] for f in feats],
+                    "rms": [f[1] for f in feats],
+                    "clipped": [f[2] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=DECODED_AUDIO_SCHEMA
+    )
+
+
 def filter_by_meta(
     media: DataFrame,
     media_type: str | None = None,

@@ -54,3 +54,14 @@ def test_sample_frames(spark):
     # 0,1000,2000,3000 per video
     assert len(frames) == 8
     assert {f.frame_ts_ms for f in frames} == {0, 1000, 2000, 3000}
+
+
+def test_audio_features(spark):
+    out = mm.extract_audio_features(mm.synth_media(spark, 64))
+    rows = out.collect()
+    assert len(rows) == 64
+    assert out.schema == mm.DECODED_AUDIO_SCHEMA
+    for r in rows:
+        assert 1000 <= r.n_samples < 8000
+        assert 0.0 <= r.rms <= 1.0
+        assert r.clipped >= 0
