@@ -32,8 +32,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_read_confs(spark: SparkSession) -> None:
+    """Make fixture reads correct on ANY session, not just ``get_spark()``'s.
+
+    Both confs are runtime-settable SQL confs; callers (driver harnesses,
+    notebooks) often hand us a vanilla ``SparkSession`` that lacks them:
+
+    * ``nanosAsLong`` — the fixtures store TIMESTAMP(NANOS), which Spark
+      rejects by default (PARQUET_TYPE_ILLEGAL); read as long and convert
+      below with integer division (nano epochs overflow double precision).
+    * UTC session timezone — the reference stamps UTC end-to-end and the
+      DuckDB oracle reads naive/UTC parquet timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one fixture table (nano-timestamps normalized)."""
+    _ensure_read_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in NANO_TS_COLS.get(name, []):
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
