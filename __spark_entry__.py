@@ -518,7 +518,7 @@ SELECT event_type,
        min(k) AS k_min,
        max(k) AS k_max,
        round(avg(k), 4) AS k_avg
-FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
       FROM events)
 GROUP BY event_type ORDER BY event_type
 """

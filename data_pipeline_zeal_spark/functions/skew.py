@@ -37,8 +37,10 @@ def salted_aggregate(
         arg = arg.rstrip(")").strip()
         if fn not in merge_fn:
             raise ValueError(f"non-mergeable aggregate: {spec}")
-        col: Column = F.lit(1) if fn == "count" else F.col(arg)
-        phase1_aggs.append(getattr(F, "count" if fn == "count" else fn)(col).alias(out))
+        # count(*) counts rows; count(col) must keep SQL null-skipping
+        # semantics through the partial phase.
+        col: Column = F.lit(1) if fn == "count" and arg in ("", "*") else F.col(arg)
+        phase1_aggs.append(getattr(F, fn)(col).alias(out))
         phase2_aggs.append(merge_fn[fn](F.col(out)).alias(out))
 
     salted = df.withColumn(

@@ -8,11 +8,15 @@ parquet scans, and partial aggregation.
 
 Scale design notes (targets: 1000-executor cluster, ~100 TB):
 
-* Dimension tables (region/nation/supplier, and part at most SFs) are
-  broadcast — ``F.broadcast`` hints remove the shuffle on the big fact side.
-  customer-orders and orders-lineitem are genuine shuffle joins on their keys;
-  at scale those benefit from bucketing both tables on the join key (see
-  ``sources/bucketing`` notes) and AQE handles skewed keys.
+* Only FIXED-cardinality dimensions (region: 5 rows, nation: 25 rows) carry
+  unconditional ``F.broadcast`` hints.  customer/supplier/part grow with the
+  scale factor (SF x 150k/10k/200k rows — multi-GB at SF100+), so hinting them
+  would force an OOM-prone driver-side build at the 100 TB target; we leave
+  those joins unhinted and let size statistics + AQE pick broadcast when the
+  side is actually small (they do at test SFs).  customer-orders and
+  orders-lineitem are genuine shuffle joins on their keys; at scale those
+  benefit from bucketing both tables on the join key (see ``sources/bucketing``
+  notes) and AQE handles skewed keys.
 * Aggregations group on low-cardinality keys (flags, priorities, nations) so
   map-side partial aggregation collapses the shuffle to ~partitions x groups.
 * Double aggregates are rounded at the final projection to the exact decimal
@@ -79,9 +83,11 @@ def shipping_priority(
 ) -> DataFrame:
     """TPC-H Q3: top unshipped orders by revenue for one market segment.
 
-    customer is small relative to orders → broadcast; orders↔lineitem is the
-    real shuffle join on l_orderkey.  Final top-k is TakeOrderedAndProject
-    (no global sort materialization)."""
+    The segment filter keeps ~1/5 of customer, which still scales with SF, so
+    no unconditional broadcast hint — AQE picks broadcast when the filtered
+    side is actually small; orders↔lineitem is the real shuffle join on
+    l_orderkey.  Final top-k is TakeOrderedAndProject (no global sort
+    materialization)."""
     return (
         lineitem.filter(F.col("l_shipdate") > F.lit(cutoff))
         .join(
@@ -89,7 +95,7 @@ def shipping_priority(
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+            customer.filter(F.col("c_mktsegment") == segment),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -132,8 +138,10 @@ def local_supplier_volume(
             & (F.col("o_orderdate") < F.lit(date_to))
         )
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # customer/supplier scale with SF — no broadcast hint; AQE/size stats
+        # choose broadcast when the side is genuinely small.
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -193,9 +201,10 @@ def customer_order_stats(
     customer: DataFrame, orders: DataFrame, nation: DataFrame
 ) -> DataFrame:
     """Join + aggregate: per-nation customer order volume.  nation broadcast;
-    customer↔orders shuffle join on custkey, then low-cardinality rollup."""
+    customer↔orders shuffle join on custkey (AQE may broadcast customer at
+    small SFs), then low-cardinality rollup."""
     return (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -357,11 +366,11 @@ def returned_item_revenue(
     limit: int = 20,
 ) -> DataFrame:
     """TPC-H Q10 shape: top customers by revenue lost to returns.
-    Fact-side filter first, dimensions broadcast, top-k TakeOrdered."""
+    Fact-side filter first, fixed dims broadcast, top-k TakeOrdered."""
     return (
         lineitem.filter(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -376,11 +385,12 @@ def returned_item_revenue(
 
 def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """TPC-H Q14 shape: share of revenue from PROMO parts — conditional
-    aggregation over a broadcast dimension join."""
+    aggregation over the part dimension join (part scales with SF, so no
+    unconditional broadcast hint)."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(F.sum(promo), 4).alias("promo_revenue"),
             F.round(F.sum(rev), 4).alias("total_revenue"),
@@ -407,7 +417,7 @@ def large_volume_customers(
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",

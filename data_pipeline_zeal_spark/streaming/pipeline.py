@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.hourly import aggregate_events
-from ..schemas import EVENT_WIRE_SCHEMA
+from ..schemas import EVENT_WIRE_SCHEMA, HOURLY_AGGREGATION_SCHEMA
 
 #: Logical primary key of the aggregate table
 #: (reference ``001_initial_schema.sql:13``: UNIQUE (window_start, event_type)).
@@ -188,17 +188,35 @@ class ParquetUpsertSink:
 
     Each micro-batch: read current table, anti-join away rows whose key
     appears in the batch, union the batch, write to a fresh snapshot dir,
-    atomically swap.  Last-write-wins per (window_start, event_type) —
-    identical to ``upsert_aggregation.sql:12-19``.  Replayed batches
-    (at-least-once) rewrite the same rows: effectively-once."""
+    swap.  Last-write-wins per (window_start, event_type) — identical to
+    ``upsert_aggregation.sql:12-19``.  Replayed batches (at-least-once)
+    rewrite the same rows: effectively-once.
+
+    Contract: SINGLE WRITER on a local/posix FS (this is the fixture-mode
+    sink; production uses the JDBC upsert, where the DB provides atomicity).
+    The two-rename swap has a window where ``path`` is absent; a crash there
+    leaves the previous snapshot at ``path.__old_<id>`` and ``__call__``
+    rolls it back on the next invocation."""
 
     def __init__(self, path: str, keys: list[str] | None = None) -> None:
         self.path = path
         self.keys = keys or UPSERT_KEYS
 
+    def _recover(self) -> None:
+        """Roll back a crashed swap: live path missing but an __old_ exists."""
+        if os.path.isdir(self.path):
+            return
+        parent, base = os.path.split(self.path.rstrip("/"))
+        leftovers = sorted(
+            n for n in os.listdir(parent or ".") if n.startswith(f"{base}.__old_")
+        )
+        if leftovers:
+            os.rename(os.path.join(parent, leftovers[-1]), self.path)
+
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.dropDuplicates(self.keys)  # one row per key per batch
+        self._recover()
         if os.path.isdir(self.path):
             current = spark.read.parquet(self.path)
             merged = current.join(
@@ -244,9 +262,19 @@ def jdbc_upsert_sink(
     factory (kept dependency-free: the reference uses psycopg2's
     ``execute_values``; executemany is the portable equivalent)."""
     sql = postgres_upsert_sql(table)
+    # The persisted record shape; the streaming aggregate additionally
+    # carries the duration_ms_count helper column, which the upsert SQL's
+    # 8 placeholders do not accept.
+    cols = [f.name for f in HOURLY_AGGREGATION_SCHEMA.fields]
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        rows = [tuple(r) for r in batch.dropDuplicates(UPSERT_KEYS).collect()]
+        projected = batch.dropDuplicates(UPSERT_KEYS).select(
+            *[
+                (F.col(c) if c in batch.columns else F.lit(None)).alias(c)
+                for c in cols
+            ]
+        )
+        rows = [tuple(r) for r in projected.collect()]
         if not rows:
             return
         conn = connection_factory()

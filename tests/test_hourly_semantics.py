@@ -146,3 +146,50 @@ def test_jdbc_upsert_sink_plumbing(spark):
     sink(batch, 0)
     assert conn.committed
     assert len(conn.rows) == 2  # (t, click) deduped to one row + (t, pv)
+    # missing schema columns are null-filled so the tuple width always
+    # matches the 8 SQL placeholders
+    assert all(len(r) == 8 for r in conn.rows)
+
+
+def test_jdbc_upsert_sink_drops_helper_columns(spark):
+    """The streaming aggregate carries a duration_ms_count helper column;
+    the sink must project to exactly the 8 persisted columns or executemany
+    dies on the placeholder-count mismatch (round-1 advisory bug)."""
+    from data_pipeline_zeal_spark.streaming.pipeline import (
+        parse_events,
+        streaming_hourly_aggregate,  # noqa: F401  (shape source documented)
+    )
+    from data_pipeline_zeal_spark.operators.hourly import aggregate_events
+    import json
+
+    raw = spark.createDataFrame(
+        [
+            (json.dumps({
+                "event_id": f"e{i}", "user_id": f"u{i % 2}",
+                "event_type": "page_view",
+                "timestamp": "2024-01-01 10:00:00",
+                "session_id": f"s{i}", "page_url": "/home",
+                "duration_ms": 100 * i, "metadata": None,
+            }),)
+            for i in range(4)
+        ],
+        ["raw"],
+    )
+    # identical shape to the streaming path: 9 columns incl. the helper
+    batch = aggregate_events(
+        parse_events(raw),
+        ts_col="timestamp",
+        session_col="session_id",
+        value_col="duration_ms",
+    )
+    assert "duration_ms_count" in batch.columns
+
+    conn = _RecordingConn()
+    sink = jdbc_upsert_sink("hourly_aggregations", lambda: conn)
+    sink(batch, 0)
+    assert conn.committed
+    assert len(conn.rows) == 1
+    assert len(conn.rows[0]) == 8
+    # column order matches the INSERT list: the count lands at position 3
+    assert conn.rows[0][3] == 4  # event_count
+    assert conn.rows[0][4] == 2  # unique_user_count

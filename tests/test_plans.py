@@ -50,3 +50,52 @@ def test_top_orders_single_shuffle(spark):
     p = plans.summarize(df)
     # one exchange for the window partition; no extra aggregation shuffles
     assert p.shuffles <= 2  # window hash exchange (+ optional AQE read)
+
+
+def test_broadcast_hints_only_on_fixed_dims(spark):
+    """SF-scaled tables (customer/supplier/part) must never carry an
+    unconditional broadcast hint — at the 100 TB target a forced broadcast
+    of a multi-GB table OOMs the driver.  With auto-broadcast disabled, the
+    ONLY broadcasts left in the plan are the fixed-cardinality dims
+    (region: 5 rows, nation: 25 rows); everything else falls back to a
+    shuffle join, proving no hint forces it."""
+    t = lambda n: load_table(spark, SF_SMALL, n)  # noqa: E731
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q5 = etl.local_supplier_volume(
+            t("region"), t("nation"), t("customer"), t("supplier"),
+            t("orders"), t("lineitem"),
+        )
+        p5 = plans.summarize(q5)
+        # region→nation hint + dim→fact hint; customer/supplier must NOT
+        # broadcast when not auto-eligible.
+        assert p5.broadcast_joins == 2
+        assert p5.sort_merge_joins >= 3  # orders⋈lineitem, ⋈customer, ⋈supplier
+
+        q10 = etl.returned_item_revenue(
+            t("customer"), t("orders"), t("lineitem"), t("nation")
+        )
+        p10 = plans.summarize(q10)
+        assert p10.broadcast_joins == 1  # nation only
+        assert p10.sort_merge_joins >= 2
+
+        q18 = etl.large_volume_customers(t("customer"), t("orders"), t("lineitem"))
+        p18 = plans.summarize(q18)
+        assert p18.broadcast_joins == 0  # no hints anywhere in Q18
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_broadcasts_still_chosen_automatically_at_small_sf(spark):
+    """With the hints gone, size statistics must still pick broadcast for the
+    genuinely-small sides at fixture scale (the local-perf half of the
+    size-honest contract)."""
+    t = lambda n: load_table(spark, SF_SMALL, n)  # noqa: E731
+    q5 = etl.local_supplier_volume(
+        t("region"), t("nation"), t("customer"), t("supplier"),
+        t("orders"), t("lineitem"),
+    )
+    assert plans.summarize(q5).sort_merge_joins == 0
+    q18 = etl.large_volume_customers(t("customer"), t("orders"), t("lineitem"))
+    assert plans.summarize(q18).broadcast_joins >= 1

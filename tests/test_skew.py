@@ -37,6 +37,30 @@ def test_salted_aggregate_matches_direct(spark):
     assert got == want
 
 
+def test_salted_count_col_skips_nulls(spark):
+    """count(col) must keep SQL null-skipping semantics through the salted
+    partial phase (round-1 advisory: it silently became count(*))."""
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("key"),
+        F.when(F.col("id") % 5 != 0, F.col("id").cast("double")).alias("v"),
+    )
+    got = {
+        tuple(r)
+        for r in salted_aggregate(
+            df, ["key"], {"n_rows": "count(*)", "n_v": "count(v)"}, salt=4
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.count("v").alias("n_v"))
+        .collect()
+    }
+    assert got == want
+    # and the two counts genuinely differ (nulls present)
+    assert any(r[1] != r[2] for r in got)
+
+
 def test_salted_aggregate_rejects_nonmergeable(spark):
     import pytest
 
