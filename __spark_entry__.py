@@ -181,8 +181,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), threshold=0.2
     )
     q["dedup_simhash"] = lambda s, d: dedup.simhash(load_table(s, d, "documents"))
+    # exact pinned: the oracle anchor (auto would flip to LSH at larger SFs
+    # and break hash-parity)
     q["dedup_embedding_near"] = lambda s, d: dedup.embedding_near_dup_pairs(
-        load_table(s, d, "embeddings"), threshold=0.4
+        load_table(s, d, "embeddings"), threshold=0.4, method="exact"
+    )
+    # The 100 TB path: banded sign-LSH candidates, exact verify, no theta
+    # join.  Fixture near-dups sit at cosine ~0.45 (weak contrast), so the
+    # band layout is 8 bands x 3 planes (recall ≈ 0.92 there); production
+    # thresholds ≥ 0.9 use the leaner 4 x 6 default.  Rows-only (bucket
+    # membership isn't SQL-expressible).
+    q["dedup_embedding_near_lsh"] = lambda s, d: dedup.embedding_near_dup_pairs(
+        load_table(s, d, "embeddings"),
+        threshold=0.4,
+        method="lsh",
+        bands=8,
+        planes_per_band=3,
     )
 
     # --- [EXT] extended event analytics ---
@@ -275,7 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings")
     )
     q["sim_ivf_topk"] = lambda s, d: similarity.ivf_topk(
-        load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10, nprobe=4
+        load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
     )
     return q
 

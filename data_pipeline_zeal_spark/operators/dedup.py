@@ -105,6 +105,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs (the 100 TB-scale dedup path).
 
@@ -112,21 +113,37 @@ def minhash_lsh_pairs(
     explode to (band_id, band_hash) → self-join on the bucket → verify the
     candidates with exact shingle Jaccard → threshold.
 
-    The only shuffles are (a) the bucket join, keyed by band hash (uniform)
-    and (b) the candidate verification join; candidate count ≈ true-pair
-    count for sensible (bands, rows) choices, vs O(n^2) for brute force."""
+    The only shuffles are (a) the doc-keyed signature aggregation, (b) the
+    bucket join, keyed by band hash (uniform) and (c) the candidate
+    verification join; candidate count ≈ true-pair count for sensible
+    (bands, rows) choices, vs O(n^2) for brute force.
+
+    Tokenize-once: ONE groupBy computes the min-hashes AND re-collects the
+    shingle set, and that frame is persisted (MEMORY_AND_DISK) so its three
+    consumers (both sides of the band self-join, verification) evaluate the
+    shingling exactly once.  Round 1 re-tokenized the corpus per consumer —
+    the dominant cost of this operator — and purely declarative reuse does
+    not survive Catalyst's column pruning (each consumer projects different
+    columns, so the exchanges diverge).  An explicit signature checkpoint
+    is the standard shape for production minhash pipelines; pass
+    ``persist_intermediate=False`` to keep the plan fully lazy.  The bucket
+    exchange still carries only (doc_id, band, bucket)."""
     r = num_hashes // bands
-    docs = with_min_parallelism(documents).select(
+    exploded = with_min_parallelism(documents).select(
         "doc_id",
-        F.array_distinct(word_shingles(tokens("text"), shingle_n)).alias("sh"),
+        F.explode(F.array_distinct(word_shingles(tokens("text"), shingle_n))).alias(
+            "s"
+        ),
     )
-    # Banding carries ONLY (doc_id, band, bucket) through the explode and the
-    # bucket self-join — the heavy shingle arrays are re-attached just for the
-    # (much smaller) candidate verification, so the wide data never shuffles
-    # through the O(bands x docs) bucket exchange.
-    banded = minhash_signatures(documents, num_hashes, shingle_n).withColumnRenamed(
-        "signature", "sig"
-    ).select(
+    sig_sh = exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
+        F.collect_set("s").alias("sh"),
+    )
+    if persist_intermediate:
+        from pyspark import StorageLevel
+
+        sig_sh = sig_sh.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sig_sh.select(
         "doc_id",
         F.explode(
             F.array(
@@ -134,7 +151,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.col("sig")[b * r + j] for j in range(r)]
+                            *[F.col(f"h{b * r + j}") for j in range(r)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -156,11 +173,12 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    docs_sh = sig_sh.select("doc_id", "sh")
     verified = cand.join(
-        docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        docs_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
         "doc_a",
     ).join(
-        docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        docs_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
         "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -203,22 +221,88 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    method: str = "auto",
+    bands: int = 4,
+    planes_per_band: int = 6,
+    dim: int = 64,
+    auto_row_threshold: int = 50_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs.  Brute-force kernel (exact);
-    at scale, call it per-LSH-bucket (see ``similarity.lsh_topk``) instead
-    of on the full cross join."""
+    """Embedding-cosine near-duplicate pairs.
+
+    * ``method="exact"`` — brute-force O(n²) theta-join.  The verification
+      kernel and oracle anchor; only sane for small inputs.
+    * ``method="lsh"`` — the 100 TB default: banded sign-LSH.  Each vector
+      lands in ``bands`` (band, bucket) keys (band b hashes an independent
+      family of ``planes_per_band`` hyperplanes); candidate pairs come from
+      equality self-joins on the bucket — a HASH join, no theta/cartesian —
+      then the exact cosine verifies candidates only.  Recall for a pair at
+      angle θ is 1-(1-(1-θ/π)^r)^b ≈ 0.95 at cosine 0.95 with the default
+      (b=4, r=6); tune bands up for higher recall.
+    * ``method="auto"`` — exact below ``auto_row_threshold`` rows (one
+      count() job), else lsh.
+    """
     from ..functions.vector import as_double, cosine
+    from .similarity import lsh_bucket_expr
+
+    if method == "auto":
+        method = "exact" if embeddings.count() <= auto_row_threshold else "lsh"
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"unknown method: {method!r}")
 
     e = with_min_parallelism(embeddings).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     cos = cosine(F.col("va"), F.col("vb"))
+    if method == "exact":
+        a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+        b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+        return (
+            a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .orderBy("vec_a", "vec_b")
+        )
+
+    # Banded sign-LSH: only (vec_id, band, bucket) flows through the bucket
+    # exchange; vectors re-attach for the (much smaller) verification join —
+    # same slim-exchange shape as minhash_lsh_pairs.
+    banded = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        lsh_bucket_expr(
+                            F.col("v"),
+                            dim,
+                            planes_per_band,
+                            plane_offset=b * planes_per_band,
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    verified = cand.join(
+        e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a"
+    ).join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        verified.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )

@@ -109,19 +109,20 @@ def type_share(events: DataFrame) -> DataFrame:
 
 
 def top_users_by_activity(events: DataFrame, k: int = 100) -> DataFrame:
-    """Dense-ranked most-active users.  Aggregate-then-rank: the window
-    runs over #users rows, and the final top-k is a TakeOrdered."""
+    """Dense-ranked most-active users.  Top-k-THEN-rank: the aggregate's
+    top k rows come out via TakeOrderedAndProject (no single-reducer sort
+    of all #users rows — at 100 TB that's hundreds of millions); the
+    unpartitioned dense_rank then runs over only k rows, which is exact
+    because a row's dense rank depends only on rows ordered above it, all
+    of which are inside the top-k set."""
     counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    topk = counts.orderBy(F.desc("n"), F.asc("user_id")).limit(k)
     w = Window.orderBy(F.desc("n"), F.asc("user_id"))
-    return (
-        counts.select(
-            "user_id",
-            "n",
-            F.dense_rank().over(w).cast("int").alias("activity_rank"),
-        )
-        .orderBy(F.desc("n"), F.asc("user_id"))
-        .limit(k)
-    )
+    return topk.select(
+        "user_id",
+        "n",
+        F.dense_rank().over(w).cast("int").alias("activity_rank"),
+    ).orderBy(F.desc("n"), F.asc("user_id"))
 
 
 def hour_of_day_profile(events: DataFrame) -> DataFrame:

@@ -69,12 +69,14 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return vals
 
 
-def lsh_bucket_expr(vec_col, dim: int, planes: int = 8):
+def lsh_bucket_expr(vec_col, dim: int, planes: int = 8, plane_offset: int = 0):
     """Sign-LSH bucket id: concatenated signs of projections onto
-    ``planes`` fixed hyperplanes → integer bucket in [0, 2^planes)."""
+    ``planes`` fixed hyperplanes → integer bucket in [0, 2^planes).
+    ``plane_offset`` selects an independent hyperplane family (used by the
+    banded near-dup variant: band b uses planes [b*r, (b+1)*r))."""
     bucket = F.lit(0)
     for p in range(planes):
-        hp = F.array(*[F.lit(w) for w in _hyperplane(dim, p)])
+        hp = F.array(*[F.lit(w) for w in _hyperplane(dim, plane_offset + p)])
         proj = F.aggregate(
             F.zip_with(vec_col, hp, lambda x, y: x * y),
             F.lit(0.0),
@@ -159,28 +161,98 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def train_kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    iters: int = 10,
+    sample_size: int = 4096,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: spherical k-means (Lloyd's, cosine
+    assignment) on a BOUNDED deterministic sample, driver-side in numpy.
+
+    Training on a sample is the standard IVF recipe (e.g. faiss trains
+    quantizers on ~max(10k, 40*k) points regardless of corpus size), so the
+    driver cost is O(sample x dim x iters) — independent of the 100 TB
+    corpus; only cell ASSIGNMENT is distributed (:func:`cell_assign_expr`).
+    The sample is the ``sample_size`` lowest xxhash64(vec_id) rows: uniform
+    and reproducible without any RNG state."""
+    import numpy as np
+
+    rows = (
+        embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    X = X / nrm
+    C = X[: min(n_cells, len(X))].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            pts = X[assign == j]
+            if len(pts):
+                c = pts.mean(axis=0)
+                n = np.linalg.norm(c)
+                C[j] = c / n if n > 0 else c
+    return [[float(x) for x in c] for c in C]
+
+
+def cell_assign_expr(vec_col, centroids: list[list[float]]):
+    """argmax-cosine cell id as a pure codegen expression — assignment adds
+    NO shuffle and no Python to the corpus scan.  Ties break to the lowest
+    cell id (struct comparison on (cos, -cell))."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(vec_col, F.array(*[F.lit(x) for x in c])).alias("cos"),
+                F.lit(-i).alias("negcell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return (-F.array_max(scored)["negcell"]).cast("int")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    nprobe: int = 2,
+    n_cells: int = 8,
+    nprobe: int = 5,
+    train_iters: int = 10,
+    sample_size: int = 4096,
 ) -> DataFrame:
-    """IVF-style two-stage ANN: coarse-quantize by cluster (the fixture's
-    ``label`` is the inverted-file cell id; in production it comes from a
-    k-means pass — see :func:`label_centroids`), probe each query's
+    """IVF two-stage ANN: k-means-trained coarse cells (cosine geometry —
+    NOT the fixture ``label``, which measurably carries zero cosine
+    structure and gave ~0.28 recall in round 1), probe each query's
     ``nprobe`` nearest centroids, then run the exact cosine kernel only on
     those cells.
 
-    Scale shape: centroids are tiny (cells x dim) → broadcast; the corpus
-    is touched only in the probed cells (~nprobe/cells of the data), and
-    the per-cell search is the same broadcast-query kernel as brute force.
-    Recall < 1 when a true neighbor lives outside the probed cells."""
-    cents = label_centroids(embeddings).select(
-        F.col("label").alias("cell"), F.col("centroid")
+    Scale shape: centroids are tiny (cells x dim) → broadcast both into the
+    probe ranking and the assignment expression; the corpus is touched only
+    in the probed cells (~nprobe/n_cells of the data) and never shuffled for
+    assignment.  At production scale the cell column would be precomputed
+    once and partition-pruned; recomputing per query batch keeps this
+    self-contained.
+
+    Recall honesty: the fixture embeddings are ISOTROPIC (true top-10
+    neighbor cosine ≈ 0.3, inter-label cosine ≈ 0.0), and on unclustered
+    data ANY cell-probing ANN has recall ≈ scanned fraction — that's a data
+    property, not an implementation artifact.  The defaults (probe 5/8 of
+    the cells) measure ≈ 0.9 recall at sf0.001 and are pytest-gated ≥ 0.8
+    vs :func:`cosine_topk`; on a real clustered corpus drop ``nprobe``
+    (recall concentrates in the query's own cell)."""
+    cents = train_kmeans_centroids(embeddings, n_cells, train_iters, sample_size)
+    spark = embeddings.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
     )
     q = _query_set(embeddings, query_ids)
     # rank cells per query by centroid cosine, keep nprobe
-    qc = q.join(F.broadcast(cents))
+    qc = q.join(F.broadcast(cents_df))
     w = Window.partitionBy("query_id").orderBy(
         F.desc(cosine(F.col("qv"), F.col("centroid"))), F.asc("cell")
     )
@@ -191,9 +263,8 @@ def ivf_topk(
     )
     cand = with_min_parallelism(embeddings).select(
         "vec_id",
-        F.col("label").alias("cell"),
         as_double(F.col("embedding")).alias("v"),
-    )
+    ).withColumn("cell", cell_assign_expr(F.col("v"), cents))
     scored = (
         cand.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
