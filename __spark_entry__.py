@@ -25,11 +25,13 @@ from pyspark.sql import functions as F
 from data_pipeline_zeal_spark.io import load_table
 from data_pipeline_zeal_spark.operators import (
     api,
+    asof,
     dedup,
     etl,
     events_ext,
     hourly,
     multimodal,
+    relational,
     similarity,
     text,
 )
@@ -144,6 +146,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["part_type_stats"] = lambda s, d: etl.part_type_stats(load_table(s, d, "part"))
     q["order_lineitem_detail"] = lambda s, d: etl.order_lineitem_detail(
         load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    )
+
+    # --- [EXT] advanced relational: remaining TPC-H shapes + pivot + as-of ---
+    q["tpch_q7_volume_shipping"] = lambda s, d: relational.volume_shipping(
+        load_table(s, d, "supplier"),
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "nation"),
+    )
+    q["tpch_q8_market_share"] = lambda s, d: relational.market_share(
+        load_table(s, d, "part"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "nation"),
+        load_table(s, d, "region"),
+    )
+    q["tpch_q9_product_revenue"] = lambda s, d: relational.product_type_revenue(
+        load_table(s, d, "part"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "nation"),
+    )
+    q["tpch_q13_order_distribution"] = (
+        lambda s, d: relational.customer_order_distribution(
+            load_table(s, d, "customer"), load_table(s, d, "orders")
+        )
+    )
+    q["tpch_q15_top_suppliers"] = lambda s, d: relational.top_suppliers_by_revenue(
+        load_table(s, d, "supplier"), load_table(s, d, "lineitem")
+    )
+    q["tpch_q16_part_variety"] = lambda s, d: relational.supplier_part_variety(
+        load_table(s, d, "part"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "lineitem"),
+    )
+    q["tpch_q17_small_quantity"] = lambda s, d: relational.small_quantity_revenue(
+        load_table(s, d, "part"), load_table(s, d, "lineitem")
+    )
+    q["tpch_q19_bracket_revenue"] = (
+        lambda s, d: relational.disjunctive_bracket_revenue(
+            load_table(s, d, "part"), load_table(s, d, "lineitem")
+        )
+    )
+    q["tpch_q22_idle_customers"] = lambda s, d: relational.idle_rich_customers(
+        load_table(s, d, "customer"), load_table(s, d, "orders")
+    )
+    q["events_type_hour_pivot"] = lambda s, d: relational.type_hour_pivot(
+        load_table(s, d, "events")
+    )
+    q["asof_events_last_order"] = lambda s, d: asof.events_last_order(
+        load_table(s, d, "events"), load_table(s, d, "orders")
     )
 
     # --- [EXT] text analysis over documents ---
@@ -462,6 +519,146 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE o_orderstatus = 'F'
 ORDER BY o_orderkey, l_linenumber
 LIMIT 100
+"""
+    o["tpch_q7_volume_shipping"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+    o["tpch_q8_market_share"] = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4)
+         AS target_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue,
+       round(round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4)
+             / round(sum(l_extendedprice * (1 - l_discount)), 4), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA')
+GROUP BY 1
+ORDER BY 1
+"""
+    o["tpch_q9_product_revenue"] = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+    o["tpch_q13_order_distribution"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+    o["tpch_q15_top_suppliers"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+    o["tpch_q16_part_variety"] = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 7, 15, 19, 23, 36, 49)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+    o["tpch_q17_small_quantity"] = """
+SELECT round(round(sum(l_extendedprice), 2) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS aq_partkey, avg(l_quantity) * 0.5 AS qty_cut
+      FROM lineitem GROUP BY l_partkey) ON l_partkey = aq_partkey
+WHERE p_brand = 'Brand#23' AND l_quantity < qty_cut
+"""
+    o["tpch_q19_bracket_revenue"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+    o["tpch_q22_idle_customers"] = """
+SELECT c_mktsegment, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE')
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0
+                     AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE'))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+    hour_cols = ",\n       ".join(
+        f"count(*) FILTER (WHERE hour(ts) = {h}) AS h{h}" for h in range(24)
+    )
+    o["events_type_hour_pivot"] = f"""
+SELECT event_type,
+       {hour_cols}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+    o["asof_events_last_order"] = """
+SELECT e.event_id, e.user_id, r.last_orderkey
+FROM (SELECT event_id, ts, user_id FROM events) e
+ASOF LEFT JOIN (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+) r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+ORDER BY e.event_id
 """
 
     # --- text ---

@@ -32,6 +32,10 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_revenue_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_revenue",
+    "tpch_q13_order_distribution",
+    "tpch_q16_part_variety",
     "top_orders_per_customer",
     "customer_order_stats",
     "order_priority_rollup",
@@ -39,6 +43,8 @@ HEADLINE = [
     "promo_revenue_share",
     "events_sessionize",
     "events_session_window",
+    "events_type_hour_pivot",
+    "asof_events_last_order",
     "text_stats",
     "text_language_id",
     "text_source_token_totals",

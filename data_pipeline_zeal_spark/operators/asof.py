@@ -1,0 +1,105 @@
+"""[EXT] As-of (point-in-time) join — the time-series operator Spark lacks.
+
+``asof_join`` matches each left row to the most recent right row at or
+before its timestamp, per key.  Implemented as union + partitioned window
+(``last(..., ignorenulls=True)``) instead of a range join: ONE shuffle on
+the key, within-partition ordered scan, no inequality-join row explosion —
+the only shape that survives 100 TB fact tables.  (A naive
+``left.ts >= right.ts`` join materializes O(|L| x matching |R|) rows before
+aggregation; Spark plans it as a broadcast-nested-loop.)
+
+DuckDB's native ``ASOF JOIN`` provides the oracle for correctness checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Point-in-time join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (``<`` when ``strict``) and the same ``on`` key.
+
+    Right rows must be unique per (key, ts) — pre-aggregate ties upstream,
+    because "the" most recent row is otherwise ill-defined.  Returns all
+    left columns plus ``right_values`` (null when no prior right row).
+    """
+    lcols = left.columns
+    l = left.withColumn("__t", F.col(left_ts)).withColumn("__src", F.lit(1))
+    r = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("__t"),
+            *[F.col(c) for c in right_values],
+        )
+        .withColumn("__src", F.lit(0))
+    )
+    # Union with aligned schemas; left-only columns are null on right rows.
+    l_aligned = l.select(
+        F.col(on),
+        "__t",
+        "__src",
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_values],
+    )
+    r_aligned = r.select(
+        F.col(on),
+        "__t",
+        "__src",
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+            for c in lcols
+        ],
+        *right_values,
+    )
+    u = l_aligned.unionByName(r_aligned)
+    # Order so that at equal timestamps right rows sort before left rows
+    # (inclusive semantics); strict mode flips it so same-instant right
+    # rows are NOT visible to the left row.
+    src_order = F.col("__src").asc() if not strict else F.col("__src").desc()
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), src_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_values
+        ],
+    )
+    return filled.filter(F.col("__src") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        *[F.col(f"__f_{c}").alias(c) for c in right_values],
+    )
+
+
+def events_last_order(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of query over the fixtures: each event annotated with the
+    customer's most recent order at or before the event (key: the event's
+    ``user_id`` doubles as ``o_custkey``).  Ties on (custkey, orderdate)
+    pre-reduce to the highest orderkey, making the match deterministic."""
+    last_per_day = orders.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    ).agg(F.max("o_orderkey").alias("last_orderkey"))
+    joined = asof_join(
+        events.select("event_id", "ts", "user_id"),
+        last_per_day,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["last_orderkey"],
+    )
+    return joined.select("event_id", "user_id", "last_orderkey").orderBy(
+        "event_id"
+    )

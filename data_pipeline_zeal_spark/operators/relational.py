@@ -1,0 +1,355 @@
+"""[EXT] Advanced relational coverage: the remaining TPC-H query shapes
+expressible over the trimmed fixture schema, plus pivot.
+
+The reference has none of these (SURVEY.md §2.4 "Not present"); they complete
+the join/subquery/window surface a warehouse user expects.  Shapes whose TPC-H
+original needs columns the fixtures lack (partsupp, l_commitdate, c_phone) are
+re-anchored on available columns and documented per-function.
+
+Scale notes: every aggregate groups on low-cardinality keys (nation, year,
+brand, mode) so partial aggregation collapses the shuffles; fixed dims
+(region/nation) broadcast unconditionally, SF-scaled tables never carry hints
+(AQE picks broadcast when a side is genuinely small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def _rev():
+    # built lazily: column expressions touch the JVM, and this module must
+    # import before any SparkContext exists (driver harness imports first)
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q7: revenue shipped between two nations, by year and direction.
+
+    Two independent nation lookups (both broadcast) on the supplier and
+    customer sides; the fact chain lineitem→orders→customer shuffles on its
+    keys once.  The (n1, n2) ≠ (n2, n1) pair filter runs post-join on the
+    two tiny dim columns."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from))
+            & (F.col("l_shipdate") < F.lit(date_to))
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate")).alias("l_year"),
+        )
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "AMERICA",
+    part_type: str = "ECONOMY",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8: the target nation's share of revenue for one part type sold
+    into one region, by order year.  Share = conditional sum / sum — one
+    aggregation, no self-join."""
+    cust_region = (
+        customer.join(
+            nation.select("n_nationkey", "n_regionkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.round(F.sum(_rev()), 4)
+    target_vol = F.round(
+        F.sum(F.when(F.col("supp_nation") == target_nation, _rev()).otherwise(0.0)), 4
+    )
+    return (
+        lineitem.join(
+            part.filter(F.col("p_type") == part_type),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_from))
+                & (F.col("o_orderdate") < F.lit(date_to))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year(F.col("o_orderdate")).alias("o_year"))
+        .agg(
+            target_vol.alias("target_revenue"),
+            vol.alias("total_revenue"),
+            F.round(target_vol / vol, 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_type_revenue(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    name_contains: str = "red",
+) -> DataFrame:
+    """TPC-H Q9 shape: revenue by supplier nation x order year for parts
+    whose name contains a color.  Deviation: the fixture has no partsupp, so
+    this profiles discounted revenue rather than profit minus supply cost."""
+    return (
+        lineitem.join(
+            part.filter(F.col("p_name").contains(name_contains)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate")).alias("o_year"),
+        )
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13: histogram of customers by order count, including the
+    zero-order bucket (left outer join, count of non-null keys).  Two
+    aggregations on shrinking data: per-customer counts (#customers rows),
+    then the histogram (≤ max-orders rows)."""
+    per_cust = (
+        customer.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def top_suppliers_by_revenue(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue —
+    aggregate, then a scalar-max comparison via an unpartitioned max over
+    the already-tiny per-supplier aggregate (#suppliers rows)."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from))
+            & (F.col("l_shipdate") < F.lit(date_to))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_rev()), 4).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def supplier_part_variety(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    exclude_brand: str = "Brand#45",
+    type_not_like: str = "MEDIUM%",
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size).
+    Deviation: supplier-part pairs come from observed lineitem trade (the
+    fixture has no partsupp).  COUNT(DISTINCT) over a pre-deduplicated
+    pair set keeps the expand off the raw fact table."""
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+        .join(
+            part.filter(
+                (F.col("p_brand") != exclude_brand)
+                & ~F.col("p_type").like(type_not_like)
+                & F.col("p_size").isin(1, 4, 7, 15, 19, 23, 36, 49)
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def small_quantity_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+    brand: str = "Brand#23",
+    qty_factor: float = 0.5,
+) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small orders were not
+    taken — lineitems below ``qty_factor`` x the part's average quantity.
+    The correlated scalar subquery becomes a per-part aggregate joined back
+    to the fact (both sides shuffle on partkey once; at scale AQE handles
+    the skewed popular parts)."""
+    avg_qty = lineitem.groupBy(F.col("l_partkey").alias("aq_partkey")).agg(
+        (F.avg("l_quantity") * qty_factor).alias("qty_cut")
+    )
+    return (
+        lineitem.join(
+            part.filter(F.col("p_brand") == brand),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(avg_qty, F.col("l_partkey") == F.col("aq_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 4).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def disjunctive_bracket_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q19: revenue matching three disjunctive brand/size/quantity
+    brackets.  One join; the OR-of-ANDs predicate stays a single filter so
+    Catalyst can still push the common ``p_partkey`` equi-key into the join
+    and the per-bracket ranges into the scans."""
+    joined = lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.filter(b1 | b2 | b3).agg(
+        F.round(F.sum(_rev()), 4).alias("revenue")
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    segments: list[str] | None = None,
+    since: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape: customers richer than the average positive account
+    balance with no orders since ``since``, grouped by market segment.
+    Deviations: the fixture has no phone-country prefix, so the cohort key
+    is ``c_mktsegment``; and the fixture's dense order history means
+    literally-never-ordered rich customers don't exist, so the anti-join is
+    time-windowed (the business question "lapsed rich customers").  Scalar
+    subquery broadcasts one row; anti-join keeps the big side
+    unmaterialized."""
+    segs = segments or ["AUTOMOBILE", "BUILDING", "FURNITURE"]
+    cohort = customer.filter(F.col("c_mktsegment").isin(segs))
+    avg_bal = cohort.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cohort.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= F.lit(since)).select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def type_hour_pivot(events: DataFrame, hours: list[int] | None = None) -> DataFrame:
+    """Pivot: event counts per type x hour-of-day as a wide table.  The
+    pivot values are enumerated explicitly so the plan is a single pass
+    (no pivot-value discovery job) — the production rule for pivots on
+    unbounded inputs."""
+    hrs = hours if hours is not None else list(range(24))
+    piv = (
+        events.select("event_type", F.hour("ts").alias("h"))
+        .groupBy("event_type")
+        .pivot("h", hrs)
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv.select(
+        "event_type",
+        *[F.coalesce(F.col(str(h)), F.lit(0)).alias(f"h{h}") for h in hrs],
+    )
+    return out.orderBy("event_type")

@@ -1,0 +1,67 @@
+"""asof_join semantics: inclusive/strict matching, per-key isolation,
+null when no prior right row — checked against hand-computed expectations
+(the fixture-scale DuckDB ASOF JOIN oracle runs in test_oracle_parity)."""
+
+from __future__ import annotations
+
+import datetime
+
+from data_pipeline_zeal_spark.operators.asof import asof_join
+
+T = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, T("2024-01-01 10:00:00"), "a"),
+            (1, T("2024-01-01 12:00:00"), "b"),
+            (2, T("2024-01-01 09:00:00"), "c"),
+            (3, T("2024-01-01 09:00:00"), "d"),  # key with no right rows
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T("2024-01-01 10:00:00"), 100.0),
+            (1, T("2024-01-01 11:00:00"), 110.0),
+            (2, T("2024-01-01 08:00:00"), 200.0),
+            (2, T("2024-01-01 09:30:00"), 210.0),
+        ],
+        "k long, rts timestamp, px double",
+    )
+    return left, right
+
+
+def test_asof_inclusive(spark):
+    left, right = _frames(spark)
+    out = {
+        (r.k, r.tag): r.px
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", right_values=["px"]
+        ).collect()
+    }
+    assert out == {
+        (1, "a"): 100.0,  # same-instant right row IS visible
+        (1, "b"): 110.0,  # latest at-or-before
+        (2, "c"): 200.0,  # 09:30 is in the future
+        (3, "d"): None,  # no right rows for key
+    }
+
+
+def test_asof_strict(spark):
+    left, right = _frames(spark)
+    out = {
+        (r.k, r.tag): r.px
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_ts="ts",
+            right_ts="rts",
+            right_values=["px"],
+            strict=True,
+        ).collect()
+    }
+    assert out[(1, "a")] is None  # same-instant right row NOT visible
+    assert out[(1, "b")] == 110.0

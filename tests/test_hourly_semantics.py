@@ -79,6 +79,51 @@ def test_exact_distinct_users(spark):
     assert out[(datetime.datetime(2024, 1, 1, 9, 0), "pv")].unique_user_count == 3
 
 
+def test_session_distinct_matches_duckdb_oracle(spark, tmp_path):
+    """A4 (exact COUNT(DISTINCT session)) batch oracle: the driver fixture
+    has no session column, so write a generator-produced events table with
+    sessions and cross-check the full hourly aggregate — including
+    unique_session_count — against DuckDB on the same parquet (reference
+    aggregation.py:17,63)."""
+    import duckdb
+
+    from data_pipeline_zeal_spark.sources.generator import generate_events
+
+    path = str(tmp_path / "gen_events.parquet")
+    generate_events(spark, 20_000, num_users=50).write.mode("overwrite").parquet(
+        path
+    )
+
+    got = {
+        (str(r.window_start), r.event_type): (
+            r.event_count,
+            r.unique_user_count,
+            r.unique_session_count,
+        )
+        for r in aggregate_events(
+            spark.read.parquet(path),
+            ts_col="timestamp",
+            session_col="session_id",
+            value_col="duration_ms",
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (str(w), t): (n, u, s)
+        for w, t, n, u, s in con.execute(
+            f"""
+            SELECT date_trunc('hour', timestamp) AS w, event_type,
+                   count(*), count(DISTINCT user_id),
+                   count(DISTINCT session_id)
+            FROM '{path}/*.parquet'
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want and len(got) > 0
+
+
 def test_postgres_upsert_sql_shape():
     """The production sink SQL carries the reference's conflict contract
     (upsert_aggregation.sql:12-19): conflict on the logical PK, update all
