@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_events_last_order"] = lambda s, d: asof.events_last_order(
         load_table(s, d, "events"), load_table(s, d, "orders")
     )
+    q["order_gaps"] = lambda s, d: relational.order_gaps(
+        load_table(s, d, "orders")
+    )
 
     # --- [EXT] text analysis over documents ---
     q["text_stats"] = lambda s, d: text.text_stats(load_table(s, d, "documents"))
@@ -222,6 +225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["text_token_frequencies"] = lambda s, d: text.token_frequencies(
         load_table(s, d, "documents")
+    )
+    q["text_tfidf_top_terms"] = lambda s, d: text.tfidf_top_terms(
+        load_table(s, d, "documents"), k=5
     )
 
     # --- [EXT] dedup ---
@@ -649,6 +655,41 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 ORDER BY event_type
+"""
+    o["text_tfidf_top_terms"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_TOK}) AS token FROM documents
+),
+tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+SELECT source, token, tf, df, tfidf, rnk FROM (
+  SELECT source, token, tf, df,
+         round(tf * (ln((n_docs + 1) / (df + 1)) + 1), 6) AS tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY round(tf * (ln((n_docs + 1) / (df + 1)) + 1), 6) DESC,
+                    token ASC) AS INTEGER) AS rnk
+  FROM tf JOIN df USING (token), n
+) WHERE rnk <= 5
+ORDER BY source, rnk
+"""
+    o["order_gaps"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       CAST(date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS INTEGER) AS days_since_prev,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC)
+            AS INTEGER) AS spend_quartile,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW), 2) AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
 """
     o["asof_events_last_order"] = """
 SELECT e.event_id, e.user_id, r.last_orderkey

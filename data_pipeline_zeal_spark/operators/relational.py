@@ -336,6 +336,36 @@ def idle_rich_customers(
     )
 
 
+def order_gaps(orders: DataFrame) -> DataFrame:
+    """Analytic-window breadth over the order history: per-customer order
+    sequence with lag (days since previous order), ntile spend quartile,
+    and running spend.  ONE shuffle on o_custkey serves all three window
+    frames; full-key ordering (date, orderkey) makes every function
+    deterministic."""
+    from pyspark.sql import Window
+
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    spend = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(seq)).alias(
+            "days_since_prev"
+        ),
+        F.ntile(4).over(spend).cast("int").alias("spend_quartile"),
+        F.round(
+            F.sum("o_totalprice").over(
+                seq.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        ).alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
 def type_hour_pivot(events: DataFrame, hours: list[int] | None = None) -> DataFrame:
     """Pivot: event counts per type x hour-of-day as a wide table.  The
     pivot values are enumerated explicitly so the plan is a single pass

@@ -127,6 +127,51 @@ def source_token_totals(documents: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per source by TF-IDF (smoothed:
+    ``tf * (ln((N+1)/(df+1)) + 1)``) — the "what is this slice of the
+    corpus about" profiling query.
+
+    Shape: one explode → two shrinking aggregates (term freq per
+    (source, token): ≤ sources x vocab rows; doc freq per token: ≤ vocab
+    rows) → broadcast-size doc-freq join → per-source top-k window over the
+    aggregate, never over raw tokens.  Scores round to 6 dp BEFORE ranking
+    so ties break identically cross-engine."""
+    from pyspark.sql import Window
+
+    from ..io import with_min_parallelism
+
+    tok = with_min_parallelism(documents).select(
+        "doc_id", "source", F.explode(tokens("text")).alias("token")
+    )
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = documents.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "source",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("source", "rnk")
+    )
+
+
 def token_frequencies(documents: DataFrame, k: int = 100) -> DataFrame:
     """Corpus token histogram: explode tokens → count → top-k.  The
     explode fan-out is bounded by corpus token count; partial aggregation

@@ -133,6 +133,7 @@ def streaming_hourly_aggregate(
     ts_col: str = "timestamp",
     session_col: str | None = "session_id",
     value_col: str = "duration_ms",
+    apply_watermark: bool = True,
 ) -> DataFrame:
     """Watermarked hourly aggregation over a streaming event DataFrame —
     the reference's A1-A7 in one declarative plan, sharing
@@ -141,14 +142,41 @@ def streaming_hourly_aggregate(
 
     ``exact_distinct=True`` matches reference semantics (Python sets,
     ``aggregation.py:62-63``); at 100 TB switch to False for HyperLogLog
-    state (the reference's unbounded-set flaw, fixed)."""
+    state (the reference's unbounded-set flaw, fixed).
+
+    ``apply_watermark=False`` when an upstream stage (e.g. the dedup
+    operator) already set the watermark — Spark forbids redefining it."""
+    if apply_watermark:
+        events = events.withWatermark(ts_col, grace_period)
     return aggregate_events(
-        events.withWatermark(ts_col, grace_period),
+        events,
         ts_col=ts_col,
         user_col="user_id",
         session_col=session_col,
         value_col=value_col,
         exact_distinct=exact_distinct,
+    )
+
+
+def dedup_event_stream(
+    events: DataFrame,
+    id_col: str = "event_id",
+    ts_col: str = "timestamp",
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-once dedup by event id within a watermark horizon
+    (``dropDuplicatesWithinWatermark``): upstream at-least-once redelivery
+    (the reference's Kafka consumer redelivers on crash between poll and
+    commit, ``kafka_consumer.py:71-107``) stops inflating counts even for
+    non-idempotent sinks.  State is bounded by the horizon — at 100 TB/day
+    the dedup state holds only ``within`` worth of ids, not the full
+    history.
+
+    This sets the stream's watermark; downstream aggregations must pass
+    ``apply_watermark=False`` (Spark forbids redefining a watermark — use
+    :func:`start_pipeline` with ``dedup_ids=...`` for the composed form)."""
+    return events.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
+        [id_col]
     )
 
 
@@ -305,14 +333,24 @@ def start_pipeline(
     exact_distinct: bool = True,
     available_now: bool = False,
     query_name: str = "hourly-aggregation",
+    dedup_ids: str | None = None,
 ) -> StreamingQuery:
-    """events → watermarked hourly agg → foreachBatch upsert.
+    """events → [id dedup →] watermarked hourly agg → foreachBatch upsert.
 
     ``flush_interval`` = the reference's FLUSH_INTERVAL_SECONDS (A8);
     ``available_now=True`` = drain mode (the reference's shutdown
-    ``flush_all`` / manual flush, A9)."""
+    ``flush_all`` / manual flush, A9); ``dedup_ids`` names an id column to
+    drop at-least-once redeliveries within the grace period (one shared
+    watermark serves both stateful operators)."""
+    if dedup_ids is not None:
+        events = dedup_event_stream(
+            events, id_col=dedup_ids, within=grace_period
+        )
     agg = streaming_hourly_aggregate(
-        events, grace_period=grace_period, exact_distinct=exact_distinct
+        events,
+        grace_period=grace_period,
+        exact_distinct=exact_distinct,
+        apply_watermark=dedup_ids is None,
     )
     writer = (
         agg.writeStream.outputMode("update")

@@ -145,6 +145,22 @@ def test_late_data_updates_window(spark, workdir):
     assert row.event_count == 8  # cumulative, not partial-rebuild
 
 
+def test_stream_dedup_within_watermark(spark, workdir):
+    """At-least-once redelivery (same event_id appearing twice) must not
+    inflate counts when the dedup stage runs before aggregation."""
+    lines = [_event(i, "2024-01-01 10:00:00") for i in range(6)]
+    lines += [_event(i, "2024-01-01 10:00:00") for i in range(3)]  # redelivery
+    _write_jsonl(f"{workdir}/in/part-0.jsonl", lines)
+    sink = ParquetUpsertSink(f"{workdir}/agg")
+    events = read_event_stream_json(spark, f"{workdir}/in")
+    q = start_pipeline(
+        events, sink, f"{workdir}/ckpt", available_now=True, dedup_ids="event_id"
+    )
+    q.awaitTermination(120)
+    [row] = sink.read(spark).collect()
+    assert row.event_count == 6  # 9 deliveries, 6 unique events
+
+
 def test_generator_distributions(spark):
     """Generator honors the reference's conditional-field rules and pools."""
     df = generate_events(spark, 5000, num_users=50).cache()
