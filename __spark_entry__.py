@@ -206,6 +206,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "orders")
     )
 
+    # batch twin of the custom stateful streaming funnel operator
+    from data_pipeline_zeal_spark.streaming.funnel import funnel_conversions_batch
+
+    q["events_funnel"] = lambda s, d: funnel_conversions_batch(
+        load_table(s, d, "events")
+    )
+
     # --- [EXT] text analysis over documents ---
     q["text_stats"] = lambda s, d: text.text_stats(load_table(s, d, "documents"))
     q["text_quality_score"] = lambda s, d: text.quality_score(
@@ -690,6 +697,20 @@ SELECT o_custkey, o_orderkey, o_orderdate,
                                      AND CURRENT ROW), 2) AS running_spend
 FROM orders
 ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+    o["events_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, t1, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts >= t1 GROUP BY 1, 2),
+s3 AS (
+  SELECT e.user_id, t1, t2, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1, 2, 3)
+SELECT user_id, t1, t2, t3,
+       round(epoch(t3) - epoch(t1), 3) AS duration_s
+FROM s3 ORDER BY user_id
 """
     o["asof_events_last_order"] = """
 SELECT e.event_id, e.user_id, r.last_orderkey

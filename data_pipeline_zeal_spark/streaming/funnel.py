@@ -1,0 +1,126 @@
+"""[EXT] Custom stateful streaming operator: per-user funnel detection.
+
+The one operator class Spark's built-in aggregations can't express: ORDERED
+sequence matching with evolving per-key state (reached step k, waiting for
+step k+1).  Implemented with ``applyInPandasWithState`` — Arrow-batched
+per-group Python with a managed state store — per the engine's UDF ladder
+(built-ins → Pandas UDF → mapPartitions; SURVEY.md §7.2).
+
+Scale shape: state is O(keys x 3 fields) — bounded, checkpointed by Spark;
+groups stream through Arrow in batches, never row-at-a-time Python.  The
+batch twin (:func:`funnel_conversions_batch`) expresses the same semantics
+as staged min-aggregates for oracle checking and backfill.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("started_at", T.TimestampType()),
+        T.StructField("completed_at", T.TimestampType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+#: step index reached so far + epoch-micros of the first step
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("started_us", T.LongType()),
+    ]
+)
+
+
+def _funnel_fn(steps: tuple[str, ...]):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        idx, started_us = state.get if state.exists else (0, 0)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp")
+            for ts, etype in zip(pdf["timestamp"], pdf["event_type"]):
+                if etype != steps[idx]:
+                    continue
+                if idx == 0:
+                    started_us = int(ts.value // 1000)  # ns → us
+                idx += 1
+                if idx == len(steps):
+                    started = pd.Timestamp(started_us * 1000)
+                    out.append(
+                        (key[0], started, ts, (ts - started).total_seconds())
+                    )
+                    idx, started_us = 0, 0
+        state.update((idx, started_us))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "started_at", "completed_at", "duration_s"]
+            )
+
+    return fn
+
+
+def funnel_detect_stream(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("page_view", "add_to_cart", "purchase"),
+) -> DataFrame:
+    """Streaming funnel detection: emits one row per completed ordered
+    funnel per user (a user can convert repeatedly; state resets after
+    each completion).  Events are sequenced by event time within each
+    micro-batch; for strict cross-batch ordering feed it a source with
+    per-key monotone delivery (Kafka per-partition order) or drain mode."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn(tuple(steps)),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def funnel_conversions_batch(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Batch funnel (first conversion per user): earliest step-1 time, then
+    the earliest step-2 at-or-after it, and so on — staged conditional
+    min-aggregates, each a tiny (#users) aggregate on the same key so the
+    per-user shuffle is reused, never a per-event window sort."""
+    cur = None
+    for i, step in enumerate(steps):
+        filt = F.col(type_col) == step
+        if cur is None:
+            cur = (
+                events.filter(filt)
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("t1"))
+            )
+        else:
+            prev = f"t{i}"
+            cur = (
+                events.filter(filt)
+                .join(cur, user_col)
+                .filter(F.col(ts_col) >= F.col(prev))
+                .groupBy(user_col, *[f"t{j + 1}" for j in range(i)])
+                .agg(F.min(ts_col).alias(f"t{i + 1}"))
+            )
+    last = f"t{len(steps)}"
+    return cur.select(
+        user_col,
+        *[f"t{j + 1}" for j in range(len(steps))],
+        F.round(
+            F.col(last).cast("double") - F.col("t1").cast("double"), 3
+        ).alias("duration_s"),
+    ).orderBy(user_col)

@@ -1,0 +1,101 @@
+"""Funnel operator tests: custom stateful streaming detection
+(applyInPandasWithState) and its batch twin."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from data_pipeline_zeal_spark.streaming.funnel import (
+    funnel_conversions_batch,
+    funnel_detect_stream,
+)
+from data_pipeline_zeal_spark.streaming.pipeline import (
+    parse_events,
+    read_event_stream_json,
+)
+
+
+def _event(i, user, etype, ts):
+    return json.dumps(
+        {
+            "event_id": f"e{i}",
+            "user_id": user,
+            "event_type": etype,
+            "timestamp": ts,
+            "session_id": "s0",
+            "page_url": None,
+            "duration_ms": None,
+            "metadata": None,
+        }
+    )
+
+
+def test_streaming_funnel_detection(spark, tmp_path):
+    lines = []
+    i = 0
+    # user A: one complete funnel + a dangling page_view
+    for etype, t in [
+        ("page_view", "10:00:00"),
+        ("add_to_cart", "10:05:00"),
+        ("purchase", "10:10:00"),
+        ("page_view", "10:20:00"),
+    ]:
+        lines.append(_event(i, "A", etype, f"2024-01-01 {t}")); i += 1
+    # user B: never starts the funnel (no page_view first)
+    for etype, t in [("add_to_cart", "10:00:00"), ("purchase", "10:01:00")]:
+        lines.append(_event(i, "B", etype, f"2024-01-01 {t}")); i += 1
+    # user C: converts twice; out-of-order types in between
+    for etype, t in [
+        ("page_view", "09:00:00"),
+        ("purchase", "09:01:00"),  # skipped: cart not reached yet
+        ("add_to_cart", "09:30:00"),
+        ("purchase", "09:45:00"),
+        ("page_view", "11:00:00"),
+        ("add_to_cart", "11:10:00"),
+        ("purchase", "11:20:00"),
+    ]:
+        lines.append(_event(i, "C", etype, f"2024-01-01 {t}")); i += 1
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    (src / "part-0.jsonl").write_text("\n".join(lines))
+
+    events = read_event_stream_json(spark, str(src))
+    q = (
+        funnel_detect_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnels")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("funnels").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == {"A", "C"}
+    assert len(by_user["A"]) == 1 and by_user["A"][0].duration_s == 600.0
+    assert len(by_user["C"]) == 2
+    assert sorted(r.duration_s for r in by_user["C"]) == [1200.0, 2700.0]
+
+
+def test_batch_funnel_matches_manual(spark):
+    import datetime
+
+    T = datetime.datetime.fromisoformat
+    rows = [
+        ("u1", T("2024-01-01 09:00:00"), "view"),
+        ("u1", T("2024-01-01 09:10:00"), "click"),
+        ("u1", T("2024-01-01 09:20:00"), "purchase"),
+        ("u2", T("2024-01-01 09:00:00"), "click"),  # click before view
+        ("u2", T("2024-01-01 09:30:00"), "view"),
+        ("u2", T("2024-01-01 09:40:00"), "purchase"),  # purchase before click'
+        ("u3", T("2024-01-01 08:00:00"), "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+    got = {r.user_id: r for r in funnel_conversions_batch(ev).collect()}
+    assert set(got) == {"u1"}
+    assert got["u1"].duration_s == 1200.0
