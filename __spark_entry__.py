@@ -212,6 +212,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_funnel"] = lambda s, d: funnel_conversions_batch(
         load_table(s, d, "events")
     )
+    q["range_error_context"] = lambda s, d: relational.error_event_context(
+        load_table(s, d, "events")
+    )
+    # GK-sketch percentiles: estimator-specific → rows-only (pytest bounds
+    # the error vs the exact price_quantiles)
+    q["price_quantiles_sketch"] = lambda s, d: etl.price_quantiles_sketch(
+        load_table(s, d, "lineitem")
+    )
+    q["sim_quantized_embeddings"] = lambda s, d: similarity.quantize_embeddings(
+        load_table(s, d, "embeddings")
+    )
 
     # --- [EXT] text analysis over documents ---
     q["text_stats"] = lambda s, d: text.text_stats(load_table(s, d, "documents"))
@@ -251,6 +262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), threshold=0.2
     )
     q["dedup_simhash"] = lambda s, d: dedup.simhash(load_table(s, d, "documents"))
+    q["dedup_clusters"] = lambda s, d: dedup.duplicate_clusters(
+        load_table(s, d, "documents"), threshold=0.2
+    )
     # exact pinned: the oracle anchor (auto would flip to LSH at larger SFs
     # and break hash-parity)
     q["dedup_embedding_near"] = lambda s, d: dedup.embedding_near_dup_pairs(
@@ -698,6 +712,30 @@ SELECT o_custkey, o_orderkey, o_orderdate,
 FROM orders
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """
+    o["range_error_context"] = """
+SELECT e.event_id, e.user_id, e.ts, count(*) AS nearby_events
+FROM events e JOIN events r
+  ON e.user_id = r.user_id
+ AND r.ts >= e.ts - INTERVAL 30 MINUTES
+ AND r.ts <= e.ts + INTERVAL 30 MINUTES
+ AND r.event_id <> e.event_id
+WHERE e.event_type = 'error'
+GROUP BY 1, 2, 3
+ORDER BY e.event_id
+"""
+    o["sim_quantized_embeddings"] = """
+SELECT vec_id,
+       round(CASE WHEN amax = 0 THEN 0.0 ELSE 127.0 / amax END, 6) AS scale,
+       list_transform(embedding,
+         x -> CAST(round(x::DOUBLE * (CASE WHEN amax = 0 THEN 0.0
+                                           ELSE 127.0 / amax END)) AS INTEGER))
+         AS q
+FROM (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+  FROM embeddings
+)
+"""
     o["events_funnel"] = """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t1 FROM events
@@ -1001,6 +1039,26 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
             / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0), 6) >= 0.2
 ORDER BY doc_a, doc_b
+"""
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+        / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0), 6) >= 0.2
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(lab) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
 """
     o["dedup_embedding_near"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

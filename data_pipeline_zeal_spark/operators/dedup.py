@@ -220,6 +220,75 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", packed.alias("simhash")).orderBy("doc_id")
 
 
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 15
+) -> DataFrame:
+    """Connected components over an undirected pair list: each node labeled
+    with the minimum node id reachable from it (= its cluster id).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels; converges in graph-diameter rounds —
+    near-dup clusters are short chains, so diameter is small.  Each
+    iteration localCheckpoints the label frame (truncates the exponential
+    lineage — THE correctness requirement for iterative DataFrame algos)
+    and stops early on a converged fixpoint.  At adversarial-diameter scale
+    swap in the O(log n)-round large-star/small-star variant; the join
+    pattern below is its building block."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("nbr_label")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def duplicate_clusters(
+    documents: DataFrame, threshold: float = 0.2, shingle_n: int = 3
+) -> DataFrame:
+    """Near-duplicate clusters: Jaccard pair list → connected components.
+    Only documents that belong to some near-dup pair appear; cluster_id is
+    the minimum doc_id in the component (the canonical survivor)."""
+    pairs = jaccard_pairs(documents, threshold, shingle_n).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -343,6 +343,32 @@ def price_quantiles(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def price_quantiles_sketch(
+    lineitem: DataFrame, accuracy: int = 10_000
+) -> DataFrame:
+    """Sketch-based percentiles (``approx_percentile``, Greenwald-Khanna):
+    the 100 TB replacement for :func:`price_quantiles` — bounded memory per
+    group and a mergeable partial state instead of a full per-group sort.
+    Estimator-specific output → rows-only correctness; a pytest gate bounds
+    the error vs the exact operator."""
+    pct = F.approx_percentile(
+        F.col("l_extendedprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+        F.lit(accuracy),
+    )
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(pct.alias("p"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p25"),
+            F.round(F.col("p")[1], 4).alias("p50"),
+            F.round(F.col("p")[2], 4).alias("p75"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def priority_with_returns(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Semi-join (EXISTS) coverage, TPC-H Q4 shape: count orders per
     priority that have at least one returned line item.  left_semi never

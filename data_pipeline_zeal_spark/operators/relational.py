@@ -336,6 +336,56 @@ def idle_rich_customers(
     )
 
 
+def error_event_context(events: DataFrame, window_minutes: int = 30) -> DataFrame:
+    """Bounded-range temporal self-join: for each error event, how many
+    OTHER events the same user produced within ±``window_minutes`` (the
+    "what was the user doing around the failure" query).
+
+    The scale path for range joins: bucket both sides into fixed HOUR
+    buckets, explode each probe into its candidate buckets (2-3 for
+    sub-hour windows) → EQUALITY join on (user, bucket) → exact range
+    filter.  A naive ``|ts1 - ts2| <= w`` join is inequality-only
+    (nested-loop, O(n²)); bucketing turns it into one hash join whose
+    fan-out is the fixed window width.  Same trick as the minhash band
+    join: equality keys first, verify exactly after."""
+    n_buckets = window_minutes // 60 + 1
+    ev = events.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    )
+    cand = F.array(
+        *[
+            F.date_trunc(
+                "hour", F.col("ts") + F.expr(f"INTERVAL {h} HOURS")
+            )
+            for h in range(-n_buckets, n_buckets + 1)
+        ]
+    )
+    probes = events.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(F.array_distinct(cand)).alias("bucket"),
+    )
+    w = F.expr(f"INTERVAL {window_minutes} MINUTES")
+    return (
+        probes.join(
+            ev,
+            (probes["user_id"] == ev["r_user"]) & (probes["bucket"] == ev["bucket"]),
+        )
+        .filter(
+            (F.col("r_ts") >= F.col("ts") - w)
+            & (F.col("r_ts") <= F.col("ts") + w)
+            & (F.col("r_event_id") != F.col("event_id"))
+        )
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.count(F.lit(1)).alias("nearby_events"))
+        .orderBy("event_id")
+    )
+
+
 def order_gaps(orders: DataFrame) -> DataFrame:
     """Analytic-window breadth over the order history: per-customer order
     sequence with lag (days since previous order), ntile spend quartile,

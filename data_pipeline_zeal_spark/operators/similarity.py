@@ -161,6 +161,25 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage/
+    bandwidth optimization every large vector corpus applies before ANN
+    serving (4x smaller, dot products stay proportional).  Per-vector
+    scale = 127/max|x|; pure JVM higher-order functions, map-only."""
+    v = as_double(F.col("embedding"))
+    amax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.when(amax == 0, F.lit(0.0)).otherwise(127.0 / amax)
+    return with_min_parallelism(embeddings).select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.transform(v, lambda x: F.round(x * scale).cast("int")).alias("q"),
+    )
+
+
 def train_kmeans_centroids(
     embeddings: DataFrame,
     n_cells: int = 8,

@@ -83,6 +83,35 @@ def test_embedding_near_dup_auto_switches(spark):
     assert "BroadcastNestedLoopJoin" not in plans.explain_mode(auto_big, "simple")
 
 
+def test_quantile_sketch_error_bounded(spark):
+    """GK-sketch percentiles must land within 1% relative error of the
+    exact sort-based operator (the contract that justifies swapping it in
+    at 100 TB)."""
+    from data_pipeline_zeal_spark.operators import etl
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    exact = {r.l_returnflag: r for r in etl.price_quantiles(li).collect()}
+    approx = {r.l_returnflag: r for r in etl.price_quantiles_sketch(li).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert a.n == e.n
+        for p in ("p25", "p50", "p75"):
+            rel = abs(getattr(a, p) - getattr(e, p)) / getattr(e, p)
+            assert rel < 0.01, f"{flag}.{p}: rel err {rel:.4f}"
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    """The day-bucketed range join must plan as a hash/SMJ equality join —
+    never a BroadcastNestedLoopJoin over the raw inequality."""
+    from data_pipeline_zeal_spark.operators import relational
+
+    df = relational.error_event_context(load_table(spark, SF_SMALL, "events"))
+    simple = plans.explain_mode(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple
+
+
 def test_top_users_plan_is_take_ordered(spark):
     """top-k-then-rank: the aggregate's top k must come via
     TakeOrderedAndProject, never a single-partition full sort of all users."""
