@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nations_without_suppliers"] = lambda s, d: etl.nations_customers_without_suppliers(
         load_table(s, d, "customer"), load_table(s, d, "supplier")
     )
+    q["nations_with_both"] = lambda s, d: etl.nations_with_both(
+        load_table(s, d, "customer"), load_table(s, d, "supplier")
+    )
     q["order_priority_rollup"] = lambda s, d: etl.order_priority_rollup(
         load_table(s, d, "orders")
     )
@@ -521,6 +524,13 @@ ORDER BY n_name
 SELECT nationkey FROM (
   SELECT c_nationkey AS nationkey FROM customer
   EXCEPT
+  SELECT s_nationkey AS nationkey FROM supplier
+) ORDER BY nationkey
+"""
+    o["nations_with_both"] = """
+SELECT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
   SELECT s_nationkey AS nationkey FROM supplier
 ) ORDER BY nationkey
 """

@@ -232,6 +232,17 @@ def nations_customers_without_suppliers(
     )
 
 
+def nations_with_both(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Set operation (INTERSECT): nation keys having BOTH customers and
+    suppliers — the dual of :func:`nations_customers_without_suppliers`.
+    Distinct-before-intersect keeps the exchange at ≤25 rows."""
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .orderBy("nationkey")
+    )
+
+
 def order_priority_rollup(orders: DataFrame) -> DataFrame:
     """GROUP BY ROLLUP(status, priority): subtotal hierarchy in one pass.
     Catalyst expands the grouping sets without rescanning the input."""
