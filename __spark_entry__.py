@@ -347,6 +347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_decode"] = lambda s, d: multimodal.decode_image(
         multimodal.synth_media(s, 256)
     )
+    q["multimodal_resize"] = lambda s, d: multimodal.resize_images(
+        multimodal.synth_media(s, 256)
+    ).select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
 
     # --- [EXT] synthetic generator (hash-kernel; rows-only) ---
     from data_pipeline_zeal_spark.sources.generator import generate_events

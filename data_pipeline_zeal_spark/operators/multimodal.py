@@ -163,6 +163,56 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 32, batch_hint_rows: int = 1024
+) -> DataFrame:
+    """Binary→binary transform: resize each image payload to fit within
+    ``max_side`` px, emitting the new payload + dimensions — the
+    thumbnail/normalization stage of an image training pipeline.
+
+    STUB kernel: the resize is a deterministic byte-subsample standing in
+    for ``PIL.Image.thumbnail`` (image libs absent here); the Spark-side
+    contract — Arrow binary columns both directions, batch iteration, output
+    schema — is the real 100 TB plumbing and is what the tests pin."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_id, out_payload, out_w, out_h = [], [], [], []
+        for pdf in batches:
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                h, w, _ = _fake_decode(p)
+                scale = min(1.0, max_side / max(h, w))
+                nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+                # fake "resize": proportional byte subsample, deterministic
+                stride = max(1, len(p) // max(1, (nh * nw)))
+                out_id.append(mid)
+                out_payload.append(bytes(p[::stride]))
+                out_w.append(nw)
+                out_h.append(nh)
+            yield pd.DataFrame(
+                {
+                    "media_id": out_id,
+                    "payload": out_payload,
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+            out_id, out_payload, out_w, out_h = [], [], [], []
+
+    return media.select("media_id", "payload").mapInPandas(
+        resize, schema=RESIZED_IMAGE_SCHEMA
+    )
+
+
 def filter_by_meta(
     media: DataFrame,
     media_type: str | None = None,

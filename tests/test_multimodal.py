@@ -56,6 +56,21 @@ def test_sample_frames(spark):
     assert {f.frame_ts_ms for f in frames} == {0, 1000, 2000, 3000}
 
 
+def test_resize_images_binary_roundtrip(spark):
+    """resize emits binary payloads (Arrow binary both directions), bounded
+    dimensions, deterministic output."""
+    media = mm.synth_media(spark, 32)
+    out = mm.resize_images(media, max_side=24)
+    rows = out.collect()
+    assert len(rows) == 32
+    assert out.schema == mm.RESIZED_IMAGE_SCHEMA
+    for r in rows:
+        assert isinstance(r.payload, (bytes, bytearray)) and len(r.payload) > 0
+        assert 1 <= r.width <= 24 and 1 <= r.height <= 24
+    again = sorted(map(tuple, mm.resize_images(media, max_side=24).collect()))
+    assert again == sorted(map(tuple, rows))
+
+
 def test_audio_features(spark):
     out = mm.extract_audio_features(mm.synth_media(spark, 64))
     rows = out.collect()
