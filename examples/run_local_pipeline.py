@@ -50,16 +50,33 @@ def main(n_events: int = 50_000) -> None:
     ).write.mode("overwrite").text(f"{wd}/topic")
     print(f"produced {n_events} events")
 
-    # 3. processor: streaming aggregation -> idempotent upsert
+    # 3. processor: id-dedup -> streaming aggregation -> idempotent upsert
     sink = ParquetUpsertSink(f"{wd}/hourly_aggregations")
     query = start_pipeline(
         read_event_stream_json(spark, f"{wd}/topic"),
         sink,
         checkpoint_dir=f"{wd}/checkpoint",
         available_now=True,  # drain everything, then stop
+        dedup_ids="event_id",  # at-least-once redelivery can't inflate counts
     )
     query.awaitTermination(300)
     print("processor drained:", pipeline_status(query))
+
+    # 3b. custom stateful operator: funnel conversions over the same topic
+    from data_pipeline_zeal_spark.streaming.funnel import funnel_detect_stream
+
+    fq = (
+        funnel_detect_stream(read_event_stream_json(spark, f"{wd}/topic"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnels")
+        .option("checkpointLocation", f"{wd}/funnel_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    fq.awaitTermination(300)
+    n_funnels = spark.table("funnels").count()
+    print(f"funnel conversions (page_view->add_to_cart->purchase): {n_funnels}")
 
     # 4. the API layer over the aggregate table
     agg = sink.read(spark).withColumnsRenamed(
