@@ -86,6 +86,58 @@ def test_hourly_agg_matches_python_model(spark, rows):
             assert gs == pytest.approx(s, rel=1e-9)
 
 
+ASOF_LEFT = st.tuples(
+    st.integers(min_value=0, max_value=3),  # key
+    st.datetimes(
+        min_value=datetime.datetime(2024, 1, 1),
+        max_value=datetime.datetime(2024, 1, 3),
+    ),
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    left=st.lists(ASOF_LEFT, min_size=1, max_size=25),
+    right=st.lists(ASOF_LEFT, min_size=0, max_size=25),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_brute_force(spark, left, right):
+    """asof_join == per-row argmax of right rows at-or-before the left ts,
+    for every generated key/timestamp combination (ties on (key, ts)
+    pre-reduced to max value, mirroring the operator's uniqueness
+    contract)."""
+    from data_pipeline_zeal_spark.operators.asof import asof_join
+
+    # make right unique per (key, ts): value = a deterministic function
+    rkv = {}
+    for i, (k, ts) in enumerate(right):
+        rkv[(k, ts)] = max(rkv.get((k, ts), -1), i)
+    rrows = [(k, ts, v) for (k, ts), v in rkv.items()]
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        "row_id long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        rrows or [(None, None, None)],
+        "k long, rts timestamp, val long",
+    ).filter("k IS NOT NULL")
+    got = {
+        r.row_id: r.val
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts", right_values=["val"]
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(left):
+        cands = [(rts, v) for (rk, rts), v in rkv.items() if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, ts)
+
+
 def test_minhash_lsh_recall_vs_exact(spark):
     """LSH candidates must recover the overwhelming majority of true
     near-duplicate pairs found by exact Jaccard at the same threshold
