@@ -312,6 +312,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events")
     )
 
+    # skew-safe two-phase aggregation (hot-key mitigation); identical
+    # results to a plain GROUP BY, so the plain SQL is the oracle
+    from data_pipeline_zeal_spark.functions.skew import salted_aggregate
+
+    q["events_user_counts_salted"] = lambda s, d: salted_aggregate(
+        load_table(s, d, "events"),
+        keys=["user_id"],
+        aggs={"n": "count(*)", "n_valued": "count(value)"},
+        salt=8,
+    ).orderBy("user_id")
+
     q["events_session_window"] = lambda s, d: events_ext.session_window_stats(
         load_table(s, d, "events")
     )
@@ -748,6 +759,10 @@ FROM (
          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
   FROM embeddings
 )
+"""
+    o["events_user_counts_salted"] = """
+SELECT user_id, count(*) AS n, count(value) AS n_valued
+FROM events GROUP BY user_id ORDER BY user_id
 """
     o["events_funnel"] = """
 WITH s1 AS (
