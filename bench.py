@@ -45,6 +45,7 @@ HEADLINE = [
     "events_session_window",
     "events_type_hour_pivot",
     "asof_events_last_order",
+    "range_error_context",
     "text_stats",
     "text_language_id",
     "text_source_token_totals",
