@@ -90,6 +90,35 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return spark.sql(query)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Batch parquet sink with layout control: hive-style partition
+    directories (downstream reads get partition pruning for free) and a
+    per-file record cap so a skewed partition writes many splittable files
+    instead of one multi-GB straggler."""
+    writer = df.write.mode(mode).option(
+        "maxRecordsPerFile", str(max_records_per_file)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def load_wire_events(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of wire-format JSONL event dumps (one JSON object per
+    line — the Kafka topic's serialization): offline replay/backfill of a
+    topic archive through the same permissive parse + bad-record drop as
+    the streaming path."""
+    from .streaming.pipeline import parse_events
+
+    return parse_events(spark.read.text(path).select(F.col("value").alias("raw")))
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,
