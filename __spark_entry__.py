@@ -312,6 +312,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events")
     )
 
+    # the ad-hoc ANSI-SQL entry path (io.sql → temp views → spark.sql),
+    # exercised end-to-end with a CTE + window query
+    from data_pipeline_zeal_spark import io as engine_io
+
+    q["sql_entry_revenue_rank"] = lambda s, d: engine_io.sql(
+        s,
+        d,
+        """
+        WITH nation_rev AS (
+          SELECT n.n_name AS nation,
+                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+          FROM lineitem l
+          JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+          JOIN nation n ON sp.s_nationkey = n.n_nationkey
+          GROUP BY n.n_name
+        )
+        SELECT nation, revenue,
+               CAST(rank() OVER (ORDER BY revenue DESC, nation) AS INT) AS rnk
+        FROM nation_rev
+        ORDER BY rnk
+        """,
+    )
+
     # skew-safe two-phase aggregation (hot-key mitigation); identical
     # results to a plain GROUP BY, so the plain SQL is the oracle
     from data_pipeline_zeal_spark.functions.skew import salted_aggregate
@@ -759,6 +782,20 @@ FROM (
          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
   FROM embeddings
 )
+"""
+    o["sql_entry_revenue_rank"] = """
+WITH nation_rev AS (
+  SELECT n.n_name AS nation,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+  FROM lineitem l
+  JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+  JOIN nation n ON sp.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT nation, revenue,
+       CAST(rank() OVER (ORDER BY revenue DESC, nation) AS INTEGER) AS rnk
+FROM nation_rev
+ORDER BY rnk
 """
     o["events_user_counts_salted"] = """
 SELECT user_id, count(*) AS n, count(value) AS n_valued
