@@ -40,10 +40,16 @@ FUNNEL_STATE_SCHEMA = T.StructType(
 )
 
 
-def _funnel_fn(steps: tuple[str, ...]):
+def _funnel_fn(steps: tuple[str, ...], stale_timeout_ms: int | None = None):
     def fn(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
+        if stale_timeout_ms is not None and state.hasTimedOut:
+            # abandoned funnel: drop the key's state entirely — this is
+            # what keeps total state bounded by ACTIVE users, not all
+            # users ever seen
+            state.remove()
+            return
         idx, started_us = state.get if state.exists else (0, 0)
         out: list[tuple] = []
         for pdf in pdfs:
@@ -61,6 +67,8 @@ def _funnel_fn(steps: tuple[str, ...]):
                     )
                     idx, started_us = 0, 0
         state.update((idx, started_us))
+        if stale_timeout_ms is not None:
+            state.setTimeoutDuration(stale_timeout_ms)
         if out:
             yield pd.DataFrame(
                 out, columns=["user_id", "started_at", "completed_at", "duration_s"]
@@ -72,18 +80,26 @@ def _funnel_fn(steps: tuple[str, ...]):
 def funnel_detect_stream(
     events: DataFrame,
     steps: tuple[str, ...] = ("page_view", "add_to_cart", "purchase"),
+    stale_timeout_ms: int | None = 3_600_000,
 ) -> DataFrame:
     """Streaming funnel detection: emits one row per completed ordered
     funnel per user (a user can convert repeatedly; state resets after
     each completion).  Events are sequenced by event time within each
     micro-batch; for strict cross-batch ordering feed it a source with
-    per-key monotone delivery (Kafka per-partition order) or drain mode."""
+    per-key monotone delivery (Kafka per-partition order) or drain mode.
+
+    ``stale_timeout_ms`` expires a key's state after that much processing
+    time without events (default 1 h), so state stays bounded by ACTIVE
+    users — without it, every user ever seen holds a state row forever.
+    Pass None to disable (e.g. short drain tests)."""
     return events.groupBy("user_id").applyInPandasWithState(
-        _funnel_fn(tuple(steps)),
+        _funnel_fn(tuple(steps), stale_timeout_ms),
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if stale_timeout_ms is not None else "NoTimeout"
+        ),
     )
 
 

@@ -70,3 +70,31 @@ class MetricsListener(StreamingQueryListener):
     def snapshot(self) -> dict[str, dict[str, Any]]:
         with self._lock:
             return {k: dict(v) for k, v in self._queries.items()}
+
+
+def render_prometheus(snapshot: dict[str, dict[str, Any]]) -> str:
+    """Prometheus text exposition of a :meth:`MetricsListener.snapshot` —
+    the reference's ``/metrics`` endpoint surface (S10; it hand-maintains
+    ``events_processed_total`` etc., ``aggregation_service.py:15-50``).
+    Serve the returned string with any HTTP handler."""
+    metrics = [
+        ("pipeline_batches_total", "counter", "batches"),
+        ("pipeline_input_rows_total", "counter", "total_input_rows"),
+        (
+            "pipeline_input_rows_per_second",
+            "gauge",
+            "last_input_rows_per_second",
+        ),
+        ("pipeline_batch_duration_ms", "gauge", "last_batch_duration_ms"),
+        ("pipeline_state_rows", "gauge", "state_rows"),
+    ]
+    lines: list[str] = []
+    for metric, kind, key in metrics:
+        lines.append(f"# TYPE {metric} {kind}")
+        for qid, m in sorted(snapshot.items()):
+            v = m.get(key)
+            if v is None:
+                continue
+            name = (m.get("name") or "unnamed").replace('"', "'")
+            lines.append(f'{metric}{{query="{name}",id="{qid}"}} {v}')
+    return "\n".join(lines) + "\n"

@@ -104,21 +104,38 @@ def parse_events(raw: DataFrame) -> DataFrame:
 
 
 def write_events_kafka(
-    events: DataFrame, bootstrap_servers: str, topic: str = "user-activity-events"
+    events: DataFrame,
+    bootstrap_servers: str,
+    topic: str = "user-activity-events",
+    acks: str = "all",
+    linger_ms: int = 10,
+    compression_type: str = "snappy",
+    batch_size: int = 16384,
+    **kafka_options: str,
 ):
-    """Kafka sink writer (reference S3: one JSON message per event, keyed by
-    user_id).  Returns the DataStreamWriter — caller sets trigger/checkpoint.
-    Producer tuning (acks, linger, compression — reference S3/S4) passes
-    through ``kafka.``-prefixed options."""
+    """Kafka sink writer (reference S3/S4: one JSON message per event,
+    keyed by user_id, with the bulk-producer tuning knobs the reference
+    sets — acks/linger/compression/batch.size,
+    ``kafka_publisher.py:41-49``).  Returns the DataStreamWriter — caller
+    sets trigger/checkpoint.  Additional producer properties pass through
+    ``kafka_options`` (dots as underscores, e.g.
+    ``max_request_size="1048576"``)."""
     payload = events.select(
         F.col("user_id").cast("string").alias("key"),
         F.to_json(F.struct(*[F.col(c) for c in events.columns])).alias("value"),
     )
-    return (
+    writer = (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
+        .option("kafka.acks", acks)
+        .option("kafka.linger.ms", str(linger_ms))
+        .option("kafka.compression.type", compression_type)
+        .option("kafka.batch.size", str(batch_size))
     )
+    for k, v in kafka_options.items():
+        writer = writer.option(f"kafka.{k.replace('_', '.')}", str(v))
+    return writer
 
 
 # ---------------------------------------------------------------------------

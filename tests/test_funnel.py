@@ -82,6 +82,62 @@ def test_streaming_funnel_detection(spark, tmp_path):
     assert sorted(r.duration_s for r in by_user["C"]) == [1200.0, 2700.0]
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the state machine."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_funnel_fn_timeout_drops_state():
+    """On processing-time timeout the key's state is removed (bounds total
+    state by active users) and nothing is emitted."""
+    import pandas as pd
+
+    from data_pipeline_zeal_spark.streaming.funnel import _funnel_fn
+
+    fn = _funnel_fn(("a", "b"), stale_timeout_ms=1000)
+    st = _FakeState(value=(1, 123), timed_out=True)
+    out = list(fn(("u1",), iter([]), st))
+    assert out == [] and st.removed
+
+
+def test_funnel_fn_sets_timeout_after_update():
+    import pandas as pd
+
+    from data_pipeline_zeal_spark.streaming.funnel import _funnel_fn
+
+    fn = _funnel_fn(("a", "b"), stale_timeout_ms=5000)
+    st = _FakeState()
+    pdf = pd.DataFrame(
+        {"timestamp": [pd.Timestamp("2024-01-01 10:00:00")], "event_type": ["a"]}
+    )
+    list(fn(("u1",), iter([pdf]), st))
+    assert st.get == (1, int(pd.Timestamp("2024-01-01 10:00:00").value // 1000))
+    assert st.timeout_set == 5000
+
+
 def test_batch_funnel_matches_manual(spark):
     import datetime
 

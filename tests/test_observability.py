@@ -61,3 +61,25 @@ def test_metrics_listener_accumulates(spark, tmp_path):
         assert m["exception"] is None
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_render_prometheus_text():
+    from data_pipeline_zeal_spark.streaming.observability import render_prometheus
+
+    snap = {
+        "q1": {
+            "name": "hourly-aggregation",
+            "batches": 3,
+            "total_input_rows": 120,
+            "last_input_rows_per_second": 40.0,
+            "last_batch_duration_ms": 250,
+            "state_rows": 20,
+        },
+        "q2": {"name": None, "batches": 1, "total_input_rows": 5},
+    }
+    text = render_prometheus(snap)
+    assert "# TYPE pipeline_batches_total counter" in text
+    assert 'pipeline_batches_total{query="hourly-aggregation",id="q1"} 3' in text
+    assert 'pipeline_input_rows_total{query="unnamed",id="q2"} 5' in text
+    # absent gauges are skipped, not rendered as None
+    assert "None" not in text
