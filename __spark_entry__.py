@@ -26,6 +26,7 @@ from data_pipeline_zeal_spark.io import load_table
 from data_pipeline_zeal_spark.operators import (
     api,
     asof,
+    corpus,
     dedup,
     etl,
     events_ext,
@@ -41,6 +42,14 @@ from data_pipeline_zeal_spark.operators import (
 # ---------------------------------------------------------------------------
 
 _SIM_QUERY_IDS = list(range(10))
+
+#: Per-language keep fractions for the stratified-sample query (chosen so
+#: every stratum yields rows at sf0.001: en 193 docs, others 71-82).
+_STRAT_FRACS = {"en": 0.1, "de": 0.5, "es": 0.25, "fr": 0.25, "zh": 0.5}
+
+#: Same hex thresholds the Spark operator derives — embedded verbatim in
+#: the DuckDB oracle so both engines compare against identical constants.
+_strat_thr = corpus.frac_threshold
 
 
 def _hourly(spark: SparkSession, sf_dir: str, with_value_count: bool = False) -> DataFrame:
@@ -284,6 +293,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         method="lsh",
         bands=8,
         planes_per_band=3,
+    )
+
+    # --- [EXT] corpus curation (training-data pipeline surface) ---
+    q["corpus_hash_split"] = lambda s, d: corpus.hash_split(
+        load_table(s, d, "documents"), test_frac=0.1
+    )
+    q["corpus_stratified_sample"] = lambda s, d: corpus.stratified_sample(
+        load_table(s, d, "documents"), fractions=_STRAT_FRACS
+    )
+    q["corpus_source_cap"] = lambda s, d: corpus.source_cap(
+        load_table(s, d, "documents"), k=10
+    )
+    q["corpus_pack_chunks"] = lambda s, d: corpus.pack_chunks(
+        load_table(s, d, "documents"), target_tokens=256
+    )
+    q["corpus_quality_filter"] = lambda s, d: corpus.quality_filter_chain(
+        load_table(s, d, "documents")
+    )
+    q["corpus_mixture_weights"] = lambda s, d: corpus.mixture_weights(
+        load_table(s, d, "documents"), by="lang"
+    )
+    q["corpus_contamination"] = lambda s, d: corpus.ngram_contamination(
+        load_table(s, d, "documents"), n=8, benchmark_mod=7
+    )
+    # exact pinned for the oracle (LSH pair generation is the scale path,
+    # same flip logic as dedup_embedding_near)
+    q["semdedup_survivors"] = lambda s, d: corpus.semantic_dedup(
+        load_table(s, d, "embeddings"), threshold=0.4, method="exact"
     )
 
     # --- [EXT] extended event analytics ---
@@ -1134,6 +1171,119 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 ORDER BY vec_a, vec_b
 """
     # dedup_minhash_lsh_pairs, dedup_simhash: hash-kernel ops, rows-only check.
+
+    # --- corpus curation ---
+    o["corpus_hash_split"] = """
+SELECT doc_id, lang, source,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+            THEN 'test' ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+"""
+    strat_cases = " ".join(
+        f"WHEN '{lg}' THEN '{_strat_thr(fr)}'"
+        for lg, fr in sorted(_STRAT_FRACS.items())
+    )
+    o["corpus_stratified_sample"] = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE lang {strat_cases} ELSE '0000' END
+ORDER BY doc_id
+"""
+    o["corpus_source_cap"] = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+         ) AS INTEGER) AS sample_rank
+  FROM documents)
+SELECT doc_id, source, sample_rank FROM ranked
+WHERE sample_rank <= 10 ORDER BY source, doc_id
+"""
+    o["corpus_pack_chunks"] = """
+WITH per_doc AS (
+  SELECT doc_id, source, len(string_split(trim(text), ' ')) AS n_tok
+  FROM documents),
+chunked AS (
+  SELECT *,
+    CAST(floor(coalesce(sum(n_tok) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+    AS INTEGER) AS chunk_id
+  FROM per_doc)
+SELECT source, chunk_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM chunked GROUP BY source, chunk_id ORDER BY source, chunk_id
+"""
+    o["corpus_quality_filter"] = """
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+    round(length(regexp_replace(text, '\\s+', '', 'g'))
+          / greatest(len(string_split(trim(text), ' ')), 1), 6) AS mean_word_len,
+    round(1 - len(list_distinct(string_split(trim(text), ' ')))
+          / greatest(len(string_split(trim(text), ' ')), 1), 6) AS dup_token_ratio
+  FROM documents)
+SELECT doc_id, n_tokens, mean_word_len, dup_token_ratio,
+  CAST(n_tokens BETWEEN 24 AND 10000 AS INTEGER) AS len_ok,
+  CAST(mean_word_len BETWEEN 3.0 AND 8.0 AS INTEGER) AS mwl_ok,
+  CAST(dup_token_ratio <= 0.6 AS INTEGER) AS rep_ok,
+  CAST(n_tokens BETWEEN 24 AND 10000
+       AND mean_word_len BETWEEN 3.0 AND 8.0
+       AND dup_token_ratio <= 0.6 AS INTEGER) AS keep
+FROM m ORDER BY doc_id
+"""
+    o["corpus_mixture_weights"] = """
+WITH counts AS (
+  SELECT lang, count(*) AS doc_count FROM documents GROUP BY lang),
+totals AS (
+  SELECT CAST(sum(doc_count) AS BIGINT) AS total_docs,
+         count(*) AS n_groups FROM counts)
+SELECT lang, doc_count,
+       round(doc_count / total_docs, 6) AS share,
+       round(total_docs / (n_groups * doc_count), 6) AS weight
+FROM counts, totals ORDER BY lang
+"""
+    o["corpus_contamination"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
+         i -> array_to_string(t[i:i+7], ' '))) AS gs
+  FROM toks),
+corpus_side AS (
+  SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 7 <> 0),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 7 = 0)
+SELECT c.doc_id, count(*) AS matched_grams
+FROM corpus_side c JOIN bench b USING (gram)
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+    o["semdedup_survivors"] = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+edges AS (
+  SELECT va AS a, vb AS b FROM pairs
+  UNION
+  SELECT vb AS a, va AS b FROM pairs),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT ed.b, r.lab FROM reach r JOIN edges ed ON ed.a = r.node),
+clusters AS (
+  SELECT node AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT em.vec_id,
+       coalesce(c.cluster_id, em.vec_id) AS cluster_id,
+       CAST(coalesce(c.cluster_id, em.vec_id) = em.vec_id AS INTEGER)
+         AS is_survivor
+FROM embeddings em LEFT JOIN clusters c ON c.vec_id = em.vec_id
+ORDER BY em.vec_id
+"""
 
     # --- similarity ---
     ids = ", ".join(str(i) for i in _SIM_QUERY_IDS)

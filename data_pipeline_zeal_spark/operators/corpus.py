@@ -1,0 +1,268 @@
+"""[EXT] Corpus-curation operators — the training-data pipeline surface.
+
+The steps a pre-training data pipeline runs between "raw documents" and
+"training mixture": deterministic train/test splitting, stratified
+sampling, per-source capping, sequential token packing, quality-filter
+chains (Gopher/C4-style), mixture re-weighting, benchmark-contamination
+checks, and embedding-level semantic dedup (SemDeDup-style).
+
+Scale notes (100 TB bar):
+* Every sampling/split op keys on ``md5(doc_id)`` — a uniform, engine-
+  portable hash.  No ``rand()``: results are reproducible across runs,
+  retries and engines, which is what makes held-out splits trustworthy.
+* Splits/filters are map-only (no shuffle); capping and packing shuffle
+  once on their partition key (``source``) — the natural layout key a
+  curated corpus is already bucketed by.
+* The contamination check broadcasts only the *deduplicated benchmark
+  n-gram set* (benchmarks are ~10⁵ grams — tiny); the corpus side streams
+  through one explode + hash join, never a theta join.
+* Semantic dedup reuses the banded sign-LSH pair generator at scale
+  (``dedup.embedding_near_dup_pairs(method="lsh")``) and min-label
+  connected components; the exact path is the small-input/oracle anchor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokens
+from . import dedup
+
+#: Width of the hex-prefix used for hash bucketing: 4 hex chars = 65536
+#: buckets, enough resolution for per-mille sampling fractions.
+_BUCKET_CHARS = 4
+_BUCKET_SPACE = 16 ** _BUCKET_CHARS
+
+
+def hash_bucket(key: Column | str) -> Column:
+    """Deterministic [0, 65536) bucket as a zero-padded hex prefix of
+    ``md5(key)``.  Lexicographic compare on the hex prefix == numeric
+    compare on the bucket, and the same expression is portable SQL
+    (``substr(md5(CAST(k AS VARCHAR)), 1, 4)``)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(c.cast("string")), 1, _BUCKET_CHARS)
+
+
+def frac_threshold(frac: float) -> str:
+    """Hex threshold t such that P[hash_bucket < t] ≈ frac."""
+    n = max(0, min(_BUCKET_SPACE, int(frac * _BUCKET_SPACE)))
+    return format(n, f"0{_BUCKET_CHARS}x")
+
+
+def hash_split(documents: DataFrame, test_frac: float = 0.1) -> DataFrame:
+    """Deterministic train/test split on ``md5(doc_id)`` (reference has no
+    split op — this is the [EXT] training-data surface; the hash-mod split
+    is the standard reproducible alternative to ``rand()``).
+
+    Map-only: no shuffle, no state; re-runs and backfills land every
+    document in the same split forever."""
+    thr = frac_threshold(test_frac)
+    return documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(hash_bucket("doc_id") < thr, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def stratified_sample(
+    documents: DataFrame, fractions: dict[str, float], strat_col: str = "lang"
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep-fraction via the
+    same hash bucketing as :func:`hash_split` (strata not listed in
+    ``fractions`` are dropped).  This is ``df.sampleBy`` with
+    reproducibility guarantees — map-only, engine-portable, stable under
+    retries, so downstream mixtures are exactly re-creatable."""
+    thr: Column = F.lit(frac_threshold(0.0))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strat_col) == stratum, F.lit(frac_threshold(frac))
+        ).otherwise(thr)
+    return (
+        documents.filter(hash_bucket("doc_id") < thr)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def source_cap(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Cap each source at ``k`` documents, chosen by hash order (a
+    deterministic uniform sample, not head-of-file bias).  One shuffle on
+    ``source``; per-source state in the rank window is O(1).  Heavily
+    skewed sources (one domain = half the corpus) rank within their own
+    partition only — no global sort."""
+    w = Window.partitionBy("source").orderBy(hash_bucket("doc_id"), "doc_id")
+    return (
+        documents.select(
+            "doc_id", "source", F.row_number().over(w).cast("int").alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= k)
+        .orderBy("source", "doc_id")
+    )
+
+
+def pack_chunks(documents: DataFrame, target_tokens: int = 256) -> DataFrame:
+    """Sequential token packing: within each source (ordered by doc_id),
+    assign documents to consecutive chunks of ~``target_tokens`` tokens —
+    the "pack documents into context windows" step before tokenization.
+
+    chunk_id = floor(running_token_count_before_this_doc / target), so a
+    document always lands in exactly one chunk and chunk boundaries are
+    deterministic.  One shuffle on ``source``; the running sum is a
+    single-pass window (no self-join)."""
+    n_tok = F.size(tokens("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    per_doc = documents.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "chunk_id", F.floor(cum_before / F.lit(float(target_tokens))).cast("int")
+    )
+    return (
+        per_doc.groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("chunk_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "chunk_id")
+    )
+
+
+def quality_filter_chain(
+    documents: DataFrame,
+    min_tokens: int = 24,
+    max_tokens: int = 10_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 8.0,
+    max_dup_token_ratio: float = 0.6,
+) -> DataFrame:
+    """Gopher/C4-style quality filter chain: token-count bounds, mean word
+    length bounds, and a repetition bound (fraction of tokens that are
+    repeats of an earlier token).  Emits per-document metrics + per-rule
+    flags + the combined keep bit, so the pipeline can audit *why* a
+    document was dropped.  Map-only — scales linearly, zero shuffle."""
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    denom = F.greatest(n_tok, F.lit(1))
+    mean_word_len = F.round(
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / denom, 6
+    )
+    dup_ratio = F.round(1 - F.size(F.array_distinct(toks)) / denom, 6)
+    metrics = documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        dup_ratio.alias("dup_token_ratio"),
+    )
+    len_ok = (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
+    mwl_ok = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    rep_ok = F.col("dup_token_ratio") <= max_dup_token_ratio
+    return metrics.select(
+        "*",
+        len_ok.cast("int").alias("len_ok"),
+        mwl_ok.cast("int").alias("mwl_ok"),
+        rep_ok.cast("int").alias("rep_ok"),
+        (len_ok & mwl_ok & rep_ok).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def mixture_weights(documents: DataFrame, by: str = "lang") -> DataFrame:
+    """Per-group mixture statistics: corpus share and the resampling weight
+    that would flatten the mixture to uniform (weight = total /
+    (n_groups × group_count); >1 ⇒ upsample, <1 ⇒ downsample).  Two
+    map-side-combined aggregates + a broadcast of a 1-row frame."""
+    counts = documents.groupBy(by).agg(F.count(F.lit(1)).alias("doc_count"))
+    totals = counts.agg(
+        F.sum("doc_count").alias("total_docs"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            by,
+            "doc_count",
+            F.round(F.col("doc_count") / F.col("total_docs"), 6).alias("share"),
+            F.round(
+                F.col("total_docs") / (F.col("n_groups") * F.col("doc_count")), 6
+            ).alias("weight"),
+        )
+        .orderBy(by)
+    )
+
+
+def _distinct_ngrams(tok: Column, n: int) -> Column:
+    """Deduplicated word n-grams; documents shorter than n yield none
+    (strict n-grams — unlike ``word_shingles``' whole-doc fallback — so
+    the overlap semantics match a plain SQL formulation)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(tok) < n, F.array().cast("array<string>")).otherwise(grams)
+    )
+
+
+def ngram_contamination(
+    documents: DataFrame, n: int = 8, benchmark_mod: int = 7
+) -> DataFrame:
+    """Benchmark-contamination check: corpus documents sharing at least one
+    word ``n``-gram with the benchmark set (here: doc_id ≡ 0 mod
+    ``benchmark_mod`` stands in for an eval set; in production the
+    benchmark frame is passed in).  Returns (doc_id, matched_grams).
+
+    Scale shape: the benchmark side collapses to a DISTINCT gram set and
+    is broadcast (eval suites are ~10⁵ grams); the corpus side is one
+    explode + broadcast-hash-join + per-doc count.  Grams are deduped
+    per document BEFORE the explode so matched_grams counts distinct
+    grams with a plain count(*) and the exchange stays minimal."""
+    grams = documents.select(
+        "doc_id", F.explode(_distinct_ngrams(tokens("text"), n)).alias("gram")
+    )
+    is_bench = F.col("doc_id") % benchmark_mod == 0
+    bench = grams.filter(is_bench).select("gram").distinct()
+    return (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("matched_grams"))
+        .orderBy("doc_id")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.4, method: str = "auto"
+) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding table: cosine
+    near-dup pairs → connected components → keep the minimum vec_id per
+    component.  Returns every vec_id with its cluster id and survivor bit.
+
+    Pair generation delegates to :func:`dedup.embedding_near_dup_pairs`
+    (exact theta-join at fixture scale / oracle; banded sign-LSH at 100 TB
+    via ``method="lsh"``); clustering is the shared min-label-propagation
+    kernel (``dedup.connected_components``)."""
+    pairs = dedup.embedding_near_dup_pairs(embeddings, threshold, method=method)
+    clusters = dedup.connected_components(
+        pairs.select("vec_a", "vec_b"), src="vec_a", dst="vec_b"
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+    return (
+        embeddings.select("vec_id")
+        .join(clusters, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "vec_id") == F.col("vec_id"))
+            .cast("int")
+            .alias("is_survivor"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,131 @@
+"""Behavioral invariants for the corpus-curation operators (cross-engine
+value parity is covered query-by-query in test_oracle_parity)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from data_pipeline_zeal_spark import plans
+from data_pipeline_zeal_spark.io import load_table
+from data_pipeline_zeal_spark.operators import corpus
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMALL, "documents")
+
+
+def test_hash_split_deterministic_and_calibrated(spark):
+    split = corpus.hash_split(_docs(spark), test_frac=0.1)
+    rows = {r.doc_id: r.split for r in split.collect()}
+    again = {r.doc_id: r.split for r in corpus.hash_split(_docs(spark), 0.1).collect()}
+    assert rows == again  # same hash -> same split, forever
+    test_frac = sum(1 for v in rows.values() if v == "test") / len(rows)
+    assert 0.05 <= test_frac <= 0.2  # 500 docs: wide tolerance around 0.1
+
+
+def test_hash_split_is_map_only(spark):
+    s = plans.summarize(corpus.hash_split(_docs(spark)).drop("ordered"))
+    # the only exchange allowed is the presentation-order sort
+    assert s.shuffles <= 1
+
+
+def test_stratified_sample_subset_and_strata(spark):
+    fracs = {"en": 0.1, "de": 0.5}
+    sampled = corpus.stratified_sample(_docs(spark), fracs).collect()
+    assert {r.lang for r in sampled} <= set(fracs)
+    by_lang = Counter(r.lang for r in sampled)
+    totals = Counter(r.lang for r in _docs(spark).select("lang").collect())
+    for lang, frac in fracs.items():
+        got = by_lang[lang] / totals[lang]
+        assert abs(got - frac) < 0.15, (lang, got)
+
+
+def test_source_cap_bounds_every_source(spark):
+    capped = corpus.source_cap(_docs(spark), k=10).collect()
+    per_source = Counter(r.source for r in capped)
+    assert max(per_source.values()) <= 10
+    assert len(per_source) == 20  # no source vanishes
+    assert all(1 <= r.sample_rank <= 10 for r in capped)
+
+
+def test_pack_chunks_partitions_tokens_exactly(spark):
+    docs = _docs(spark)
+    chunk_sum = {
+        r.source: r
+        for r in corpus.pack_chunks(docs, target_tokens=256)
+        .groupBy("source")
+        .agg(
+            F.sum("chunk_tokens").alias("tok"),
+            F.sum("n_docs").alias("docs"),
+            F.min("chunk_id").alias("min_chunk"),
+            F.max("chunk_id").alias("max_chunk"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .collect()
+    }
+    truth = {
+        r.source: r
+        for r in docs.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("tok"),
+            F.count(F.lit(1)).alias("docs"),
+        )
+        .collect()
+    }
+    assert set(chunk_sum) == set(truth) and len(truth) == 20
+    for source, r in chunk_sum.items():
+        # every token and every doc lands in exactly one chunk
+        assert r["tok"] == truth[source]["tok"]
+        assert r["docs"] == truth[source]["docs"]
+        # chunk ids start at 0 and are consecutive
+        assert r["min_chunk"] == 0
+        assert r["max_chunk"] + 1 == r["n_chunks"]
+
+
+def test_quality_filter_flags_compose(spark):
+    rows = corpus.quality_filter_chain(_docs(spark)).collect()
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)  # non-vacuous at sf0.001
+    for r in rows:
+        assert r.keep == (r.len_ok and r.mwl_ok and r.rep_ok)
+
+
+def test_mixture_weights_flatten_to_uniform(spark):
+    w = corpus.mixture_weights(_docs(spark), by="lang").collect()
+    assert abs(sum(r.share for r in w) - 1.0) < 1e-4
+    total = sum(r.doc_count for r in w)
+    for r in w:
+        # weight * count restores the uniform per-group allocation
+        assert abs(r.weight * r.doc_count - total / len(w)) < 0.01 * total
+
+
+def test_contamination_excludes_benchmark_docs(spark):
+    hits = corpus.ngram_contamination(_docs(spark), n=8, benchmark_mod=7).collect()
+    assert hits  # fixture plants shared 8-grams
+    assert all(r.doc_id % 7 != 0 for r in hits)
+    assert all(r.matched_grams >= 1 for r in hits)
+
+
+def test_semantic_dedup_one_survivor_per_cluster(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = corpus.semantic_dedup(emb, threshold=0.4, method="exact").collect()
+    assert len(out) == emb.count()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+        assert r.is_survivor == int(r.cluster_id == r.vec_id)
+    for cid, members in by_cluster.items():
+        assert sum(m.is_survivor for m in members) == 1
+        assert cid == min(m.vec_id for m in members)
+
+
+def test_semantic_dedup_lsh_path_has_no_theta_join(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    df = corpus.semantic_dedup(emb, threshold=0.4, method="lsh")
+    plan = plans.explain_mode(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
