@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from data_pipeline_zeal_spark.streaming.funnel import (
     funnel_conversions_batch,
     funnel_detect_stream,
@@ -80,6 +82,156 @@ def test_streaming_funnel_detection(spark, tmp_path):
     assert len(by_user["A"]) == 1 and by_user["A"][0].duration_s == 600.0
     assert len(by_user["C"]) == 2
     assert sorted(r.duration_s for r in by_user["C"]) == [1200.0, 2700.0]
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    """StatefulProcessorHandle stand-in: records the TTL the processor
+    asks for and hands back an in-memory ValueState."""
+
+    def __init__(self):
+        self.states = {}
+        self.ttls = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        self.ttls[name] = ttlDurationMs
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_tws_processor_state_machine():
+    """FunnelProcessor (transformWithState form) matches the
+    applyInPandasWithState semantics: ordered matching, repeat
+    conversions, state carried across batches, TTL requested."""
+    import pandas as pd
+
+    from data_pipeline_zeal_spark.streaming.funnel import FunnelProcessor
+
+    proc = FunnelProcessor(("page_view", "add_to_cart", "purchase"), 5000)
+    handle = _FakeHandle()
+    proc.init(handle)
+    assert handle.ttls == {"funnel": 5000}
+
+    def batch(rows):
+        return pd.DataFrame(rows, columns=["timestamp", "event_type"])
+
+    # batch 1: user completes steps 1-2; no emission, state mid-funnel
+    out = list(
+        proc.handleInputRows(
+            ("A",),
+            iter([batch([
+                (pd.Timestamp("2024-01-01 10:00:00"), "page_view"),
+                (pd.Timestamp("2024-01-01 10:02:00"), "purchase"),  # skipped
+                (pd.Timestamp("2024-01-01 10:05:00"), "add_to_cart"),
+            ])]),
+            None,
+        )
+    )
+    assert out == []
+    idx, started_us = handle.states["funnel"].get()
+    assert idx == 2
+    assert started_us == int(pd.Timestamp("2024-01-01 10:00:00").value // 1000)
+
+    # batch 2: completion + a second full funnel
+    out = list(
+        proc.handleInputRows(
+            ("A",),
+            iter([batch([
+                (pd.Timestamp("2024-01-01 10:10:00"), "purchase"),
+                (pd.Timestamp("2024-01-01 11:00:00"), "page_view"),
+                (pd.Timestamp("2024-01-01 11:10:00"), "add_to_cart"),
+                (pd.Timestamp("2024-01-01 11:30:00"), "purchase"),
+            ])]),
+            None,
+        )
+    )
+    assert len(out) == 1
+    emitted = list(out[0].itertuples(index=False))
+    assert [(r.user_id, r.duration_s) for r in emitted] == [("A", 600.0), ("A", 1800.0)]
+    assert handle.states["funnel"].get() == (0, 0)
+
+
+def _has_protobuf():
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="PySpark's transformWithState state client requires protobuf "
+    "(not installed in this sandbox)",
+)
+def test_streaming_funnel_tws_matches_applyinpandas(spark, tmp_path):
+    """The transformWithState form emits the same conversions as the
+    applyInPandasWithState form on the same input (RocksDB provider is a
+    hard requirement of the TWS operator)."""
+    from data_pipeline_zeal_spark.streaming.funnel import funnel_detect_stream_tws
+
+    lines = []
+    i = 0
+    for etype, t in [
+        ("page_view", "10:00:00"),
+        ("add_to_cart", "10:05:00"),
+        ("purchase", "10:10:00"),
+        ("page_view", "10:20:00"),
+    ]:
+        lines.append(_event(i, "A", etype, f"2024-01-01 {t}")); i += 1
+    for etype, t in [
+        ("page_view", "09:00:00"),
+        ("purchase", "09:01:00"),
+        ("add_to_cart", "09:30:00"),
+        ("purchase", "09:45:00"),
+    ]:
+        lines.append(_event(i, "C", etype, f"2024-01-01 {t}")); i += 1
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    (src / "part-0.jsonl").write_text("\n".join(lines))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = read_event_stream_json(spark, str(src))
+        q = (
+            funnel_detect_stream_tws(events)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("funnels_tws")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    rows = spark.table("funnels_tws").collect()
+    got = {(r.user_id, r.duration_s) for r in rows}
+    assert got == {("A", 600.0), ("C", 2700.0)}
 
 
 class _FakeState:
