@@ -49,6 +49,8 @@ HEADLINE = [
     "text_stats",
     "text_language_id",
     "text_source_token_totals",
+    "corpus_quality_filter",
+    "corpus_contamination",
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",

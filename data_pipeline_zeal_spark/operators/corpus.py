@@ -12,7 +12,11 @@ Scale notes (100 TB bar):
   retries and engines, which is what makes held-out splits trustworthy.
 * Splits/filters are map-only (no shuffle); capping and packing shuffle
   once on their partition key (``source``) — the natural layout key a
-  curated corpus is already bucketed by.
+  curated corpus is already bucketed by.  Token-crunching ops
+  (packing, quality filters, contamination) guard their input with
+  ``with_min_parallelism`` — a no-op at scale, where scans already have
+  thousands of splits, but it keeps single-file fixture scans from
+  serializing the CPU-bound tokenize on one core.
 * The contamination check broadcasts only the *deduplicated benchmark
   n-gram set* (benchmarks are ~10⁵ grams — tiny); the corpus side streams
   through one explode + hash join, never a theta join.
@@ -27,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfn import tokens
+from ..io import with_min_parallelism
 from . import dedup
 
 #: Width of the hex-prefix used for hash bucketing: 4 hex chars = 65536
@@ -120,7 +125,11 @@ def pack_chunks(documents: DataFrame, target_tokens: int = 256) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-    per_doc = documents.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+    # tokenization is the CPU cost and happens BEFORE the window's source
+    # shuffle — spread it even when the fixture scan is a single split
+    per_doc = with_min_parallelism(documents).select(
+        "doc_id", "source", n_tok.alias("n_tok")
+    ).withColumn(
         "chunk_id", F.floor(cum_before / F.lit(float(target_tokens))).cast("int")
     )
     return (
@@ -155,7 +164,7 @@ def quality_filter_chain(
         F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / denom, 6
     )
     dup_ratio = F.round(1 - F.size(F.array_distinct(toks)) / denom, 6)
-    metrics = documents.select(
+    metrics = with_min_parallelism(documents).select(
         "doc_id",
         n_tok.alias("n_tokens"),
         mean_word_len.alias("mean_word_len"),
@@ -225,7 +234,7 @@ def ngram_contamination(
     explode + broadcast-hash-join + per-doc count.  Grams are deduped
     per document BEFORE the explode so matched_grams counts distinct
     grams with a plain count(*) and the exchange stays minimal."""
-    grams = documents.select(
+    grams = with_min_parallelism(documents).select(
         "doc_id", F.explode(_distinct_ngrams(tokens("text"), n)).alias("gram")
     )
     is_bench = F.col("doc_id") % benchmark_mod == 0
