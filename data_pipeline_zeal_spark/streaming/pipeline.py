@@ -281,15 +281,18 @@ class ParquetUpsertSink:
         return spark.read.parquet(self.path)
 
 
-def postgres_upsert_sql(table: str = "hourly_aggregations") -> str:
-    """The production sink SQL (reference ``upsert_aggregation.sql:1-19``),
-    for use inside a ``foreachBatch`` that holds a JDBC/psycopg connection:
-    execute once per batch row-set (e.g. executemany / execute_values)."""
-    return f"""
+_UPSERT_ROW_TEMPLATE = "(%s, %s, %s, %s, %s, %s, %s, %s)"
+
+
+def _upsert_sql_parts(table: str) -> tuple[str, str, str]:
+    """(INSERT prefix, one-row VALUES template, ON CONFLICT suffix) — the
+    pieces a multi-row statement is assembled from."""
+    prefix = f"""
 INSERT INTO {table}
   (window_start, window_end, event_type, event_count,
    unique_user_count, unique_session_count, total_duration_ms, avg_duration_ms)
-VALUES (%s, %s, %s, %s, %s, %s, %s, %s)
+VALUES """.strip()
+    suffix = """
 ON CONFLICT (window_start, event_type) DO UPDATE SET
   window_end = EXCLUDED.window_end,
   event_count = EXCLUDED.event_count,
@@ -298,15 +301,29 @@ ON CONFLICT (window_start, event_type) DO UPDATE SET
   total_duration_ms = EXCLUDED.total_duration_ms,
   avg_duration_ms = EXCLUDED.avg_duration_ms
 """.strip()
+    return prefix, _UPSERT_ROW_TEMPLATE, suffix
+
+
+def postgres_upsert_sql(table: str = "hourly_aggregations") -> str:
+    """The production sink SQL (reference ``upsert_aggregation.sql:1-19``),
+    single-row form, for use inside a ``foreachBatch`` that holds a
+    JDBC/psycopg connection."""
+    prefix, row_tpl, suffix = _upsert_sql_parts(table)
+    return f"{prefix}{row_tpl}\n{suffix}"
 
 
 def jdbc_upsert_sink(
-    table: str, connection_factory: Callable
+    table: str, connection_factory: Callable, page_size: int = 500
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch upsert into Postgres through any DB-API connection
-    factory (kept dependency-free: the reference uses psycopg2's
-    ``execute_values``; executemany is the portable equivalent)."""
-    sql = postgres_upsert_sql(table)
+    factory (kept dependency-free).  Rows ship as multi-row VALUES
+    statements of up to ``page_size`` tuples — the reference's
+    ``execute_values`` batching (reference ``postgres_repository.py:83-88``)
+    without the psycopg2 dependency; per-row ``executemany`` round-trips
+    would dominate latency on wide backfill batches.  The per-key dedup is
+    also what makes multi-row ON CONFLICT legal: Postgres rejects a
+    statement that updates the same key twice."""
+    prefix, row_tpl, suffix = _upsert_sql_parts(table)
     # The persisted record shape; the streaming aggregate additionally
     # carries the duration_ms_count helper column, which the upsert SQL's
     # 8 placeholders do not accept.
@@ -325,7 +342,12 @@ def jdbc_upsert_sink(
         conn = connection_factory()
         try:
             with conn.cursor() as cur:
-                cur.executemany(sql, rows)
+                for i in range(0, len(rows), page_size):
+                    chunk = rows[i : i + page_size]
+                    stmt = (
+                        prefix + ", ".join([row_tpl] * len(chunk)) + "\n" + suffix
+                    )
+                    cur.execute(stmt, [v for row in chunk for v in row])
             conn.commit()
         except Exception:
             conn.rollback()  # reference: rollback+raise, postgres_repository.py:92-97

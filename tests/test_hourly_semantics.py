@@ -141,11 +141,14 @@ def test_postgres_upsert_sql_shape():
 
 
 class _RecordingConn:
-    """DB-API stub recording executemany batches."""
+    """DB-API stub recording multi-row VALUES statements: reconstructs the
+    8-wide row tuples from each execute's flattened parameter list."""
 
-    rows: list = []
-    committed = False
-    rolled_back = False
+    def __init__(self):
+        self.rows: list = []
+        self.statements: list = []
+        self.committed = False
+        self.rolled_back = False
 
     def cursor(self):
         conn = self
@@ -157,8 +160,13 @@ class _RecordingConn:
             def __exit__(self, *a):
                 return False
 
-            def executemany(self, sql, rows):
-                conn.rows = list(rows)
+            def execute(self, sql, params):
+                n_rows = sql.count("(%s")
+                assert len(params) == n_rows * 8  # placeholders match params
+                conn.statements.append(sql)
+                conn.rows.extend(
+                    tuple(params[i * 8 : (i + 1) * 8]) for i in range(n_rows)
+                )
 
         return Cur()
 
@@ -173,8 +181,9 @@ class _RecordingConn:
 
 
 def test_jdbc_upsert_sink_plumbing(spark):
-    """foreachBatch sink dedups per key and ships one executemany batch in
-    a committed transaction (reference postgres_repository.py:59-98)."""
+    """foreachBatch sink dedups per key and ships one multi-row VALUES
+    statement in a committed transaction (reference
+    postgres_repository.py:59-98, execute_values batching 83-88)."""
     t = datetime.datetime(2024, 1, 1, 9, 0)
     batch = spark.createDataFrame(
         [(t, "click", 5), (t, "click", 7), (t, "pv", 3)],
@@ -191,9 +200,33 @@ def test_jdbc_upsert_sink_plumbing(spark):
     sink(batch, 0)
     assert conn.committed
     assert len(conn.rows) == 2  # (t, click) deduped to one row + (t, pv)
+    assert len(conn.statements) == 1  # both rows ride one VALUES statement
     # missing schema columns are null-filled so the tuple width always
     # matches the 8 SQL placeholders
     assert all(len(r) == 8 for r in conn.rows)
+
+
+def test_jdbc_upsert_sink_pages_large_batches(spark):
+    """Batches beyond page_size split into multiple VALUES statements in
+    the SAME transaction (one commit)."""
+    t = datetime.datetime(2024, 1, 1, 9, 0)
+    batch = spark.createDataFrame(
+        [(t, f"type_{i}", i) for i in range(5)],
+        T.StructType(
+            [
+                T.StructField("window_start", T.TimestampType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("event_count", T.LongType()),
+            ]
+        ),
+    )
+    conn = _RecordingConn()
+    sink = jdbc_upsert_sink("hourly_aggregations", lambda: conn, page_size=2)
+    sink(batch, 0)
+    assert conn.committed
+    assert len(conn.rows) == 5
+    assert len(conn.statements) == 3  # 2 + 2 + 1
+    assert {s.count("(%s") for s in conn.statements} == {1, 2}
 
 
 def test_jdbc_upsert_sink_drops_helper_columns(spark):
