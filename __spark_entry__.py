@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_hour_profile"] = lambda s, d: events_ext.hour_of_day_profile(
         load_table(s, d, "events")
     )
+    q["events_cohort_retention"] = lambda s, d: events_ext.weekly_cohort_retention(
+        load_table(s, d, "events")
+    )
     q["events_approx_distinct"] = lambda s, d: events_ext.approx_distinct_users(
         load_table(s, d, "events")
     )
@@ -992,6 +995,22 @@ SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, event_type,
        count(*) AS n,
        count(DISTINCT user_id) AS unique_users
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    o["events_cohort_retention"] = """
+WITH first AS (
+  SELECT user_id,
+         CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events)
+SELECT cohort_week,
+       CAST((CAST(epoch(week) AS BIGINT) - CAST(epoch(cohort_week) AS BIGINT))
+            // 604800 AS INTEGER) AS week_offset,
+       count(*) AS active_users
+FROM activity JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
 """
     # events_approx_distinct: estimator-specific (HLL++), rows-only check.
     # multimodal_decode / generator_profile: hash-kernel ops, rows-only.

@@ -125,6 +125,30 @@ def top_users_by_activity(events: DataFrame, k: int = 100) -> DataFrame:
     ).orderBy(F.desc("n"), F.asc("user_id"))
 
 
+def weekly_cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted as
+    active at each later week offset — the classic growth-analytics
+    triangle.
+
+    Scale shape: (user, week) dedup and the first-seen aggregate both
+    shuffle on user-dominated keys (uniform); the join is user⋈user on
+    the same key so AQE can co-locate it, and the final aggregate is tiny
+    (#cohorts × #offsets).  No window over raw events."""
+    week = F.date_trunc("week", F.col("ts"))
+    first = events.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = events.select("user_id", week.alias("week")).distinct()
+    offset = (
+        (F.col("week").cast("long") - F.col("cohort_week").cast("long"))
+        / F.lit(7 * 86400)
+    ).cast("int")
+    return (
+        activity.join(first, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def hour_of_day_profile(events: DataFrame) -> DataFrame:
     """Diurnal profile: counts by hour-of-day x type (date-part coverage)."""
     return (
