@@ -232,8 +232,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["price_quantiles_sketch"] = lambda s, d: etl.price_quantiles_sketch(
         load_table(s, d, "lineitem")
     )
+    # array<int> q serialized to CSV: the driver's canonicalizer sorts a
+    # pandas frame over all columns and list cells are unhashable (the one
+    # red row in CORRECTNESS_r02) — ints stringify identically in both
+    # engines so the hash check stays exact.
     q["sim_quantized_embeddings"] = lambda s, d: similarity.quantize_embeddings(
         load_table(s, d, "embeddings")
+    ).select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_csv"),
     )
 
     # --- [EXT] text analysis over documents ---
@@ -446,9 +454,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_lsh_topk"] = lambda s, d: similarity.lsh_topk(
         load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
     )
+    # exploded to (label, pos, m) scalar rows: the centroid array column
+    # would hit the same driver-canonicalizer list crash as q above
     q["sim_label_centroids"] = lambda s, d: similarity.label_centroids(
         load_table(s, d, "embeddings")
-    )
+    ).select(
+        "label", F.posexplode("centroid").alias("pos", "m")
+    ).orderBy("label", "pos")
     q["sim_embedding_norms"] = lambda s, d: similarity.embedding_norms(
         load_table(s, d, "embeddings")
     )
@@ -813,10 +825,10 @@ ORDER BY e.event_id
     o["sim_quantized_embeddings"] = """
 SELECT vec_id,
        round(CASE WHEN amax = 0 THEN 0.0 ELSE 127.0 / amax END, 6) AS scale,
-       list_transform(embedding,
+       array_to_string(list_transform(embedding,
          x -> CAST(round(x::DOUBLE * (CASE WHEN amax = 0 THEN 0.0
-                                           ELSE 127.0 / amax END)) AS INTEGER))
-         AS q
+                                           ELSE 127.0 / amax END)) AS INTEGER)), ',')
+         AS q_csv
 FROM (
   SELECT vec_id, embedding,
          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
@@ -1219,9 +1231,9 @@ WITH ranked AS (
 SELECT doc_id, source, sample_rank FROM ranked
 WHERE sample_rank <= 10 ORDER BY source, doc_id
 """
-    o["corpus_pack_chunks"] = """
+    o["corpus_pack_chunks"] = f"""
 WITH per_doc AS (
-  SELECT doc_id, source, len(string_split(trim(text), ' ')) AS n_tok
+  SELECT doc_id, source, len({_TOK}) AS n_tok
   FROM documents),
 chunked AS (
   SELECT *,
@@ -1235,14 +1247,14 @@ SELECT source, chunk_id, count(*) AS n_docs,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM chunked GROUP BY source, chunk_id ORDER BY source, chunk_id
 """
-    o["corpus_quality_filter"] = """
+    o["corpus_quality_filter"] = f"""
 WITH m AS (
   SELECT doc_id,
-    CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+    CAST(len({_TOK}) AS INTEGER) AS n_tokens,
     round(length(regexp_replace(text, '\\s+', '', 'g'))
-          / greatest(len(string_split(trim(text), ' ')), 1), 6) AS mean_word_len,
-    round(1 - len(list_distinct(string_split(trim(text), ' ')))
-          / greatest(len(string_split(trim(text), ' ')), 1), 6) AS dup_token_ratio
+          / greatest(len({_TOK}), 1), 6) AS mean_word_len,
+    round(1 - len(list_distinct({_TOK}))
+          / greatest(len({_TOK}), 1), 6) AS dup_token_ratio
   FROM documents)
 SELECT doc_id, n_tokens, mean_word_len, dup_token_ratio,
   CAST(n_tokens BETWEEN 24 AND 10000 AS INTEGER) AS len_ok,
@@ -1264,9 +1276,9 @@ SELECT lang, doc_count,
        round(total_docs / (n_groups * doc_count), 6) AS weight
 FROM counts, totals ORDER BY lang
 """
-    o["corpus_contamination"] = """
+    o["corpus_contamination"] = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+  SELECT doc_id, {_TOK} AS t FROM documents),
 grams AS (
   SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
          i -> array_to_string(t[i:i+7], ' '))) AS gs
@@ -1324,12 +1336,8 @@ ORDER BY query_id, rank
 """
     # sim_lsh_topk: approximate (recall < 1), rows-only check.
     o["sim_label_centroids"] = """
-WITH pos AS (
-  SELECT label, p, avg(embedding[p]::DOUBLE) AS m
-  FROM embeddings, range(1, 65) t(p)
-  GROUP BY label, p
-)
-SELECT label, list(round(m, 6) ORDER BY p) AS centroid
-FROM pos GROUP BY label ORDER BY label
+SELECT label, CAST(p - 1 AS INTEGER) AS pos, round(avg(embedding[p]::DOUBLE), 6) AS m
+FROM embeddings, range(1, 65) t(p)
+GROUP BY label, p ORDER BY label, pos
 """
     return o

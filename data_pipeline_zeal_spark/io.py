@@ -58,14 +58,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark size conf ("128MB", "134217728b", "1g") to bytes."""
+    s = v.strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+                      ("g", 1 << 30), ("t", 1 << 40), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
 def with_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition only if the scan yields fewer partitions than cores.
+    """Repartition only if the scan would yield fewer splits than cores.
 
     Small single-file inputs (like the local fixtures) produce one parquet
     split, serializing CPU-bound per-row work; at production scale the scan
-    already has thousands of splits and this is a no-op (no shuffle added)."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    already has thousands of splits and this is a no-op (no shuffle added).
+
+    The split estimate is metadata-only — leaf-file count from the plan and
+    the optimizer's size estimate over ``files.maxPartitionBytes`` — NOT an
+    ``df.rdd`` probe: touching ``.rdd`` forces Python-side RDD lineage
+    creation on every query, gratuitous at scale where this guard no-ops."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source (rate, range, in-memory)
+        return df
+    if n_files == 0:
+        return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_bytes = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+        est_splits = max(n_files, -(-size // max(max_bytes, 1)))
+    except Exception:
+        est_splits = n_files
+    if est_splits < target:
         return df.repartition(target)
     return df
 

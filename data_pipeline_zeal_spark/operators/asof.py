@@ -71,16 +71,19 @@ def asof_join(
         .orderBy(F.col("__t").asc(), src_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Forward-fill ONE struct of all right_values (null on left rows so
+    # ignorenulls skips them): every filled column comes from the SAME right
+    # row, even when a right row legitimately carries NULL in one of its
+    # value columns — per-column fills would silently mix rows there.
+    right_struct = F.when(
+        F.col("__src") == 0, F.struct(*[F.col(c) for c in right_values])
+    )
     filled = u.select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in right_values
-        ],
+        "*", F.last(right_struct, ignorenulls=True).over(w).alias("__f")
     )
     return filled.filter(F.col("__src") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[F.col(f"__f_{c}").alias(c) for c in right_values],
+        *[F.col("__f")[c].alias(c) for c in right_values],
     )
 
 

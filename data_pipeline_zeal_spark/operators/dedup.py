@@ -184,11 +184,21 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
-    return (
+    result = (
         verified.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+    if persist_intermediate:
+        # Materialize the (small: pairs-above-threshold) result so the
+        # signature cache can be released NOW — otherwise every invocation
+        # leaks a persisted frame into the session for its lifetime.  The
+        # localCheckpoint also means downstream iterative consumers
+        # (connected components) re-read the pair list instead of replaying
+        # tokenize+band+verify per round.
+        result = result.localCheckpoint(eager=True)
+        sig_sh.unpersist(blocking=False)
+    return result
 
 
 def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
@@ -274,19 +284,54 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter without a fixpoint means some component has
+        # diameter > max_iter and would get MULTIPLE cluster ids — silently
+        # wrong survivors downstream.  Near-dup graphs are short chains so
+        # this is exceptional; surface it instead of guessing.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); labels are a partial fixpoint. "
+            "Raise max_iter or use a large-star/small-star variant.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
 
 
 def duplicate_clusters(
-    documents: DataFrame, threshold: float = 0.2, shingle_n: int = 3
+    documents: DataFrame,
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+    method: str = "auto",
+    auto_row_threshold: int = 50_000,
 ) -> DataFrame:
-    """Near-duplicate clusters: Jaccard pair list → connected components.
+    """Near-duplicate clusters: candidate pair list → connected components.
     Only documents that belong to some near-dup pair appear; cluster_id is
-    the minimum doc_id in the component (the canonical survivor)."""
-    pairs = jaccard_pairs(documents, threshold, shingle_n).select("doc_a", "doc_b")
-    return connected_components(pairs)
+    the minimum doc_id in the component (the canonical survivor).
+
+    * ``method="exact"`` — O(n²) :func:`jaccard_pairs` edges (the oracle
+      anchor; only sane for small inputs).
+    * ``method="lsh"`` — the 100 TB path: :func:`minhash_lsh_pairs`
+      candidates (bucketed band self-join, exact Jaccard verify) feed the
+      same component kernel — no theta join anywhere in the plan.
+    * ``method="auto"`` — exact below ``auto_row_threshold`` rows (one
+      count() job), else lsh — same flip as
+      :func:`embedding_near_dup_pairs`.
+    """
+    if method == "auto":
+        method = "exact" if documents.count() <= auto_row_threshold else "lsh"
+    if method == "exact":
+        pairs = jaccard_pairs(documents, threshold, shingle_n)
+    elif method == "lsh":
+        pairs = minhash_lsh_pairs(documents, threshold, shingle_n=shingle_n)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    return connected_components(pairs.select("doc_a", "doc_b"))
 
 
 def embedding_near_dup_pairs(

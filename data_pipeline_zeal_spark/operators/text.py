@@ -196,3 +196,41 @@ def token_frequencies(documents: DataFrame, k: int = 100) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(k)
     )
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Canonical text normalization — the standard pre-dedup pass every
+    training corpus applies (lowercase, strip ASCII punctuation, collapse
+    whitespace runs, trim).  Map-only JVM regexps, zero shuffle; downstream
+    exact dedup over ``norm_text`` catches duplicates that differ only in
+    case/punctuation/spacing (reference has no equivalent — [EXT])."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[!-/:-@\[-`{-~]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_chars"),
+    )
+
+
+def normalized_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup AFTER normalization: md5 over the canonical form groups
+    case/punctuation variants the byte-exact pass misses.  Same uniform
+    128-bit shuffle key as :func:`~.dedup.exact_duplicates`."""
+    return (
+        normalize_text(documents)
+        .select("doc_id", F.md5("norm_text").alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .orderBy("rep_doc_id")
+    )

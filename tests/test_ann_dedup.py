@@ -127,3 +127,37 @@ def test_top_users_plan_is_take_ordered(spark):
     # ordering key is (n, user_id) → dense ranks are gapless 1..len(rows),
     # identical to what ranking the FULL user set would give these rows
     assert [r.activity_rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_duplicate_clusters_lsh_wiring(spark):
+    """The composed cluster operator's scale path: LSH candidates feed the
+    same component kernel and (at fixture recall = 1.0) produce byte-equal
+    clusters to the exact O(n^2) anchor."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    exact = dedup.duplicate_clusters(docs, threshold=0.2, method="exact").collect()
+    lsh = dedup.duplicate_clusters(docs, threshold=0.2, method="lsh").collect()
+    assert len(exact) > 0
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, lsh))
+
+
+def test_minhash_candidate_plan_has_no_theta_join(spark):
+    """duplicate_clusters(method="lsh")'s candidate generator must be hash
+    joins only — the whole point of the LSH path (the exact path's
+    doc_a < doc_b join is a BroadcastNestedLoopJoin, cartesian-class at
+    scale).  Checked on the lazy plan (persist_intermediate=False) since
+    the default eagerly checkpoints the pair list."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    lazy = dedup.minhash_lsh_pairs(docs, threshold=0.2, persist_intermediate=False)
+    simple = plans.explain_mode(lazy, "simple")
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple
+
+
+def test_duplicate_clusters_auto_switches(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    # tiny threshold forces the LSH path; result must still be the exact one
+    auto_lsh = dedup.duplicate_clusters(
+        docs, threshold=0.2, method="auto", auto_row_threshold=10
+    ).collect()
+    exact = dedup.duplicate_clusters(docs, threshold=0.2, method="exact").collect()
+    assert sorted(map(tuple, auto_lsh)) == sorted(map(tuple, exact))
