@@ -267,6 +267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_tfidf_top_terms"] = lambda s, d: text.tfidf_top_terms(
         load_table(s, d, "documents"), k=5
     )
+    q["text_normalize"] = lambda s, d: text.normalize_text(
+        load_table(s, d, "documents")
+    )
 
     # --- [EXT] dedup ---
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicates(
@@ -282,6 +285,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), threshold=0.2
     )
     q["dedup_simhash"] = lambda s, d: dedup.simhash(load_table(s, d, "documents"))
+    q["dedup_normalized_groups"] = lambda s, d: text.normalized_duplicates(
+        load_table(s, d, "documents")
+    )
+    q["dedup_levenshtein_pairs"] = lambda s, d: dedup.levenshtein_pairs(
+        load_table(s, d, "documents"), max_dist=10
+    )
     q["dedup_clusters"] = lambda s, d: dedup.duplicate_clusters(
         load_table(s, d, "documents"), threshold=0.2
     )
@@ -330,6 +339,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semdedup_survivors"] = lambda s, d: corpus.semantic_dedup(
         load_table(s, d, "embeddings"), threshold=0.4, method="exact"
     )
+    q["corpus_length_histogram"] = lambda s, d: corpus.token_length_histogram(
+        load_table(s, d, "documents")
+    )
+    q["corpus_curation_summary"] = lambda s, d: corpus.curation_summary(
+        load_table(s, d, "documents"), test_frac=0.1
+    )
 
     # --- [EXT] extended event analytics ---
     q["events_props_profile"] = lambda s, d: events_ext.props_profile(
@@ -359,6 +374,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_approx_distinct"] = lambda s, d: events_ext.approx_distinct_users(
         load_table(s, d, "events")
     )
+    q["events_value_histogram"] = lambda s, d: events_ext.value_histogram(
+        load_table(s, d, "events"), bin_width=10.0
+    )
+    q["events_daily_anomaly"] = lambda s, d: events_ext.daily_anomaly_zscore(
+        load_table(s, d, "events")
+    )
+    q["orders_rfm"] = lambda s, d: etl.rfm_segments(load_table(s, d, "orders"))
 
     # the ad-hoc ANSI-SQL entry path (io.sql → temp views → spark.sql),
     # exercised end-to-end with a CTE + window query
@@ -432,6 +454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_resize"] = lambda s, d: multimodal.resize_images(
         multimodal.synth_media(s, 256)
     ).select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
+    q["multimodal_scene_detect"] = lambda s, d: multimodal.detect_scenes(
+        multimodal.synth_video(s, 64)
+    )
 
     # --- [EXT] synthetic generator (hash-kernel; rows-only) ---
     from data_pipeline_zeal_spark.sources.generator import generate_events
@@ -466,6 +491,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["sim_ivf_topk"] = lambda s, d: similarity.ivf_topk(
         load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
+    )
+    q["sim_filtered_topk"] = lambda s, d: similarity.filtered_topk(
+        load_table(s, d, "embeddings"), _SIM_QUERY_IDS, labels=[0, 1, 2], k=10
+    )
+    q["sim_centroid_pairs"] = lambda s, d: similarity.centroid_pairs(
+        load_table(s, d, "embeddings")
     )
     return q
 
@@ -1339,5 +1370,158 @@ ORDER BY query_id, rank
 SELECT label, CAST(p - 1 AS INTEGER) AS pos, round(avg(embedding[p]::DOUBLE), 6) AS m
 FROM embeddings, range(1, 65) t(p)
 GROUP BY label, p ORDER BY label, pos
+"""
+    o["sim_filtered_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+  WHERE e.label IN (0, 1, 2)
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, label, cosine, rank FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+    o["sim_centroid_pairs"] = """
+WITH pos AS (
+  SELECT label, p, round(avg(embedding[p]::DOUBLE), 6) AS m
+  FROM embeddings, range(1, 65) t(p)
+  GROUP BY label, p
+),
+cent AS (SELECT label, list(m ORDER BY p) AS c FROM pos GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(list_cosine_similarity(a.c, b.c), 6) AS cosine
+FROM cent a JOIN cent b ON a.label < b.label
+ORDER BY label_a, label_b
+"""
+
+    # --- text normalization + downstream dedup tiers ---
+    norm_expr = (
+        r"trim(regexp_replace(regexp_replace(lower(text),"
+        r" '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g'))"
+    )
+    o["text_normalize"] = f"""
+WITH n AS (SELECT doc_id, lang, source, {norm_expr} AS norm_text FROM documents)
+SELECT doc_id, lang, source, norm_text, length(norm_text) AS norm_chars
+FROM n
+"""
+    o["dedup_normalized_groups"] = f"""
+WITH n AS (SELECT doc_id, {norm_expr} AS norm_text FROM documents)
+SELECT md5(norm_text) AS norm_hash,
+       min(doc_id) AS rep_doc_id,
+       count(*) AS dup_count
+FROM n GROUP BY md5(norm_text) ORDER BY rep_doc_id
+"""
+    o["dedup_levenshtein_pairs"] = """
+WITH b AS (
+  SELECT doc_id, text, n_chars,
+         unnest([CAST(floor(n_chars / 64.0) AS BIGINT),
+                 CAST(floor(n_chars / 64.0) AS BIGINT) + 1]) AS bucket
+  FROM documents)
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(levenshtein(a.text, c.text) AS INTEGER) AS edit_distance
+FROM b a JOIN b c USING (bucket)
+WHERE a.doc_id < c.doc_id
+  AND abs(a.n_chars - c.n_chars) <= 10
+  AND levenshtein(a.text, c.text) <= 10
+ORDER BY doc_a, doc_b
+"""
+
+    # --- event profiling ---
+    o["events_value_histogram"] = """
+SELECT event_type,
+       CAST(floor(value / 10.0) AS BIGINT) AS bin,
+       round(CAST(floor(value / 10.0) AS BIGINT) * 10.0, 2) AS bin_lo,
+       count(*) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2 ORDER BY event_type, bin
+"""
+    o["events_daily_anomaly"] = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT day, event_type, n,
+         count(n) OVER win AS cnt_w,
+         CAST(sum(n) OVER win AS BIGINT) AS sum_w,
+         CAST(sum(n * n) OVER win AS BIGINT) AS sumsq_w
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT day, event_type, n,
+       cnt_w AS n_trailing,
+       round(CASE WHEN cnt_w >= 1
+                  THEN sum_w / CAST(cnt_w AS DOUBLE) END, 4) AS trailing_mean,
+       round(CASE WHEN cnt_w >= 2
+                   AND (sumsq_w - sum_w * sum_w / CAST(cnt_w AS DOUBLE))
+                       / (cnt_w - 1) > 0
+                  THEN (n - sum_w / CAST(cnt_w AS DOUBLE))
+                       / sqrt((sumsq_w - sum_w * sum_w / CAST(cnt_w AS DOUBLE))
+                              / (cnt_w - 1)) END, 4) AS zscore
+FROM w ORDER BY day, event_type
+"""
+
+    # --- RFM segmentation ---
+    o["orders_rfm"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                        DATE '2001-01-01') AS INTEGER) AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey),
+quart AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+              AS INTEGER) AS r_quartile,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC)
+              AS INTEGER) AS f_quartile,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC)
+              AS INTEGER) AS m_quartile
+  FROM per_cust)
+SELECT *, concat(r_quartile, f_quartile, m_quartile) AS rfm
+FROM quart ORDER BY o_custkey
+"""
+
+    # --- corpus profiling + the end-to-end curation funnel ---
+    o["corpus_length_histogram"] = f"""
+WITH t AS (SELECT len({_TOK}) AS nt FROM documents)
+SELECT CAST(floor(nt / 16.0) AS BIGINT) AS bin,
+       CAST(floor(nt / 16.0) AS BIGINT) * 16 AS bin_lo,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1, 2 ORDER BY bin
+"""
+    o["corpus_curation_summary"] = f"""
+WITH m AS (
+  SELECT doc_id, text,
+    CAST(len({_TOK}) AS INTEGER) AS n_tokens,
+    round(length(regexp_replace(text, '\\s+', '', 'g'))
+          / greatest(len({_TOK}), 1), 6) AS mwl,
+    round(1 - len(list_distinct({_TOK}))
+          / greatest(len({_TOK}), 1), 6) AS dtr
+  FROM documents),
+q AS (SELECT doc_id, text FROM m
+      WHERE n_tokens BETWEEN 24 AND 10000
+        AND mwl BETWEEN 3.0 AND 8.0 AND dtr <= 0.6),
+surv AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+split AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+              THEN 'test' ELSE 'train' END AS split
+  FROM surv)
+SELECT 1 AS stage_id, 'raw' AS stage, count(*) AS n_docs FROM documents
+UNION ALL SELECT 2, 'quality', count(*) FROM q
+UNION ALL SELECT 3, 'dedup', count(*) FROM surv
+UNION ALL SELECT 4, 'train', count(*) FROM split WHERE split = 'train'
+UNION ALL SELECT 5, 'test', count(*) FROM split WHERE split = 'test'
+ORDER BY stage_id
 """
     return o

@@ -52,11 +52,17 @@ HEADLINE = [
     "corpus_quality_filter",
     "corpus_contamination",
     "dedup_exact_groups",
+    "dedup_normalized_groups",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_label_centroids",
+    "sim_filtered_topk",
+    "orders_rfm",
+    "events_value_histogram",
+    "events_daily_anomaly",
+    "corpus_curation_summary",
 ]
 
 

@@ -275,3 +275,66 @@ def semantic_dedup(
         )
         .orderBy("vec_id")
     )
+
+
+def token_length_histogram(documents: DataFrame, bin_width: int = 16) -> DataFrame:
+    """Token-count histogram in fixed-width bins — the first profiling pass
+    before choosing packing/filter thresholds.  Map-only bin assignment,
+    one tiny aggregate (rows = occupied bins)."""
+    n_tok = F.size(tokens("text"))
+    return (
+        with_min_parallelism(documents)
+        .select((F.floor(n_tok / bin_width)).cast("long").alias("bin"), n_tok.alias("t"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("total_tokens"))
+        .select(
+            "bin",
+            (F.col("bin") * bin_width).cast("long").alias("bin_lo"),
+            "n_docs",
+            "total_tokens",
+        )
+        .orderBy("bin")
+    )
+
+
+def curation_summary(documents: DataFrame, test_frac: float = 0.1) -> DataFrame:
+    """End-to-end curation funnel: raw → quality filter → exact dedup →
+    train/test split, reported as one survivor count per stage.
+
+    Composes :func:`quality_filter_chain`, the md5 dedup kernel and
+    :func:`hash_split` — the real pipeline a corpus build runs, collapsed
+    to its audit row-counts.  Every stage is the operator's own (scalable)
+    plan; the summary aggregates are single-row."""
+    kept = (
+        quality_filter_chain(documents)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    kept_docs = documents.join(kept, "doc_id", "left_semi")
+    survivors = kept_docs.select("doc_id", F.md5("text").alias("h")).groupBy(
+        "h"
+    ).agg(F.min("doc_id").alias("doc_id"))
+    split = survivors.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < frac_threshold(test_frac),
+            F.lit("test"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+    def _stage(df: DataFrame, stage_id: int, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(stage_id).alias("stage_id"), F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    return (
+        _stage(documents, 1, "raw")
+        .unionByName(_stage(kept_docs, 2, "quality"))
+        .unionByName(_stage(survivors, 3, "dedup"))
+        .unionByName(_stage(split.filter(F.col("split") == "train"), 4, "train"))
+        .unionByName(_stage(split.filter(F.col("split") == "test"), 5, "test"))
+        .orderBy("stage_id")
+    )

@@ -420,3 +420,55 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def levenshtein_pairs(
+    documents: DataFrame, max_dist: int = 10, bucket_width: int = 64
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs under length blocking — the
+    character-level dedup tier (catches small in-place edits that shift
+    every shingle, which token-level Jaccard under-scores).
+
+    Blocking: a pair within ``max_dist`` edits differs by at most
+    ``max_dist`` characters of length, so with ``bucket_width >= max_dist``
+    each document emitted into buckets {⌊len/w⌋, ⌊len/w⌋+1} shares at least
+    one bucket with every true match — an EQUALITY join on the bucket key
+    (hash join, no theta), then a cheap |Δlen| prefilter, then the exact
+    distance (computed with Spark's bounded-threshold levenshtein: cost
+    O(len·max_dist), not O(len²)) verifies candidates.  At corpus scale the
+    length-bucket key is coarse; compose with minhash candidates upstream
+    when block sizes explode — the verify kernel here is unchanged."""
+    if bucket_width < max_dist:
+        raise ValueError("bucket_width must be >= max_dist for full recall")
+    d = with_min_parallelism(documents).select("doc_id", "text", "n_chars")
+    bucket = F.floor(F.col("n_chars") / bucket_width).cast("long")
+    bucketed = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    cand = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= max_dist
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.text").alias("text_a"),
+            F.col("b.text").alias("text_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"), max_dist)
+    return (
+        cand.select("doc_a", "doc_b", dist.alias("edit_distance"))
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_dist))
+        .orderBy("doc_a", "doc_b")
+    )

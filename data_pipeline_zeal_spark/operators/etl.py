@@ -465,3 +465,48 @@ def large_volume_customers(
         )
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
     )
+
+
+def rfm_segments(orders: DataFrame, anchor: str = "2001-01-01") -> DataFrame:
+    """RFM customer segmentation: recency (days from a FIXED anchor date —
+    a runtime ``max(date)`` would make results nondeterministic), frequency
+    (order count) and monetary (total spend), each cut into quartiles.
+
+    One customer-keyed aggregation, then three ``ntile`` windows.  The
+    ntiles are global-sort windows — fine for the per-customer aggregate
+    (rows = #customers << #orders); at extreme customer counts the standard
+    swap is ``approx_percentile`` threshold joins, same output contract."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    per_cust = per_cust.select(
+        "o_custkey",
+        F.datediff(F.lit(anchor).cast("date"), F.col("last_order")).alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary",
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return (
+        per_cust.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.ntile(4).over(r_w).alias("r_quartile"),
+            F.ntile(4).over(f_w).alias("f_quartile"),
+            F.ntile(4).over(m_w).alias("m_quartile"),
+        )
+        .withColumn(
+            "rfm",
+            F.concat_ws(
+                "", F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")
+            ),
+        )
+        .orderBy("o_custkey")
+    )

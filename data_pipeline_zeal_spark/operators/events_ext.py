@@ -213,3 +213,73 @@ def sliding_window_counts(
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def value_histogram(events: DataFrame, bin_width: float = 10.0) -> DataFrame:
+    """Fixed-width histogram of the value column per event type — the
+    profiling primitive behind dashboards and outlier triage.  Map-only
+    bin assignment + a tiny (type x bin) aggregate: the shuffle carries one
+    row per occupied bin, independent of input size."""
+    bin_col = F.floor(F.col("value") / F.lit(bin_width)).cast("long")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            F.round(F.col("bin") * bin_width, 2).alias("bin_lo"),
+            "n",
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+def daily_anomaly_zscore(events: DataFrame, trailing_days: int = 7) -> DataFrame:
+    """Daily event-count anomaly score per type: z-score of each day's
+    count against its own trailing window (previous ``trailing_days`` days,
+    current day excluded).
+
+    The variance is derived from EXACT integer window sums
+    (count/sum/sum-of-squares) so both engines perform the identical final
+    double divisions — numerically stable cross-engine, unlike streaming
+    stddev implementations (Welford vs naive) which differ in the last ulp.
+    Daily counts per type are a tiny aggregate regardless of input size;
+    the window partitions by type (bounded cardinality)."""
+    daily = (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-trailing_days, -1)
+    )
+    cnt_w = F.count("n").over(w)
+    sum_w = F.sum("n").over(w)
+    sumsq_w = F.sum(F.col("n") * F.col("n")).over(w)
+    mean = sum_w / cnt_w
+    var = (sumsq_w - sum_w * sum_w / cnt_w) / (cnt_w - 1)
+    # CASE guards keep every division's divisor provably nonzero — ANSI
+    # mode (the Spark-4 default, and what the driver's vanilla session
+    # runs) raises DIVIDE_BY_ZERO instead of returning NULL.
+    mean_out = F.when(cnt_w >= 1, F.round(mean, 4))
+    z_out = F.when(
+        cnt_w >= 2,
+        F.when(var > 0, F.round((F.col("n") - mean) / F.sqrt(var), 4)),
+    )
+    return (
+        daily.select(
+            "day",
+            "event_type",
+            "n",
+            cnt_w.alias("n_trailing"),
+            mean_out.alias("trailing_mean"),
+            z_out.alias("zscore"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -249,3 +249,79 @@ def sample_frames(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def _fake_scene_cuts(payload: bytes, n_frames: int) -> list[int]:
+    """STUB scene-cut detector — deterministic fake standing in for a real
+    frame-differencing pass (no video codec libs in this environment).
+    Real implementation: decode frames with PyAV, compute per-frame
+    histogram deltas, threshold into cut indices."""
+    if not payload:
+        raise NotImplementedError("empty payload; real decoder not available")
+    cuts = [0]
+    for i in range(1, n_frames):
+        if payload[i % len(payload)] % 7 == 0:
+            cuts.append(i)
+    return cuts
+
+
+def detect_scenes(media: DataFrame, fps: int = 24) -> DataFrame:
+    """Video scene segmentation via ``mapInPandas``: one output row per
+    detected scene (media_id, scene_idx, start/end frame).  Arrow-batched —
+    the Spark-side plumbing (schema, pruned projection, batch iteration) is
+    the production shape; only the cut detector kernel is stubbed."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("scene_idx", T.IntegerType()),
+            T.StructField("start_frame", T.IntegerType()),
+            T.StructField("end_frame", T.IntegerType()),
+        ]
+    )
+
+    def scenes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "scene_idx": [],
+                "start_frame": [],
+                "end_frame": [],
+            }
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n_frames = max(1, int((dur or 0) * fps // 1000))
+                cuts = _fake_scene_cuts(bytes(payload), n_frames)
+                bounds = cuts + [n_frames]
+                for i, (s, e) in enumerate(zip(bounds, bounds[1:])):
+                    out["media_id"].append(mid)
+                    out["scene_idx"].append(i)
+                    out["start_frame"].append(s)
+                    out["end_frame"].append(e)
+            yield pd.DataFrame(out)
+
+    vids = media.filter(F.col("meta.media_type") == "video").select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return vids.mapInPandas(scenes, schema)
+
+
+def synth_video(spark, count: int = 32, seed: int = 11) -> DataFrame:
+    """Deterministic synthetic video table (payload bytes + duration
+    metadata) for the scene-detection / frame-sampling plumbing."""
+    return spark.range(count).select(
+        F.col("id").alias("media_id"),
+        F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 512)
+        .cast("binary")
+        .alias("payload"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("mp4").alias("format"),
+            F.lit(640).cast("int").alias("width"),
+            F.lit(360).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.lit(1000) + (F.col("id") % 7) * F.lit(500))
+            .cast("long")
+            .alias("duration_ms"),
+        ).alias("meta"),
+    )

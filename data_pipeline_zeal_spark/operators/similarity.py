@@ -299,3 +299,58 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def filtered_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    labels: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Metadata-filtered exact top-k — the vector-DB "filtered search"
+    primitive: restrict candidates by a label predicate BEFORE scoring.
+
+    The filter sits directly on the scan (predicate pushdown: only the
+    selected labels' row groups are read), then the same broadcast-query /
+    window-rank kernel as :func:`cosine_topk` runs on the reduced corpus.
+    At 100 TB with label-partitioned storage this becomes partition pruning
+    — the scan itself shrinks, not just the scored set."""
+    q = _query_set(embeddings, query_ids)
+    cand = with_min_parallelism(
+        embeddings.filter(F.col("label").isin(labels))
+    ).select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    scored = cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def centroid_pairs(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Pairwise cosine between label centroids — the cluster-geometry
+    diagnostic (which classes overlap in embedding space).  The input to
+    the pair join is the AGGREGATED centroid frame (#labels rows), so the
+    theta join is over a trivially small broadcast side regardless of
+    corpus size; all the heavy lifting happened in the one
+    (label, position)-keyed shuffle inside :func:`label_centroids`."""
+    c = label_centroids(embeddings, dim)
+    a = c.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
+    b = c.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine(as_double(F.col("ca")), as_double(F.col("cb"))), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy("label_a", "label_b")
+    )
