@@ -377,6 +377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_value_histogram"] = lambda s, d: events_ext.value_histogram(
         load_table(s, d, "events"), bin_width=10.0
     )
+    # mergeable HLL sketch rollup: estimator-specific -> rows-only (pytest
+    # gates the estimate against exact weekly distincts)
+    q["events_hll_weekly_users"] = lambda s, d: events_ext.weekly_distinct_rollup(
+        load_table(s, d, "events")
+    )
     q["events_daily_anomaly"] = lambda s, d: events_ext.daily_anomaly_zscore(
         load_table(s, d, "events")
     )

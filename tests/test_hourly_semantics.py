@@ -15,6 +15,8 @@ from data_pipeline_zeal_spark.streaming.pipeline import (
     postgres_upsert_sql,
 )
 
+from tests.conftest import SF_SMALL
+
 SCHEMA = T.StructType(
     [
         T.StructField("ts", T.TimestampType()),
@@ -271,3 +273,27 @@ def test_jdbc_upsert_sink_drops_helper_columns(spark):
     # column order matches the INSERT list: the count lands at position 3
     assert conn.rows[0][3] == 4  # event_count
     assert conn.rows[0][4] == 2  # unique_user_count
+
+
+def test_hll_weekly_rollup_matches_exact_within_error(spark):
+    """Daily HLL sketches unioned to weeks must estimate weekly distinct
+    users within HLL error bounds (lgK=12 → ~1.6% rsd; fixture
+    cardinalities are far below saturation so expect near-exact)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.io import load_table
+    from data_pipeline_zeal_spark.operators.events_ext import (
+        weekly_distinct_rollup,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    got = {r.week: r.est_users for r in weekly_distinct_rollup(ev).collect()}
+    exact = {
+        r.week: r.exact
+        for r in ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) > 0
+    for wk, est in got.items():
+        assert abs(est - exact[wk]) <= max(2, 0.05 * exact[wk]), (wk, est, exact[wk])
