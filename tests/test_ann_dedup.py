@@ -161,3 +161,35 @@ def test_duplicate_clusters_auto_switches(spark):
     ).collect()
     exact = dedup.duplicate_clusters(docs, threshold=0.2, method="exact").collect()
     assert sorted(map(tuple, auto_lsh)) == sorted(map(tuple, exact))
+
+
+def test_ivf_cells_partition_pruning(spark, tmp_path):
+    """The SCALE.md claim 'at production scale the cell id becomes a
+    partition column -> partition pruning replaces the scan filter',
+    demonstrated end-to-end: write the corpus partitioned by the IVF cell
+    assignment, read back with a cell predicate, and assert the scan
+    touches only the probed cells' files."""
+    from data_pipeline_zeal_spark.operators.similarity import (
+        cell_assign_expr,
+        train_kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = train_kmeans_centroids(emb, n_cells=4)
+    path = str(tmp_path / "emb_by_cell")
+    from pyspark.sql import functions as F
+
+    emb.withColumn("cell", cell_assign_expr(F.col("embedding").cast("array<double>"), cents)) \
+        .write.partitionBy("cell").parquet(path)
+
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin([0, 1]))
+    # the predicate must land in PartitionFilters (directory pruning at
+    # planning time — no data files outside cell=0/1 are even opened),
+    # NOT as a post-scan data filter
+    formatted = plans.explain_mode(pruned, "formatted")
+    pf = [ln for ln in formatted.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], formatted[:2000]
+    full = spark.read.parquet(path)
+    n_pruned, n_full = pruned.count(), full.count()
+    assert 0 < n_pruned < n_full
+    assert n_pruned == full.filter(F.col("cell").isin([0, 1])).count()
