@@ -222,6 +222,53 @@ def streaming_session_stats(
     )
 
 
+def streaming_error_context(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    error_type: str = "error",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Stream-stream interval self-join: each error event matched with the
+    same user's events within ±``gap_minutes`` — the streaming twin of the
+    batch ``relational.error_event_context`` range join.
+
+    Both branches carry a watermark and the join condition bounds event
+    time on BOTH sides, so Spark can evict join state once the watermark
+    passes ``err_ts + gap`` / ``ctx_ts + gap``: state is proportional to
+    the events inside one (watermark + gap) horizon, not the stream
+    history.  Output is append-mode pairs; downstream aggregation (e.g.
+    nearby-event counts) composes as a second stateful stage."""
+    gap = F.expr(f"INTERVAL {gap_minutes} MINUTES")
+    err = (
+        events.filter(F.col("event_type") == error_type)
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col(ts_col).alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    ctx = events.select(
+        F.col("event_id").alias("ctx_id"),
+        F.col("user_id").alias("ctx_user"),
+        F.col(ts_col).alias("ctx_ts"),
+    ).withWatermark("ctx_ts", watermark)
+    return err.join(
+        ctx,
+        (F.col("err_user") == F.col("ctx_user"))
+        & (F.col("ctx_ts") >= F.col("err_ts") - gap)
+        & (F.col("ctx_ts") <= F.col("err_ts") + gap)
+        & (F.col("ctx_id") != F.col("err_id")),
+    ).select(
+        "err_id",
+        F.col("err_user").alias("user_id"),
+        "err_ts",
+        "ctx_id",
+        "ctx_ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 # sinks
 # ---------------------------------------------------------------------------

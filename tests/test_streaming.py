@@ -249,3 +249,41 @@ def test_streaming_session_windows_match_batch(spark, workdir):
     }
     assert got == want
     assert len(got) == 4  # 2 users x 2 sessions
+
+
+def test_streaming_error_context_interval_join(spark, workdir):
+    """Stream-stream interval self-join: an error event pairs with the same
+    user's events within ±30 min (and no one else's, and nothing outside
+    the window) — the streaming twin of the batch range join."""
+    from data_pipeline_zeal_spark.streaming.pipeline import (
+        streaming_error_context,
+    )
+
+    src = os.path.join(workdir, "src")
+    _write_jsonl(
+        os.path.join(src, "batch.jsonl"),
+        [
+            _event(1, "2024-01-01T11:45:00Z", "page_view", "user_1"),
+            _event(2, "2024-01-01T12:15:00Z", "click", "user_1"),
+            _event(3, "2024-01-01T13:00:00Z", "page_view", "user_1"),  # +60m: out
+            _event(4, "2024-01-01T12:05:00Z", "click", "user_2"),  # other user
+            _event(5, "2024-01-01T12:00:00Z", "error", "user_1"),
+        ],
+    )
+    events = read_event_stream_json(spark, src)
+    q = (
+        streaming_error_context(events)
+        .writeStream.format("memory")
+        .queryName("err_ctx")
+        .option(
+            "checkpointLocation", os.path.join(workdir, "ckpt_err_ctx")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.err_id, r.ctx_id)
+        for r in spark.table("err_ctx").collect()
+    }
+    assert got == {("e5", "e1"), ("e5", "e2")}
