@@ -270,6 +270,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_normalize"] = lambda s, d: text.normalize_text(
         load_table(s, d, "documents")
     )
+    q["text_rare_tokens"] = lambda s, d: text.rare_token_profile(
+        load_table(s, d, "documents")
+    )
+    q["text_scrub_pii"] = lambda s, d: text.scrub_pii(
+        load_table(s, d, "documents")
+    )
 
     # --- [EXT] dedup ---
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicates(
@@ -1415,6 +1421,35 @@ ORDER BY label_a, label_b
 WITH n AS (SELECT doc_id, lang, source, {norm_expr} AS norm_text FROM documents)
 SELECT doc_id, lang, source, norm_text, length(norm_text) AS norm_chars
 FROM n
+"""
+    o["text_rare_tokens"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+j AS (SELECT doc_id, tf FROM tok JOIN freq USING (token))
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio,
+       CAST(min(tf) AS BIGINT) AS min_tf,
+       CAST(max(tf) AS BIGINT) AS max_tf
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?\d[\d\- ]{7,}\d"
+    o["text_scrub_pii"] = f"""
+WITH s AS (
+  SELECT doc_id, source, text,
+         len(regexp_extract_all(text, '{email_re}')) AS n_emails,
+         regexp_replace(text, '{email_re}', '<EMAIL>', 'g') AS t1
+  FROM documents)
+SELECT doc_id, source,
+       CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{phone_re}')) AS INTEGER) AS n_phones,
+       regexp_replace(t1, '{phone_re}', '<PHONE>', 'g') AS scrubbed_text,
+       CAST(regexp_replace(t1, '{phone_re}', '<PHONE>', 'g') <> text
+            AS INTEGER) AS changed
+FROM s
 """
     o["dedup_normalized_groups"] = f"""
 WITH n AS (SELECT doc_id, {norm_expr} AS norm_text FROM documents)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import with_min_parallelism
 from ..functions.textfn import (
     LANG_MARKERS,
     marker_overlap,
@@ -233,4 +234,61 @@ def normalized_duplicates(documents: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("dup_count"),
         )
         .orderBy("rep_doc_id")
+    )
+
+
+def rare_token_profile(documents: DataFrame) -> DataFrame:
+    """Per-document rare-token profile against the corpus unigram table:
+    hapax (corpus-frequency-1) token counts/ratio plus the doc's min/max
+    token frequency — a vocabulary-novelty quality signal (OCR noise and
+    gibberish are hapax-heavy; boilerplate is high-min-tf).
+
+    Two shuffles (token frequency agg; per-doc re-agg) + one token-keyed
+    hash join.  Every output is integer math or a single int/int division
+    — deliberately NO floating-point accumulations (a sum of per-token
+    doubles would be accumulation-order-dependent across engines).
+    Documents with zero tokens have no profile rows."""
+    tok = with_min_parallelism(documents).select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    j = tok.join(freq, "token")
+    hapax = F.sum((F.col("tf") == 1).cast("long"))
+    n_tok = F.count(F.lit(1))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            n_tok.alias("n_tokens"),
+            hapax.alias("n_hapax"),
+            F.round(hapax / n_tok, 6).alias("hapax_ratio"),
+            F.min("tf").alias("min_tf"),
+            F.max("tf").alias("max_tf"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: PII patterns shared by the scrubber and its oracle (portable across
+#: Java regex and RE2 — no lookarounds, no backrefs).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def scrub_pii(documents: DataFrame) -> DataFrame:
+    """PII scrub pass — the redaction step every public-corpus pipeline
+    runs before training: emails and phone-number-shaped digit runs are
+    counted and replaced with typed placeholder tags.  Map-only JVM
+    regexps, zero shuffle; emits per-rule match counts so redaction volume
+    is auditable per source."""
+    n_emails = F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
+    scrubbed_email = F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(scrubbed_email, F.lit(PHONE_RE))
+    scrubbed = F.regexp_replace(scrubbed_email, PHONE_RE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        "source",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        scrubbed.alias("scrubbed_text"),
+        (scrubbed != F.col("text")).cast("int").alias("changed"),
     )
