@@ -99,3 +99,17 @@ def test_broadcasts_still_chosen_automatically_at_small_sf(spark):
     assert plans.summarize(q5).sort_merge_joins == 0
     q18 = etl.large_volume_customers(t("customer"), t("orders"), t("lineitem"))
     assert plans.summarize(q18).broadcast_joins >= 1
+
+
+def test_filtered_topk_label_pushdown(spark):
+    """Metadata-filtered ANN: the label predicate must reach the parquet
+    scan (at production layout it becomes partition pruning) — not run as
+    a post-scan filter over the full corpus."""
+    from data_pipeline_zeal_spark.operators import similarity
+
+    df = similarity.filtered_topk(
+        load_table(spark, SF_SMALL, "embeddings"), list(range(5)), labels=[0, 1]
+    )
+    p = plans.summarize(df)
+    pushed = " | ".join(p.pushed_filters)
+    assert "label" in pushed and "In" in pushed
