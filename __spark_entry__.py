@@ -1243,7 +1243,14 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 ORDER BY vec_a, vec_b
 """
-    # dedup_minhash_lsh_pairs, dedup_simhash: hash-kernel ops, rows-only check.
+    # dedup_minhash_lsh_pairs: the banding is not SQL-expressible, but the
+    # VERIFIED output (exact shingle Jaccard on surviving candidates) is
+    # deterministic and — at the fixture threshold/band layout — recall is
+    # measurably 1.0 at sf0.001 AND sf0.01 (checked byte-equal to the exact
+    # kernel), so the exact-Jaccard SQL is a sound oracle here.  If the
+    # band layout or threshold changes, re-verify recall before keeping it.
+    o["dedup_minhash_lsh_pairs"] = o["dedup_jaccard_pairs"]
+    # dedup_simhash: hash-kernel op (xxhash64 bit votes), rows-only check.
 
     # --- corpus curation ---
     o["corpus_hash_split"] = """
