@@ -509,6 +509,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_centroid_pairs"] = lambda s, d: similarity.centroid_pairs(
         load_table(s, d, "embeddings")
     )
+    q["sim_knn_label"] = lambda s, d: similarity.knn_label(
+        load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
+    )
+
+    # --- [EXT] round-3 additions: journeys, baskets, LM scoring, sets ---
+    q["events_type_transitions"] = lambda s, d: events_ext.type_transitions(
+        load_table(s, d, "events")
+    )
+    q["basket_part_pairs"] = lambda s, d: etl.part_basket_pairs(
+        load_table(s, d, "lineitem"), min_support=2
+    )
+    q["text_repetition_profile"] = lambda s, d: text.repetition_profile(
+        load_table(s, d, "documents")
+    )
+    q["text_unigram_logprob"] = lambda s, d: text.unigram_logprob(
+        load_table(s, d, "documents")
+    )
+    q["orders_grouping_sets"] = lambda s, d: relational.priority_year_grouping_sets(
+        load_table(s, d, "orders")
+    )
     return q
 
 
@@ -523,6 +543,14 @@ _SHINGLES = f"""
 CASE WHEN len({_TOK}) <= 3 THEN [array_to_string({_TOK}, ' ')]
      ELSE list_transform(range(1, len({_TOK}) - 1),
                          i -> array_to_string(({_TOK})[i:i+2], ' '))
+END
+"""
+
+#: word-bigram shingles (mirrors textfn.word_shingles(tok, 2))
+_BIGRAMS = f"""
+CASE WHEN len({_TOK}) <= 2 THEN [array_to_string({_TOK}, ' ')]
+     ELSE list_transform(range(1, len({_TOK})),
+                         i -> array_to_string(({_TOK})[i:i+1], ' '))
 END
 """
 
@@ -1570,5 +1598,110 @@ UNION ALL SELECT 3, 'dedup', count(*) FROM surv
 UNION ALL SELECT 4, 'train', count(*) FROM split WHERE split = 'train'
 UNION ALL SELECT 5, 'test', count(*) FROM split WHERE split = 'test'
 ORDER BY stage_id
+"""
+
+    # --- round-3 additions ---
+    o["sim_knn_label"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+  FROM ranked WHERE rnk <= 10 GROUP BY 1, 2
+),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, label ASC) AS r
+  FROM votes
+)
+SELECT query_id, label AS pred_label, votes FROM pick WHERE r = 1
+ORDER BY query_id
+"""
+    o["events_type_transitions"] = """
+WITH steps AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+edges AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT), 6)
+         AS share
+FROM edges
+ORDER BY from_type, to_type
+"""
+    o["basket_part_pairs"] = """
+WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM i a JOIN i b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b
+"""
+    o["text_repetition_profile"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+uni_c AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+uni AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM uni_c GROUP BY 1
+),
+bis AS (SELECT doc_id, unnest({_BIGRAMS}) AS term FROM documents),
+bi_c AS (SELECT doc_id, term, count(*) AS c FROM bis GROUP BY 1, 2),
+bi AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bi_c
+  FROM bi_c GROUP BY 1
+)
+SELECT u.doc_id, u.n_tokens, u.n_distinct,
+       round(1 - u.n_distinct / u.n_tokens, 6) AS dup_token_ratio,
+       round(u.top_c / u.n_tokens, 6) AS top_token_share,
+       round(b.top_bi_c / b.n_bigrams, 6) AS top_bigram_share
+FROM uni u JOIN bi b USING (doc_id)
+ORDER BY u.doc_id
+"""
+    o["text_unigram_logprob"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-log2(f.cnt / tt.total)), 6) AS bits_per_token
+FROM toks t JOIN freq f USING (term) CROSS JOIN tot tt
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+    o["orders_grouping_sets"] = """
+WITH o AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         o_orderpriority AS priority, o_totalprice
+  FROM orders
+)
+SELECT CAST(grouping(o_year) AS INT) AS g_year,
+       CAST(grouping(priority) AS INT) AS g_priority,
+       o_year, priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM o
+GROUP BY GROUPING SETS ((o_year, priority), (o_year), (priority), ())
+ORDER BY g_year, g_priority, o_year NULLS FIRST, priority NULLS FIRST
 """
     return o

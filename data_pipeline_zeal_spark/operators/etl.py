@@ -510,3 +510,34 @@ def rfm_segments(orders: DataFrame, anchor: str = "2001-01-01") -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+def part_basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
+    """Market-basket co-occurrence: pairs of parts appearing in the same
+    order, kept when they co-occur in at least ``min_support`` orders.
+
+    The association-mining primitive (frequent itemsets, k=2) over the
+    order/lineitem model the reference never joins.  Plan shape for
+    100 TB: project to (orderkey, partkey) and dedup — one shuffle on the
+    pair; the self-join is an EQUALITY join on l_orderkey (co-partitioned
+    after the dedup shuffle, AQE can pick SMJ), and the per-order fanout
+    is bounded by basket size (TPC-H baskets are <= 7 lines), so the pair
+    explosion is C(7,2) per order, not quadratic in the table.  The final
+    aggregate carries one row per distinct pair."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_support)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+    )

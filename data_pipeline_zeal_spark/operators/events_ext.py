@@ -313,3 +313,34 @@ def weekly_distinct_rollup(events: DataFrame, lg_config_k: int = 12) -> DataFram
         )
         .orderBy("week")
     )
+
+
+def type_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition matrix (Markov bigrams): for every
+    consecutive pair of events by the same user, count ``from_type ->
+    to_type`` and the share of each outgoing edge.
+
+    The user-journey primitive the reference's per-type windows can't
+    express (its state is keyed by (window, type) only —
+    ``processor/src/domain/aggregation.py:44``).  Plan: one shuffle on
+    user_id, ``lag`` within the sorted partition (ts, event_id tiebreak so
+    equal timestamps order identically everywhere), then a tiny
+    (|types| x |types|)-row aggregate; ``share`` divides two exact counts
+    so the result is engine-stable."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    edges = steps.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out_w = Window.partitionBy("from_type")
+    return (
+        edges.withColumn(
+            "share", F.round(F.col("n") / F.sum("n").over(out_w), 6)
+        )
+        .orderBy("from_type", "to_type")
+    )

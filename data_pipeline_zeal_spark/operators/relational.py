@@ -433,3 +433,40 @@ def type_hour_pivot(events: DataFrame, hours: list[int] | None = None) -> DataFr
         *[F.coalesce(F.col(str(h)), F.lit(0)).alias(f"h{h}") for h in hrs],
     )
     return out.orderBy("event_type")
+
+
+def priority_year_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Revenue by explicit GROUPING SETS — (year, priority), (year),
+    (priority), and grand total — in one pass over orders.
+
+    Generalizes the cube/rollup surface (``daily_type_cube``,
+    ``order_priority_rollup``) to arbitrary set lists: Catalyst expands
+    the sets with a single Expand node, so the input is scanned once and
+    the shuffle carries one row per (set, key) — the same property the
+    SQL ``GROUPING SETS`` clause gives a warehouse user.  ``grouping()``
+    flags disambiguate "NULL key" from "subtotal row"; o_totalprice is
+    2-decimal so the rounded SUM is exact in both engines."""
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .groupingSets(
+            [["o_year", "priority"], ["o_year"], ["priority"], []],
+            "o_year",
+            "priority",
+        )
+        .agg(
+            F.grouping("o_year").cast("int").alias("g_year"),
+            F.grouping("priority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(
+            F.col("g_year"),
+            F.col("g_priority"),
+            F.col("o_year").asc_nulls_first(),
+            F.col("priority").asc_nulls_first(),
+        )
+    )

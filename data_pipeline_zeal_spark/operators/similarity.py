@@ -354,3 +354,41 @@ def centroid_pairs(embeddings: DataFrame, dim: int = 64) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def knn_label(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """kNN majority-vote label prediction: for each query vector, the most
+    common label among its k nearest neighbors by cosine.
+
+    The classification read-path of a labeled vector store (the operator
+    behind "tag this new document like its neighbors").  Same plan shape
+    as :func:`cosine_topk` — broadcast query set, JVM cosine, per-query
+    ranking window — plus one tiny (query x label) vote aggregate.  Fully
+    deterministic: scores round to 6 dp before ranking, neighbor ties
+    break on vec_id, vote ties break on the smaller label."""
+    q = _query_set(embeddings, query_ids)
+    cand = with_min_parallelism(embeddings).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    scored = cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    votes = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pick = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("rnk", F.row_number().over(pick))
+        .filter(F.col("rnk") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+        .orderBy("query_id")
+    )

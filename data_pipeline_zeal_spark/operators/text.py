@@ -18,6 +18,7 @@ from ..functions.textfn import (
     punct_count,
     token_count,
     tokens,
+    word_shingles,
 )
 
 
@@ -291,4 +292,90 @@ def scrub_pii(documents: DataFrame) -> DataFrame:
         n_phones.cast("int").alias("n_phones"),
         scrubbed.alias("scrubbed_text"),
         (scrubbed != F.col("text")).cast("int").alias("changed"),
+    )
+
+
+def repetition_profile(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token ratio,
+    share of the single most frequent token, and share of the most
+    frequent word bigram.
+
+    High-repetition documents (boilerplate, scraped nav bars, generated
+    spam) are the first thing a pretraining curation pass drops; these
+    three ratios are the standard cheap detectors.  Plan: one explode per
+    grain (token, bigram) feeding hash aggregates keyed by (doc_id, term)
+    — map-side combine collapses repeats before the shuffle — then a
+    per-doc rollup.  All ratios divide exact integer counts, so values are
+    engine-stable.  Empty documents carry no tokens and drop out (same as
+    the SQL ``unnest``)."""
+    tok = tokens("text")
+    toks = with_min_parallelism(documents).select(
+        "doc_id", F.explode(tok).alias("term")
+    )
+    uni = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    bi = documents.select(
+        "doc_id", F.explode(word_shingles(tok, 2)).alias("term")
+    )
+    bi_top = (
+        bi.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bi_c"))
+    )
+    return (
+        uni.join(bi_top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "dup_token_ratio"
+            ),
+            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias(
+                "top_token_share"
+            ),
+            F.round(F.col("top_bi_c") / F.col("n_bigrams"), 6).alias(
+                "top_bigram_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-trained unigram language-model score per document:
+    bits-per-token under the corpus's own token distribution — the cheap
+    stand-in for KenLM-perplexity quality filtering.
+
+    Two-pass: (1) global token frequencies (one hash aggregate; vocabulary
+    is Zipf-bounded, far smaller than the corpus), (2) re-join tokens to
+    their frequencies and average -log2 p(token) per document.  The join
+    key is the token itself — at 100 TB the frequency table still fits the
+    shuffle comfortably, and Spark's AQE can flip to broadcast when the
+    vocabulary is small.  The scalar total attaches via a 1-row broadcast
+    cross join, not a driver collect."""
+    toks = with_min_parallelism(documents).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    scored = toks.join(freq, "term").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log2(F.col("cnt") / F.col("total"))), 6
+            ).alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
     )
