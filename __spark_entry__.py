@@ -529,6 +529,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_grouping_sets"] = lambda s, d: relational.priority_year_grouping_sets(
         load_table(s, d, "orders")
     )
+    q["corpus_weighted_sample"] = lambda s, d: corpus.weighted_sample(
+        load_table(s, d, "documents"), k=50
+    )
+    q["customer_spend_deciles"] = lambda s, d: etl.customer_spend_deciles(
+        load_table(s, d, "customer"), load_table(s, d, "orders")
+    )
+    q["events_hour_unpivot"] = lambda s, d: relational.hour_pivot_unpivot(
+        load_table(s, d, "events"), hours=8
+    )
+    # REAL decode kernel (raw PCM needs no codec): frame RMS/peak over
+    # synthesized sine payloads; binary inputs -> rows-only check (pytest
+    # asserts rms == amplitude/sqrt(2) on known tones)
+    q["multimodal_pcm_energy"] = lambda s, d: multimodal.pcm_frame_energy(
+        multimodal.synth_pcm_audio(s, 64)
+    )
     return q
 
 
@@ -1703,5 +1718,48 @@ SELECT CAST(grouping(o_year) AS INT) AS g_year,
 FROM o
 GROUP BY GROUPING SETS ((o_year, priority), (o_year), (priority), ())
 ORDER BY g_year, g_priority, o_year NULLS FIRST, priority NULLS FIRST
+"""
+    o["corpus_weighted_sample"] = """
+WITH s AS (
+  SELECT doc_id, lang, source, n_chars AS weight,
+         round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                    + 1.0) / 4503599627370497.0) / n_chars, 9) AS sample_key
+  FROM documents
+)
+SELECT * FROM s ORDER BY sample_key, doc_id LIMIT 50
+"""
+    o["customer_spend_deciles"] = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY 1
+),
+per_cust AS (
+  SELECT c.c_custkey, coalesce(s.spend, 0.0) AS spend
+  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+),
+dec AS (
+  SELECT spend,
+         CAST(ntile(10) OVER (ORDER BY spend DESC, c_custkey ASC) AS INT)
+           AS decile
+  FROM per_cust
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(spend), 2) AS total_spend,
+       round(max(spend), 2) AS max_spend,
+       round(min(spend), 2) AS min_spend
+FROM dec GROUP BY 1 ORDER BY decile
+"""
+    o["events_hour_unpivot"] = """
+WITH grid AS (
+  SELECT et.event_type, t.h
+  FROM (SELECT DISTINCT event_type FROM events) et, range(0, 8) t(h)
+),
+c AS (
+  SELECT event_type, hour(ts) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE hour(ts) < 8 GROUP BY 1, 2
+)
+SELECT g.event_type, CAST(g.h AS INT) AS hour, coalesce(c.n, 0) AS n
+FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+ORDER BY g.event_type, g.h
 """
     return o

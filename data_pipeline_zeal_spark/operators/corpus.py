@@ -338,3 +338,35 @@ def curation_summary(documents: DataFrame, test_frac: float = 0.1) -> DataFrame:
         .unionByName(_stage(split.filter(F.col("split") == "test"), 5, "test"))
         .orderBy("stage_id")
     )
+
+
+def weighted_sample(
+    documents: DataFrame, k: int = 50, weight_col: str = "n_chars"
+) -> DataFrame:
+    """Deterministic weighted sample without replacement
+    (Efraimidis-Spirakis A-ES): each document draws a hash-derived uniform
+    u in (0, 1] and the k smallest ``-ln(u) / weight`` keys win — exactly
+    a weighted sample, yet fully reproducible (no ``rand()``), so mixture
+    re-draws and backfills pick identical rows.
+
+    Scale shape: the key is map-only arithmetic on an md5 prefix (the
+    same portable-hash trick as :func:`hash_split`), and selection is a
+    global top-k — Spark plans TakeOrderedAndProject (per-partition heaps
+    + driver merge of k rows), never a full sort."""
+    u13 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("double")
+    # (0, 1]: 13 hex chars = 52 bits, exact in a double
+    u = (u13 + F.lit(1.0)) / F.lit(float(16**13 + 1))
+    key = -F.log(u) / F.col(weight_col)
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col(weight_col).alias("weight"),
+            F.round(key, 9).alias("sample_key"),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(k)
+    )

@@ -541,3 +541,39 @@ def part_basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
         .filter(F.col("n_orders") >= min_support)
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
     )
+
+
+def customer_spend_deciles(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customer lifetime-spend deciles: total o_totalprice per customer
+    (0 for the orderless), NTILE(10) by descending spend, then per-decile
+    size and spend boundaries — the segmentation table behind "top-10%
+    customers" dashboards.
+
+    The ntile window is GLOBAL (unpartitioned) — the exact-rank
+    correctness kernel, fine up to ~10^8 customers where the sort of the
+    pre-aggregated (custkey, spend) frame is the only big operation.  At
+    larger scale the same decile boundaries come from approx quantiles
+    (see ``price_quantiles_sketch``) joined back as range predicates;
+    output contract is identical."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(spend, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey", F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend")
+        )
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("c_custkey"))
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+            F.round(F.max("spend"), 2).alias("max_spend"),
+            F.round(F.min("spend"), 2).alias("min_spend"),
+        )
+        .orderBy("decile")
+    )

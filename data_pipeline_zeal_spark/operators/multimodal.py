@@ -325,3 +325,97 @@ def synth_video(spark, count: int = 32, seed: int = 11) -> DataFrame:
             .alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+PCM_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+
+def synth_pcm_audio(
+    spark, count: int = 32, sr: int = 8000, dur_ms: int = 200, seed: int = 13
+) -> DataFrame:
+    """Deterministic mono PCM s16le audio payloads: per-id sine bursts
+    (frequency and amplitude derived from the id — no RNG, stable across
+    retries).  Unlike the image/video fixtures these bytes are REAL audio
+    samples, so the downstream kernel exercises a genuine decode."""
+    import numpy as np
+
+    n = sr * dur_ms // 1000
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(n, dtype=np.float64) / sr
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                freq = 100.0 + ((mid * 37 + seed) % 16) * 50.0
+                amp = 0.1 + ((mid * 11 + seed) % 8) * 0.1
+                x = np.clip(amp * np.sin(2 * np.pi * freq * t), -1.0, 1.0)
+                pcm = (x * 32767.0).astype("<i2").tobytes()
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "payload": pcm,
+                        "meta": {
+                            "media_type": "audio",
+                            "format": "pcm_s16le",
+                            "width": None,
+                            "height": None,
+                            "sample_rate": sr,
+                            "duration_ms": dur_ms,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    base = spark.range(count).select(F.col("id").alias("media_id"))
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def pcm_frame_energy(media: DataFrame, frame_ms: int = 25) -> DataFrame:
+    """Frame-level energy over raw PCM s16le payloads — a REAL audio
+    decode kernel (``np.frombuffer`` on the sample bytes; raw PCM needs no
+    codec library), not a stub: per ``frame_ms`` frame, RMS level and peak
+    magnitude.  This is the VAD/silence-trim primitive of an audio
+    curation pipeline.
+
+    Plan: Arrow-batched ``mapInPandas``; each batch decodes vectorized in
+    numpy, emits (media_id, frame_idx) rows.  Output size is
+    duration/frame_ms rows per clip — bounded fan-out, no shuffle; callers
+    aggregate downstream if they need clip-level stats."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for _, row in pdf.iterrows():
+                sr = int(row["meta"]["sample_rate"])
+                flen = max(1, sr * frame_ms // 1000)
+                x = np.frombuffer(row["payload"], dtype="<i2").astype(
+                    np.float64
+                ) / 32768.0
+                nframes = len(x) // flen
+                for i in range(nframes):
+                    fr = x[i * flen : (i + 1) * flen]
+                    out.append(
+                        {
+                            "media_id": int(row["media_id"]),
+                            "frame_idx": i,
+                            "n_samples": int(len(fr)),
+                            "rms": round(float(np.sqrt(np.mean(fr * fr))), 6),
+                            "peak": int(np.max(np.abs(fr * 32768.0))),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    audio = media.filter(F.col("meta.media_type") == "audio").select(
+        "media_id", "payload", "meta"
+    )
+    return audio.mapInPandas(kernel, PCM_FRAME_SCHEMA)

@@ -470,3 +470,25 @@ def priority_year_grouping_sets(orders: DataFrame) -> DataFrame:
             F.col("priority").asc_nulls_first(),
         )
     )
+
+
+def hour_pivot_unpivot(events: DataFrame, hours: int = 8) -> DataFrame:
+    """Unpivot (melt): the wide type x hour matrix from
+    :func:`type_hour_pivot` folded back to long (event_type, hour, n)
+    rows — the wide->long reshaping operator warehouses pair with PIVOT.
+    ``DataFrame.unpivot`` expands columns inline (an Expand node — one
+    pass, no join against a column-name table), so the round trip costs
+    one extra projection over the pivot plan."""
+    hrs = list(range(hours))
+    wide = type_hour_pivot(events, hours=hrs)
+    return (
+        wide.unpivot(
+            "event_type", [f"h{h}" for h in hrs], "hour_label", "n"
+        )
+        .select(
+            "event_type",
+            F.substring("hour_label", 2, 2).cast("int").alias("hour"),
+            "n",
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -80,3 +80,31 @@ def test_audio_features(spark):
         assert 1000 <= r.n_samples < 8000
         assert 0.0 <= r.rms <= 1.0
         assert r.clipped >= 0
+
+
+def test_pcm_frame_energy_real_decode(spark):
+    """The PCM kernel is a REAL decode: a synthesized sine of amplitude a
+    must measure RMS ~= a/sqrt(2) per frame and peak ~= a*32767."""
+    import math
+
+    media = mm.synth_pcm_audio(spark, 8, sr=8000, dur_ms=200)
+    rows = mm.pcm_frame_energy(media, frame_ms=25).collect()
+    # 8 clips x (200/25) frames
+    assert len(rows) == 8 * 8
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, frs in by_media.items():
+        amp = 0.1 + ((mid * 11 + 13) % 8) * 0.1
+        assert [f.frame_idx for f in sorted(frs, key=lambda f: f.frame_idx)] == list(range(8))
+        for f in frs:
+            assert f.n_samples == 200
+            # full frames of a sine: RMS within 2% of a/sqrt(2)
+            assert abs(f.rms - amp / math.sqrt(2)) < 0.02 * amp + 1e-3
+            assert abs(f.peak - amp * 32767) < 0.02 * amp * 32767 + 2
+
+
+def test_pcm_energy_ignores_non_audio(spark):
+    mixed = mm.synth_media(spark, 4).unionByName(mm.synth_pcm_audio(spark, 4))
+    out = mm.pcm_frame_energy(mixed)
+    assert out.select("media_id").distinct().count() == 4
