@@ -63,6 +63,13 @@ HEADLINE = [
     "events_value_histogram",
     "events_daily_anomaly",
     "corpus_curation_summary",
+    "events_type_transitions",
+    "basket_part_pairs",
+    "text_unigram_logprob",
+    "text_repetition_profile",
+    "customer_spend_deciles",
+    "corpus_weighted_sample",
+    "sim_knn_label",
 ]
 
 

@@ -302,16 +302,18 @@ def repetition_profile(documents: DataFrame) -> DataFrame:
 
     High-repetition documents (boilerplate, scraped nav bars, generated
     spam) are the first thing a pretraining curation pass drops; these
-    three ratios are the standard cheap detectors.  Plan: one explode per
-    grain (token, bigram) feeding hash aggregates keyed by (doc_id, term)
-    — map-side combine collapses repeats before the shuffle — then a
-    per-doc rollup.  All ratios divide exact integer counts, so values are
-    engine-stable.  Empty documents carry no tokens and drop out (same as
-    the SQL ``unnest``)."""
-    tok = tokens("text")
-    toks = with_min_parallelism(documents).select(
-        "doc_id", F.explode(tok).alias("term")
+    three ratios are the standard cheap detectors.  Plan: tokenize ONCE
+    into an array column (the regex split is the expensive kernel — never
+    re-evaluated per grain), then one explode per grain (token, bigram)
+    feeding hash aggregates keyed by (doc_id, term) — map-side combine
+    collapses repeats before the shuffle — then a per-doc rollup.  All
+    ratios divide exact integer counts, so values are engine-stable.
+    Empty documents carry no tokens and drop out (same as the SQL
+    ``unnest``)."""
+    docs = with_min_parallelism(documents).select(
+        "doc_id", tokens("text").alias("tok")
     )
+    toks = docs.select("doc_id", F.explode("tok").alias("term"))
     uni = (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -322,8 +324,8 @@ def repetition_profile(documents: DataFrame) -> DataFrame:
             F.max("c").alias("top_c"),
         )
     )
-    bi = documents.select(
-        "doc_id", F.explode(word_shingles(tok, 2)).alias("term")
+    bi = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("tok"), 2)).alias("term")
     )
     bi_top = (
         bi.groupBy("doc_id", "term")

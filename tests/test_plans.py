@@ -113,3 +113,46 @@ def test_filtered_topk_label_pushdown(spark):
     p = plans.summarize(df)
     pushed = " | ".join(p.pushed_filters)
     assert "label" in pushed and "In" in pushed
+
+
+def test_basket_pairs_equality_join_no_cartesian(spark):
+    """Market-basket self-join must plan as an equality join on
+    l_orderkey (hash/SMJ), never a cartesian/nested-loop — the pair
+    fan-out is bounded by basket size only if the join key reaches the
+    join operator."""
+    df = etl.part_basket_pairs(load_table(spark, SF_SMALL, "lineitem"))
+    simple = plans.explain_mode(df, "simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "l_orderkey" in simple
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES top-k must be TakeOrderedAndProject (per-partition heaps),
+    not a global sort of the corpus."""
+    from data_pipeline_zeal_spark.operators import corpus
+
+    df = corpus.weighted_sample(load_table(spark, SF_SMALL, "documents"), k=50)
+    p = plans.summarize(df)
+    assert p.has_take_ordered
+
+
+def test_unpivot_is_expand_not_join(spark):
+    """Unpivot must expand inline — no join against a names table and no
+    repeated scans of events."""
+    from data_pipeline_zeal_spark.operators import relational
+
+    df = relational.hour_pivot_unpivot(load_table(spark, SF_SMALL, "events"), hours=8)
+    simple = plans.explain_mode(df, "simple")
+    assert simple.count("Scan parquet") == 1
+    assert "Expand" in simple
+
+
+def test_unigram_logprob_scalar_total_is_broadcast(spark):
+    """The 1-row corpus total must attach via a broadcast join (no shuffle
+    of the token stream against a singleton)."""
+    from data_pipeline_zeal_spark.operators import text
+
+    df = text.unigram_logprob(load_table(spark, SF_SMALL, "documents"))
+    simple = plans.explain_mode(df, "simple")
+    assert "BroadcastNestedLoopJoin" in simple or "BroadcastHashJoin" in simple
