@@ -208,6 +208,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q22_idle_customers"] = lambda s, d: relational.idle_rich_customers(
         load_table(s, d, "customer"), load_table(s, d, "orders")
     )
+    q["tpch_q2_min_cost_supplier"] = lambda s, d: relational.min_cost_supplier(
+        load_table(s, d, "part"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "nation"),
+        load_table(s, d, "region"),
+    )
+    q["tpch_q11_important_parts"] = lambda s, d: relational.important_part_values(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "nation"),
+    )
+    q["tpch_q12_late_priority"] = lambda s, d: relational.late_shipment_priority(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    )
+    q["tpch_q20_promotion_suppliers"] = (
+        lambda s, d: relational.promotion_part_suppliers(
+            load_table(s, d, "part"),
+            load_table(s, d, "supplier"),
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "nation"),
+        )
+    )
+    q["tpch_q21_waiting_orders"] = (
+        lambda s, d: relational.waiting_orders_by_supplier(
+            load_table(s, d, "supplier"),
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "nation"),
+        )
+    )
     q["events_type_hour_pivot"] = lambda s, d: relational.type_hour_pivot(
         load_table(s, d, "events")
     )
@@ -850,6 +881,98 @@ WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE')
                   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
+"""
+    o["tpch_q2_min_cost_supplier"] = """
+WITH costs AS (
+  -- fixed-point 1e-4 unit cost: floor of the IEEE quotient is identical
+  -- across engines (round() on a .xxxx5 boundary is not)
+  SELECT l_partkey, l_suppkey,
+         CAST(min(floor(l_extendedprice / l_quantity * 10000))
+              AS BIGINT) AS unit_cost_e4
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+qualified AS (
+  SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name, unit_cost_e4
+  FROM costs
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND p_name LIKE '%widget%' AND r_name = 'EUROPE'
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, nation, p_partkey, p_name,
+       unit_cost_e4
+FROM qualified q
+WHERE unit_cost_e4 = (SELECT min(unit_cost_e4) FROM qualified
+                      WHERE p_partkey = q.p_partkey)
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+"""
+    o["tpch_q11_important_parts"] = """
+WITH vals AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM vals
+WHERE part_value > (SELECT sum(part_value) * 0.001 FROM vals)
+ORDER BY part_value DESC, l_partkey
+"""
+    o["tpch_q12_late_priority"] = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE date_diff('day', o_orderdate, l_shipdate) > 365
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+    o["tpch_q20_promotion_suppliers"] = """
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE year(l_shipdate) = 1998
+      AND l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE '%bolt%')
+    GROUP BY l_partkey, l_suppkey
+    HAVING sum(l_quantity) > 25.0)
+ORDER BY s_name
+"""
+    o["tpch_q21_waiting_orders"] = """
+WITH lo AS (
+  SELECT o_orderkey, l_suppkey,
+         date_diff('day', o_orderdate, l_shipdate) > 365 AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT o_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM lo GROUP BY o_orderkey
+),
+sole_late AS (
+  SELECT DISTINCT lo.o_orderkey, l_suppkey
+  FROM lo JOIN per_order ON lo.o_orderkey = per_order.o_orderkey
+  WHERE is_late AND n_supp > 1 AND n_late_supp = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM sole_late
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
 """
     hour_cols = ",\n       ".join(
         f"count(*) FILTER (WHERE hour(ts) = {h}) AS h{h}" for h in range(24)

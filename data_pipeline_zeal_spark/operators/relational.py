@@ -492,3 +492,256 @@ def hour_pivot_unpivot(events: DataFrame, hours: int = 8) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    size: int = 15,
+    name_like: str = "%widget%",
+    limit: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier in a region
+    offering it at the minimum cost.  Deviation: the fixture has no
+    partsupp, so "supply cost" is the minimum observed unit price
+    (l_extendedprice / l_quantity) per (part, supplier) from trade history,
+    and the part filter is (p_size, p_name LIKE) since p_type carries only
+    six coarse values.
+
+    The correlated MIN subquery becomes a per-part aggregate joined back on
+    (partkey, cost) equality — the same two-phase min-per-group plan Q15/Q17
+    use.  Region/nation broadcast; the per-pair cost table shuffles once on
+    partkey and is reused for both the candidate set and the per-part min
+    (cheaper than recomputing from the fact table)."""
+    eligible = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    region.filter(F.col("r_name") == region_name),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    # fixed-point (1e-4) unit cost: floor of an IEEE quotient is identical
+    # across engines, unlike round() on a .xxxx5 boundary (Spark rounds the
+    # shortest-decimal rendering, DuckDB the raw binary — they disagree one
+    # ulp below the half).  Integer min/equality downstream is then exact.
+    costs = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.floor(
+                    F.col("l_extendedprice") / F.col("l_quantity") * 10000
+                )
+            ).alias("unit_cost_e4")
+        )
+    )
+    qualified = costs.join(
+        part.filter(
+            (F.col("p_size") == size) & F.col("p_name").like(name_like)
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).join(eligible, F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part_min = qualified.groupBy(
+        F.col("p_partkey").alias("m_partkey")
+    ).agg(F.min("unit_cost_e4").alias("min_cost"))
+    return (
+        qualified.join(
+            per_part_min,
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost_e4") == F.col("min_cost")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            "unit_cost_e4",
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(limit)
+    )
+
+
+def important_part_values(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_7",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's traded value.  Deviation: no partsupp, so "value" is revenue
+    shipped by that nation's suppliers rather than supplycost x availqty.
+
+    The scalar HAVING subquery (fraction of the grand total) broadcasts a
+    single row against the already-aggregated per-part values — the
+    group-vs-global comparison costs one extra tiny stage, never a second
+    pass over the fact table.  The nation's supplier keys are a broadcast
+    semi-join (bounded by suppliers-per-nation), so lineitem shuffles once,
+    on partkey, after the filter."""
+    nat_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    vals = (
+        lineitem.join(
+            F.broadcast(nat_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(_rev()), 2).alias("part_value"))
+    )
+    cutoff = vals.agg(
+        (F.sum("part_value") * F.lit(fraction)).alias("cutoff")
+    )
+    return (
+        vals.join(F.broadcast(cutoff), F.col("part_value") > F.col("cutoff"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def late_shipment_priority(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 365
+) -> DataFrame:
+    """TPC-H Q12 shape: critical- vs non-critical-priority line counts per
+    category, restricted to late shipments.  Deviations: no l_shipmode /
+    l_commitdate / l_receiptdate in the fixture, so the category is
+    l_returnflag and "late" is shipped more than ``late_days`` after the
+    order date.
+
+    One fact-fact equi-join on orderkey (both sides shuffle once), then a
+    conditional aggregation over three groups — the CASE WHEN collapses in
+    the partial aggregate, so the final exchange carries six counters."""
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > late_days
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def promotion_part_suppliers(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    name_like: str = "%bolt%",
+    year: int = 1998,
+    qty_min: float = 25.0,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation with substantial stock of a
+    promoted part family.  Deviation: no partsupp availqty, so the inner
+    threshold is "shipped more than ``qty_min`` units of a qualifying part
+    during ``year``" (the original's availqty > half-of-year's-shipments
+    collapses to a constant bound once availqty is gone).
+
+    The nested-subquery chain (parts LIKE -> per-(part,supplier) year
+    quantity -> suppliers) stays three semi-join stages, each shrinking:
+    the fact table is filtered by year + part family BEFORE its one
+    shuffle on (partkey, suppkey); the surviving supplier keys semi-join
+    the dim."""
+    fam = part.filter(F.col("p_name").like(name_like)).select("p_partkey")
+    heavy = (
+        lineitem.filter(F.year("l_shipdate") == year)
+        .join(fam, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > qty_min)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+def waiting_orders_by_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_5",
+    late_days: int = 365,
+    limit: int = 100,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finalized multi-supplier order.  Deviation: "late" is shipped more
+    than ``late_days`` after the order date (no receipt/commit dates).
+
+    The EXISTS (another supplier on the order) / NOT EXISTS (another LATE
+    supplier) pair is re-expressed as one per-order aggregate — distinct
+    supplier count and distinct late-supplier count — joined back to the
+    late lines.  That replaces two correlated self-joins over the fact
+    table (quadratic per order at scale) with one orderkey shuffle reused
+    by both the aggregate and the join-back."""
+    lo = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_orderkey",
+            "l_suppkey",
+            (
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                > late_days
+            ).alias("is_late"),
+        )
+    )
+    per_order = lo.groupBy("o_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    sole_late = (
+        lo.filter(F.col("is_late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "o_orderkey",
+        )
+        .select("o_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        sole_late.join(
+            supplier.join(
+                F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(limit)
+    )

@@ -21,6 +21,7 @@ class PlanSummary:
     read_schemas: list[str] = field(default_factory=list)
     broadcast_joins: int = 0
     sort_merge_joins: int = 0
+    nested_loop_joins: int = 0  # BroadcastNestedLoopJoin + CartesianProduct
     shuffles: int = 0
     codegen_stages: int = 0
     has_take_ordered: bool = False
@@ -49,6 +50,8 @@ def summarize(df: DataFrame) -> PlanSummary:
         # formatted mode repeats each operator in its details section)
         broadcast_joins=simple.count("BroadcastHashJoin"),
         sort_merge_joins=simple.count("SortMergeJoin"),
+        nested_loop_joins=simple.count("BroadcastNestedLoopJoin")
+        + simple.count("CartesianProduct"),
         shuffles=len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", simple)),
         codegen_stages=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", simple))),
         has_take_ordered="TakeOrderedAndProject" in simple,
