@@ -38,13 +38,20 @@ def _ensure_read_confs(spark: SparkSession) -> None:
     Both confs are runtime-settable SQL confs; callers (driver harnesses,
     notebooks) often hand us a vanilla ``SparkSession`` that lacks them:
 
-    * ``nanosAsLong`` — the fixtures store TIMESTAMP(NANOS), which Spark
+    * ``nanosAsLong`` — fixtures that store TIMESTAMP(NANOS), which Spark
       rejects by default (PARQUET_TYPE_ILLEGAL); read as long and convert
       below with integer division (nano epochs overflow double precision).
+    * ``inferTimestampNTZ`` off — fixtures that store TIMESTAMP(MICROS,
+      isAdjustedToUTC=false) would otherwise load as TIMESTAMP_NTZ, which
+      rejects numeric casts (epoch arithmetic) and diverges from the
+      reference's tz-aware UTC event time; with inference off they load as
+      the session-UTC instant with identical wall-clock values, exactly
+      what the DuckDB oracle sees reading the same naive parquet micros.
     * UTC session timezone — the reference stamps UTC end-to-end and the
       DuckDB oracle reads naive/UTC parquet timestamps.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 

@@ -43,6 +43,9 @@ def get_spark(
         # convert in io.load_table (integer division — nano epochs overflow
         # double precision).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Micros-precision fixtures with isAdjustedToUTC=false must load as
+        # session-UTC instants (reference semantics), not TIMESTAMP_NTZ.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Streaming state should not depend on the number of cores at restore
         # time; a fixed modest number keeps local tests fast.
