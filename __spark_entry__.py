@@ -575,6 +575,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_pcm_energy"] = lambda s, d: multimodal.pcm_frame_energy(
         multimodal.synth_pcm_audio(s, 64)
     )
+
+    # --- [EXT] CDC merge, graph rank, cross-doc boilerplate ---
+    from data_pipeline_zeal_spark.operators import cdc, graph
+
+    def _cdc_merge(s: SparkSession, d: str) -> DataFrame:
+        ev = load_table(s, d, "events")
+        cut = F.lit("2024-01-24 00:00:00").cast("timestamp")
+        merged = cdc.merge_latest(
+            ev.filter(F.col("ts") < cut),
+            ev.filter(F.col("ts") >= cut),
+            keys=["user_id", "event_type"],
+            order_col="ts",
+            tiebreak="event_id",
+        )
+        return merged.select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.round("value", 3).alias("last_value"),
+        ).orderBy("user_id", "event_type")
+
+    q["events_cdc_merge"] = _cdc_merge
+
+    def _part_pagerank(s: SparkSession, d: str) -> DataFrame:
+        pairs = etl.part_basket_pairs(load_table(s, d, "lineitem"), min_support=2)
+        fwd = pairs.select(
+            F.col("part_a").alias("src"),
+            F.col("part_b").alias("dst"),
+            F.col("n_orders").cast("double").alias("weight"),
+        )
+        rev = pairs.select(
+            F.col("part_b").alias("src"),
+            F.col("part_a").alias("dst"),
+            F.col("n_orders").cast("double").alias("weight"),
+        )
+        return (
+            graph.pagerank(fwd.unionByName(rev), iterations=3, damping=0.85)
+            .select(F.col("node").alias("part"), F.round("rank", 9).alias("rank"))
+            .orderBy("part")
+        )
+
+    q["part_pagerank"] = _part_pagerank
+
+    q["corpus_boilerplate_profile"] = lambda s, d: corpus.boilerplate_profile(
+        load_table(s, d, "documents"), n=3, min_docs=3
+    )
     return q
 
 
@@ -1884,5 +1931,73 @@ c AS (
 SELECT g.event_type, CAST(g.h AS INT) AS hour, coalesce(c.n, 0) AS n
 FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
 ORDER BY g.event_type, g.h
+"""
+
+    # --- CDC merge, graph rank, cross-doc boilerplate ---
+    o["events_cdc_merge"] = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type,
+       event_id AS last_event_id, ts AS last_ts,
+       round(value, 3) AS last_value
+FROM ranked WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+    # 3 unrolled power iterations, same uniform start / damping as the
+    # Spark kernel (graph.pagerank); edge weights = basket co-occurrence.
+    _PR_STEP = """
+  SELECT n.node,
+         (1 - 0.85) / nn.n + 0.85 * coalesce(sum(r.rank * t.p), 0.0) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN trans t ON t.dst = n.node
+  LEFT JOIN {prev} r ON r.node = t.src
+  GROUP BY n.node, nn.n
+"""
+    o["part_pagerank"] = f"""
+WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_orders
+  FROM i a JOIN i b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (
+  SELECT part_a AS src, part_b AS dst, CAST(n_orders AS DOUBLE) AS w FROM pr
+  UNION ALL
+  SELECT part_b, part_a, CAST(n_orders AS DOUBLE) FROM pr),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+trans AS (
+  SELECT e.src, e.dst, e.w / o.out_w AS p
+  FROM edges e JOIN outw o ON e.src = o.src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+r1 AS ({_PR_STEP.format(prev="r0")}),
+r2 AS ({_PR_STEP.format(prev="r1")}),
+r3 AS ({_PR_STEP.format(prev="r2")})
+SELECT node AS part, round(rank, 9) AS rank FROM r3 ORDER BY part
+"""
+    o["corpus_boilerplate_profile"] = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+         i -> array_to_string(t[i:i+2], ' ')))) AS gram
+  FROM toks),
+freq AS (SELECT gram, count(*) AS doc_count FROM grams GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         count(*) FILTER (WHERE f.doc_count >= 3) AS n_boilerplate
+  FROM grams g JOIN freq f USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+       round(CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+                  ELSE coalesce(p.n_boilerplate, 0) / p.n_grams END,
+             6) AS boilerplate_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
 """
     return o

@@ -1,0 +1,95 @@
+"""[EXT] Change-data-capture / incremental-maintenance operators.
+
+A 100 TB event store is never rewritten wholesale: it lives as a base
+snapshot plus keyed change deltas, periodically compacted (the MERGE INTO
+/ latest-wins-upsert pattern every lakehouse table format implements).
+The reference's closest analogue is the Postgres ``ON CONFLICT`` upsert
+sink (reference ``processor/src/infrastructure/postgres_repository.py:59-98``)
+— these are the same semantics expressed as distributed batch kernels.
+
+Scale notes (100 TB bar):
+* Both kernels are a single hash shuffle on the merge key with a
+  map-side-combining ``max_by`` aggregate — NO window sort.  A
+  ``row_number() OVER (PARTITION BY key ORDER BY ...)`` formulation
+  materializes and sorts every version of every key inside each
+  partition; ``max_by`` keeps exactly one row per key per map task
+  before the exchange, so shuffle volume is bounded by distinct keys,
+  not by change volume.  At 10^11 change rows against 10^9 keys that is
+  a 100x exchange reduction.
+* The ordering key is a struct ``(version, source_priority, tiebreak)``
+  compared lexicographically in the JVM — fully whole-stage-codegen,
+  no Python.
+* Ties are impossible when ``tiebreak`` is a unique id; when two
+  physically identical rows collide, delta wins over base by the
+  injected priority bit, matching upsert semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Internal column carrying base(0)/delta(1) precedence through the union.
+_SRC = "__cdc_src"
+
+
+def _pick_latest(
+    changes: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None,
+    payload_cols: list[str],
+    src_col: str | None = None,
+) -> DataFrame:
+    """One-shuffle latest-wins reduction: ``max_by(payload, ordering)``
+    per key, ordering = (order_col [, src priority][, tiebreak])."""
+    ord_fields = [F.col(order_col)]
+    if src_col is not None:
+        ord_fields.append(F.col(src_col))
+    if tiebreak is not None:
+        ord_fields.append(F.col(tiebreak))
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    picked = changes.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max_by(payload, F.struct(*ord_fields)).alias("__row")
+    )
+    return picked.select(
+        *keys, *[F.col(f"__row.{c}").alias(c) for c in payload_cols]
+    )
+
+
+def latest_snapshot(
+    changes: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Compact a keyed change log to its latest row per key.
+
+    Equivalent SQL: ``row_number() OVER (PARTITION BY keys ORDER BY
+    order_col DESC, tiebreak DESC) = 1`` — but executed as a single
+    map-side-combined aggregate (see module scale notes)."""
+    payload = [c for c in changes.columns if c not in keys]
+    return _pick_latest(changes, keys, order_col, tiebreak, payload)
+
+
+def merge_latest(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Latest-wins upsert merge of a delta into a base snapshot (MERGE
+    INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT, with
+    most-recent-version-wins semantics; delta beats base on exact
+    version ties).
+
+    Both inputs must share the base schema; the output is a valid new
+    base snapshot, so the operator composes with itself for incremental
+    compaction loops."""
+    cols = base.columns
+    unioned = base.select(*cols).withColumn(_SRC, F.lit(0)).unionByName(
+        delta.select(*cols).withColumn(_SRC, F.lit(1))
+    )
+    payload = [c for c in cols if c not in keys]
+    return _pick_latest(unioned, keys, order_col, tiebreak, payload, src_col=_SRC)

@@ -370,3 +370,52 @@ def weighted_sample(
         .orderBy("sample_key", "doc_id")
         .limit(k)
     )
+
+
+def boilerplate_profile(
+    documents: DataFrame, n: int = 3, min_docs: int = 3
+) -> DataFrame:
+    """Cross-document boilerplate detection (the RefinedWeb/CCNet move:
+    text fragments repeated across many pages are navigation chrome or
+    templates, not content).  A word ``n``-gram occurring in at least
+    ``min_docs`` distinct documents is boilerplate; per document, report
+    its distinct-gram count, how many of those grams are boilerplate,
+    and the boilerplate fraction — the score a curation pipeline
+    thresholds on before training.
+
+    Scale shape: grams are deduped per document BEFORE the explode
+    (bounds the exchange at distinct-grams-per-doc and lets document
+    frequency be a plain ``count(*)``); the doc-frequency aggregate
+    hashes on the gram — a uniform key with map-side combine; the flag
+    rejoins the gram frame on that same key (co-partitioned, AQE picks
+    the local strategy) and collapses straight back to one row per doc.
+    Nothing is quadratic and no token list survives past its stage."""
+    grams = with_min_parallelism(documents).select(
+        "doc_id", F.explode(_distinct_ngrams(tokens("text"), n)).alias("gram")
+    )
+    doc_freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_count"))
+    flagged = (
+        grams.join(doc_freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_count") >= min_docs, 1).otherwise(0)
+            ).alias("n_boilerplate"),
+        )
+    )
+    ng = F.coalesce(F.col("n_grams"), F.lit(0))
+    nb = F.coalesce(F.col("n_boilerplate"), F.lit(0))
+    return (
+        documents.select("doc_id")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            ng.alias("n_grams"),
+            nb.alias("n_boilerplate"),
+            F.round(
+                F.when(ng == 0, F.lit(0.0)).otherwise(nb.cast("double") / ng), 6
+            ).alias("boilerplate_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,129 @@
+"""Unit semantics for the CDC merge kernels, the PageRank kernel, and the
+cross-document boilerplate profile (oracle parity is covered separately by
+test_oracle_parity.py; these pin the semantic corners SQL parity can't
+reach: tie precedence, rank-mass conservation, plan shape)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_zeal_spark.operators import cdc, corpus, graph
+
+
+def _ts(day: int, hour: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture()
+def changes(spark):
+    rows = [
+        # key (1, 'a'): three versions, latest day 3
+        (1, "a", 10, _ts(1), 1.0),
+        (1, "a", 11, _ts(2), 2.0),
+        (1, "a", 12, _ts(3), 3.0),
+        # key (2, 'b'): same ts twice -> tiebreak on id
+        (2, "b", 20, _ts(5), 5.0),
+        (2, "b", 21, _ts(5), 6.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts timestamp, value double"
+    )
+
+
+def test_latest_snapshot_picks_latest_and_tiebreaks(changes):
+    out = cdc.latest_snapshot(
+        changes, keys=["user_id", "event_type"], order_col="ts", tiebreak="event_id"
+    )
+    got = {(r.user_id, r.event_type): (r.event_id, r.value) for r in out.collect()}
+    assert got == {(1, "a"): (12, 3.0), (2, "b"): (21, 6.0)}
+
+
+def test_merge_latest_delta_wins_exact_tie(spark):
+    """A delta row carrying the SAME (order, tiebreak) as a base row must
+    replace it — upsert semantics, enforced by the injected source bit."""
+    base = spark.createDataFrame(
+        [(1, 100, _ts(1), "old")], "k long, ver long, ts timestamp, payload string"
+    )
+    delta = spark.createDataFrame(
+        [(1, 100, _ts(1), "new")], "k long, ver long, ts timestamp, payload string"
+    )
+    out = cdc.merge_latest(base, delta, keys=["k"], order_col="ts", tiebreak="ver")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].payload == "new"
+
+
+def test_merge_latest_inserts_unmatched_keys(spark):
+    base = spark.createDataFrame([(1, _ts(1), "b1")], "k long, ts timestamp, v string")
+    delta = spark.createDataFrame([(2, _ts(2), "d2")], "k long, ts timestamp, v string")
+    out = cdc.merge_latest(base, delta, keys=["k"], order_col="ts")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "b1", 2: "d2"}
+
+
+def test_merge_latest_composes_as_new_snapshot(spark):
+    """merge(merge(base, d1), d2) == latest over base+d1+d2 — the property
+    an incremental compaction loop relies on."""
+    base = spark.createDataFrame([(1, _ts(1), 1.0)], "k long, ts timestamp, v double")
+    d1 = spark.createDataFrame([(1, _ts(2), 2.0)], "k long, ts timestamp, v double")
+    d2 = spark.createDataFrame(
+        [(1, _ts(3), 3.0), (2, _ts(1), 9.0)], "k long, ts timestamp, v double"
+    )
+    snap = cdc.merge_latest(cdc.merge_latest(base, d1, ["k"], "ts"), d2, ["k"], "ts")
+    got = {r.k: r.v for r in snap.collect()}
+    assert got == {1: 3.0, 2: 9.0}
+
+
+def test_cdc_plan_has_no_window_sort(changes):
+    """The latest-wins kernel must compile to an aggregate (max_by), never
+    a per-partition window sort — the 100 TB design point."""
+    out = cdc.latest_snapshot(changes, ["user_id"], "ts", "event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "max_by" in plan or "MaxBy" in plan or "HashAggregate" in plan
+
+
+def test_pagerank_mass_conserved_and_symmetric(spark):
+    """On a symmetric graph rank mass stays ~1 and a structurally more
+    central node outranks leaves."""
+    # star: 1 <-> 2, 1 <-> 3, 1 <-> 4 (symmetrized)
+    edges = [(1, i, 1.0) for i in (2, 3, 4)] + [(i, 1, 1.0) for i in (2, 3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    ranks = {r.node: r.rank for r in graph.pagerank(e, iterations=5).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[1] > ranks[2] == pytest.approx(ranks[3])
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """A directed cycle is rank-uniform at every iteration count."""
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)], "src long, dst long, weight double"
+    )
+    ranks = [r.rank for r in graph.pagerank(e, iterations=4).collect()]
+    assert all(r == pytest.approx(1.0 / 3.0) for r in ranks)
+
+
+def test_boilerplate_profile_flags_shared_grams(spark):
+    """A trigram shared by >= min_docs documents is boilerplate; a unique
+    tail is not; docs shorter than n yield zero grams and frac 0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "click here to subscribe now"),
+            (2, "click here to unsubscribe later"),
+            (3, "click here to win prizes"),
+            (4, "totally original content piece"),
+            (5, "xy"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_boilerplate, r.boilerplate_frac)
+        for r in corpus.boilerplate_profile(docs, n=3, min_docs=3).collect()
+    }
+    # "click here to" appears in docs 1-3 -> boilerplate; their other
+    # trigrams are unique.
+    assert out[1] == (3, 1, round(1 / 3, 6))
+    assert out[4] == (2, 0, 0.0)
+    assert out[5] == (0, 0, 0.0)
