@@ -70,6 +70,9 @@ HEADLINE = [
     "customer_spend_deciles",
     "corpus_weighted_sample",
     "sim_knn_label",
+    "events_cdc_merge",
+    "corpus_boilerplate_profile",
+    "part_pagerank",
 ]
 
 
