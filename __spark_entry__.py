@@ -622,6 +622,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_boilerplate_profile"] = lambda s, d: corpus.boilerplate_profile(
         load_table(s, d, "documents"), n=3, min_docs=3
     )
+    q["corpus_source_divergence"] = lambda s, d: corpus.source_divergence(
+        load_table(s, d, "documents")
+    )
+    q["events_value_percentiles"] = lambda s, d: events_ext.value_percentiles(
+        load_table(s, d, "events")
+    )
     return q
 
 
@@ -1999,5 +2005,34 @@ SELECT d.doc_id,
              6) AS boilerplate_frac
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
+"""
+    o["corpus_source_divergence"] = f"""
+WITH tok AS (SELECT source, unnest({_TOK}) AS token FROM documents),
+st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+marg AS (SELECT token, sum(c) AS ct FROM st GROUP BY 1),
+tot_src AS (SELECT source, sum(c) AS n_src FROM st GROUP BY 1),
+tot AS (SELECT sum(c) AS n_tot FROM st)
+SELECT st.source,
+       CAST(max(ts.n_src) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(sum((st.c / ts.n_src)
+                 * ln((st.c / ts.n_src) / (m.ct / t.n_tot))), 6)
+         AS kl_vs_corpus
+FROM st
+JOIN marg m USING (token)
+JOIN tot_src ts USING (source)
+CROSS JOIN tot t
+GROUP BY st.source
+ORDER BY st.source
+"""
+    o["events_value_percentiles"] = """
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n_values,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM events
+GROUP BY event_type
+ORDER BY event_type
 """
     return o

@@ -419,3 +419,39 @@ def boilerplate_profile(
         )
         .orderBy("doc_id")
     )
+
+
+def source_divergence(documents: DataFrame) -> DataFrame:
+    """Per-source KL divergence of the unigram token distribution against
+    the corpus-wide distribution — the mixture-tuning diagnostic: a source
+    with high KL is lexically unlike the blend (over- or under-sampling
+    it shifts the training distribution most).
+
+    Scale shape: tokens explode ONCE; everything downstream re-aggregates
+    that frame — (source, token) counts, token marginals, source totals —
+    so the corpus is scanned a single time.  The grand total attaches as
+    a broadcast 1-row frame; all shuffle keys ((source, token), token,
+    source) are uniform hash keys with map-side combine.  KL needs no
+    smoothing here by construction: every source token is in the corpus
+    marginal, so the denominator can't be zero."""
+    tok = with_min_parallelism(documents).select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    corpus_marginal = st.groupBy("token").agg(F.sum("c").alias("ct"))
+    source_totals = st.groupBy("source").agg(F.sum("c").alias("n_src"))
+    grand_total = st.agg(F.sum("c").alias("n_tot"))
+    p_src = F.col("c") / F.col("n_src")
+    p_corpus = F.col("ct") / F.col("n_tot")
+    return (
+        st.join(corpus_marginal, "token")
+        .join(source_totals, "source")
+        .crossJoin(F.broadcast(grand_total))
+        .groupBy("source")
+        .agg(
+            F.max("n_src").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.sum(p_src * F.log(p_src / p_corpus)), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )

@@ -344,3 +344,23 @@ def type_transitions(events: DataFrame) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated quartiles of ``value`` per event type (the
+    latency/size-distribution readout every ops dashboard wants next to
+    the mean).  ``percentile`` is Spark's exact kernel — a per-group sort
+    of the VALUES ONLY (nulls skipped), fine wherever a group's values fit
+    an executor; beyond that the GK-sketch variant
+    (``etl.price_quantiles_sketch``) is the documented scale path with the
+    same output contract."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n_values"),
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        )
+        .orderBy("event_type")
+    )

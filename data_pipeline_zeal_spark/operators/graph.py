@@ -53,16 +53,18 @@ def pagerank(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.cast("double").alias("w")
     )
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # Transition probability src -> dst; reused (and at scale: persisted
-    # or pre-bucketed) across all iterations.
+    # Transition probability src -> dst.  Materialized ONCE
+    # (localCheckpoint truncates the upstream lineage — often an
+    # expensive pair-generation join) and reused by every iteration;
+    # without this each superstep would re-run the whole edge pipeline.
     trans = e.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        trans.select(F.col("src").alias("node"))
+        .unionByName(trans.select(F.col("dst").alias("node")))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     n = nodes.count()  # one scalar; node count, not data volume
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
