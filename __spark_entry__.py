@@ -628,6 +628,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_value_percentiles"] = lambda s, d: events_ext.value_percentiles(
         load_table(s, d, "events")
     )
+
+    def _scd2(s: SparkSession, d: str) -> DataFrame:
+        hist = cdc.scd2_intervals(
+            load_table(s, d, "events"),
+            keys=["user_id", "event_type"],
+            order_col="ts",
+            tiebreak="event_id",
+        )
+        return hist.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "valid_from",
+            "valid_to",
+            "is_current",
+            F.round("value", 3).alias("value"),
+        ).orderBy("user_id", "event_type", "valid_from", "event_id")
+
+    q["events_scd2_history"] = _scd2
     return q
 
 
@@ -2034,5 +2053,15 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 ORDER BY event_type
+"""
+    o["events_scd2_history"] = """
+SELECT user_id, event_type, event_id,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current,
+       round(value, 3) AS value
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+ORDER BY user_id, event_type, valid_from, event_id
 """
     return o

@@ -93,3 +93,34 @@ def merge_latest(
     )
     payload = [c for c in cols if c not in keys]
     return _pick_latest(unioned, keys, order_col, tiebreak, payload, src_col=_SRC)
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: each change row becomes
+    a validity interval ``[valid_from, valid_to)``, with ``valid_to`` NULL
+    on the current row — the warehouse-standard temporal shape downstream
+    point-in-time joins (``operators/asof.py``) consume.
+
+    This one IS a window op (``lead`` over the per-key version order):
+    unlike the latest-wins kernels above, every version must see its
+    successor, so a per-key sort is inherent to the semantics — one hash
+    exchange on the key, in-partition sort, no driver involvement.  Key
+    cardinality bounds partition skew exactly as in the sessionize
+    operator."""
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return changes.select(
+        *changes.columns,
+        F.col(order_col).alias("valid_from"),
+        F.lead(order_col).over(w).alias("valid_to"),
+        F.lead(order_col).over(w).isNull().alias("is_current"),
+    )

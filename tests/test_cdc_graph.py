@@ -127,3 +127,18 @@ def test_boilerplate_profile_flags_shared_grams(spark):
     assert out[1] == (3, 1, round(1 / 3, 6))
     assert out[4] == (2, 0, 0.0)
     assert out[5] == (0, 0, 0.0)
+
+
+def test_scd2_intervals_chain_and_current_flag(changes):
+    hist = cdc.scd2_intervals(
+        changes, keys=["user_id", "event_type"], order_col="ts", tiebreak="event_id"
+    )
+    rows = sorted(
+        hist.filter(F.col("user_id") == 1).collect(), key=lambda r: r.valid_from
+    )
+    # intervals chain: each valid_to == next valid_from; only last is open
+    assert [r.event_id for r in rows] == [10, 11, 12]
+    assert rows[0].valid_to == rows[1].valid_from
+    assert rows[1].valid_to == rows[2].valid_from
+    assert [r.is_current for r in rows] == [False, False, True]
+    assert rows[2].valid_to is None

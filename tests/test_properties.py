@@ -163,3 +163,47 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert len(exact) > 0
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-wins merge vs a brute-force Python model
+# ---------------------------------------------------------------------------
+
+CHANGE = st.tuples(
+    st.integers(min_value=0, max_value=4),            # key
+    st.integers(min_value=0, max_value=3),            # version (collides!)
+    st.integers(min_value=0, max_value=99),           # payload
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    base=st.lists(CHANGE, max_size=12),
+    delta=st.lists(CHANGE, max_size=12),
+)
+def test_merge_latest_matches_model(spark, base, delta):
+    """merge_latest == per-key max over (version, src, seq) with delta
+    beating base on version ties — for arbitrary overlapping change sets."""
+    from data_pipeline_zeal_spark.operators.cdc import merge_latest
+
+    schema = "k long, ver long, payload long, seq long"
+    base_rows = [(k, v, p, i) for i, (k, v, p) in enumerate(base)]
+    delta_rows = [(k, v, p, i) for i, (k, v, p) in enumerate(delta)]
+    bdf = spark.createDataFrame(base_rows, schema) if base_rows else \
+        spark.createDataFrame([], schema)
+    ddf = spark.createDataFrame(delta_rows, schema) if delta_rows else \
+        spark.createDataFrame([], schema)
+
+    got = {
+        r.k: (r.ver, r.payload, r.seq)
+        for r in merge_latest(bdf, ddf, keys=["k"], order_col="ver", tiebreak="seq").collect()
+    }
+
+    model: dict[int, tuple] = {}
+    for src, rows in ((0, base_rows), (1, delta_rows)):
+        for k, v, p, i in rows:
+            cand = (v, src, i, p)
+            if k not in model or cand > model[k]:
+                model[k] = cand
+    want = {k: (v, p, i) for k, (v, src, i, p) in model.items()}
+    assert got == want
