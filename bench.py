@@ -73,6 +73,9 @@ HEADLINE = [
     "events_cdc_merge",
     "corpus_boilerplate_profile",
     "part_pagerank",
+    "corpus_source_divergence",
+    "events_value_percentiles",
+    "events_scd2_history",
 ]
 
 

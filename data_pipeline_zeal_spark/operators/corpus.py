@@ -437,7 +437,14 @@ def source_divergence(documents: DataFrame) -> DataFrame:
     tok = with_min_parallelism(documents).select(
         "source", F.explode(tokens("text")).alias("token")
     )
-    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    # Materialized: three downstream aggregates consume this frame, and it
+    # is (sources x vocabulary)-sized — orders smaller than the corpus —
+    # so one checkpoint beats three full re-tokenizations of every shard.
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     corpus_marginal = st.groupBy("token").agg(F.sum("c").alias("ct"))
     source_totals = st.groupBy("source").agg(F.sum("c").alias("n_src"))
     grand_total = st.agg(F.sum("c").alias("n_tot"))
