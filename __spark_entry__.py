@@ -575,6 +575,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_pcm_energy"] = lambda s, d: multimodal.pcm_frame_energy(
         multimodal.synth_pcm_audio(s, 64)
     )
+    # perceptual hashes over the deterministic synthetic media table
+    # (binary kernel -> rows-only; locality + banded pair recovery are
+    # pinned in tests/test_multimodal.py)
+    q["multimodal_image_phash"] = lambda s, d: multimodal.image_phash(
+        multimodal.synth_media(s, 64)
+    ).orderBy("media_id")
 
     # --- [EXT] CDC merge, graph rank, cross-doc boilerplate ---
     from data_pipeline_zeal_spark.operators import cdc, graph

@@ -419,3 +419,99 @@ def pcm_frame_energy(media: DataFrame, frame_ms: int = 25) -> DataFrame:
         "media_id", "payload", "meta"
     )
     return audio.mapInPandas(kernel, PCM_FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def _fake_gray64(payload: bytes):
+    """STUB downscale — deterministic fake standing in for a real image
+    pipeline (real implementation: ``PIL.Image.open(...).convert('L')
+    .resize((8, 8))``).  Cycles the payload bytes onto the 8x8 grid, so
+    payloads differing in a few bytes yield grids differing in a few
+    cells — preserving the locality a perceptual hash needs."""
+    import numpy as np
+
+    if not payload:
+        raise NotImplementedError("empty payload; real decoder not available")
+    b = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(-64 // len(b))
+    return np.tile(b, reps)[:64].astype(np.float64)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash per image: 8x8 grayscale, threshold at the
+    grid mean, pack the 64 sign bits into one long.  The image analogue of
+    :func:`dedup.simhash` — near-identical images (recompressions, small
+    edits) land within a few bits of each other.  Arrow-batched
+    ``mapInPandas``; only (media_id, payload) crosses the boundary."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                g = _fake_gray64(p)
+                bits = g > g.mean()
+                h = 0
+                for i in range(64):
+                    if bits[i]:
+                        h |= 1 << i
+                if h >= 1 << 63:  # wrap into signed long
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": pd.array(hashes, dtype="int64")}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Image near-duplicate pairs by banded Hamming join over perceptual
+    hashes: split the 64-bit hash into ``bands`` equal bands and join on
+    band equality — the pigeonhole guarantee that any pair within
+    ``bands - 1`` bits shares at least one exact band (same discipline as
+    the MinHash banding: candidates via equality join, never an all-pairs
+    scan), then verify with ``bit_count(xor)``.  Everything after the
+    hash computation is JVM codegen."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("phash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ]
+    )
+    banded = hashes.select(
+        "media_id", "phash", F.posexplode(band_vals).alias("band", "bval")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("media_a", "media_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("media_a", "media_b")
+    )

@@ -108,3 +108,32 @@ def test_pcm_energy_ignores_non_audio(spark):
     mixed = mm.synth_media(spark, 4).unionByName(mm.synth_pcm_audio(spark, 4))
     out = mm.pcm_frame_energy(mixed)
     assert out.select("media_id").distinct().count() == 4
+
+
+def test_image_phash_locality_and_banded_pairs(spark):
+    """Near-identical payloads (one byte changed) must land within a few
+    hash bits and be found by the banded Hamming join; unrelated payloads
+    must not pair.  Also checks the pigeonhole contract: hamming <=
+    bands-1 implies a shared band, so no true pair is missed."""
+    from data_pipeline_zeal_spark.operators.multimodal import (
+        image_phash,
+        phash_near_dup_pairs,
+    )
+
+    # bimodal payload: every cell far from the mean, so a one-cell edit
+    # flips exactly that cell's bit (values near the threshold would make
+    # the hash legitimately unstable — that's real phash behavior too)
+    base = bytes([10] * 32 + [200] * 32)
+    edited = bytes([200]) + base[1:]          # one-cell edit
+    other = bytes((i * 37 + 11) % 256 for i in range(64))
+    media = spark.createDataFrame(
+        [(0, base), (1, edited), (2, other)], "media_id long, payload binary"
+    )
+    hashes = image_phash(media)
+    h = {r.media_id: r.phash for r in hashes.collect()}
+    ham = bin((h[0] ^ h[1]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 3  # one grid cell flipped -> few bits
+
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3).collect()
+    assert [(p.media_a, p.media_b) for p in pairs] == [(0, 1)]
+    assert pairs[0].hamming == ham
