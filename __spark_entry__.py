@@ -653,6 +653,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("user_id", "event_type", "valid_from", "event_id")
 
     q["events_scd2_history"] = _scd2
+
+    def _dq_audit(s: SparkSession, d: str) -> DataFrame:
+        from data_pipeline_zeal_spark.operators import quality as dq
+
+        ev = load_table(s, d, "events")
+        orders = load_table(s, d, "orders")
+        return dq.audit(
+            [
+                dq.unique_key(ev, ["event_id"]),
+                dq.not_null(ev, "value"),
+                dq.in_range(ev, "value", 0.0, 100.0),
+                dq.accepted_values(
+                    ev, "event_type",
+                    ["click", "error", "purchase", "signup", "view"],
+                ),
+                dq.foreign_key(
+                    orders, "o_custkey", load_table(s, d, "customer"), "c_custkey"
+                ),
+                dq.foreign_key(
+                    load_table(s, d, "lineitem"), "l_orderkey", orders, "o_orderkey"
+                ),
+            ]
+        )
+
+    q["dq_audit"] = _dq_audit
     return q
 
 
@@ -2069,5 +2094,37 @@ SELECT user_id, event_type, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 ORDER BY user_id, event_type, valid_from, event_id
+"""
+    o["dq_audit"] = """
+WITH checks AS (
+  SELECT 'unique:event_id' AS check,
+         count(*) AS n_checked,
+         count(*) - count(DISTINCT event_id) AS n_violations
+  FROM events
+  UNION ALL
+  SELECT 'not_null:value', count(*), count(*) - count(value) FROM events
+  UNION ALL
+  SELECT 'range:value', count(*),
+         count(*) FILTER (WHERE value < 0.0 OR value > 100.0) FROM events
+  UNION ALL
+  SELECT 'accepted:event_type', count(*),
+         count(*) FILTER (WHERE event_type IS NOT NULL AND event_type NOT IN
+                          ('click', 'error', 'purchase', 'signup', 'view'))
+  FROM events
+  UNION ALL
+  SELECT 'fk:o_custkey->c_custkey', count(*),
+         count(*) FILTER (WHERE o_custkey IS NOT NULL AND NOT EXISTS
+                          (SELECT 1 FROM customer c WHERE c.c_custkey = o_custkey))
+  FROM orders
+  UNION ALL
+  SELECT 'fk:l_orderkey->o_orderkey', count(*),
+         count(*) FILTER (WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+                          (SELECT 1 FROM orders o WHERE o.o_orderkey = l_orderkey))
+  FROM lineitem
+)
+SELECT "check", CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM checks ORDER BY "check"
 """
     return o

@@ -1,1 +1,1 @@
-from . import textfn, vector  # noqa: F401
+from . import skew, textfn, vector, zorder  # noqa: F401

@@ -1,1 +1,1 @@
-from . import pipeline  # noqa: F401
+from . import cdc, funnel, observability, pipeline  # noqa: F401
