@@ -76,6 +76,7 @@ HEADLINE = [
     "corpus_source_divergence",
     "events_value_percentiles",
     "events_scd2_history",
+    "dq_audit",
 ]
 
 

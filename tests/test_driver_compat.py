@@ -38,3 +38,20 @@ def test_oracle_backed_output_is_scalar_only(spark, name):
         "crashes on list/dict cells — serialize them (concat_ws/to_json) or "
         "explode to scalar rows in BOTH engines"
     )
+
+
+_ROWS_ONLY = sorted(set(_QUERIES) - set(_ORACLES))
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_queries_execute_with_stable_schema(spark, name):
+    """The 13 rows-only queries have no oracle, so the driver only smoke-
+    runs them — rehearse that here: they must execute on the fixture dir,
+    return a deterministic row count across two runs, and keep a non-empty
+    schema."""
+    df1 = _QUERIES[name](spark, SF_SMALL)
+    df2 = _QUERIES[name](spark, SF_SMALL)
+    assert len(df1.columns) > 0
+    n1, n2 = df1.count(), df2.count()
+    assert n1 == n2
+    assert df1.schema == df2.schema
