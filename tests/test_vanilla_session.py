@@ -23,17 +23,30 @@ SF_SMALL = "/root/testdata/sf0.001"
 def test_load_table_self_heals_read_confs(spark):
     before_tz = spark.conf.get("spark.sql.session.timeZone")
     try:
-        # Simulate the driver's vanilla session: conf absent/false + non-UTC tz.
+        # Simulate the driver's vanilla session: conf absent/false + non-UTC
+        # tz + NTZ inference on (Spark 4 default — the round-3 regression:
+        # micros-precision naive parquet loaded as TIMESTAMP_NTZ, which
+        # rejects epoch arithmetic everywhere).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
 
         df = load_table(spark, SF_SMALL, "events")
-        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        # must be the tz-aware type, NOT TimestampNTZType (they are
+        # distinct classes; NTZ would fail every cast-to-epoch expression)
+        assert type(df.schema["ts"].dataType) is T.TimestampType
         assert df.count() > 0
+        # and epoch arithmetic must actually work on the loaded column
+        assert df.selectExpr("cast(ts as double) d").first().d > 0
         assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        assert (
+            spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+            == "false"
+        )
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         spark.conf.set("spark.sql.session.timeZone", before_tz)
 
 
