@@ -678,6 +678,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dq_audit"] = _dq_audit
+
+    def _asof_tolerance(s: SparkSession, d: str) -> DataFrame:
+        ev = load_table(s, d, "events")
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "event_id", "ts", "user_id"
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id", F.col("ts").alias("click_ts"))
+            .agg(F.max("event_id").alias("last_click_id"))
+        )
+        joined = asof.asof_join(
+            errors,
+            clicks,
+            on="user_id",
+            left_ts="ts",
+            right_ts="click_ts",
+            right_values=["last_click_id"],
+            tolerance="30 minutes",
+        )
+        return joined.select("event_id", "user_id", "last_click_id").orderBy(
+            "event_id"
+        )
+
+    q["asof_error_last_click_30m"] = _asof_tolerance
     return q
 
 
@@ -2126,5 +2151,16 @@ SELECT "check", CAST(n_checked AS BIGINT) AS n_checked,
        CAST(n_violations AS BIGINT) AS n_violations,
        n_violations = 0 AS passed
 FROM checks ORDER BY "check"
+"""
+    o["asof_error_last_click_30m"] = """
+SELECT e.event_id, e.user_id,
+       CASE WHEN r.click_ts >= e.ts - INTERVAL 30 MINUTE
+            THEN r.last_click_id END AS last_click_id
+FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (
+  SELECT user_id, ts AS click_ts, max(event_id) AS last_click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) r ON e.user_id = r.user_id AND e.ts >= r.click_ts
+ORDER BY e.event_id
 """
     return o

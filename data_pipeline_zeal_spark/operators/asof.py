@@ -25,9 +25,16 @@ def asof_join(
     right_ts: str,
     right_values: list[str],
     strict: bool = False,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Point-in-time join: for each left row, the latest right row with
     ``right_ts <= left_ts`` (``<`` when ``strict``) and the same ``on`` key.
+
+    ``tolerance`` (a SQL interval string, e.g. ``'30 days'``) bounds the
+    match's staleness like pandas/polars ``merge_asof``: a prior right row
+    older than ``left_ts - tolerance`` yields NULLs instead — computed at
+    the final projection from the matched row's own timestamp, so it adds
+    zero shuffles.
 
     Right rows must be unique per (key, ts) — pre-aggregate ties upstream,
     because "the" most recent row is otherwise ill-defined.  Returns all
@@ -76,14 +83,21 @@ def asof_join(
     # row, even when a right row legitimately carries NULL in one of its
     # value columns — per-column fills would silently mix rows there.
     right_struct = F.when(
-        F.col("__src") == 0, F.struct(*[F.col(c) for c in right_values])
+        F.col("__src") == 0,
+        F.struct(*[F.col(c) for c in right_values], F.col("__t").alias("__rt")),
     )
     filled = u.select(
         "*", F.last(right_struct, ignorenulls=True).over(w).alias("__f")
     )
+    if tolerance is None:
+        valid = F.lit(True)
+    else:
+        valid = F.col("__f")["__rt"] >= (
+            F.col(f"__l_{left_ts}") - F.expr(f"INTERVAL {tolerance}")
+        )
     return filled.filter(F.col("__src") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[F.col("__f")[c].alias(c) for c in right_values],
+        *[F.when(valid, F.col("__f")[c]).alias(c) for c in right_values],
     )
 
 

@@ -65,3 +65,25 @@ def test_asof_strict(spark):
     }
     assert out[(1, "a")] is None  # same-instant right row NOT visible
     assert out[(1, "b")] == 110.0
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """A matched right row older than left_ts - tolerance yields NULL,
+    a fresh one passes through, and unmatched keys stay NULL."""
+    left, right = _frames(spark)
+    out = {
+        (r.k, r.tag): r.px
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_ts="ts",
+            right_ts="rts",
+            right_values=["px"],
+            tolerance="45 minutes",
+        ).collect()
+    }
+    assert out[(1, "a")] == 100.0   # same instant: staleness 0
+    assert out[(1, "b")] is None    # 11:00 match is 60 min stale > 45
+    assert out[(2, "c")] == 210.0   # 09:30 match is 30 min fresh
+    assert out[(3, "d")] is None    # no right rows at all
