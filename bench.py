@@ -77,6 +77,9 @@ HEADLINE = [
     "events_value_percentiles",
     "events_scd2_history",
     "dq_audit",
+    "events_scd2_pit_join",
+    "orders_snapshot_diff",
+    "dedup_incremental_survivors",
 ]
 
 

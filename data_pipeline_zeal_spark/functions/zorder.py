@@ -44,7 +44,12 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     ).first()
     key = F.lit(0).cast("long")
     for i, c in enumerate(cols):
-        g = _grid(F.col(c), stats[f"lo_{i}"], stats[f"hi_{i}"], bits)
+        # all-NULL column or empty frame: min/max come back None — treat as
+        # a constant column (every row in cell 0) instead of comparing
+        # None to float in _grid
+        lo = stats[f"lo_{i}"] if stats[f"lo_{i}"] is not None else 0.0
+        hi = stats[f"hi_{i}"] if stats[f"hi_{i}"] is not None else 0.0
+        g = _grid(F.col(c), lo, hi, bits)
         # spread bit b of dim i to position b * ndims + i
         for b in range(bits):
             key = key.bitwiseOR(

@@ -124,3 +124,90 @@ def scd2_intervals(
         F.lead(order_col).over(w).alias("valid_to"),
         F.lead(order_col).over(w).isNull().alias("is_current"),
     )
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    keys: list[str],
+    fact_ts: str,
+    dim_values: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: attach to each fact row the dimension version
+    that was valid AT the fact's timestamp — the consumer of
+    :func:`scd2_intervals` output (``valid_from`` inclusive, ``valid_to``
+    exclusive, NULL = still current).  The warehouse-standard "join facts
+    to the dimension as it was" primitive.
+
+    Plan shape for 100 TB: an EQUALITY hash join on ``keys`` (never a
+    range/theta join — the interval predicates ride along as join-level
+    filters evaluated per matched pair), so shuffle volume is facts +
+    history, and per-key fan-out is bounded by that key's version count
+    (SCD2 histories are shallow: versions per key << facts per key).
+    Facts matching no valid version (before the key's first version, or
+    unknown key) keep NULL dimension columns under ``how="left"``.
+    """
+    f = facts.alias("f")
+    d = dim_history.alias("d")
+    cond = None
+    for k in keys:
+        c = F.col(f"f.{k}") == F.col(f"d.{k}")
+        cond = c if cond is None else (cond & c)
+    ts = F.col(f"f.{fact_ts}")
+    cond = (
+        cond
+        & (ts >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (ts < F.col("d.valid_to")))
+    )
+    return f.join(d, cond, how).select(
+        "f.*",
+        *[F.col(f"d.{v}").alias(v) for v in dim_values],
+    )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff: classify every key as ``insert`` (new only),
+    ``delete`` (old only), ``update`` (both, payload differs) or drop it
+    (both, payload identical) — the regression gate between two versions
+    of a 100 TB table, and the generator of a minimal change feed.
+
+    One full-outer hash join on the key; payload equality is a
+    null-safe struct comparison evaluated in codegen (no row
+    materialization, no Python).  Output carries old/new payload structs
+    so downstream can render either side; its size is bounded by the
+    CHANGED keys, not the table.
+    """
+    payload = payload or [c for c in new.columns if c not in keys]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = None
+    for k in keys:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else (cond & c)
+    o_struct = F.struct(*[F.col(f"o.{c}").alias(c) for c in payload])
+    n_struct = F.struct(*[F.col(f"n.{c}").alias(c) for c in payload])
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    return (
+        o.join(n, cond, "full_outer")
+        .withColumn(
+            "change",
+            F.when(~in_old, F.lit("insert"))
+            .when(~in_new, F.lit("delete"))
+            .when(~o_struct.eqNullSafe(n_struct), F.lit("update"))
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys],
+            "change",
+            o_struct.alias("old_values"),
+            n_struct.alias("new_values"),
+        )
+    )

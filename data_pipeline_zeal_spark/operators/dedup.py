@@ -472,3 +472,99 @@ def levenshtein_pairs(
         .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_dist))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental (cross-batch) near-dedup: keep only the rows of
+    ``new_docs`` whose text does NOT near-duplicate anything already in
+    ``corpus`` — the admission filter a continuously-ingesting training
+    corpus runs on every new crawl batch, without ever re-deduping the
+    (much larger) existing corpus against itself.
+
+    Same MinHash/LSH shape as :func:`minhash_lsh_pairs`, but the bucket
+    join is NEW x CORPUS instead of a self-join: signatures are computed
+    per side, candidates meet on (band, bucket), exact shingle Jaccard
+    verifies, and a LEFT ANTI join drops the matched new docs.  Shuffles
+    are keyed by band hash (uniform) and doc_id; the corpus side is
+    banded once per batch — at 100 TB the banded corpus frame is exactly
+    what a production pipeline would persist as its "dedup index" table
+    between batches.
+    """
+    def _sig(docs: DataFrame) -> DataFrame:
+        exploded = with_min_parallelism(docs).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(tokens("text"), shingle_n))
+            ).alias("s"),
+        )
+        return exploded.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+            F.collect_set("s").alias("sh"),
+        )
+
+    r = num_hashes // bands
+
+    def _banded(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.col(f"h{b * r + j}") for j in range(r)]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+    new_sig = _sig(new_docs)
+    corp_sig = _sig(corpus)
+    cand = (
+        _banded(new_sig)
+        .alias("l")
+        .join(
+            _banded(corp_sig).alias("rr"),
+            (F.col("l.band") == F.col("rr.band"))
+            & (F.col("l.bucket") == F.col("rr.bucket")),
+        )
+        .select(
+            F.col("l.doc_id").alias("new_id"), F.col("rr.doc_id").alias("old_id")
+        )
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    verified = (
+        cand.join(
+            new_sig.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")),
+            "new_id",
+        )
+        .join(
+            corp_sig.select(
+                F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_o")
+            ),
+            "old_id",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_o"))
+    union = F.size("sh_n") + F.size("sh_o") - inter
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    dupes = (
+        verified.filter(jac >= threshold).select("new_id").distinct()
+    )
+    return new_docs.join(
+        dupes.withColumnRenamed("new_id", "doc_id"), "doc_id", "left_anti"
+    )

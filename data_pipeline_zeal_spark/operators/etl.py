@@ -467,15 +467,33 @@ def large_volume_customers(
     )
 
 
-def rfm_segments(orders: DataFrame, anchor: str = "2001-01-01") -> DataFrame:
+def rfm_segments(
+    orders: DataFrame,
+    anchor: str = "2001-01-01",
+    method: str = "auto",
+    exact_max_rows: int = 10_000_000,
+) -> DataFrame:
     """RFM customer segmentation: recency (days from a FIXED anchor date —
     a runtime ``max(date)`` would make results nondeterministic), frequency
     (order count) and monetary (total spend), each cut into quartiles.
 
-    One customer-keyed aggregation, then three ``ntile`` windows.  The
-    ntiles are global-sort windows — fine for the per-customer aggregate
-    (rows = #customers << #orders); at extreme customer counts the standard
-    swap is ``approx_percentile`` threshold joins, same output contract."""
+    One customer-keyed aggregation, then quartile assignment:
+
+    * ``method="exact"`` — three global ``ntile(4)`` windows with custkey
+      tie-breaks: exact equal-count quartiles, but every (custkey, aggs)
+      row funnels through ONE reducer for the sort.  The oracle anchor;
+      only sane while #customers fits a single task.
+    * ``method="approx"`` — the 100 TB path: one extra aggregate computes
+      the 25/50/75 ``percentile_approx`` cut points for all three metrics,
+      broadcast back (1 row) and applied as range predicates — map-only
+      bucket assignment, no global sort, no single-partition exchange.
+      Contract difference vs exact: ties sharing a metric value land in
+      the same quartile (value-based, not equal-count), so bucket sizes
+      are approximately — not exactly — n/4.
+    * ``method="auto"`` — exact below ``exact_max_rows`` customers (one
+      count() job), else approx — same flip as
+      :func:`~..dedup.duplicate_clusters`.
+    """
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
@@ -489,11 +507,13 @@ def rfm_segments(orders: DataFrame, anchor: str = "2001-01-01") -> DataFrame:
         "frequency",
         "monetary",
     )
-    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    return (
-        per_cust.select(
+    if method == "auto":
+        method = "exact" if per_cust.count() <= exact_max_rows else "approx"
+    if method == "exact":
+        r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+        f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+        m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+        scored = per_cust.select(
             "o_custkey",
             "recency_days",
             "frequency",
@@ -502,14 +522,49 @@ def rfm_segments(orders: DataFrame, anchor: str = "2001-01-01") -> DataFrame:
             F.ntile(4).over(f_w).alias("f_quartile"),
             F.ntile(4).over(m_w).alias("m_quartile"),
         )
-        .withColumn(
-            "rfm",
-            F.concat_ws(
-                "", F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")
-            ),
+    elif method == "approx":
+        # Cut points: recency quartile 1 = LOWEST recency_days (most recent),
+        # frequency/monetary quartile 1 = HIGHEST value.  bucket(x) =
+        # 1 + #{cut points the row falls past}, computed against a
+        # broadcast 1-row frame of three 3-element arrays.
+        cuts = per_cust.agg(
+            F.percentile_approx(
+                "recency_days", [0.25, 0.50, 0.75], 10_000
+            ).alias("r_cuts"),
+            F.percentile_approx(
+                "frequency", [0.75, 0.50, 0.25], 10_000
+            ).alias("f_cuts"),
+            F.percentile_approx(
+                "monetary", [0.75, 0.50, 0.25], 10_000
+            ).alias("m_cuts"),
         )
-        .orderBy("o_custkey")
-    )
+        n_past = lambda arr, cmp: F.size(F.filter(arr, cmp))  # noqa: E731
+        scored = per_cust.crossJoin(F.broadcast(cuts)).select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            (
+                F.lit(1)
+                + n_past(F.col("r_cuts"), lambda c: F.col("recency_days") > c)
+            ).alias("r_quartile"),
+            (
+                F.lit(1)
+                + n_past(F.col("f_cuts"), lambda c: F.col("frequency") < c)
+            ).alias("f_quartile"),
+            (
+                F.lit(1)
+                + n_past(F.col("m_cuts"), lambda c: F.col("monetary") < c)
+            ).alias("m_quartile"),
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    return scored.withColumn(
+        "rfm",
+        F.concat_ws(
+            "", F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")
+        ),
+    ).orderBy("o_custkey")
 
 
 def part_basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
@@ -543,18 +598,27 @@ def part_basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
     )
 
 
-def customer_spend_deciles(customer: DataFrame, orders: DataFrame) -> DataFrame:
+def customer_spend_deciles(
+    customer: DataFrame,
+    orders: DataFrame,
+    method: str = "auto",
+    exact_max_rows: int = 10_000_000,
+) -> DataFrame:
     """Customer lifetime-spend deciles: total o_totalprice per customer
-    (0 for the orderless), NTILE(10) by descending spend, then per-decile
+    (0 for the orderless), decile by descending spend, then per-decile
     size and spend boundaries — the segmentation table behind "top-10%
     customers" dashboards.
 
-    The ntile window is GLOBAL (unpartitioned) — the exact-rank
-    correctness kernel, fine up to ~10^8 customers where the sort of the
-    pre-aggregated (custkey, spend) frame is the only big operation.  At
-    larger scale the same decile boundaries come from approx quantiles
-    (see ``price_quantiles_sketch``) joined back as range predicates;
-    output contract is identical."""
+    * ``method="exact"`` — global NTILE(10) window (custkey tie-break):
+      exact equal-count deciles, single-reducer sort of the (custkey,
+      spend) frame.  The oracle anchor.
+    * ``method="approx"`` — the 100 TB path: ``percentile_approx`` spend
+      cut points at 90..10%, broadcast back (1 row) as range predicates —
+      map-side decile assignment, no single-partition exchange.  Ties on
+      spend land in one decile, so bucket sizes are ~n/10, not exactly.
+    * ``method="auto"`` — exact below ``exact_max_rows`` customers (one
+      count() job), else approx.
+    """
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
     )
@@ -565,10 +629,30 @@ def customer_spend_deciles(customer: DataFrame, orders: DataFrame) -> DataFrame:
             "c_custkey", F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend")
         )
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("c_custkey"))
+    if method == "auto":
+        method = "exact" if per_cust.count() <= exact_max_rows else "approx"
+    if method == "exact":
+        w = Window.orderBy(F.desc("spend"), F.asc("c_custkey"))
+        deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    elif method == "approx":
+        # cuts = [p90, p80, ..., p10]; decile(x) = 1 + #{cut : x < cut}
+        cuts = per_cust.agg(
+            F.percentile_approx(
+                "spend", [round(0.9 - 0.1 * i, 1) for i in range(9)], 10_000
+            ).alias("cuts")
+        )
+        deciled = per_cust.crossJoin(F.broadcast(cuts)).select(
+            "c_custkey",
+            "spend",
+            (
+                F.lit(1)
+                + F.size(F.filter(F.col("cuts"), lambda c: F.col("spend") < c))
+            ).alias("decile"),
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
     return (
-        per_cust.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+        deciled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.sum("spend"), 2).alias("total_spend"),

@@ -66,6 +66,8 @@ def pagerank(
         .distinct()
     ).localCheckpoint(eager=True)
     n = nodes.count()  # one scalar; node count, not data volume
+    if n == 0:  # empty edge frame: no nodes, no ranks — avoid 1/0 below
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):

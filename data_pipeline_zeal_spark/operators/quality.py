@@ -36,11 +36,19 @@ def _result(name: str, checked: Column, violations: Column) -> list[Column]:
 
 
 def unique_key(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
-    """Violations = rows beyond the first per key (0 iff ``cols`` is a key)."""
+    """Violations = ``count(*) - count(DISTINCT cols)`` — rows beyond the
+    first per key, where a row with ANY NULL key column always counts as a
+    violation (SQL ``COUNT(DISTINCT ...)`` skips NULL tuples; NULL never
+    equals NULL, so a NULL key can't witness uniqueness).  Matches the
+    dq_audit DuckDB oracle's formulation exactly.  Empty frame: 0 checked,
+    0 violations, passed."""
     name = name or f"unique:{','.join(cols)}"
-    per_key = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
-    return per_key.agg(
-        *_result(name, F.sum("c"), F.sum("c") - F.count(F.lit(1)))
+    return df.agg(
+        *_result(
+            name,
+            F.count(F.lit(1)),
+            F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]),
+        )
     )
 
 
@@ -63,7 +71,8 @@ def in_range(
         *_result(
             name or f"range:{col}",
             F.count(F.lit(1)),
-            F.sum(F.when(out, 1).otherwise(0)),
+            # coalesce: SUM over an empty frame is NULL, not 0
+            F.coalesce(F.sum(F.when(out, 1).otherwise(0)), F.lit(0)),
         )
     )
 
@@ -100,7 +109,7 @@ def accepted_values(
         *_result(
             name or f"accepted:{col}",
             F.count(F.lit(1)),
-            F.sum(F.when(bad, 1).otherwise(0)),
+            F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0)),
         )
     )
 

@@ -23,6 +23,15 @@ class PlanSummary:
     sort_merge_joins: int = 0
     nested_loop_joins: int = 0  # BroadcastNestedLoopJoin + CartesianProduct
     shuffles: int = 0
+    #: global single-reducer exchanges — an unpartitioned Window (ntile over
+    #: the whole frame) or a global aggregate sink.  Benign when the input
+    #: is a handful of partial-agg rows; a scale smell when row-level data
+    #: funnels through it.
+    single_partition_exchanges: int = 0
+    #: Window operators fed by an Exchange SinglePartition — the
+    #: "WindowExec: No Partition Defined" shape where EVERY input row moves
+    #: to one task and sorts there.  The scale-killer, counted precisely.
+    global_windows: int = 0
     codegen_stages: int = 0
     has_take_ordered: bool = False
     has_partial_agg: bool = False
@@ -35,6 +44,26 @@ def explain_mode(df: DataFrame, mode: str = "formatted") -> str:
     qe = df._jdf.queryExecution()
     jmode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     return qe.explainString(jmode)
+
+
+def _count_global_windows(simple: str) -> int:
+    """Count Window operators whose input exchange is SinglePartition —
+    i.e. unpartitioned windows that sort the whole frame on one reducer.
+    In the simple tree a Window's input appears on the following lines
+    (Window / +- Sort / +- Exchange SinglePartition), so the first
+    Exchange below each Window line is the one feeding it."""
+    lines = simple.splitlines()
+    n = 0
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow\b", ln):
+            for nxt in lines[i + 1 :]:
+                if "Exchange" in nxt:
+                    if "SinglePartition" in nxt:
+                        n += 1
+                    break
+                if re.search(r"\bWindow\b", nxt):
+                    break  # a nested window owns the next exchange
+    return n
 
 
 def summarize(df: DataFrame) -> PlanSummary:
@@ -53,6 +82,8 @@ def summarize(df: DataFrame) -> PlanSummary:
         nested_loop_joins=simple.count("BroadcastNestedLoopJoin")
         + simple.count("CartesianProduct"),
         shuffles=len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", simple)),
+        single_partition_exchanges=simple.count("Exchange SinglePartition"),
+        global_windows=_count_global_windows(simple),
         codegen_stages=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", simple))),
         has_take_ordered="TakeOrderedAndProject" in simple,
         has_partial_agg="partial_" in simple,

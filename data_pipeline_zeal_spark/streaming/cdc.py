@@ -69,6 +69,12 @@ def _latest_fn(stale_timeout_ms: int | None):
                 )
                 if best is None or (cand[0], cand[1]) > (best[0], best[1]):
                     best = cand
+        # Refresh the idle clock on EVERY invocation that saw data for this
+        # key — a key receiving a steady stream of stale (out-of-order,
+        # older-than-current) events is still ACTIVE and must not be
+        # evicted just because nothing advanced its state.
+        if state.exists and stale_timeout_ms is not None:
+            state.setTimeoutDuration(stale_timeout_ms)
         if best is not None and best != cur:
             state.update(best)
             if stale_timeout_ms is not None:
@@ -96,7 +102,12 @@ def latest_state_stream(
     ``cdc.latest_snapshot(keys=[user_id, event_type], order_col=ts,
     tiebreak=event_id)``, so drain-mode output == batch output on the
     same data).  ``stale_timeout_ms`` evicts keys idle for that much
-    processing time, bounding state by recently-active keys."""
+    processing time, bounding state by recently-active keys; the idle
+    clock resets on every batch that carries ANY event for the key (even
+    out-of-order ones that don't advance its state).  Eviction is silent —
+    no tombstone row is emitted — so downstream consumers treat a key's
+    absence after the timeout as "no update", not "deleted"; re-appearance
+    of an evicted key re-emits its (then-) latest observation."""
     return events.groupBy("user_id", "event_type").applyInPandasWithState(
         _latest_fn(stale_timeout_ms),
         outputStructType=LATEST_OUTPUT_SCHEMA,

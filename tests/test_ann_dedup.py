@@ -193,3 +193,51 @@ def test_ivf_cells_partition_pruning(spark, tmp_path):
     n_pruned, n_full = pruned.count(), full.count()
     assert 0 < n_pruned < n_full
     assert n_pruned == full.filter(F.col("cell").isin([0, 1])).count()
+
+
+def test_incremental_dedup_admits_only_novel_docs(spark):
+    """Cross-batch admission filter: new docs near-duplicating the corpus
+    are dropped, novel ones survive, and the corpus itself is never
+    self-deduped.  Fixture split: even doc_ids play the existing corpus,
+    odd ones the incoming batch — the exact cross-batch Jaccard anchor
+    computes the same survivor set."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    out = dedup.incremental_dedup(batch, corpus, threshold=0.2)
+    survivors = {r.doc_id for r in out.select("doc_id").collect()}
+
+    # exact cross-batch anchor at fixture scale
+    import pandas as pd  # noqa: F401
+    from data_pipeline_zeal_spark.functions.textfn import tokens, word_shingles
+    from pyspark.sql import functions as F
+
+    sh = lambda df: df.select(  # noqa: E731
+        "doc_id", F.array_distinct(word_shingles(tokens("text"), 3)).alias("sh")
+    )
+    b, c = sh(batch).alias("b"), sh(corpus).alias("c")
+    inter = F.size(F.array_intersect("b.sh", "c.sh"))
+    union = F.size("b.sh") + F.size("c.sh") - inter
+    dup_ids = {
+        r.doc_id
+        for r in b.crossJoin(c)
+        .filter(F.when(union == 0, F.lit(0.0)).otherwise(inter / union) >= 0.2)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+        .collect()
+    }
+    expected = {
+        r.doc_id for r in batch.select("doc_id").collect()
+    } - dup_ids
+    assert survivors == expected
+    assert len(survivors) < batch.count()  # fixture does contain cross dups
+
+
+def test_incremental_dedup_plan_has_no_theta_join(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = dedup.incremental_dedup(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0")
+    )
+    simple = plans.explain_mode(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple

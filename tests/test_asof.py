@@ -85,5 +85,8 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     }
     assert out[(1, "a")] == 100.0   # same instant: staleness 0
     assert out[(1, "b")] is None    # 11:00 match is 60 min stale > 45
-    assert out[(2, "c")] == 210.0   # 09:30 match is 30 min fresh
+    # backward as-of: 09:30 is a FUTURE row and never matches (see
+    # test_asof_inclusive); the only at-or-before row (08:00) is 60 min
+    # stale > 45, so the tolerance nulls it.
+    assert out[(2, "c")] is None
     assert out[(3, "d")] is None    # no right rows at all

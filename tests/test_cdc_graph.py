@@ -142,3 +142,60 @@ def test_scd2_intervals_chain_and_current_flag(changes):
     assert rows[1].valid_to == rows[2].valid_from
     assert [r.is_current for r in rows] == [False, False, True]
     assert rows[2].valid_to is None
+
+
+def test_pagerank_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long, weight double")
+    assert graph.pagerank(edges).count() == 0
+
+
+def test_scd2_point_in_time_join(changes):
+    """Each fact attaches the dimension version valid AT its timestamp;
+    facts before the first version or on unknown keys stay NULL."""
+    hist = cdc.scd2_intervals(
+        changes, keys=["user_id", "event_type"], order_col="ts", tiebreak="event_id"
+    )
+    spark = changes.sparkSession
+    facts = spark.createDataFrame(
+        [
+            (1, "a", _ts(1, 12)),   # inside v1 [day1, day2)
+            (1, "a", _ts(2)),       # valid_from inclusive -> v2
+            (1, "a", _ts(9)),       # open current version -> v3
+            (1, "a", _ts(1) - datetime.timedelta(hours=1)),  # before first
+            (9, "z", _ts(2)),       # unknown key
+        ],
+        "user_id long, event_type string, fts timestamp",
+    )
+    out = cdc.scd2_point_in_time_join(
+        facts, hist, keys=["user_id", "event_type"], fact_ts="fts",
+        dim_values=["value", "is_current"],
+    )
+    got = {(r.user_id, r.event_type, r.fts): (r.value, r.is_current)
+           for r in out.collect()}
+    assert got[(1, "a", _ts(1, 12))] == (1.0, False)
+    assert got[(1, "a", _ts(2))] == (2.0, False)
+    assert got[(1, "a", _ts(9))] == (3.0, True)
+    assert got[(1, "a", _ts(1) - datetime.timedelta(hours=1))] == (None, None)
+    assert got[(9, "z", _ts(2))] == (None, None)
+    assert out.count() == 5  # exactly one row per fact
+
+
+def test_table_diff_classifies_and_drops_unchanged(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 9.0), (3, "c", None), (5, "e", 5.0)],
+        "k long, name string, v double",
+    )
+    out = {r.k: r.change for r in cdc.table_diff(old, new, keys=["k"]).collect()}
+    # k=1 identical -> dropped; k=3 identical including NULL payload -> dropped
+    assert out == {2: "update", 4: "delete", 5: "insert"}
+
+
+def test_table_diff_payload_structs_carry_both_sides(spark):
+    old = spark.createDataFrame([(2, 2.0)], "k long, v double")
+    new = spark.createDataFrame([(2, 9.0)], "k long, v double")
+    r = cdc.table_diff(old, new, keys=["k"]).collect()[0]
+    assert (r.old_values.v, r.new_values.v) == (2.0, 9.0)

@@ -156,3 +156,50 @@ def test_unigram_logprob_scalar_total_is_broadcast(spark):
     df = text.unigram_logprob(load_table(spark, SF_SMALL, "documents"))
     simple = plans.explain_mode(df, "simple")
     assert "BroadcastNestedLoopJoin" in simple or "BroadcastHashJoin" in simple
+
+
+def test_rfm_and_deciles_scale_mode_has_no_global_window(spark):
+    """The approx quantile path must carry NO single-partition exchange —
+    ntile's global sort is the one-reducer bottleneck the scale mode
+    exists to remove (every row of the per-customer aggregate would
+    otherwise funnel through one task).  The exact path keeps it as the
+    oracle anchor; auto flips on row count."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer")
+
+    exact = plans.summarize(etl.rfm_segments(orders, method="exact"))
+    assert exact.global_windows >= 1  # the smell, pinned
+
+    approx = plans.summarize(etl.rfm_segments(orders, method="approx"))
+    assert approx.global_windows == 0
+
+    approx_d = plans.summarize(
+        etl.customer_spend_deciles(customer, orders, method="approx")
+    )
+    assert approx_d.global_windows == 0
+
+
+def test_rfm_and_deciles_approx_matches_exact_shape(spark):
+    """Approx and exact modes must agree on schema and bucket domain —
+    same output contract, different physical strategy."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer")
+
+    exact = etl.rfm_segments(orders, method="exact")
+    approx = etl.rfm_segments(orders, method="approx")
+    assert exact.columns == approx.columns
+    rows = approx.collect()
+    assert rows and all(
+        1 <= r.r_quartile <= 4 and 1 <= r.f_quartile <= 4 and 1 <= r.m_quartile <= 4
+        for r in rows
+    )
+
+    exact_d = etl.customer_spend_deciles(customer, orders, method="exact")
+    approx_d = etl.customer_spend_deciles(customer, orders, method="approx")
+    assert exact_d.columns == approx_d.columns
+    drows = approx_d.collect()
+    assert drows and {r.decile for r in drows} <= set(range(1, 11))
+    # every customer lands in exactly one decile in both modes
+    assert sum(r.n_customers for r in drows) == sum(
+        r.n_customers for r in exact_d.collect()
+    )

@@ -52,3 +52,29 @@ def test_fk_ignores_null_child_keys(spark):
     parent = spark.createDataFrame([(1,)], "pk long")
     r = dq.foreign_key(child, "k", parent, "pk").collect()[0]
     assert (r.n_checked, r.n_violations) == (2, 0)
+
+
+def test_empty_frame_all_checks_pass(spark):
+    """Zero rows = zero violations = passed (not NULL): SUM over an empty
+    frame is NULL and must be coalesced."""
+    df = spark.createDataFrame([], "k long, v double, cat string")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    out = dq.audit(
+        [
+            dq.unique_key(df, ["k"]),
+            dq.not_null(df, "v"),
+            dq.in_range(df, "v", 0.0, 10.0),
+            dq.accepted_values(df, "cat", ["a"]),
+            dq.foreign_key(df, "k", parent, "pk"),
+        ]
+    ).collect()
+    assert all(r.passed is True for r in out)
+    assert all((r.n_checked, r.n_violations) == (0, 0) for r in out)
+
+
+def test_unique_key_null_keys_are_violations(spark):
+    """count(*) - count(DISTINCT k) semantics: every NULL-key row is a
+    violation (matches the DuckDB oracle's formulation)."""
+    df = spark.createDataFrame([(None,), (None,), (1,), (2,)], "k long")
+    r = dq.audit([dq.unique_key(df, ["k"])]).collect()[0]
+    assert (r.n_checked, r.n_violations, r.passed) == (4, 2, False)

@@ -87,3 +87,13 @@ def test_zorder_constant_column_is_safe(spark):
     rows = keyed.collect()
     assert len({r.z for r in rows}) > 1  # x still differentiates
     assert all(r.z >= 0 for r in rows)
+
+
+def test_zorder_key_all_null_column(spark):
+    """All-NULL cluster column: min/max stats are None — must behave as a
+    constant column (cell 0), not raise at plan time."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "a long, b double"
+    )
+    out = df.withColumn("zk", zorder_key(df, ["a", "b"])).collect()
+    assert all(r.zk is not None for r in out)
