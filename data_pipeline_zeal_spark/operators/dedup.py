@@ -203,22 +203,31 @@ def minhash_lsh_pairs(
 
 def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     """SimHash fingerprints: per-token 64-bit hashes vote ±1 on each bit;
-    the sign vector packs into one long.  Implemented with explode +
-    bit-position aggregation (map-side combine keeps the shuffle at
-    #docs x 1 rows)."""
-    tok = with_min_parallelism(documents).select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    # per-bit ONE counts (plain sum of the extracted bit — cheaper than a
-    # conditional +/-1 vote); majority test is 2*ones > n.
-    votes = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *votes)
+    the sign vector packs into one long.  Implemented as a PURE PROJECTION:
+    the distinct-token hashes stay an array column and each bit's ONE
+    count is a codegen ``size(filter(...))`` over it — no explode, no
+    groupBy, ZERO shuffle (the earlier formulation exploded to a token
+    stream and aggregated 64 sums back; map-only is the right shape for an
+    embarrassingly-parallel fingerprint at any scale).  Docs with no
+    tokens are dropped, matching the explode semantics."""
+    hs = F.transform(F.array_distinct(tokens("text")), lambda t: F.xxhash64(t))
+    agg = (
+        with_min_parallelism(documents)
+        .select("doc_id", hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .withColumn("n", F.size("hs"))
+    )
+    def _ones(bit: int):
+        return F.size(
+            F.filter(
+                "hs",
+                lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == F.lit(1),
+            )
+        )
+
     packed = None
     for i in range(bits):
-        majority = (F.col(f"b{i}") * 2) > F.col("n")
+        majority = (_ones(i) * 2) > F.col("n")
         term = (
             F.when(majority, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
             if i < 63

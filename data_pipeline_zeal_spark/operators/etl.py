@@ -573,23 +573,31 @@ def part_basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
 
     The association-mining primitive (frequent itemsets, k=2) over the
     order/lineitem model the reference never joins.  Plan shape for
-    100 TB: project to (orderkey, partkey) and dedup — one shuffle on the
-    pair; the self-join is an EQUALITY join on l_orderkey (co-partitioned
-    after the dedup shuffle, AQE can pick SMJ), and the per-order fanout
-    is bounded by basket size (TPC-H baskets are <= 7 lines), so the pair
-    explosion is C(7,2) per order, not quadratic in the table.  The final
-    aggregate carries one row per distinct pair."""
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
+    100 TB: ONE shuffle gathers each order's distinct parts into a sorted
+    basket array (map-side-combined collect_set — baskets are tiny, TPC-H
+    <= 7 lines), then the C(basket, 2) pairs expand INLINE via nested
+    array transforms (codegen, no self-join, no second pass over
+    lineitem), and one more shuffle counts per-pair support.  The earlier
+    self-join formulation shuffled the projected table twice and joined;
+    this shape halves the exchanged volume and cannot skew on hot
+    orderkeys (the expansion happens where the basket row lives)."""
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
     )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS part_a, y AS part_b)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))

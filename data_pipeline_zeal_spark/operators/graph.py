@@ -39,6 +39,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = "weight",
+    broadcast_nodes_max: int = 5_000_000,
 ) -> DataFrame:
     """Weighted PageRank after a fixed number of power iterations.
 
@@ -69,15 +70,24 @@ def pagerank(
     if n == 0:  # empty edge frame: no nodes, no ranks — avoid 1/0 below
         return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n
+    # The rank frame is |V| rows — tiny next to the edge frame.  While it
+    # fits the broadcast budget, hint it on BOTH per-iteration joins so the
+    # (much larger, already-checkpointed) transition frame never moves:
+    # each superstep then shuffles only the partial in-rank sums (≈|V| rows
+    # per map partition), not |E| edges.  Past the threshold the joins fall
+    # back to hash exchanges on uniform keys — the standard Pregel shape.
+    small_ranks = n <= broadcast_nodes_max
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
+        r = F.broadcast(ranks) if small_ranks else ranks
         contrib = (
-            trans.join(ranks, trans["src"] == ranks["node"])
+            trans.join(r, trans["src"] == r["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("in_rank"))
         )
+        c = F.broadcast(contrib) if small_ranks else contrib
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            nodes.join(c, nodes["node"] == c["dst"], "left")
             .select(
                 "node",
                 (F.lit(base) + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))).alias(
