@@ -295,6 +295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_token_frequencies"] = lambda s, d: text.token_frequencies(
         load_table(s, d, "documents")
     )
+    q["text_top_terms_per_source"] = lambda s, d: text.top_terms_per_source(
+        load_table(s, d, "documents"), k=5
+    )
     q["text_tfidf_top_terms"] = lambda s, d: text.tfidf_top_terms(
         load_table(s, d, "documents"), k=5
     )
@@ -1606,6 +1609,20 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 SELECT token, count(*) AS freq
 FROM (SELECT unnest({_TOK}) AS token FROM documents)
 GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100
+"""
+    o["text_top_terms_per_source"] = f"""
+WITH c AS (
+  SELECT source, token, count(*) AS freq
+  FROM (SELECT source, unnest({_TOK}) AS token FROM documents)
+  GROUP BY source, token
+), r AS (
+  SELECT source, token, freq,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY freq DESC, token ASC) AS INT) AS rank
+  FROM c
+)
+SELECT source, token, freq, rank FROM r WHERE rank <= 5
+ORDER BY source, rank
 """
     o["sim_embedding_norms"] = """
 WITH n AS (

@@ -80,6 +80,7 @@ HEADLINE = [
     "events_scd2_pit_join",
     "orders_snapshot_diff",
     "dedup_incremental_survivors",
+    "text_top_terms_per_source",
 ]
 
 

@@ -23,6 +23,30 @@ from ..functions.textfn import tokens, word_shingles
 from ..io import with_min_parallelism
 
 
+def _minhash_signatures(
+    documents: DataFrame, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}, sh): minhash signature columns + the distinct
+    shingle set.  Explode + groupBy looks like a token-stream shuffle but
+    is NOT: a doc's shingles never leave its map partition, so the partial
+    (map-side) aggregation collapses to one 33-column row per doc per
+    partition BEFORE the exchange — shuffle volume ∝ #docs, not #tokens.
+    A fully map-only formulation (32 array_min(transform(...)) columns)
+    was measured 2x slower here: the 32-traversal mega-expression falls
+    out of whole-stage codegen.  Shared by the self-join and incremental
+    LSH paths."""
+    exploded = with_min_parallelism(documents).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens("text"), shingle_n))).alias(
+            "s"
+        ),
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
+        F.collect_set("s").alias("sh"),
+    )
+
+
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Exact dedup via full-text md5: one row per distinct text with the
     surviving representative (min doc_id) and the duplicate count.
@@ -129,16 +153,7 @@ def minhash_lsh_pairs(
     ``persist_intermediate=False`` to keep the plan fully lazy.  The bucket
     exchange still carries only (doc_id, band, bucket)."""
     r = num_hashes // bands
-    exploded = with_min_parallelism(documents).select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(tokens("text"), shingle_n))).alias(
-            "s"
-        ),
-    )
-    sig_sh = exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)],
-        F.collect_set("s").alias("sh"),
-    )
+    sig_sh = _minhash_signatures(documents, num_hashes, shingle_n)
     if persist_intermediate:
         from pyspark import StorageLevel
 
@@ -507,19 +522,7 @@ def incremental_dedup(
     between batches.
     """
     def _sig(docs: DataFrame) -> DataFrame:
-        exploded = with_min_parallelism(docs).select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(word_shingles(tokens("text"), shingle_n))
-            ).alias("s"),
-        )
-        return exploded.groupBy("doc_id").agg(
-            *[
-                F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
-                for i in range(num_hashes)
-            ],
-            F.collect_set("s").alias("sh"),
-        )
+        return _minhash_signatures(docs, num_hashes, shingle_n)
 
     r = num_hashes // bands
 

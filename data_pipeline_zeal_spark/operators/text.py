@@ -381,3 +381,28 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def top_terms_per_source(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` most frequent tokens within each source (ties broken
+    alphabetically) — the per-stratum vocabulary profile reviewers use to
+    spot a contaminated or off-domain source at a glance.
+
+    Explode → one map-side-combined count on (source, token) → rank
+    inside a source-PARTITIONED window (per-source state is the k-row
+    heap, never a global sort) → filter.  Skewed sources rank within
+    their own partition; nothing funnels to one reducer."""
+    from pyspark.sql import Window
+
+    counts = (
+        with_min_parallelism(documents)
+        .select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("source", "rank")
+    )
