@@ -757,6 +757,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orders_snapshot_diff"] = _snapshot_diff
 
+    def _snapshot_rebuild(s: SparkSession, d: str) -> DataFrame:
+        """Change-feed roundtrip: applying table_diff(old, new) onto old
+        must rebuild new exactly — oracle is the new view itself."""
+        orders = load_table(s, d, "orders")
+        base = orders.select("o_orderkey", "o_orderstatus")
+        old = base.filter(F.col("o_orderkey") % 5 != 0)
+        new = base.filter(F.col("o_orderkey") % 7 != 0).select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+        diff = cdc.table_diff(old, new, keys=["o_orderkey"])
+        return cdc.apply_diff(old, diff, keys=["o_orderkey"]).orderBy(
+            "o_orderkey"
+        )
+
+    q["orders_snapshot_rebuild"] = _snapshot_rebuild
+
     def _incremental_dedup(s: SparkSession, d: str) -> DataFrame:
         """Cross-batch admission filter: odd doc_ids are the incoming
         batch, even doc_ids the existing corpus; survivors are the novel
@@ -2348,6 +2367,13 @@ WITH old AS (
   FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
 )
 SELECT * FROM d WHERE change IS NOT NULL ORDER BY o_orderkey
+"""
+    o["orders_snapshot_rebuild"] = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+         AS o_orderstatus
+FROM orders WHERE o_orderkey % 7 <> 0
+ORDER BY o_orderkey
 """
     o["dedup_incremental_survivors"] = f"""
 WITH sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents),

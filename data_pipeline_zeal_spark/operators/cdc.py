@@ -211,3 +211,30 @@ def table_diff(
             n_struct.alias("new_values"),
         )
     )
+
+
+def apply_diff(
+    old: DataFrame,
+    diff: DataFrame,
+    keys: list[str],
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Apply a :func:`table_diff` change feed to the old snapshot and
+    reproduce the new one — the consumer side of the minimal-change-feed
+    contract (``apply_diff(old, table_diff(old, new), keys) == new`` up to
+    row order; pinned by a roundtrip test).
+
+    One hash join of the snapshot against the (changed-keys-only) feed:
+    deletes anti-join away, updates project the feed's new payload,
+    inserts union in.  Cost ∝ snapshot + changes — the lakehouse MERGE
+    shape, expressed as pure DataFrame ops.
+    """
+    payload = payload or [
+        f.name for f in diff.schema["new_values"].dataType.fields
+    ]
+    upserts = diff.filter(F.col("change").isin("insert", "update")).select(
+        *keys, *[F.col(f"new_values.{c}").alias(c) for c in payload]
+    )
+    changed_keys = diff.select(*keys)
+    kept = old.join(changed_keys, keys, "left_anti")
+    return kept.select(*keys, *payload).unionByName(upserts)

@@ -199,3 +199,18 @@ def test_table_diff_payload_structs_carry_both_sides(spark):
     new = spark.createDataFrame([(2, 9.0)], "k long, v double")
     r = cdc.table_diff(old, new, keys=["k"]).collect()[0]
     assert (r.old_values.v, r.new_values.v) == (2.0, 9.0)
+
+
+def test_table_diff_apply_roundtrip(spark):
+    """apply_diff(old, table_diff(old, new)) == new — the change-feed
+    contract, exact to the row."""
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 9.0), (3, "x", None), (5, "e", 5.0)],
+        "k long, name string, v double",
+    )
+    rebuilt = cdc.apply_diff(old, cdc.table_diff(old, new, keys=["k"]), keys=["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
