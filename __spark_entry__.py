@@ -791,6 +791,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_incremental_survivors"] = _incremental_dedup
 
+    q["events_first_touch"] = lambda s, d: events_ext.first_touch_attribution(
+        load_table(s, d, "events"), window_hours=24
+    )
+
+    def _cms_user_counts(s: SparkSession, d: str) -> DataFrame:
+        """Count-min estimates for every user — at fixture cardinality the
+        65k-bucket sketch is collision-free, so the exact per-user counts
+        are a sound oracle (the law est >= exact is pytest-pinned)."""
+        from data_pipeline_zeal_spark.operators import sketch
+
+        ev = load_table(s, d, "events")
+        cms = sketch.cms_build(ev, "user_id")
+        return (
+            sketch.cms_estimate(cms, ev, "user_id")
+            .select(F.col("item").alias("user_id"), F.col("est").alias("n_events"))
+            .orderBy("user_id")
+        )
+
+    q["events_user_cms_counts"] = _cms_user_counts
+
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
     # historically sat at the front, so rotate the never-driver-verified
@@ -2374,6 +2394,32 @@ SELECT o_orderkey,
          AS o_orderstatus
 FROM orders WHERE o_orderkey % 7 <> 0
 ORDER BY o_orderkey
+"""
+    o["events_user_cms_counts"] = """
+SELECT user_id, count(*) AS n_events
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+    o["events_first_touch"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS c_ts, event_id AS c_id
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.event_id, c.c_ts, c.c_id
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.c_ts >= p.ts - INTERVAL 24 HOUR AND c.c_ts <= p.ts
+), m AS (
+  SELECT event_id, min(c_ts) AS first_click_ts FROM j GROUP BY event_id
+), a AS (
+  SELECT j.event_id, m.first_click_ts, min(j.c_id) AS first_click_id
+  FROM j JOIN m ON j.event_id = m.event_id AND j.c_ts = m.first_click_ts
+  GROUP BY j.event_id, m.first_click_ts
+)
+SELECT p.event_id, p.user_id, p.ts, a.first_click_ts, a.first_click_id
+FROM p LEFT JOIN a ON p.event_id = a.event_id
+ORDER BY p.event_id
 """
     o["dedup_incremental_survivors"] = f"""
 WITH sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents),

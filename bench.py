@@ -81,6 +81,9 @@ HEADLINE = [
     "orders_snapshot_diff",
     "dedup_incremental_survivors",
     "text_top_terms_per_source",
+    "orders_snapshot_rebuild",
+    "events_first_touch",
+    "events_user_cms_counts",
 ]
 
 

@@ -364,3 +364,67 @@ def value_percentiles(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def first_touch_attribution(events: DataFrame, window_hours: int = 24) -> DataFrame:
+    """Marketing first-touch attribution: for each purchase, the EARLIEST
+    click by the same user within the preceding ``window_hours`` (ties on
+    click time broken by event_id).  Complements the as-of join's
+    last-touch semantics (`operators/asof.py`).
+
+    Scale shape: same bucketed range-join trick as
+    :func:`~.relational.error_event_context` — clicks key on their DAY
+    bucket, each purchase probes the (at most two) day buckets its
+    window touches, the join is EQUALITY on (user, bucket), the exact
+    range predicate verifies after, and one map-side-combined
+    ``min_by(struct)`` picks the first touch.  No inequality join
+    anywhere; unattributed purchases survive via the left join."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+    )
+    w = F.expr(f"INTERVAL {window_hours} HOURS")
+    probes = purchases.select(
+        "event_id",
+        "user_id",
+        "ts",
+        # every day bucket the window [ts - w, ts] can touch (a superset
+        # costs nothing: a bucket with no in-range clicks joins to nothing)
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        F.date_trunc(
+                            "day", F.col("ts") - F.expr(f"INTERVAL {d} DAYS")
+                        )
+                        for d in range(window_hours // 24 + 2)
+                    ]
+                )
+            )
+        ).alias("bucket"),
+    )
+    attributed = (
+        probes.join(
+            clicks,
+            (probes["user_id"] == clicks["c_user"])
+            & (probes["bucket"] == clicks["bucket"]),
+        )
+        .filter((F.col("c_ts") >= F.col("ts") - w) & (F.col("c_ts") <= F.col("ts")))
+        .groupBy("event_id")
+        .agg(
+            F.min_by(
+                F.struct("c_ts", "c_id"), F.struct("c_ts", "c_id")
+            ).alias("first")
+        )
+        .select(
+            "event_id",
+            F.col("first.c_ts").alias("first_click_ts"),
+            F.col("first.c_id").alias("first_click_id"),
+        )
+    )
+    return purchases.join(attributed, "event_id", "left").orderBy("event_id")
