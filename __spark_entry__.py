@@ -811,6 +811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_user_cms_counts"] = _cms_user_counts
 
+    q["events_daily_trend"] = lambda s, d: events_ext.daily_trend(
+        load_table(s, d, "events")
+    )
+
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
     # historically sat at the front, so rotate the never-driver-verified
@@ -2394,6 +2398,32 @@ SELECT o_orderkey,
          AS o_orderstatus
 FROM orders WHERE o_orderkey % 7 <> 0
 ORDER BY o_orderkey
+"""
+    o["events_daily_trend"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), xy AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '2024-01-01', day) AS DOUBLE) AS x,
+         CAST(n AS DOUBLE) AS y
+  FROM daily
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         covar_pop(x, y) AS sxy,
+         var_pop(x) AS sxx,
+         avg(x) AS mx,
+         avg(y) AS my,
+         corr(x, y) AS r
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, n_days,
+       round(CASE WHEN sxx = 0 THEN 0.0 ELSE sxy / sxx END, 6) AS slope,
+       round(my - (CASE WHEN sxx = 0 THEN 0.0 ELSE sxy / sxx END) * mx, 6)
+         AS intercept,
+       round(coalesce(r, 0.0), 6) AS correlation
+FROM m ORDER BY event_type
 """
     o["events_user_cms_counts"] = """
 SELECT user_id, count(*) AS n_events

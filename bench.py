@@ -84,6 +84,7 @@ HEADLINE = [
     "orders_snapshot_rebuild",
     "events_first_touch",
     "events_user_cms_counts",
+    "events_daily_trend",
 ]
 
 

@@ -428,3 +428,41 @@ def first_touch_attribution(events: DataFrame, window_hours: int = 24) -> DataFr
         )
     )
     return purchases.join(attributed, "event_id", "left").orderBy("event_id")
+
+
+def daily_trend(events: DataFrame) -> DataFrame:
+    """Per-type linear trend of daily event counts: slope and intercept of
+    an OLS fit over (day_index, daily_count), plus the correlation — the
+    "is this event type growing" readout behind capacity dashboards.
+
+    Two aggregations, no window: one to daily counts (shuffle bounded by
+    days x types), one computing the closed-form OLS moments
+    (``covar_pop`` / ``var_pop`` / ``corr`` are single-pass mergeable
+    aggregates, so the fit costs the same as a sum at any scale)."""
+    daily = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    x = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).cast("double")
+    moments = (
+        daily.select("event_type", x.alias("x"), F.col("n").cast("double").alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.covar_pop("x", "y").alias("sxy"),
+            F.var_pop("x").alias("sxx"),
+            F.avg("x").alias("mx"),
+            F.avg("y").alias("my"),
+            F.corr("x", "y").alias("r"),
+        )
+    )
+    slope = F.when(F.col("sxx") == 0, F.lit(0.0)).otherwise(
+        F.col("sxy") / F.col("sxx")
+    )
+    return moments.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+        F.round(F.coalesce(F.col("r"), F.lit(0.0)), 6).alias("correlation"),
+    ).orderBy("event_type")
