@@ -189,3 +189,49 @@ def read_jdbc_table(
     if predicates:
         return spark.read.jdbc(url, table, predicates=predicates)
     return reader.load()
+
+
+def load_csv_events(
+    spark: SparkSession, path: str, keep_corrupt: bool = False
+) -> DataFrame:
+    """Batch CSV ingestion of event dumps with the SAME bad-record
+    contract as the wire parse (`streaming.pipeline.parse_events`,
+    reference ``kafka_consumer.py:104-107``): PERMISSIVE mode captures
+    unparseable lines in ``_corrupt_record`` instead of failing the job,
+    and rows missing required fields are dropped.
+
+    ``keep_corrupt=True`` returns the raw parse INCLUDING the corrupt
+    column so a DQ audit (`operators.quality`) can count and quarantine
+    bad lines before the drop — at 100 TB the audit and the load share
+    one scan.  Two Spark caveats for that audit, both parser-level: plans
+    referencing ONLY ``_corrupt_record`` are rejected
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and corruption is detected at
+    parse time of PROJECTED columns only (CSV column pruning), so the
+    quarantine pass must materialize all columns (cache or select *).
+    CSV splits per file block, so parallelism follows input size with no
+    extra knobs."""
+    from pyspark.sql import types as T
+
+    from .schemas import EVENT_WIRE_SCHEMA
+
+    csv_schema = T.StructType(
+        EVENT_WIRE_SCHEMA.fields
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    raw = (
+        spark.read.format("csv")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+        .schema(csv_schema)
+        .load(path)
+    )
+    if keep_corrupt:
+        return raw
+    return raw.filter(
+        F.col("_corrupt_record").isNull()
+        & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("timestamp").isNotNull()
+    ).drop("_corrupt_record")

@@ -43,3 +43,31 @@ def test_load_wire_events_drops_malformed(spark, tmp_path):
     out = load_wire_events(spark, str(p))
     rows = out.collect()
     assert len(rows) == 1 and rows[0].event_id == "e1"
+
+
+def test_load_csv_events_drops_malformed_and_counts_corrupt(spark, tmp_path):
+    header = "event_id,user_id,event_type,timestamp,session_id,page_url,duration_ms,metadata"
+    lines = [
+        header,
+        "e1,u1,page_view,2024-01-01T10:00:00,s1,/home,100,",
+        "e2,u2,click,not-a-timestamp,s2,/cart,50,",     # bad timestamp
+        "e3,u3,purchase,2024-01-01T11:00:00,s3,/checkout,not-a-long,",  # bad long
+        ",u4,page_view,2024-01-01T12:00:00,s4,/home,10,",  # missing required id
+    ]
+    p = tmp_path / "csv"
+    p.mkdir()
+    (p / "part-0.csv").write_text("\n".join(lines))
+
+    from data_pipeline_zeal_spark.io import load_csv_events
+
+    out = load_csv_events(spark, str(p))
+    rows = out.collect()
+    assert [r.event_id for r in rows] == ["e1"]
+    assert "_corrupt_record" not in out.columns
+
+    raw = load_csv_events(spark, str(p), keep_corrupt=True)
+    # corrupt detection happens at parse time, and the CSV parser only
+    # parses projected columns — materialize the full rows (as a real
+    # quarantine pass would) before inspecting _corrupt_record
+    bad = [r for r in raw.collect() if r["_corrupt_record"] is not None]
+    assert len(bad) == 2  # two unparseable lines, not the null-field one
