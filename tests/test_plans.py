@@ -203,3 +203,60 @@ def test_rfm_and_deciles_approx_matches_exact_shape(spark):
     assert sum(r.n_customers for r in drows) == sum(
         r.n_customers for r in exact_d.collect()
     )
+
+
+def test_no_unreviewed_nested_loop_joins_anywhere(spark):
+    """Engine-wide invariant: a BroadcastNestedLoopJoin / CartesianProduct
+    may appear ONLY where one side is bounded — 1-row scalar broadcasts
+    (corpus totals, thresholds), bounded broadcast query sets (similarity
+    probes), or the documented exact O(n²) verification kernels.  The
+    allowlist pins today's reviewed set with counts; any new theta join
+    sneaking into any registered query fails here before it ships."""
+    import __spark_entry__ as em
+
+    ALLOWED = {
+        # 1-row scalar broadcast attaches
+        "corpus_mixture_weights": 1,
+        "corpus_source_divergence": 1,
+        "text_unigram_logprob": 1,
+        "text_tfidf_top_terms": 1,
+        "tpch_q11_important_parts": 1,
+        "tpch_q22_idle_customers": 1,
+        "dq_audit": 2,
+        # bounded broadcast query/centroid sets
+        "sim_cosine_topk": 1,
+        "sim_filtered_topk": 1,
+        "sim_centroid_pairs": 1,
+        "sim_knn_label": 1,
+        "sim_ivf_topk": 1,
+        # documented exact O(n²) verification kernels
+        "dedup_jaccard_pairs": 1,
+        "dedup_embedding_near": 1,
+    }
+    hits = {}
+    for name, fn in em.queries().items():
+        simple = plans.explain_mode(fn(spark, SF_SMALL), "simple")
+        n = simple.count("BroadcastNestedLoopJoin") + simple.count(
+            "CartesianProduct"
+        )
+        if n:
+            hits[name] = n
+    assert hits == ALLOWED
+
+
+def test_pagerank_broadcasts_rank_frame_when_small(spark):
+    """While |V| fits the broadcast budget the per-iteration joins must
+    broadcast the rank frame (the transition frame never moves); past the
+    budget they fall back to hash exchanges."""
+    from data_pipeline_zeal_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)], "src long, dst long, weight double"
+    )
+    small = plans.explain_mode(graph.pagerank(edges, iterations=2), "simple")
+    assert small.count("BroadcastHashJoin") >= 4  # 2 joins x 2 iterations
+
+    big = plans.explain_mode(
+        graph.pagerank(edges, iterations=2, broadcast_nodes_max=0), "simple"
+    )
+    assert big.count("BroadcastHashJoin") < small.count("BroadcastHashJoin")
