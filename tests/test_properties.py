@@ -207,3 +207,39 @@ def test_merge_latest_matches_model(spark, base, delta):
                 model[k] = cand
     want = {k: (v, p, i) for k, (v, src, i, p) in model.items()}
     assert got == want
+
+
+# --- table_diff / apply_diff roundtrip -----------------------------------
+
+_PAYLOAD = st.tuples(
+    st.sampled_from(["a", "b", "c"]),
+    st.one_of(st.none(), st.floats(min_value=0, max_value=9, width=16)),
+)
+_TABLE = st.dictionaries(st.integers(min_value=0, max_value=7), _PAYLOAD, max_size=8)
+
+_DIFF_SCHEMA = "k long, name string, v double"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(old=_TABLE, new=_TABLE)
+def test_diff_apply_roundtrip_property(spark, old, new):
+    """For ANY pair of keyed snapshots (including empty, disjoint,
+    NULL-payload, identical): apply_diff(old, table_diff(old, new)) == new."""
+    from data_pipeline_zeal_spark.operators import cdc
+
+    old_df = spark.createDataFrame(
+        [(k, n, v) for k, (n, v) in old.items()], _DIFF_SCHEMA
+    )
+    new_df = spark.createDataFrame(
+        [(k, n, v) for k, (n, v) in new.items()], _DIFF_SCHEMA
+    )
+    rebuilt = cdc.apply_diff(
+        old_df, cdc.table_diff(old_df, new_df, keys=["k"]), keys=["k"]
+    )
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new_df.collect())
+    )
