@@ -815,6 +815,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events")
     )
 
+    q["order_ship_latency"] = lambda s, d: etl.order_ship_latency(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    )
+
+    q["supplier_scorecard"] = lambda s, d: etl.supplier_fulfillment_scorecard(
+        load_table(s, d, "lineitem")
+    )
+
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
     # historically sat at the front, so rotate the never-driver-verified
@@ -2398,6 +2406,34 @@ SELECT o_orderkey,
          AS o_orderstatus
 FROM orders WHERE o_orderkey % 7 <> 0
 ORDER BY o_orderkey
+"""
+    o["order_ship_latency"] = """
+WITH lat AS (
+  SELECT o_orderpriority,
+         datediff('day', o_orderdate, l_shipdate) AS ship_days
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(avg(ship_days), 4) AS avg_days,
+       round(quantile_cont(ship_days, 0.5), 4) AS p50_days,
+       round(quantile_cont(ship_days, 0.9), 4) AS p90_days,
+       CAST(max(ship_days) AS INT) AS max_days
+FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+    o["supplier_scorecard"] = """
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS return_rate,
+       round(sum(CASE WHEN l_returnflag = 'R'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6)
+         AS returned_revenue_share
+FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
 """
     o["events_daily_trend"] = """
 WITH daily AS (

@@ -85,6 +85,8 @@ HEADLINE = [
     "events_first_touch",
     "events_user_cms_counts",
     "events_daily_trend",
+    "order_ship_latency",
+    "supplier_scorecard",
 ]
 
 

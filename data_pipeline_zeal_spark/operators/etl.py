@@ -669,3 +669,67 @@ def customer_spend_deciles(
         )
         .orderBy("decile")
     )
+
+
+def order_ship_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: how many
+    days from order placement to each line's ship date — the fulfillment
+    SLA readout (avg, exact quartile spread, max) ops teams watch per
+    priority class.
+
+    One equality join orders⋈lineitem on the orderkey (the natural
+    co-partitioned key; at warehouse layout both sides are bucketed on
+    it, so AQE plans a local join), then one aggregate per priority —
+    five output rows.  ``percentile`` sorts only each group's latency
+    VALUES, and groups are the 5 priorities, so the sort is bounded and
+    per-group; the documented sketch swap (`price_quantiles_sketch`)
+    applies unchanged if priorities ever stop bounding the group size."""
+    lat = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+                "ship_days"
+            ),
+        )
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("ship_days"), 4).alias("avg_days"),
+            F.round(F.expr("percentile(ship_days, 0.5)"), 4).alias("p50_days"),
+            F.round(F.expr("percentile(ship_days, 0.9)"), 4).alias("p90_days"),
+            F.max("ship_days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def supplier_fulfillment_scorecard(lineitem: DataFrame) -> DataFrame:
+    """Per-supplier fulfillment scorecard: line volume, revenue, return
+    rate, and revenue-weighted return share — the vendor-quality table a
+    procurement dashboard ranks on.
+
+    Single map-side-combined aggregate keyed on l_suppkey (uniform TPC-H
+    key); the return flags fold in as conditional sums, so no second
+    pass and no join."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    returned = (F.col("l_returnflag") == "R").cast("int")
+    return (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.sum(returned).alias("n_returned"),
+            F.round(F.sum(returned) / F.count(F.lit(1)), 6).alias(
+                "return_rate"
+            ),
+            F.round(
+                F.sum(F.when(F.col("l_returnflag") == "R", revenue).otherwise(0.0))
+                / F.sum(revenue),
+                6,
+            ).alias("returned_revenue_share"),
+        )
+        .orderBy("l_suppkey")
+    )
