@@ -584,6 +584,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_image_phash"] = lambda s, d: multimodal.image_phash(
         multimodal.synth_media(s, 64)
     ).orderBy("media_id")
+    # real RIFF/WAVE container parse over a deterministic mixed fixture
+    # (48 valid WAVs + 16 junk payloads -> rows-only; parser correctness
+    # is closed-form-pinned in tests/test_multimodal.py)
+    q["multimodal_wav_headers"] = lambda s, d: multimodal.wav_header_stats(
+        multimodal.synth_wav_media(s, 64)
+    ).orderBy("media_id")
 
     # --- [EXT] CDC merge, graph rank, cross-doc boilerplate ---
     from data_pipeline_zeal_spark.operators import cdc, graph

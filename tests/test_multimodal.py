@@ -137,3 +137,49 @@ def test_image_phash_locality_and_banded_pairs(spark):
     pairs = phash_near_dup_pairs(hashes, max_hamming=3).collect()
     assert [(p.media_a, p.media_b) for p in pairs] == [(0, 1)]
     assert pairs[0].hamming == ham
+
+
+def _wav_bytes(sr=16000, channels=1, bits=16, n_samples=1600, junk_chunk=True):
+    """Build a real RIFF/WAVE byte string with struct — closed-form
+    ground truth for the parser."""
+    import struct
+
+    data = b"\x00\x00" * n_samples * channels
+    byte_rate = sr * channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sr, byte_rate,
+                      channels * bits // 8, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if junk_chunk:  # parsers must skip unknown chunks (LIST, odd-sized)
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_header_parse_real_bytes(spark):
+    from data_pipeline_zeal_spark.operators.multimodal import wav_header_stats
+
+    rows = [
+        (1, _wav_bytes(sr=16000, channels=1, bits=16, n_samples=1600)),
+        (2, _wav_bytes(sr=44100, channels=2, bits=16, n_samples=44100)),
+        (3, b"not a wav at all"),
+        (4, b"RIFF\x00\x00\x00\x00WAVE"),  # container but no chunks
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in wav_header_stats(media).collect()}
+    assert out[1].valid and out[1].sample_rate == 16000
+    assert out[1].duration_s == 0.1  # 1600 samples @ 16 kHz
+    assert out[2].valid and out[2].channels == 2
+    assert out[2].duration_s == 1.0  # 44100 stereo samples @ 44.1 kHz
+    assert not out[3].valid and out[3].sample_rate is None
+    assert not out[4].valid
+
+
+def test_wav_parser_rejects_zeroed_fmt():
+    from data_pipeline_zeal_spark.operators.multimodal import parse_wav_header
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 0, 0, 0, 16)  # zero channels/rate
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert parse_wav_header(wav) is None
