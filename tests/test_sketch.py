@@ -55,3 +55,18 @@ def test_cms_merge_law(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_cms_overestimates_under_collision_pressure(spark):
+    """At width << cardinality, collisions must inflate estimates — never
+    deflate them (the one-sided error bound under pressure, not just in
+    the comfortable regime)."""
+    ev = load_table(spark, SF_SMALL, "events")
+    cms = sketch.cms_build(ev, "user_id", depth=2, width=4)
+    est = {
+        r.item: r.est
+        for r in sketch.cms_estimate(cms, ev, "user_id", depth=2, width=4).collect()
+    }
+    exact = _exact(ev, "user_id")
+    assert all(est[k] >= exact[k] for k in exact)
+    assert any(est[k] > exact[k] for k in exact)  # collisions really occurred
