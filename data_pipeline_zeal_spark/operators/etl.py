@@ -671,35 +671,49 @@ def customer_spend_deciles(
     )
 
 
-def order_ship_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+def order_ship_latency(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    method: str = "auto",
+    exact_max_rows: int = 50_000_000,
+) -> DataFrame:
     """Order-to-ship latency distribution per order priority: how many
     days from order placement to each line's ship date — the fulfillment
-    SLA readout (avg, exact quartile spread, max) ops teams watch per
-    priority class.
+    SLA readout (avg, p50/p90 spread, max) ops teams watch per priority
+    class.
 
     One equality join orders⋈lineitem on the orderkey (the natural
     co-partitioned key; at warehouse layout both sides are bucketed on
     it, so AQE plans a local join), then one aggregate per priority —
-    five output rows.  ``percentile`` sorts only each group's latency
-    VALUES, and groups are the 5 priorities, so the sort is bounded and
-    per-group; the documented sketch swap (`price_quantiles_sketch`)
-    applies unchanged if priorities ever stop bounding the group size."""
-    lat = (
-        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(
-            "o_orderpriority",
-            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
-                "ship_days"
-            ),
-        )
+    five output rows.  The exact ``percentile`` kernel materializes and
+    sorts each priority's latency VALUES inside one aggregation buffer —
+    with only 5 priorities a group is ~1/5 of ALL lines, so past
+    ``exact_max_rows`` total lines ``method="auto"`` flips to
+    ``percentile_approx`` (GK sketch, bounded memory, mergeable
+    partials); exact below anchors the oracle."""
+    lat = orders.join(
+        lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("ship_days"),
     )
+    if method == "auto":
+        method = "exact" if lat.count() <= exact_max_rows else "approx"
+    if method == "exact":
+        p50 = F.expr("percentile(ship_days, 0.5)")
+        p90 = F.expr("percentile(ship_days, 0.9)")
+    elif method == "approx":
+        p50 = F.percentile_approx("ship_days", 0.5, 10_000)
+        p90 = F.percentile_approx("ship_days", 0.9, 10_000)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
     return (
         lat.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.round(F.avg("ship_days"), 4).alias("avg_days"),
-            F.round(F.expr("percentile(ship_days, 0.5)"), 4).alias("p50_days"),
-            F.round(F.expr("percentile(ship_days, 0.9)"), 4).alias("p90_days"),
+            F.round(p50, 4).alias("p50_days"),
+            F.round(p90, 4).alias("p90_days"),
             F.max("ship_days").alias("max_days"),
         )
         .orderBy("o_orderpriority")

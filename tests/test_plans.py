@@ -260,3 +260,23 @@ def test_pagerank_broadcasts_rank_frame_when_small(spark):
         graph.pagerank(edges, iterations=2, broadcast_nodes_max=0), "simple"
     )
     assert big.count("BroadcastHashJoin") < small.count("BroadcastHashJoin")
+
+
+def test_ship_latency_modes_share_schema(spark):
+    """Exact and approx latency modes must agree on schema and bucket
+    counts — same contract, sketch-backed physical strategy at scale."""
+    orders = load_table(spark, SF_SMALL, "orders")
+    lineitem = load_table(spark, SF_SMALL, "lineitem")
+    exact = etl.order_ship_latency(orders, lineitem, method="exact")
+    approx = etl.order_ship_latency(orders, lineitem, method="approx")
+    assert exact.columns == approx.columns
+    e = {r.o_orderpriority: r for r in exact.collect()}
+    a = {r.o_orderpriority: r for r in approx.collect()}
+    assert set(e) == set(a)
+    for k in e:
+        assert e[k].n_lines == a[k].n_lines
+        # exact interpolates between data points, the sketch returns a real
+        # one — allow a small absolute or relative gap
+        assert abs(e[k].p50_days - a[k].p50_days) <= max(
+            5.0, 0.05 * e[k].p50_days
+        )
