@@ -346,21 +346,36 @@ def type_transitions(events: DataFrame) -> DataFrame:
     )
 
 
-def value_percentiles(events: DataFrame) -> DataFrame:
-    """Exact interpolated quartiles of ``value`` per event type (the
-    latency/size-distribution readout every ops dashboard wants next to
-    the mean).  ``percentile`` is Spark's exact kernel — a per-group sort
-    of the VALUES ONLY (nulls skipped), fine wherever a group's values fit
-    an executor; beyond that the GK-sketch variant
-    (``etl.price_quantiles_sketch``) is the documented scale path with the
-    same output contract."""
+def value_percentiles(
+    events: DataFrame,
+    method: str = "auto",
+    exact_max_rows: int = 50_000_000,
+) -> DataFrame:
+    """Quartiles of ``value`` per event type (the latency/size-
+    distribution readout every ops dashboard wants next to the mean).
+
+    ``percentile`` is Spark's exact interpolated kernel — a per-group
+    sort of the VALUES ONLY (nulls skipped), but with a handful of event
+    types one group's buffer holds a large share of ALL rows, so past
+    ``exact_max_rows`` total events ``method="auto"`` flips to the GK
+    sketch (``percentile_approx``: bounded memory, mergeable partials —
+    same machinery as ``etl.price_quantiles_sketch``); exact below
+    anchors the oracle."""
+    if method == "auto":
+        method = "exact" if events.count() <= exact_max_rows else "approx"
+    if method == "exact":
+        q = lambda p: F.expr(f"percentile(value, {p})")  # noqa: E731
+    elif method == "approx":
+        q = lambda p: F.percentile_approx("value", p, 10_000)  # noqa: E731
+    else:
+        raise ValueError(f"unknown method: {method!r}")
     return (
         events.groupBy("event_type")
         .agg(
             F.count("value").alias("n_values"),
-            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
-            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+            F.round(q(0.25), 6).alias("p25"),
+            F.round(q(0.5), 6).alias("p50"),
+            F.round(q(0.75), 6).alias("p75"),
         )
         .orderBy("event_type")
     )
