@@ -829,6 +829,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "lineitem")
     )
 
+    q["corpus_effective_tokens"] = lambda s, d: corpus.effective_tokens_by_source(
+        load_table(s, d, "documents")
+    )
+
+    def _degree_hist(s: SparkSession, d: str) -> DataFrame:
+        """Degree distribution of the part co-occurrence graph (same edge
+        list the pagerank query ranks)."""
+        pairs = etl.part_basket_pairs(load_table(s, d, "lineitem"), min_support=2)
+        return graph.degree_histogram(
+            pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        )
+
+    q["part_degree_histogram"] = _degree_hist
+
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
     # historically sat at the front, so rotate the never-driver-verified
@@ -2412,6 +2426,44 @@ SELECT o_orderkey,
          AS o_orderstatus
 FROM orders WHERE o_orderkey % 7 <> 0
 ORDER BY o_orderkey
+"""
+    o["corpus_effective_tokens"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, md5(text) AS h, len({_TOK}) AS n_tok FROM documents
+), surv AS (
+  SELECT min(doc_id) AS doc_id FROM tok GROUP BY h
+), raw AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS raw_tokens
+  FROM tok GROUP BY source
+), kept AS (
+  SELECT t.source, CAST(count(*) AS BIGINT) AS n_surviving_docs,
+         CAST(sum(t.n_tok) AS BIGINT) AS effective_tokens
+  FROM tok t JOIN surv s ON t.doc_id = s.doc_id
+  GROUP BY t.source
+)
+SELECT r.source, r.n_docs, r.raw_tokens,
+       CAST(coalesce(k.n_surviving_docs, 0) AS BIGINT) AS n_surviving_docs,
+       CAST(coalesce(k.effective_tokens, 0) AS BIGINT) AS effective_tokens,
+       round(coalesce(k.effective_tokens, 0)::DOUBLE / r.raw_tokens, 6)
+         AS effective_ratio
+FROM raw r LEFT JOIN kept k ON r.source = k.source
+ORDER BY r.source
+"""
+    o["part_degree_histogram"] = """
+WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM i a JOIN i b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+ends AS (
+  SELECT part_a AS node FROM pr UNION ALL SELECT part_b FROM pr
+), deg AS (
+  SELECT node, count(*) AS degree FROM ends GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
 """
     o["order_ship_latency"] = """
 WITH lat AS (

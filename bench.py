@@ -87,6 +87,8 @@ HEADLINE = [
     "events_daily_trend",
     "order_ship_latency",
     "supplier_scorecard",
+    "corpus_effective_tokens",
+    "part_degree_histogram",
 ]
 
 

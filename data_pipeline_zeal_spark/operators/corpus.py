@@ -476,3 +476,46 @@ def source_divergence(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def effective_tokens_by_source(documents: DataFrame) -> DataFrame:
+    """Training-budget readout per source: raw token count vs the token
+    count that SURVIVES exact dedup (lowest doc_id per identical text) —
+    "how much of this source is actually new data".  The number a data
+    buyer looks at before paying for another crawl of the same site.
+
+    One md5 groupBy for survivors (uniform 128-bit key), a left-semi join
+    back, and one per-source aggregate of map-side token counts
+    (``size(tokens)`` is a projection, never an explode)."""
+    from ..functions.textfn import tokens
+    from .dedup import exact_dedup
+
+    n_tok = F.size(tokens("text"))
+    raw = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("raw_tokens"),
+    )
+    kept = (
+        exact_dedup(documents)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_surviving_docs"),
+            F.sum(n_tok).alias("effective_tokens"),
+        )
+    )
+    return (
+        raw.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            F.coalesce("n_surviving_docs", F.lit(0)).alias("n_surviving_docs"),
+            F.coalesce("effective_tokens", F.lit(0)).alias("effective_tokens"),
+            F.round(
+                F.coalesce("effective_tokens", F.lit(0))
+                / F.col("raw_tokens"),
+                6,
+            ).alias("effective_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -96,3 +96,25 @@ def pagerank(
             )
         )
     return ranks
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree distribution of an undirected edge list: how many nodes
+    have each total degree — the first sanity plot on any graph (spot
+    hubs, disconnected dust, power-law shape) and the input to skew
+    planning for the join-based graph kernels above.
+
+    Two bounded aggregates: per-node degree (shuffle on node id), then
+    a count per degree value (shuffle on degree — at most #distinct
+    degrees rows)."""
+    ends = edges.select(F.col(src).alias("node")).unionByName(
+        edges.select(F.col(dst).alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
