@@ -801,6 +801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events"), window_hours=24
     )
 
+    q["events_linear_attribution"] = lambda s, d: events_ext.linear_attribution(
+        load_table(s, d, "events"), window_hours=24
+    )
+
     def _cms_user_counts(s: SparkSession, d: str) -> DataFrame:
         """Count-min estimates for every user — at fixture cardinality the
         65k-bucket sketch is collision-free, so the exact per-user counts
@@ -859,6 +863,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: 48 oracle-backed never-green queries + 2 rows-only ones called out in the
 #: round-3 verdict (sim_ivf_topk recall-gated ANN, events_hll_weekly_users
 #: mergeable-sketch rollup).
+#:
+#: NEXT ROTATION (round 5): once these 50 have driver rows, replace them
+#: with the queries added AFTER this list was frozen — events_scd2_pit_join,
+#: orders_snapshot_diff, orders_snapshot_rebuild, dedup_incremental_survivors,
+#: text_top_terms_per_source, events_first_touch, events_user_cms_counts,
+#: events_daily_trend, order_ship_latency, supplier_scorecard,
+#: corpus_effective_tokens, part_degree_histogram, multimodal_wav_headers
+#: (rows-only) — plus any still-unverified stragglers; all are locally
+#: parity-green via tools/driver_sim.py.
 _DRIVER_FIRST = [
     "dedup_normalized_groups",
     "dedup_levenshtein_pairs",
@@ -2523,6 +2536,31 @@ FROM m ORDER BY event_type
 SELECT user_id, count(*) AS n_events
 FROM events WHERE user_id IS NOT NULL
 GROUP BY user_id ORDER BY user_id
+"""
+    o["events_linear_attribution"] = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS c_ts, event_id AS c_id
+  FROM events WHERE event_type = 'click'
+), touches AS (
+  SELECT DISTINCT p.p_id, p.user_id, c.c_id
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.c_ts >= p.ts - INTERVAL 24 HOUR AND c.c_ts <= p.ts
+), per_purchase AS (
+  SELECT p_id, user_id, count(*) AS n_touches
+  FROM touches GROUP BY p_id, user_id
+), credited AS (
+  SELECT t.p_id, t.user_id, t.c_id, 1.0 / pp.n_touches AS credit
+  FROM touches t JOIN per_purchase pp
+    ON t.p_id = pp.p_id AND t.user_id = pp.user_id
+)
+SELECT user_id,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases_attributed,
+       CAST(count(DISTINCT c_id) AS BIGINT) AS n_clicks_credited,
+       round(sum(credit), 6) AS credit_mass
+FROM credited GROUP BY user_id ORDER BY user_id
 """
     o["events_first_touch"] = """
 WITH p AS (

@@ -89,6 +89,7 @@ HEADLINE = [
     "supplier_scorecard",
     "corpus_effective_tokens",
     "part_degree_histogram",
+    "events_linear_attribution",
 ]
 
 

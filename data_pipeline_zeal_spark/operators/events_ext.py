@@ -481,3 +481,69 @@ def daily_trend(events: DataFrame) -> DataFrame:
         F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
         F.round(F.coalesce(F.col("r"), F.lit(0.0)), 6).alias("correlation"),
     ).orderBy("event_type")
+
+
+def linear_attribution(events: DataFrame, window_hours: int = 24) -> DataFrame:
+    """Linear multi-touch attribution: every click in the lookback window
+    before a purchase shares the credit equally (credit = 1/n_touches),
+    aggregated to per-user credited touch counts and credit mass — the
+    multi-touch counterpart of :func:`first_touch_attribution`, same
+    bucketed range-join shape (day-bucket equality keys, exact range
+    verify, no inequality join).
+
+    Output is one row per user who has at least one attributed purchase:
+    purchases touched, distinct credited clicks, and total credit mass
+    (equals the number of attributed purchases by construction — pinned
+    in the oracle)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+    )
+    w = F.expr(f"INTERVAL {window_hours} HOURS")
+    probes = purchases.select(
+        "p_id",
+        "user_id",
+        "ts",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        F.date_trunc(
+                            "day", F.col("ts") - F.expr(f"INTERVAL {d} DAYS")
+                        )
+                        for d in range(window_hours // 24 + 2)
+                    ]
+                )
+            )
+        ).alias("bucket"),
+    )
+    touches = (
+        probes.join(
+            clicks,
+            (probes["user_id"] == clicks["c_user"])
+            & (probes["bucket"] == clicks["bucket"]),
+        )
+        .filter((F.col("c_ts") >= F.col("ts") - w) & (F.col("c_ts") <= F.col("ts")))
+        .select("p_id", "user_id", "c_id")
+        .distinct()
+    )
+    per_purchase = touches.groupBy("p_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    credited = touches.join(per_purchase, ["p_id", "user_id"]).select(
+        "p_id", "user_id", "c_id", (F.lit(1.0) / F.col("n_touches")).alias("credit")
+    )
+    return (
+        credited.groupBy("user_id")
+        .agg(
+            F.countDistinct("p_id").alias("n_purchases_attributed"),
+            F.countDistinct("c_id").alias("n_clicks_credited"),
+            F.round(F.sum("credit"), 6).alias("credit_mass"),
+        )
+        .orderBy("user_id")
+    )
