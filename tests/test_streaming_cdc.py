@@ -125,3 +125,83 @@ def test_second_batch_emits_only_changed_keys(spark, tmp_path):
         by_key.setdefault((r.user_id, r.event_type), []).append(r.last_event_id)
     assert sorted(by_key[("A", "click")]) == ["e001", "e005"]
     assert by_key[("B", "click")] == ["e003"]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in recording timeout refreshes."""
+
+    def __init__(self, value=None):
+        self._value = value
+        self.hasTimedOut = False
+        self.timeout_calls = 0
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_calls += 1
+
+    def remove(self):
+        self.removed = True
+
+
+def test_stale_events_still_refresh_idle_clock():
+    """A key fed ONLY out-of-order (older) events is active: the handler
+    must refresh its eviction timeout even though state does not advance,
+    and must emit nothing (no state change)."""
+    import pandas as pd
+
+    from data_pipeline_zeal_spark.streaming.cdc import _latest_fn
+
+    fn = _latest_fn(stale_timeout_ms=60_000)
+    state = _FakeState(value=(2_000_000, "e9", 5))  # current winner at t=2s
+    stale_batch = pd.DataFrame(
+        {
+            "timestamp": [pd.Timestamp(1_000_000_000)],  # 1s — older
+            "event_id": ["e1"],
+            "duration_ms": [7],
+        }
+    )
+    out = list(fn(("u1", "click"), iter([stale_batch]), state))
+    assert out == []                      # nothing emitted
+    assert state.get == (2_000_000, "e9", 5)  # state unchanged
+    assert state.timeout_calls == 1       # but the idle clock was reset
+
+
+def test_advancing_event_updates_and_refreshes():
+    import pandas as pd
+
+    from data_pipeline_zeal_spark.streaming.cdc import _latest_fn
+
+    fn = _latest_fn(stale_timeout_ms=60_000)
+    state = _FakeState(value=(1_000_000, "e1", 7))
+    newer = pd.DataFrame(
+        {
+            "timestamp": [pd.Timestamp(2_000_000_000)],
+            "event_id": ["e2"],
+            "duration_ms": [9],
+        }
+    )
+    out = list(fn(("u1", "click"), iter([newer]), state))
+    assert len(out) == 1 and out[0]["last_event_id"][0] == "e2"
+    assert state.get[0] == 2_000_000
+    assert state.timeout_calls == 2  # existing-key refresh + post-update
+
+
+def test_timed_out_key_is_removed():
+    from data_pipeline_zeal_spark.streaming.cdc import _latest_fn
+
+    fn = _latest_fn(stale_timeout_ms=60_000)
+    state = _FakeState(value=(1_000_000, "e1", 7))
+    state.hasTimedOut = True
+    assert list(fn(("u1", "click"), iter([]), state)) == []
+    assert state.removed
