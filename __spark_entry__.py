@@ -837,6 +837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     )
 
+    q["corpus_shuffle_shards"] = lambda s, d: corpus.shuffle_shards(
+        load_table(s, d, "documents"), n_shards=8
+    )
+
     def _degree_hist(s: SparkSession, d: str) -> DataFrame:
         """Degree distribution of the part co-occurrence graph (same edge
         list the pagerank query ranks)."""
@@ -2439,6 +2443,19 @@ SELECT o_orderkey,
          AS o_orderstatus
 FROM orders WHERE o_orderkey % 7 <> 0
 ORDER BY o_orderkey
+"""
+    o["corpus_shuffle_shards"] = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), s AS (
+  SELECT doc_id, h,
+         CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 8 AS INT) AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+            AS BIGINT) AS position
+FROM s ORDER BY shard, position
 """
     o["corpus_effective_tokens"] = f"""
 WITH tok AS (

@@ -90,6 +90,7 @@ HEADLINE = [
     "corpus_effective_tokens",
     "part_degree_histogram",
     "events_linear_attribution",
+    "corpus_shuffle_shards",
 ]
 
 

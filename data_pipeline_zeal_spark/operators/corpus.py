@@ -519,3 +519,29 @@ def effective_tokens_by_source(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def shuffle_shards(documents: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Deterministic global shuffle into training shards: every document
+    gets a pseudo-random but REPRODUCIBLE (shard, position) from its
+    md5 — the "shuffle 100 TB once, read in order forever" primitive a
+    training run needs (sequential shard reads, no runtime randomness,
+    identical order on every rerun/backfill).
+
+    Shard = md5 bucket mod ``n_shards`` (uniform, key-derived);
+    position = rank of the md5 WITHIN the shard — a shard-PARTITIONED
+    window, so each shard sorts only its own ~1/n of the corpus and
+    nothing funnels through one reducer.  Every expression is portable
+    SQL (same md5 prefix trick as :func:`hash_split`), so the whole
+    assignment is oracle-checkable."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        documents.select(
+            "doc_id", h.alias("h"), shard.cast("int").alias("shard")
+        )
+        .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "shard", "position")
+        .orderBy("shard", "position")
+    )
