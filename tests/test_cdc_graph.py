@@ -214,3 +214,33 @@ def test_table_diff_apply_roundtrip(spark):
     )
     rebuilt = cdc.apply_diff(old, cdc.table_diff(old, new, keys=["k"]), keys=["k"])
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_attribution_window_boundaries(spark):
+    """First-touch: a click exactly at ts - window is IN, exactly at ts is
+    IN (at-or-before), after ts is OUT; earliest click wins with event_id
+    tiebreak."""
+    from data_pipeline_zeal_spark.operators import events_ext
+
+    rows = [
+        # purchase at 12:00 Jan 2
+        ("p1", "u1", "purchase", _ts(2, 12)),
+        ("c0", "u1", "click", _ts(1, 12)),              # exactly -24h: in
+        ("c1", "u1", "click", _ts(1, 11)),              # older than window: out
+        ("c2", "u1", "click", _ts(2, 12)),              # same instant: in
+        ("c3", "u1", "click", _ts(2, 13)),              # future: out
+        # second user, no clicks
+        ("p2", "u2", "purchase", _ts(2, 12)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id string, user_id string, event_type string, ts timestamp"
+    )
+    out = {r.event_id: r for r in events_ext.first_touch_attribution(ev).collect()}
+    assert out["p1"].first_click_id == "c0"   # earliest in-window click
+    assert out["p1"].first_click_ts == _ts(1, 12)
+    assert out["p2"].first_click_id is None
+
+    lin = {r.user_id: r for r in events_ext.linear_attribution(ev).collect()}
+    assert lin["u1"].n_clicks_credited == 2   # c0 and c2 share the credit
+    assert lin["u1"].credit_mass == 1.0       # one purchase's worth
+    assert "u2" not in lin                    # unattributed users absent
