@@ -298,6 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_top_terms_per_source"] = lambda s, d: text.top_terms_per_source(
         load_table(s, d, "documents"), k=5
     )
+    q["text_feature_hash"] = lambda s, d: text.feature_hash(
+        load_table(s, d, "documents"), dim=256
+    )
     q["text_tfidf_top_terms"] = lambda s, d: text.tfidf_top_terms(
         load_table(s, d, "documents"), k=5
     )
@@ -1697,6 +1700,22 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 SELECT token, count(*) AS freq
 FROM (SELECT unnest({_TOK}) AS token FROM documents)
 GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100
+"""
+    o["text_feature_hash"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS token FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(token), 1, 4)) AS INTEGER) % 256
+              AS INT) AS bucket
+  FROM tok
+), c AS (
+  SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_buckets,
+       string_agg(bucket || ':' || c, ',' ORDER BY bucket) AS features
+FROM c GROUP BY doc_id ORDER BY doc_id
 """
     o["text_top_terms_per_source"] = f"""
 WITH c AS (

@@ -91,6 +91,7 @@ HEADLINE = [
     "part_degree_histogram",
     "events_linear_attribution",
     "corpus_shuffle_shards",
+    "text_feature_hash",
 ]
 
 

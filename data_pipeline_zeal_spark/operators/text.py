@@ -413,3 +413,48 @@ def top_terms_per_source(documents: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .orderBy("source", "rank")
     )
+
+
+def feature_hash(documents: DataFrame, dim: int = 256) -> DataFrame:
+    """Hashing-trick featurizer (Vowpal-style): each token increments the
+    ``md5(token) mod dim`` bucket, giving every document a fixed-width
+    sparse count vector with NO vocabulary build step — the streaming-
+    friendly text featurizer (new tokens never resize anything, vectors
+    from different corpus slices are directly addable).
+
+    One explode → one map-side-combined count on (doc_id, bucket) →
+    collapse back to a sorted sparse array per doc.  Bucket derivation
+    uses the portable md5-prefix trick (`corpus.hash_bucket`), so the
+    whole featurization is plain SQL and oracle-checkable; the vector
+    serializes as "bucket:count" CSV for engine-neutral comparison."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long"),
+        F.lit(dim),
+    ).cast("int")
+    counts = (
+        with_min_parallelism(documents)
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", "c"))
+            ).alias("sparse")
+        )
+        .select(
+            "doc_id",
+            F.size("sparse").alias("n_buckets"),
+            F.array_join(
+                F.transform(
+                    "sparse",
+                    lambda s: F.concat_ws(":", s["bucket"], s["c"]),
+                ),
+                ",",
+            ).alias("features"),
+        )
+        .orderBy("doc_id")
+    )
