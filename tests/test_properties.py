@@ -243,3 +243,65 @@ def test_diff_apply_roundtrip_property(spark, old, new):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new_df.collect())
     )
+
+
+# --- SCD2 point-in-time join vs a Python model ---------------------------
+
+_CHANGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # key
+        st.integers(min_value=0, max_value=20),         # version hour
+        st.floats(min_value=0, max_value=9, width=16),  # value
+    ),
+    max_size=10,
+)
+_FACTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # key (3 = unknown)
+        st.integers(min_value=0, max_value=21),         # fact hour
+    ),
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(changes=_CHANGES, facts=_FACTS)
+def test_scd2_pit_matches_latest_at_or_before(spark, changes, facts):
+    """For ANY change log and fact set: the PIT join attaches exactly the
+    value of the latest change at-or-before the fact (ties on the hour
+    broken by the change id), NULL when none exists — the as-of law the
+    interval representation must preserve."""
+    from data_pipeline_zeal_spark.operators import cdc
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ch_rows = [
+        (k, i, t0 + datetime.timedelta(hours=h), v)
+        for i, (k, h, v) in enumerate(changes)
+    ]
+    f_rows = [
+        (j, k, t0 + datetime.timedelta(hours=h))
+        for j, (k, h) in enumerate(facts)
+    ]
+    ch = spark.createDataFrame(
+        ch_rows, "k long, cid long, ts timestamp, value double"
+    )
+    fa = spark.createDataFrame(f_rows, "fid long, k long, fts timestamp")
+    hist = cdc.scd2_intervals(ch, keys=["k"], order_col="ts", tiebreak="cid")
+    out = {
+        r.fid: r.value
+        for r in cdc.scd2_point_in_time_join(
+            fa, hist, keys=["k"], fact_ts="fts", dim_values=["value"]
+        ).collect()
+    }
+
+    def model(k, fts):
+        cands = [(ts, cid, v) for (ck, cid, ts, v) in ch_rows if ck == k and ts <= fts]
+        return max(cands)[2] if cands else None
+
+    expected = {j: model(k, t0 + datetime.timedelta(hours=h))
+                for j, (k, h) in enumerate(facts)}
+    assert out == expected
