@@ -808,6 +808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events"), window_hours=24
     )
 
+    q["events_hourly_gapfill"] = lambda s, d: events_ext.hourly_gapfill(
+        load_table(s, d, "events")
+    )
+
     def _cms_user_counts(s: SparkSession, d: str) -> DataFrame:
         """Count-min estimates for every user — at fixture cardinality the
         65k-bucket sketch is collision-free, so the exact per-user counts
@@ -2573,6 +2577,32 @@ FROM m ORDER BY event_type
 SELECT user_id, count(*) AS n_events
 FROM events WHERE user_id IS NOT NULL
 GROUP BY user_id ORDER BY user_id
+"""
+    o["events_hourly_gapfill"] = """
+WITH sparse AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         count(*) AS n, round(avg(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS h_min,
+         max(date_trunc('hour', ts)) AS h_max
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+), grid AS (
+  SELECT t.event_type, hours.h
+  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT g.event_type, g.h,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n,
+       last_value(s.avg_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.h
+         ROWS UNBOUNDED PRECEDING
+       ) AS avg_value_ff
+FROM grid g LEFT JOIN sparse s
+  ON g.event_type = s.event_type AND g.h = s.h
+ORDER BY g.event_type, g.h
 """
     o["events_linear_attribution"] = """
 WITH p AS (

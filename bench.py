@@ -92,6 +92,7 @@ HEADLINE = [
     "events_linear_attribution",
     "corpus_shuffle_shards",
     "text_feature_hash",
+    "events_hourly_gapfill",
 ]
 
 

@@ -547,3 +547,47 @@ def linear_attribution(events: DataFrame, window_hours: int = 24) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def hourly_gapfill(events: DataFrame) -> DataFrame:
+    """Regularized per-type hourly series with gap filling — the
+    timeseries-database resample: every (type, hour) cell of the full
+    grid exists, empty hours carry a zero count, and the average value
+    forward-fills from the last observed hour (NULL before the first).
+
+    Shape: one sparse hourly aggregate; the dense grid comes from a
+    1-row min/max aggregate exploded through ``sequence()`` and
+    cross-joined (broadcast) with the distinct types — grid size is
+    #hours x #types, never proportional to events; the forward fill is a
+    ``last(ignorenulls)`` window PARTITIONED by type over that bounded
+    grid.  No global window, no driver loop."""
+    h = F.date_trunc("hour", F.col("ts"))
+    sparse = events.groupBy(F.col("event_type"), h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    bounds = events.agg(
+        F.min(h).alias("h_min"), F.max(h).alias("h_max")
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    grid = F.broadcast(hours).crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(sparse, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ff"),
+        )
+        .orderBy("event_type", "h")
+    )
