@@ -812,6 +812,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events")
     )
 
+    q["events_hourly_interpolate"] = lambda s, d: events_ext.hourly_gapfill(
+        load_table(s, d, "events"), fill="interpolate"
+    )
+
     def _cms_user_counts(s: SparkSession, d: str) -> DataFrame:
         """Count-min estimates for every user — at fixture cardinality the
         65k-bucket sketch is collision-free, so the exact per-user counts
@@ -2603,6 +2607,53 @@ SELECT g.event_type, g.h,
 FROM grid g LEFT JOIN sparse s
   ON g.event_type = s.event_type AND g.h = s.h
 ORDER BY g.event_type, g.h
+"""
+    o["events_hourly_interpolate"] = """
+WITH sparse AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         count(*) AS n, round(avg(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS h_min,
+         max(date_trunc('hour', ts)) AS h_max
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+), grid AS (
+  SELECT t.event_type, hours.h
+  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+), j AS (
+  SELECT g.event_type, g.h, s.n, s.avg_value,
+         CASE WHEN s.avg_value IS NOT NULL THEN g.h END AS obs_h
+  FROM grid g LEFT JOIN sparse s
+    ON g.event_type = s.event_type AND g.h = s.h
+), w AS (
+  SELECT event_type, h, n, avg_value,
+         last_value(avg_value IGNORE NULLS) OVER back AS prev_v,
+         last_value(obs_h IGNORE NULLS) OVER back AS prev_h,
+         first_value(avg_value IGNORE NULLS) OVER fwd AS next_v,
+         first_value(obs_h IGNORE NULLS) OVER fwd AS next_h
+  FROM j
+  WINDOW back AS (PARTITION BY event_type ORDER BY h
+                  ROWS UNBOUNDED PRECEDING),
+         fwd AS (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, h,
+       CAST(coalesce(n, 0) AS BIGINT) AS n,
+       round(CASE WHEN avg_value IS NOT NULL THEN avg_value
+                  WHEN next_v IS NULL THEN prev_v
+                  WHEN prev_v IS NULL THEN NULL
+                  ELSE (CAST(round(prev_v * 1e6) AS BIGINT)
+                        * (CAST((epoch(next_h) - epoch(prev_h)) / 3600 AS BIGINT)
+                           - CAST((epoch(h) - epoch(prev_h)) / 3600 AS BIGINT))
+                        + CAST(round(next_v * 1e6) AS BIGINT)
+                          * CAST((epoch(h) - epoch(prev_h)) / 3600 AS BIGINT))
+                       / (CAST((epoch(next_h) - epoch(prev_h)) / 3600 AS BIGINT)
+                          * 1e6)
+             END, 6) AS avg_value_lerp
+FROM w ORDER BY event_type, h
 """
     o["events_linear_attribution"] = """
 WITH p AS (

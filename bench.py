@@ -93,6 +93,7 @@ HEADLINE = [
     "corpus_shuffle_shards",
     "text_feature_hash",
     "events_hourly_gapfill",
+    "events_hourly_interpolate",
 ]
 
 

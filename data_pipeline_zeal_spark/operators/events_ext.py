@@ -549,18 +549,24 @@ def linear_attribution(events: DataFrame, window_hours: int = 24) -> DataFrame:
     )
 
 
-def hourly_gapfill(events: DataFrame) -> DataFrame:
+def hourly_gapfill(events: DataFrame, fill: str = "ffill") -> DataFrame:
     """Regularized per-type hourly series with gap filling — the
     timeseries-database resample: every (type, hour) cell of the full
     grid exists, empty hours carry a zero count, and the average value
-    forward-fills from the last observed hour (NULL before the first).
+    fills per ``fill``:
+
+    * ``"ffill"`` — forward-fill from the last observed hour (NULL
+      before the first observation); output column ``avg_value_ff``.
+    * ``"interpolate"`` — linear interpolation between the surrounding
+      observations (forward-fill after the last one, NULL before the
+      first); output column ``avg_value_lerp``.
 
     Shape: one sparse hourly aggregate; the dense grid comes from a
     1-row min/max aggregate exploded through ``sequence()`` and
     cross-joined (broadcast) with the distinct types — grid size is
-    #hours x #types, never proportional to events; the forward fill is a
-    ``last(ignorenulls)`` window PARTITIONED by type over that bounded
-    grid.  No global window, no driver loop."""
+    #hours x #types, never proportional to events; the fills are
+    ``last``/``first(ignorenulls)`` windows PARTITIONED by type over
+    that bounded grid.  No global window, no driver loop."""
     h = F.date_trunc("hour", F.col("ts"))
     sparse = events.groupBy(F.col("event_type"), h.alias("h")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -576,18 +582,52 @@ def hourly_gapfill(events: DataFrame) -> DataFrame:
     )
     types = events.select("event_type").distinct()
     grid = F.broadcast(hours).crossJoin(F.broadcast(types))
-    w = (
+    joined = grid.join(sparse, ["event_type", "h"], "left")
+    w_back = (
         Window.partitionBy("event_type")
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        grid.join(sparse, ["event_type", "h"], "left")
-        .select(
+    if fill == "ffill":
+        return joined.select(
             "event_type",
             "h",
             F.coalesce("n", F.lit(0)).alias("n"),
-            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ff"),
-        )
-        .orderBy("event_type", "h")
+            F.last("avg_value", ignorenulls=True).over(w_back).alias(
+                "avg_value_ff"
+            ),
+        ).orderBy("event_type", "h")
+    if fill != "interpolate":
+        raise ValueError(f"unknown fill: {fill!r}")
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
     )
+    obs_h = F.when(F.col("avg_value").isNotNull(), F.col("h"))
+    prev_v = F.last("avg_value", ignorenulls=True).over(w_back)
+    prev_h = F.last(obs_h, ignorenulls=True).over(w_back)
+    next_v = F.first("avg_value", ignorenulls=True).over(w_fwd)
+    next_h = F.first(obs_h, ignorenulls=True).over(w_fwd)
+    # exact-integer lerp: the endpoints are 6-dp values, so scale them to
+    # integers and weight by integer hour offsets — the only float op left
+    # is ONE exactly-rounded IEEE division, identical in any engine
+    # (a naive prev + (next-prev)*frac differs in the last ulp between
+    # engines and flips round-half boundaries)
+    prev_i = F.round(prev_v * 1e6).cast("long")
+    next_i = F.round(next_v * 1e6).cast("long")
+    dh = ((F.col("h").cast("long") - prev_h.cast("long")) / 3600).cast("long")
+    span = ((next_h.cast("long") - prev_h.cast("long")) / 3600).cast("long")
+    lerp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        F.when(next_v.isNull(), prev_v).otherwise(
+            F.when(prev_v.isNull(), F.lit(None)).otherwise(
+                (prev_i * (span - dh) + next_i * dh) / (span * F.lit(1e6))
+            )
+        )
+    )
+    return joined.select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(lerp, 6).alias("avg_value_lerp"),
+    ).orderBy("event_type", "h")
