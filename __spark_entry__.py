@@ -885,9 +885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: text_top_terms_per_source, events_first_touch, events_user_cms_counts,
 #: events_daily_trend, order_ship_latency, supplier_scorecard,
 #: corpus_effective_tokens, part_degree_histogram, events_linear_attribution,
-#: corpus_shuffle_shards, text_feature_hash, multimodal_wav_headers
-#: (rows-only) — plus any still-unverified stragglers; all are locally
-#: parity-green via tools/driver_sim.py.
+#: corpus_shuffle_shards, text_feature_hash, events_hourly_gapfill,
+#: events_hourly_interpolate, multimodal_wav_headers (rows-only) — plus any
+#: still-unverified stragglers; all are locally parity-green via
+#: tools/driver_sim.py.
 _DRIVER_FIRST = [
     "dedup_normalized_groups",
     "dedup_levenshtein_pairs",

@@ -232,6 +232,10 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         # documented exact O(n²) verification kernels
         "dedup_jaccard_pairs": 1,
         "dedup_embedding_near": 1,
+        # bounded dense-grid builds (broadcast hours x broadcast types —
+        # grid size is #hours x #types, independent of event volume)
+        "events_hourly_gapfill": 1,
+        "events_hourly_interpolate": 1,
     }
     hits = {}
     for name, fn in em.queries().items():
