@@ -868,7 +868,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries (plus the events_* queries whose only driver rows predate the
     # r1 nanos fix) into the first-50 window; the already-green queries move
     # behind position 50.  Names are unchanged — only insertion order.
-    ordered = {k: q[k] for k in _DRIVER_FIRST if k in q}
+    missing = set(_DRIVER_FIRST) - set(q)
+    assert not missing, f"_DRIVER_FIRST names not in registry: {missing}"
+    assert len(_DRIVER_FIRST) == 50, len(_DRIVER_FIRST)
+    ordered = {k: q[k] for k in _DRIVER_FIRST}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     assert len(ordered) == len(q)
     return ordered

@@ -184,16 +184,19 @@ def table_diff(
     CHANGED keys, not the table.
     """
     payload = payload or [c for c in new.columns if c not in keys]
-    o = old.alias("o")
-    n = new.alias("n")
+    # presence flags, NOT key nullability: the join is null-safe on the
+    # keys precisely so NULL-key rows diff correctly, which means a
+    # matched NULL key cannot signal absence
+    o = old.withColumn("__in_old", F.lit(True)).alias("o")
+    n = new.withColumn("__in_new", F.lit(True)).alias("n")
     cond = None
     for k in keys:
         c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         cond = c if cond is None else (cond & c)
     o_struct = F.struct(*[F.col(f"o.{c}").alias(c) for c in payload])
     n_struct = F.struct(*[F.col(f"n.{c}").alias(c) for c in payload])
-    in_old = F.col(f"o.{keys[0]}").isNotNull()
-    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    in_old = F.col("o.__in_old").isNotNull()
+    in_new = F.col("n.__in_new").isNotNull()
     return (
         o.join(n, cond, "full_outer")
         .withColumn(
@@ -235,6 +238,13 @@ def apply_diff(
     upserts = diff.filter(F.col("change").isin("insert", "update")).select(
         *keys, *[F.col(f"new_values.{c}").alias(c) for c in payload]
     )
-    changed_keys = diff.select(*keys)
-    kept = old.join(changed_keys, keys, "left_anti")
+    changed_keys = diff.select(*keys).alias("d")
+    ol = old.alias("ol")
+    # null-safe anti join: a changed NULL-key row must still knock out the
+    # old NULL-key row (plain key equality would keep it and duplicate)
+    cond = None
+    for k in keys:
+        c = F.col(f"ol.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else (cond & c)
+    kept = ol.join(changed_keys, cond, "left_anti")
     return kept.select(*keys, *payload).unionByName(upserts)

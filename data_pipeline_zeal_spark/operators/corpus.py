@@ -390,17 +390,17 @@ def boilerplate_profile(
     rejoins the gram frame on that same key (co-partitioned, AQE picks
     the local strategy) and collapses straight back to one row per doc.
     Nothing is quadratic and no token list survives past its stage."""
-    from pyspark import StorageLevel
-
     # tokenize-once: the gram frame has two consumers (doc-frequency agg +
     # flag join) and declarative reuse does not survive their divergent
-    # projections — persist it, same hygiene as minhash_lsh_pairs.
+    # projections — checkpoint the INTERMEDIATE (same pattern as
+    # source_divergence), keeping the final result lazy so callers can
+    # still introspect its plan.
     grams = (
         with_min_parallelism(documents)
         .select(
             "doc_id", F.explode(_distinct_ngrams(tokens("text"), n)).alias("gram")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     doc_freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_count"))
     flagged = (
@@ -415,7 +415,7 @@ def boilerplate_profile(
     )
     ng = F.coalesce(F.col("n_grams"), F.lit(0))
     nb = F.coalesce(F.col("n_boilerplate"), F.lit(0))
-    result = (
+    return (
         documents.select("doc_id")
         .join(flagged, "doc_id", "left")
         .select(
@@ -427,12 +427,7 @@ def boilerplate_profile(
             ).alias("boilerplate_frac"),
         )
         .orderBy("doc_id")
-        # materialize so the gram cache can be dropped now instead of
-        # leaking into the session for its lifetime
-        .localCheckpoint(eager=True)
     )
-    grams.unpersist(blocking=False)
-    return result
 
 
 def source_divergence(documents: DataFrame) -> DataFrame:

@@ -521,8 +521,15 @@ def incremental_dedup(
     what a production pipeline would persist as its "dedup index" table
     between batches.
     """
+    from pyspark import StorageLevel
+
     def _sig(docs: DataFrame) -> DataFrame:
-        return _minhash_signatures(docs, num_hashes, shingle_n)
+        # each side's signatures feed TWO consumers (banding + shingle
+        # verify) — persist so the tokenize/signature aggregation runs
+        # once per side, same hygiene as minhash_lsh_pairs
+        return _minhash_signatures(docs, num_hashes, shingle_n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
     r = num_hashes // bands
 
@@ -574,9 +581,16 @@ def incremental_dedup(
     inter = F.size(F.array_intersect("sh_n", "sh_o"))
     union = F.size("sh_n") + F.size("sh_o") - inter
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    # materialize the (small) duplicate-id list so both signature caches
+    # release NOW — the final anti-join reads only new_docs + dupes
     dupes = (
-        verified.filter(jac >= threshold).select("new_id").distinct()
+        verified.filter(jac >= threshold)
+        .select("new_id")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    new_sig.unpersist(blocking=False)
+    corp_sig.unpersist(blocking=False)
     return new_docs.join(
         dupes.withColumnRenamed("new_id", "doc_id"), "doc_id", "left_anti"
     )

@@ -508,7 +508,9 @@ def rfm_segments(
         "monetary",
     )
     if method == "auto":
-        method = "exact" if per_cust.count() <= exact_max_rows else "approx"
+        # orders.count() is a metadata-served UPPER BOUND on distinct
+        # customers; counting per_cust would run the aggregation twice
+        method = "exact" if orders.count() <= exact_max_rows else "approx"
     if method == "exact":
         r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
         f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
@@ -638,7 +640,9 @@ def customer_spend_deciles(
         )
     )
     if method == "auto":
-        method = "exact" if per_cust.count() <= exact_max_rows else "approx"
+        # per_cust has exactly one row per customer, so probe the customer
+        # table directly (parquet metadata count, no join execution)
+        method = "exact" if customer.count() <= exact_max_rows else "approx"
     if method == "exact":
         w = Window.orderBy(F.desc("spend"), F.asc("c_custkey"))
         deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
@@ -698,7 +702,10 @@ def order_ship_latency(
         F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("ship_days"),
     )
     if method == "auto":
-        method = "exact" if lat.count() <= exact_max_rows else "approx"
+        # probe the INPUT count (parquet metadata, no job) — each line
+        # joins at most one order, so lineitem bounds the joined rows;
+        # counting `lat` itself would execute the join twice
+        method = "exact" if lineitem.count() <= exact_max_rows else "approx"
     if method == "exact":
         p50 = F.expr("percentile(ship_days, 0.5)")
         p90 = F.expr("percentile(ship_days, 0.9)")

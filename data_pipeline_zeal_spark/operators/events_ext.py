@@ -381,21 +381,16 @@ def value_percentiles(
     )
 
 
-def first_touch_attribution(events: DataFrame, window_hours: int = 24) -> DataFrame:
-    """Marketing first-touch attribution: for each purchase, the EARLIEST
-    click by the same user within the preceding ``window_hours`` (ties on
-    click time broken by event_id).  Complements the as-of join's
-    last-touch semantics (`operators/asof.py`).
-
-    Scale shape: same bucketed range-join trick as
-    :func:`~.relational.error_event_context` — clicks key on their DAY
-    bucket, each purchase probes the (at most two) day buckets its
-    window touches, the join is EQUALITY on (user, bucket), the exact
-    range predicate verifies after, and one map-side-combined
-    ``min_by(struct)`` picks the first touch.  No inequality join
-    anywhere; unattributed purchases survive via the left join."""
+def _window_touches(events: DataFrame, window_hours: int) -> DataFrame:
+    """Shared attribution kernel: the verified (p_id, user_id, ts, c_ts,
+    c_id) click-touch candidates for every purchase, via the bucketed
+    range-join shape — clicks key on their DAY bucket, each purchase
+    probes every day bucket its window can touch (a superset costs
+    nothing: an empty bucket joins to nothing), the join is EQUALITY on
+    (user, bucket), and the exact range predicate verifies after.  Both
+    attribution modes consume this frame."""
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+        F.col("event_id").alias("p_id"), "user_id", "ts"
     )
     clicks = events.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
@@ -405,11 +400,9 @@ def first_touch_attribution(events: DataFrame, window_hours: int = 24) -> DataFr
     )
     w = F.expr(f"INTERVAL {window_hours} HOURS")
     probes = purchases.select(
-        "event_id",
+        "p_id",
         "user_id",
         "ts",
-        # every day bucket the window [ts - w, ts] can touch (a superset
-        # costs nothing: a bucket with no in-range clicks joins to nothing)
         F.explode(
             F.array_distinct(
                 F.array(
@@ -423,21 +416,38 @@ def first_touch_attribution(events: DataFrame, window_hours: int = 24) -> DataFr
             )
         ).alias("bucket"),
     )
-    attributed = (
+    return (
         probes.join(
             clicks,
             (probes["user_id"] == clicks["c_user"])
             & (probes["bucket"] == clicks["bucket"]),
         )
         .filter((F.col("c_ts") >= F.col("ts") - w) & (F.col("c_ts") <= F.col("ts")))
-        .groupBy("event_id")
+        .select("p_id", "user_id", "ts", "c_ts", "c_id")
+    )
+
+
+def first_touch_attribution(events: DataFrame, window_hours: int = 24) -> DataFrame:
+    """Marketing first-touch attribution: for each purchase, the EARLIEST
+    click by the same user within the preceding ``window_hours`` (ties on
+    click time broken by event_id).  Complements the as-of join's
+    last-touch semantics (`operators/asof.py`).  Candidates come from the
+    shared :func:`_window_touches` kernel (bucketed range join, no
+    inequality join); one map-side-combined ``min_by(struct)`` picks the
+    first touch, and unattributed purchases survive the left join."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    attributed = (
+        _window_touches(events, window_hours)
+        .groupBy("p_id")
         .agg(
             F.min_by(
                 F.struct("c_ts", "c_id"), F.struct("c_ts", "c_id")
             ).alias("first")
         )
         .select(
-            "event_id",
+            F.col("p_id").alias("event_id"),
             F.col("first.c_ts").alias("first_click_ts"),
             F.col("first.c_id").alias("first_click_id"),
         )
@@ -487,48 +497,15 @@ def linear_attribution(events: DataFrame, window_hours: int = 24) -> DataFrame:
     """Linear multi-touch attribution: every click in the lookback window
     before a purchase shares the credit equally (credit = 1/n_touches),
     aggregated to per-user credited touch counts and credit mass — the
-    multi-touch counterpart of :func:`first_touch_attribution`, same
-    bucketed range-join shape (day-bucket equality keys, exact range
-    verify, no inequality join).
+    multi-touch counterpart of :func:`first_touch_attribution`, built on
+    the same :func:`_window_touches` kernel.
 
     Output is one row per user who has at least one attributed purchase:
     purchases touched, distinct credited clicks, and total credit mass
     (equals the number of attributed purchases by construction — pinned
     in the oracle)."""
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"), "user_id", "ts"
-    )
-    clicks = events.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-        F.col("event_id").alias("c_id"),
-        F.date_trunc("day", F.col("ts")).alias("bucket"),
-    )
-    w = F.expr(f"INTERVAL {window_hours} HOURS")
-    probes = purchases.select(
-        "p_id",
-        "user_id",
-        "ts",
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    *[
-                        F.date_trunc(
-                            "day", F.col("ts") - F.expr(f"INTERVAL {d} DAYS")
-                        )
-                        for d in range(window_hours // 24 + 2)
-                    ]
-                )
-            )
-        ).alias("bucket"),
-    )
     touches = (
-        probes.join(
-            clicks,
-            (probes["user_id"] == clicks["c_user"])
-            & (probes["bucket"] == clicks["bucket"]),
-        )
-        .filter((F.col("c_ts") >= F.col("ts") - w) & (F.col("c_ts") <= F.col("ts")))
+        _window_touches(events, window_hours)
         .select("p_id", "user_id", "c_id")
         .distinct()
     )
@@ -572,15 +549,19 @@ def hourly_gapfill(events: DataFrame, fill: str = "ffill") -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
-    bounds = events.agg(
-        F.min(h).alias("h_min"), F.max(h).alias("h_max")
-    )
+    # bounds and types derive from the TINY sparse frame, not from a
+    # re-scan of events — and sparse is checkpointed ONCE because its
+    # three consumers prune different columns, so declarative reuse does
+    # not survive (no ReusedExchange; same lesson as boilerplate_profile).
+    # One events scan total, materializing only #hours x #types rows.
+    sparse = sparse.localCheckpoint(eager=True)
+    bounds = sparse.agg(F.min("h").alias("h_min"), F.max("h").alias("h_max"))
     hours = bounds.select(
         F.explode(
             F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
         ).alias("h")
     )
-    types = events.select("event_type").distinct()
+    types = sparse.select("event_type").distinct()
     grid = F.broadcast(hours).crossJoin(F.broadcast(types))
     joined = grid.join(sparse, ["event_type", "h"], "left")
     w_back = (

@@ -52,11 +52,18 @@ def _count_global_windows(simple: str) -> int:
     In the simple tree a Window's input appears on the following lines
     (Window / +- Sort / +- Exchange SinglePartition), so the first
     Exchange below each Window line is the one feeding it."""
+    def _depth(line: str) -> int:
+        m = re.search(r"[A-Za-z*]", line)
+        return m.start() if m else len(line)
+
     lines = simple.splitlines()
     n = 0
     for i, ln in enumerate(lines):
         if re.search(r"\bWindow\b", ln):
+            d = _depth(ln)
             for nxt in lines[i + 1 :]:
+                if _depth(nxt) <= d:
+                    break  # left the Window's subtree (sibling branch)
                 if "Exchange" in nxt:
                     if "SinglePartition" in nxt:
                         n += 1

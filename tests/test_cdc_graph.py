@@ -244,3 +244,25 @@ def test_attribution_window_boundaries(spark):
     assert lin["u1"].n_clicks_credited == 2   # c0 and c2 share the credit
     assert lin["u1"].credit_mass == 1.0       # one purchase's worth
     assert "u2" not in lin                    # unattributed users absent
+
+
+def test_table_diff_null_keys_roundtrip(spark):
+    """NULL keys diff correctly (the join is null-safe for exactly this):
+    identical NULL-key rows drop out, changed ones classify as update,
+    and the apply roundtrip stays exact — no duplicate NULL-key rows."""
+    old = spark.createDataFrame([(None, 1.0), (1, 2.0)], "k long, v double")
+    same = spark.createDataFrame([(None, 1.0), (1, 2.0)], "k long, v double")
+    assert cdc.table_diff(old, same, keys=["k"]).count() == 0
+
+    new = spark.createDataFrame([(None, 9.0), (1, 2.0)], "k long, v double")
+    d = cdc.table_diff(old, new, keys=["k"]).collect()
+    assert len(d) == 1 and d[0].change == "update" and d[0].k is None
+
+    rebuilt = cdc.apply_diff(old, cdc.table_diff(old, new, keys=["k"]), keys=["k"])
+    assert sorted(map(tuple, rebuilt.collect()), key=repr) == sorted(
+        map(tuple, new.collect()), key=repr
+    )
+
+    gone = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    d2 = {r.k: r.change for r in cdc.table_diff(old, gone, keys=["k"]).collect()}
+    assert d2 == {None: "delete"}
