@@ -94,6 +94,9 @@ HEADLINE = [
     "text_feature_hash",
     "events_hourly_gapfill",
     "events_hourly_interpolate",
+    "text_chunk_overlap",
+    "text_ngram_novelty",
+    "part_triangle_census",
 ]
 
 

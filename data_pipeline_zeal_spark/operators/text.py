@@ -458,3 +458,92 @@ def feature_hash(documents: DataFrame, dim: int = 256) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def chunk_overlap(
+    documents: DataFrame, window: int = 64, stride: int = 48
+) -> DataFrame:
+    """RAG-style document chunking: overlapping token windows of ``window``
+    tokens advancing by ``stride`` (overlap = window - stride), with a
+    deterministic md5 chunk key so chunks are stable across re-runs and
+    joinable from any downstream store.
+
+    A document with n tokens yields ``1 + ceil((n - window) / stride)``
+    chunks (one chunk when n <= window); empty documents yield none.  The
+    last chunk may be shorter than ``window`` and always reaches the final
+    token, so coverage is total and no trailing chunk is a strict subset
+    of its predecessor.
+
+    SCALE: map-side explode only — no shuffle, no Python.  Fan-out is
+    ~n/stride rows per document, each carrying only its own token slice
+    (never the full document), so output size is input size times the
+    overlap factor (~1.33x at 64/48) regardless of document count.
+    """
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    tok = tokens("text")
+    d = documents.select(
+        "doc_id", "source", tok.alias("toks"), F.size(tok).alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    n_chunks = (
+        F.when(F.col("n_tok") <= window, F.lit(1))
+        .otherwise(
+            F.floor((F.col("n_tok") - window + stride - 1) / stride) + 1
+        )
+        .cast("int")
+    )
+    d = with_min_parallelism(d).withColumn(
+        "chunk_index", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    start = (F.col("chunk_index") * stride + 1).cast("int")
+    chunk = F.slice("toks", start, F.lit(window))
+    return d.select(
+        "doc_id",
+        "source",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        F.md5(F.concat_ws(":", "doc_id", "chunk_index")).alias("chunk_key"),
+        start.alias("start_token"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct word
+    n-gram shingles whose FIRST corpus occurrence (minimum doc_id over all
+    documents containing the shingle) is this document.  Low novelty means
+    the document is mostly re-used phrasing — the cheap memorization /
+    boilerplate signal used when curating pre-training corpora.
+
+    SCALE: one explode to distinct (doc_id, shingle), one min-aggregation
+    keyed by the shingle (uniform after hashing), one join back on the
+    same key, one per-doc count — every shuffle is on a high-cardinality
+    uniform key and the shingle text never leaves the first aggregation
+    (the join carries only (shingle, first_doc))."""
+    pairs = (
+        with_min_parallelism(documents)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(tokens("text"), n))).alias(
+                "shingle"
+            ),
+        )
+        .where(F.length("shingle") > 0)
+    )
+    first = pairs.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        pairs.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,107 @@
+"""Semantic corners of the round-4 additions: RAG chunking boundaries,
+n-gram novelty, and the degree-oriented triangle census (oracle parity is
+covered by test_oracle_parity.py; these pin what SQL parity can't —
+boundary fan-out arithmetic, coverage, and exact counts on known graphs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_zeal_spark.operators import graph, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_chunk_counts_at_boundaries(spark):
+    w, s = 4, 3
+    docs = _docs(
+        spark,
+        [
+            "",  # empty: no chunks
+            "a b c",  # n < w: one chunk
+            "a b c d",  # n == w: one chunk
+            "a b c d e",  # n == w+1: two chunks (second covers the tail)
+            "a b c d e f g h",  # n == w + s + 1: three chunks
+        ],
+    )
+    out = text.chunk_overlap(docs, window=w, stride=s)
+    per_doc = {
+        r.doc_id: r.n
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_doc == {1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_chunk_coverage_and_overlap(spark):
+    docs = _docs(spark, [" ".join(f"t{i}" for i in range(10))])
+    rows = sorted(
+        text.chunk_overlap(docs, window=4, stride=3).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    # starts advance by the stride and the last chunk reaches token 10
+    assert [r.start_token for r in rows] == [1, 4, 7]
+    assert [r.n_chunk_tokens for r in rows] == [4, 4, 4]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[-1].chunk_text.endswith("t9")
+    # consecutive chunks share window - stride tokens
+    assert rows[0].chunk_text.split()[3:] == rows[1].chunk_text.split()[:1]
+    # deterministic, distinct chunk keys
+    assert len({r.chunk_key for r in rows}) == 3
+
+
+def test_chunk_rejects_bad_stride(spark):
+    docs = _docs(spark, ["a b c"])
+    with pytest.raises(ValueError):
+        text.chunk_overlap(docs, window=4, stride=0)
+    with pytest.raises(ValueError):
+        text.chunk_overlap(docs, window=4, stride=5)
+
+
+def test_ngram_novelty_first_occurrence_wins(spark):
+    docs = _docs(
+        spark,
+        [
+            "a b c d",      # doc 0: shingles {a b c, b c d} — all novel
+            "a b c d",      # doc 1: exact repeat — nothing novel
+            "a b c x y z",  # doc 2: {a b c, b c x, c x y, x y z} — 3 of 4 novel
+        ],
+    )
+    out = {r.doc_id: r for r in text.ngram_novelty(docs, n=3).collect()}
+    assert (out[0].n_shingles, out[0].n_novel) == (2, 2)
+    assert out[0].novelty == 1.0
+    assert (out[1].n_shingles, out[1].n_novel) == (2, 0)
+    assert out[1].novelty == 0.0
+    assert (out[2].n_shingles, out[2].n_novel) == (4, 3)
+    assert out[2].novelty == 0.75
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangle_census_known_graphs(spark):
+    # K4: 4 nodes, 6 edges, 4 triangles, 12 wedges, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    row = graph.triangle_stats(_edges(spark, k4)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (4, 6, 12, 4)
+    assert row.clustering_coefficient == 1.0
+
+    # path graph 0-1-2-3: no triangles, 2 wedges
+    path = [(0, 1), (1, 2), (2, 3)]
+    row = graph.triangle_stats(_edges(spark, path)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (4, 3, 2, 0)
+    assert row.clustering_coefficient == 0.0
+
+
+def test_triangle_census_canonicalizes_input(spark):
+    # duplicated edges, reversed direction, and a self-loop all collapse
+    noisy = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 2)]
+    row = graph.triangle_stats(_edges(spark, noisy)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (3, 3, 1)

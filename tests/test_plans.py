@@ -236,6 +236,8 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         # grid size is #hours x #types, independent of event volume)
         "events_hourly_gapfill": 1,
         "events_hourly_interpolate": 1,
+        # 1-row x 1-row scalar assembly of the census summary
+        "part_triangle_census": 2,
     }
     hits = {}
     for name, fn in em.queries().items():
