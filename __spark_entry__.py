@@ -555,6 +555,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_knn_label"] = lambda s, d: similarity.knn_label(
         load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
     )
+    # rows-only like sim_ivf_topk: PQ is approximate by construction and
+    # has no SQL expression; recall is pytest-gated vs the exact kernel.
+    q["sim_pq_topk"] = lambda s, d: similarity.pq_topk(
+        load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
+    )
 
     # --- [EXT] round-3 additions: journeys, baskets, LM scoring, sets ---
     q["events_type_transitions"] = lambda s, d: events_ext.type_transitions(
@@ -904,7 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: corpus_effective_tokens, part_degree_histogram, events_linear_attribution,
 #: corpus_shuffle_shards, text_feature_hash, events_hourly_gapfill,
 #: events_hourly_interpolate, multimodal_wav_headers (rows-only),
-#: text_chunk_overlap, text_ngram_novelty, part_triangle_census — plus any
+#: text_chunk_overlap, text_ngram_novelty, part_triangle_census,
+#: sim_pq_topk (rows-only, recall-gated) — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [

@@ -97,6 +97,7 @@ HEADLINE = [
     "text_chunk_overlap",
     "text_ngram_novelty",
     "part_triangle_census",
+    "sim_pq_topk",
 ]
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine
+from ..functions.vector import as_double, cosine, norm
 from ..io import with_min_parallelism
 
 
@@ -391,4 +391,170 @@ def knn_label(
         .filter(F.col("rnk") == 1)
         .select("query_id", F.col("label").alias("pred_label"), "votes")
         .orderBy("query_id")
+    )
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 10,
+    sample_size: int = 4096,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split the (L2-normalized)
+    vector into ``m`` contiguous subspaces and run plain L2 k-means with
+    ``n_codes`` centroids independently in each — the faiss ``PQm x
+    n_codes`` recipe.  Like :func:`train_kmeans_centroids`, training runs
+    driver-side on a BOUNDED deterministic sample (lowest xxhash64 ids),
+    so the cost is O(sample x dim x iters) regardless of corpus size;
+    only ENCODING is distributed."""
+    import numpy as np
+
+    rows = (
+        embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    X = X / nrm
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * d_sub : (j + 1) * d_sub]
+        C = S[: min(n_codes, len(S))].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                pts = S[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def _dot_lit(sub, c: list[float]):
+    arr = F.array(*[F.lit(x) for x in c])
+    return F.aggregate(
+        F.zip_with(sub, arr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_code_expr(vec_col, codebook: list[list[float]], j: int, d_sub: int):
+    """Nearest-code id for subspace ``j`` as a pure codegen expression:
+    argmin ||x_sub - c||^2 = argmax (x_sub . c - |c|^2 / 2), ties to the
+    lowest code id — encoding adds NO shuffle and no Python."""
+    sub = F.slice(vec_col, j * d_sub + 1, d_sub)
+    scored = F.array(
+        *[
+            F.struct(
+                (_dot_lit(sub, c) - 0.5 * sum(x * x for x in c)).alias("s"),
+                F.lit(-i).alias("negcode"),
+            )
+            for i, c in enumerate(codebook)
+        ]
+    )
+    return (-F.array_max(scored)["negcode"]).cast("int")
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 100,
+    train_iters: int = 10,
+    sample_size: int = 4096,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric scoring and exact re-rank
+    (the faiss IVF-PQ + refine recipe): the corpus is compressed to ``m``
+    uint8 codes per vector (64 dims x float -> 8 bytes: 32x), queries stay
+    full-precision, each candidate is scored against the query via its
+    RECONSTRUCTED vector (equivalent to the classic per-subspace
+    lookup-table sum, expressed as one cosine on the decoded array), the
+    top ``rerank`` shortlist per query fetches its full vectors, and exact
+    cosine decides the final top-k.
+
+    SCALE: this is the memory-bound regime's operator — at 100 TB of raw
+    embeddings the PQ codes fit in ~3 TB, so the scan that brute-force
+    cosine does over raw floats runs over codes instead; encoding and
+    reconstruction are map-only codegen expressions (no shuffle, no
+    Python), and the codebooks are literal constants compiled into the
+    plan (m x n_codes x d_sub doubles).  The refine stage touches only
+    queries x rerank full vectors — a FIXED-size semi-join fetch no
+    matter how large the corpus, which is exactly how disk-resident PQ
+    indexes keep their raw vectors cold.  In a real deployment the code
+    column is written once at ingest; self-contained here.  Returns
+    (query_id, vec_id, cosine, rank) — approximate by construction
+    (recall = shortlist recall), recall-gated in the test suite like
+    :func:`ivf_topk`."""
+    books = train_pq_codebooks(embeddings, m, n_codes, train_iters, sample_size)
+    d_sub = len(books[0][0])
+    v = as_double(F.col("embedding"))
+    nrm = norm(v)
+    vn = F.when(nrm == 0, v).otherwise(F.transform(v, lambda x: x / nrm))
+    cand = with_min_parallelism(embeddings).select(
+        "vec_id", vn.alias("vn")
+    )
+    for j in range(m):
+        cand = cand.withColumn(f"c{j}", pq_code_expr(F.col("vn"), books[j], j, d_sub))
+    # decode: concatenate each subspace's chosen centroid
+    rec = F.flatten(
+        F.array(
+            *[
+                F.element_at(
+                    F.array(
+                        *[
+                            F.array(*[F.lit(x) for x in c])
+                            for c in books[j]
+                        ]
+                    ),
+                    F.col(f"c{j}") + 1,
+                )
+                for j in range(m)
+            ]
+        )
+    )
+    encoded = cand.select("vec_id", rec.alias("rv"))
+    q = _query_set(embeddings, query_ids)
+    scored = encoded.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("rv")), 6).alias("pq_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pq_cosine"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("pq_rank", F.row_number().over(w))
+        .filter(F.col("pq_rank") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    # refine: fetch full vectors for the fixed-size shortlist only, then
+    # exact cosine picks the final k.  The shortlist is queries x rerank
+    # rows — broadcast it so the corpus side never shuffles.
+    full = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    refined = (
+        full.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
     )

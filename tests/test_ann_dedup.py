@@ -241,3 +241,33 @@ def test_incremental_dedup_plan_has_no_theta_join(spark):
     simple = plans.explain_mode(out, "simple")
     assert "BroadcastNestedLoopJoin" not in simple
     assert "CartesianProduct" not in simple
+
+
+def test_pq_recall_gate_and_determinism(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qids = [r.vec_id for r in emb.orderBy("vec_id").limit(10).collect()]
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.pq_topk(emb, qids, k=10).collect()
+    }
+    # after the exact re-rank, recall equals the PQ shortlist recall
+    # (~0.85 at rerank=100 on the isotropic fixture); conservative floor
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"PQ recall {recall:.2f} < 0.7"
+    again = {
+        (r.query_id, r.vec_id)
+        for r in similarity.pq_topk(emb, qids, k=10).collect()
+    }
+    assert approx == again  # deterministic sample -> deterministic codes
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = similarity.train_pq_codebooks(emb, m=8, n_codes=4, iters=3)
+    b2 = similarity.train_pq_codebooks(emb, m=8, n_codes=4, iters=3)
+    assert b1 == b2
+    assert len(b1) == 8 and len(b1[0]) == 4 and len(b1[0][0]) == 8

@@ -229,6 +229,7 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         "sim_centroid_pairs": 1,
         "sim_knn_label": 1,
         "sim_ivf_topk": 1,
+        "sim_pq_topk": 1,
         # documented exact O(n²) verification kernels
         "dedup_jaccard_pairs": 1,
         "dedup_embedding_near": 1,
