@@ -881,6 +881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["part_triangle_census"] = _triangle_census
 
+    q["orders_backlog_timeline"] = lambda s, d: etl.order_backlog_timeline(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    )
+
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
     # historically sat at the front, so rotate the never-driver-verified
@@ -910,7 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: corpus_shuffle_shards, text_feature_hash, events_hourly_gapfill,
 #: events_hourly_interpolate, multimodal_wav_headers (rows-only),
 #: text_chunk_overlap, text_ngram_novelty, part_triangle_census,
-#: sim_pq_topk (rows-only, recall-gated) — plus any
+#: sim_pq_topk (rows-only, recall-gated), orders_backlog_timeline — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -2386,6 +2390,24 @@ r1 AS ({_PR_STEP.format(prev="r0")}),
 r2 AS ({_PR_STEP.format(prev="r1")}),
 r3 AS ({_PR_STEP.format(prev="r2")})
 SELECT node AS part, round(rank, 9) AS rank FROM r3 ORDER BY part
+"""
+    o["orders_backlog_timeline"] = """
+WITH span AS (
+  SELECT l.l_orderkey,
+         CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) AS od,
+         CAST(date_trunc('day', max(l.l_shipdate)) AS TIMESTAMP) AS ld
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, o.o_orderdate),
+d AS (
+  SELECT day, CAST(sum(opened) AS BIGINT) AS n_opened,
+         CAST(sum(closed) AS BIGINT) AS n_closed
+  FROM (SELECT od AS day, 1 AS opened, 0 AS closed FROM span
+        UNION ALL
+        SELECT ld, 0, 1 FROM span)
+  GROUP BY day)
+SELECT day, n_opened, n_closed,
+       CAST(sum(n_opened - n_closed) OVER (ORDER BY day) AS BIGINT) AS backlog
+FROM d ORDER BY day
 """
     o["part_triangle_census"] = """
 WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -98,6 +98,7 @@ HEADLINE = [
     "text_ngram_novelty",
     "part_triangle_census",
     "sim_pq_topk",
+    "orders_backlog_timeline",
 ]
 
 

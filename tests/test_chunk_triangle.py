@@ -105,3 +105,30 @@ def test_triangle_census_canonicalizes_input(spark):
     noisy = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 2)]
     row = graph.triangle_stats(_edges(spark, noisy)).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (3, 3, 1)
+
+
+def test_order_backlog_timeline_sweep(spark):
+    from data_pipeline_zeal_spark.operators import etl
+    import datetime
+
+    d = lambda day: datetime.datetime(2024, 1, day)  # noqa: E731
+    orders = spark.createDataFrame(
+        [(1, d(1)), (2, d(1)), (3, d(3)), (9, d(9))],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    # order 1 ships on day 2 (two lines, last one wins), order 2 on day 4,
+    # order 3 on day 3 (same-day close); order 9 has no lines -> never opens
+    lineitem = spark.createDataFrame(
+        [(1, d(1)), (1, d(2)), (2, d(4)), (3, d(3))],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    out = {
+        r.day.day: (r.n_opened, r.n_closed, r.backlog)
+        for r in etl.order_backlog_timeline(orders, lineitem).collect()
+    }
+    assert out == {
+        1: (2, 0, 2),  # orders 1,2 open
+        2: (0, 1, 1),  # order 1 closes
+        3: (1, 1, 1),  # order 3 opens and closes same day
+        4: (0, 1, 0),  # order 2 closes
+    }
