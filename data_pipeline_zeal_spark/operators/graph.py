@@ -187,8 +187,12 @@ def triangle_stats(
     counts = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
-            F.sum(
-                (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
+            # coalesce: SUM over an empty (edge-free) frame is NULL, not 0
+            F.coalesce(
+                F.sum(
+                    (F.col("degree") * (F.col("degree") - 1) / 2).cast("long")
+                ),
+                F.lit(0),
             ).alias("n_wedges"),
         )
     )

@@ -132,3 +132,9 @@ def test_order_backlog_timeline_sweep(spark):
         3: (1, 1, 1),  # order 3 opens and closes same day
         4: (0, 1, 0),  # order 2 closes
     }
+
+
+def test_triangle_census_empty_and_selfloop_only(spark):
+    row = graph.triangle_stats(_edges(spark, [(5, 5)])).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (0, 0, 0, 0)
+    assert row.clustering_coefficient == 0.0
