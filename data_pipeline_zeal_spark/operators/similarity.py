@@ -15,6 +15,7 @@ Two tiers:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -439,30 +440,40 @@ def train_pq_codebooks(
     return books
 
 
-def _dot_lit(sub, c: list[float]):
-    arr = F.array(*[F.lit(x) for x in c])
-    return F.aggregate(
-        F.zip_with(sub, arr, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def pq_reconstruct_udf(books: list[list[list[float]]]):
+    """Vectorized PQ encode+decode as one Arrow-batched ``pandas_udf``:
+    normalize, per-subspace nearest-code assignment (argmin ||s - c||^2 =
+    argmax s.c - |c|^2/2, ties to the lowest code id via argmax-first),
+    reconstruct from the chosen centroids.  Encoding is dense linear
+    algebra — (batch x d_sub) @ (d_sub x n_codes) per subspace — which is
+    exactly the shape where a BLAS matmul per Arrow batch beats a literal
+    codegen expression tree (an earlier all-expression formulation spent
+    seconds per run just COMPILING the m x n_codes x d_sub constants into
+    whole-stage codegen).  Map-only, no shuffle; the codebooks ship once
+    per task in the closure."""
+    import numpy as np
 
+    B = [np.array(b, dtype=np.float64) for b in books]  # (n_codes, d_sub) each
+    m = len(B)
+    d_sub = B[0].shape[1]
+    half_sq = [0.5 * (b**2).sum(axis=1) for b in B]
 
-def pq_code_expr(vec_col, codebook: list[list[float]], j: int, d_sub: int):
-    """Nearest-code id for subspace ``j`` as a pure codegen expression:
-    argmin ||x_sub - c||^2 = argmax (x_sub . c - |c|^2 / 2), ties to the
-    lowest code id — encoding adds NO shuffle and no Python."""
-    sub = F.slice(vec_col, j * d_sub + 1, d_sub)
-    scored = F.array(
-        *[
-            F.struct(
-                (_dot_lit(sub, c) - 0.5 * sum(x * x for x in c)).alias("s"),
-                F.lit(-i).alias("negcode"),
-            )
-            for i, c in enumerate(codebook)
-        ]
-    )
-    return (-F.array_max(scored)["negcode"]).cast("int")
+    @F.pandas_udf("array<double>")
+    def rec(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
+        X = np.array(col.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        Xn = X / nrm
+        out = np.empty_like(Xn)
+        for j in range(m):
+            S = Xn[:, j * d_sub : (j + 1) * d_sub]
+            codes = (S @ B[j].T - half_sq[j]).argmax(axis=1)
+            out[:, j * d_sub : (j + 1) * d_sub] = B[j][codes]
+        return pd.Series(list(out))
+
+    return rec
 
 
 def pq_topk(
@@ -487,9 +498,9 @@ def pq_topk(
     SCALE: this is the memory-bound regime's operator — at 100 TB of raw
     embeddings the PQ codes fit in ~3 TB, so the scan that brute-force
     cosine does over raw floats runs over codes instead; encoding and
-    reconstruction are map-only codegen expressions (no shuffle, no
-    Python), and the codebooks are literal constants compiled into the
-    plan (m x n_codes x d_sub doubles).  The refine stage touches only
+    reconstruction are one map-only Arrow-batched vectorized kernel
+    (:func:`pq_reconstruct_udf` — BLAS matmuls per batch, no shuffle,
+    codebooks in the task closure).  The refine stage touches only
     queries x rerank full vectors — a FIXED-size semi-join fetch no
     matter how large the corpus, which is exactly how disk-resident PQ
     indexes keep their raw vectors cold.  In a real deployment the code
@@ -498,33 +509,10 @@ def pq_topk(
     (recall = shortlist recall), recall-gated in the test suite like
     :func:`ivf_topk`."""
     books = train_pq_codebooks(embeddings, m, n_codes, train_iters, sample_size)
-    d_sub = len(books[0][0])
-    v = as_double(F.col("embedding"))
-    nrm = norm(v)
-    vn = F.when(nrm == 0, v).otherwise(F.transform(v, lambda x: x / nrm))
-    cand = with_min_parallelism(embeddings).select(
-        "vec_id", vn.alias("vn")
+    rec = pq_reconstruct_udf(books)
+    encoded = with_min_parallelism(embeddings).select(
+        "vec_id", rec(as_double(F.col("embedding"))).alias("rv")
     )
-    for j in range(m):
-        cand = cand.withColumn(f"c{j}", pq_code_expr(F.col("vn"), books[j], j, d_sub))
-    # decode: concatenate each subspace's chosen centroid
-    rec = F.flatten(
-        F.array(
-            *[
-                F.element_at(
-                    F.array(
-                        *[
-                            F.array(*[F.lit(x) for x in c])
-                            for c in books[j]
-                        ]
-                    ),
-                    F.col(f"c{j}") + 1,
-                )
-                for j in range(m)
-            ]
-        )
-    )
-    encoded = cand.select("vec_id", rec.alias("rv"))
     q = _query_set(embeddings, query_ids)
     scored = encoded.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
