@@ -604,6 +604,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_wav_headers"] = lambda s, d: multimodal.wav_header_stats(
         multimodal.synth_wav_media(s, 64)
     ).orderBy("media_id")
+    # real PNG container parse (signature + CRC-checked chunk walk) over a
+    # deterministic mixed fixture (48 valid PNGs + 16 corrupt in rotating
+    # ways -> rows-only; parser correctness closed-form-pinned in tests)
+    q["multimodal_png_headers"] = lambda s, d: multimodal.png_header_stats(
+        multimodal.synth_png_media(s, 64)
+    ).orderBy("media_id")
 
     # --- [EXT] CDC merge, graph rank, cross-doc boilerplate ---
     from data_pipeline_zeal_spark.operators import cdc, graph
@@ -914,7 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: corpus_shuffle_shards, text_feature_hash, events_hourly_gapfill,
 #: events_hourly_interpolate, multimodal_wav_headers (rows-only),
 #: text_chunk_overlap, text_ngram_novelty, part_triangle_census,
-#: sim_pq_topk (rows-only, recall-gated), orders_backlog_timeline — plus any
+#: sim_pq_topk (rows-only, recall-gated), orders_backlog_timeline,
+#: multimodal_png_headers (rows-only, closed-form-pinned) — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [

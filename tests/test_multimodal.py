@@ -183,3 +183,71 @@ def test_wav_parser_rejects_zeroed_fmt():
     body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
     wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
     assert parse_wav_header(wav) is None
+
+
+def _png_bytes(width=4, height=3, color=2, extra_trns=False):
+    import struct
+    import zlib
+
+    from data_pipeline_zeal_spark.operators.multimodal import _PNG_CHANNELS
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    raw = b"\x00" * (height * (1 + width * _PNG_CHANNELS[color]))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if extra_trns:
+        out += chunk(b"tRNS", b"\x00\x00\x00\x00\x00\x00")
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_header_parse_real_bytes(spark):
+    from data_pipeline_zeal_spark.operators.multimodal import png_header_stats
+
+    media = spark.createDataFrame(
+        [
+            (1, _png_bytes(width=7, height=5, color=2)),
+            (2, _png_bytes(width=2, height=2, color=6)),
+            (3, _png_bytes(width=3, height=3, color=0, extra_trns=True)),
+            (4, b"definitely not a png"),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in png_header_stats(media).collect()}
+    assert out[1].valid and (out[1].width, out[1].height) == (7, 5)
+    assert out[1].n_pixels == 35 and not out[1].has_alpha
+    assert out[2].valid and out[2].has_alpha  # truecolor+alpha color type
+    assert out[3].valid and out[3].has_alpha  # alpha via tRNS chunk
+    assert out[3].n_chunks == 4
+    assert not out[4].valid and out[4].width is None
+
+
+def test_png_parser_rejects_corruption():
+    from data_pipeline_zeal_spark.operators.multimodal import parse_png_header
+
+    good = _png_bytes()
+    assert parse_png_header(good) is not None
+    # flipped byte inside IHDR -> CRC mismatch
+    assert parse_png_header(good[:16] + bytes([good[16] ^ 0xFF]) + good[17:]) is None
+    # truncated mid-chunk
+    assert parse_png_header(good[:-6]) is None
+    # bad signature
+    assert parse_png_header(b"x" + good[1:]) is None
+
+
+def test_png_synth_fixture_branches(spark):
+    from data_pipeline_zeal_spark.operators.multimodal import (
+        png_header_stats,
+        synth_png_media,
+    )
+
+    out = png_header_stats(synth_png_media(spark, 64)).collect()
+    valid = [r for r in out if r.valid]
+    assert len(out) == 64 and len(valid) == 48  # 3 of every 4 parse
+    assert all(r.n_pixels == r.width * r.height for r in valid)
