@@ -708,6 +708,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dq_audit"] = _dq_audit
 
+    def _profile_drift(s: SparkSession, d: str) -> DataFrame:
+        """Column-profile drift between the first and second half of the
+        events table (cutoff 2024-01-16) — the promote-gate DQ report."""
+        from data_pipeline_zeal_spark.operators import quality as dq
+
+        ev = load_table(s, d, "events")
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        return dq.profile_drift(
+            ev.filter(F.col("ts") < cut),
+            ev.filter(F.col("ts") >= cut),
+            ["user_id", "event_type", "value"],
+        )
+
+    q["events_profile_drift"] = _profile_drift
+
     def _asof_tolerance(s: SparkSession, d: str) -> DataFrame:
         ev = load_table(s, d, "events")
         errors = ev.filter(F.col("event_type") == "error").select(
@@ -921,7 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: events_hourly_interpolate, multimodal_wav_headers (rows-only),
 #: text_chunk_overlap, text_ngram_novelty, part_triangle_census,
 #: sim_pq_topk (rows-only, recall-gated), orders_backlog_timeline,
-#: multimodal_png_headers (rows-only, closed-form-pinned) — plus any
+#: multimodal_png_headers (rows-only, closed-form-pinned),
+#: events_profile_drift — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -2500,6 +2516,53 @@ SELECT user_id, event_type, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 ORDER BY user_id, event_type, valid_from, event_id
+"""
+    # column-profile side of the drift report (mirrors quality.column_profile)
+    def _prof_side(pred: str) -> str:
+        blocks = []
+        for col, numeric in (("event_type", False), ("user_id", True), ("value", True)):
+            mn = (
+                f"round(CAST(min({col}) AS DOUBLE), 6)"
+                if numeric
+                else "CAST(NULL AS DOUBLE)"
+            )
+            mx = (
+                f"round(CAST(max({col}) AS DOUBLE), 6)"
+                if numeric
+                else "CAST(NULL AS DOUBLE)"
+            )
+            blocks.append(f"""
+  SELECT '{col}' AS col_name, count(*) AS n_rows,
+         CAST(coalesce(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_null,
+         CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+         {mn} AS min_value, {mx} AS max_value
+  FROM events WHERE {pred}""")
+        return " UNION ALL ".join(blocks)
+
+    o["events_profile_drift"] = f"""
+WITH b AS ({_prof_side("ts < TIMESTAMP '2024-01-16 00:00:00'")}),
+a AS ({_prof_side("ts >= TIMESTAMP '2024-01-16 00:00:00'")}),
+bb AS (SELECT col_name, n_rows AS n_rows_before,
+              round(n_null / greatest(n_rows, 1), 6) AS null_rate_before,
+              n_distinct AS n_distinct_before,
+              min_value AS min_before, max_value AS max_before FROM b),
+aa AS (SELECT col_name, n_rows AS n_rows_after,
+              round(n_null / greatest(n_rows, 1), 6) AS null_rate_after,
+              n_distinct AS n_distinct_after,
+              min_value AS min_after, max_value AS max_after FROM a)
+SELECT col_name, n_rows_before, n_rows_after,
+       null_rate_before, null_rate_after,
+       round(null_rate_after - null_rate_before, 6) AS null_rate_delta,
+       n_distinct_before, n_distinct_after,
+       round(n_distinct_after / greatest(n_distinct_before, 1), 6)
+         AS distinct_ratio,
+       min_before, min_after, max_before, max_after,
+       CAST(CASE WHEN abs(round(null_rate_after - null_rate_before, 6)) > 0.05
+                   OR round(n_distinct_after / greatest(n_distinct_before, 1), 6) > 2.0
+                   OR round(n_distinct_after / greatest(n_distinct_before, 1), 6) < 0.5
+             THEN 1 ELSE 0 END AS INT) AS drifted
+FROM bb JOIN aa USING (col_name) ORDER BY col_name
 """
     o["dq_audit"] = """
 WITH checks AS (

@@ -99,6 +99,7 @@ HEADLINE = [
     "part_triangle_census",
     "sim_pq_topk",
     "orders_backlog_timeline",
+    "events_profile_drift",
 ]
 
 

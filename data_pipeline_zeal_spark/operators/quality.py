@@ -124,3 +124,136 @@ def audit(checks: list[DataFrame]) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("check")
+
+
+def column_profile(
+    df: DataFrame, columns: list[str], method: str = "exact"
+) -> DataFrame:
+    """Per-column statistical profile in long format: row count, null
+    count/rate, distinct count, and (for numeric columns) min/max — the
+    snapshot half of drift detection.
+
+    One aggregate over one scan.  ``method="exact"`` uses
+    ``countDistinct`` (k distinct columns → Catalyst's expand, k copies
+    of the shuffle — the oracle anchor); ``method="approx"`` is the
+    100 TB path: ``approx_count_distinct`` (HLL) keeps the whole profile
+    a single-pass, expand-free, map-side-combined aggregate no matter how
+    many columns are profiled."""
+    if method not in ("exact", "approx"):
+        raise ValueError(f"unknown method {method!r}")
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    structs = []
+    for c in columns:
+        col = F.col(c)
+        distinct = (
+            F.countDistinct(col)
+            if method == "exact"
+            else F.approx_count_distinct(col)
+        )
+        is_num = c in numeric
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum(col.isNull().cast("long")), F.lit(0)).alias(
+                    "n_null"
+                ),
+                distinct.cast("long").alias("n_distinct"),
+                (
+                    F.round(F.min(col).cast("double"), 6)
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("min_value"),
+                (
+                    F.round(F.max(col).cast("double"), 6)
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("max_value"),
+            ).alias(f"p_{c}")
+        )
+    row = df.agg(*structs)
+    return (
+        row.select(
+            F.explode(F.array(*[F.col(f"p_{c}") for c in columns])).alias("p")
+        )
+        .select("p.*")
+        .withColumn(
+            "null_rate",
+            F.round(F.col("n_null") / F.greatest("n_rows", F.lit(1)), 6),
+        )
+        .select(
+            "col_name", "n_rows", "n_null", "null_rate",
+            "n_distinct", "min_value", "max_value",
+        )
+    )
+
+
+def profile_drift(
+    before: DataFrame,
+    after: DataFrame,
+    columns: list[str],
+    null_rate_tol: float = 0.05,
+    distinct_ratio_tol: float = 2.0,
+    method: str = "exact",
+) -> DataFrame:
+    """Column-level drift report between two snapshots of the same table —
+    the "did today's load change the data?" gate a pipeline runs before
+    promoting a batch.  Joins the two :func:`column_profile` frames on the
+    column name (a #columns-row join — trivially broadcast) and flags a
+    column as drifted when its null rate moved more than
+    ``null_rate_tol`` or its distinct count changed by more than
+    ``distinct_ratio_tol`` in either direction.  Cost = two profile scans;
+    everything after is constant-size."""
+    b = column_profile(before, columns, method=method)
+    a = column_profile(after, columns, method=method)
+    bb = b.select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_before"),
+        F.col("null_rate").alias("null_rate_before"),
+        F.col("n_distinct").alias("n_distinct_before"),
+        F.col("min_value").alias("min_before"),
+        F.col("max_value").alias("max_before"),
+    )
+    aa = a.select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_after"),
+        F.col("null_rate").alias("null_rate_after"),
+        F.col("n_distinct").alias("n_distinct_after"),
+        F.col("min_value").alias("min_after"),
+        F.col("max_value").alias("max_after"),
+    )
+    j = bb.join(aa, "col_name")
+    null_delta = F.round(
+        F.col("null_rate_after") - F.col("null_rate_before"), 6
+    )
+    ratio = F.round(
+        F.col("n_distinct_after")
+        / F.greatest("n_distinct_before", F.lit(1)),
+        6,
+    )
+    drifted = (
+        (F.abs(null_delta) > null_rate_tol)
+        | (ratio > distinct_ratio_tol)
+        | (ratio < 1.0 / distinct_ratio_tol)
+    )
+    return j.select(
+        "col_name",
+        "n_rows_before",
+        "n_rows_after",
+        "null_rate_before",
+        "null_rate_after",
+        null_delta.alias("null_rate_delta"),
+        "n_distinct_before",
+        "n_distinct_after",
+        ratio.alias("distinct_ratio"),
+        "min_before",
+        "min_after",
+        "max_before",
+        "max_after",
+        drifted.cast("int").alias("drifted"),
+    ).orderBy("col_name")

@@ -78,3 +78,57 @@ def test_unique_key_null_keys_are_violations(spark):
     df = spark.createDataFrame([(None,), (None,), (1,), (2,)], "k long")
     r = dq.audit([dq.unique_key(df, ["k"])]).collect()[0]
     assert (r.n_checked, r.n_violations, r.passed) == (4, 2, False)
+
+
+def test_column_profile_counts_nulls_and_numerics(spark):
+    from data_pipeline_zeal_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 4.5), (4, "b", 2.0)],
+        "id long, cat string, x double",
+    )
+    out = {r.col_name: r for r in quality.column_profile(df, ["cat", "x"]).collect()}
+    assert (out["cat"].n_rows, out["cat"].n_null, out["cat"].n_distinct) == (4, 1, 2)
+    assert out["cat"].min_value is None  # non-numeric: no range
+    assert out["x"].null_rate == 0.25
+    assert (out["x"].min_value, out["x"].max_value) == (1.5, 4.5)
+
+
+def test_profile_drift_flags(spark):
+    from data_pipeline_zeal_spark.operators import quality
+
+    before = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(10)], "id long, cat string, x double"
+    )
+    # after: nulls appear in x (rate 0.5 > 0.05) and cat cardinality
+    # triples (ratio 3 > 2); id stays stable
+    after = spark.createDataFrame(
+        [(i, "abc"[i % 3], float(i) if i % 2 else None) for i in range(10)],
+        "id long, cat string, x double",
+    )
+    out = {
+        r.col_name: r
+        for r in quality.profile_drift(before, after, ["id", "cat", "x"]).collect()
+    }
+    assert out["id"].drifted == 0
+    assert out["cat"].drifted == 1 and out["cat"].distinct_ratio == 3.0
+    assert out["x"].drifted == 1 and out["x"].null_rate_delta == 0.5
+
+
+def test_profile_approx_mode_has_no_expand(spark):
+    from data_pipeline_zeal_spark import plans
+    from data_pipeline_zeal_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "id long, cat string, x double"
+    )
+    exact = plans.explain_mode(
+        quality.column_profile(df, ["id", "cat", "x"], method="exact"), "simple"
+    )
+    approx = plans.explain_mode(
+        quality.column_profile(df, ["id", "cat", "x"], method="approx"), "simple"
+    )
+    # k exact distincts force Catalyst's Expand (k copies of the scan's
+    # rows through the shuffle); the HLL path must stay single-pass
+    assert "Expand" in exact
+    assert "Expand" not in approx
