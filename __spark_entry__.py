@@ -52,10 +52,9 @@ _STRAT_FRACS = {"en": 0.1, "de": 0.5, "es": 0.25, "fr": 0.25, "zh": 0.5}
 _strat_thr = corpus.frac_threshold
 
 
-def _hourly(spark: SparkSession, sf_dir: str, with_value_count: bool = False) -> DataFrame:
-    """Rounded hourly aggregate of the events table (reference A1-A6)."""
-    agg = hourly.aggregate_events(load_table(spark, sf_dir, "events"))
-    out = agg.select(
+def _hourly_project(agg: DataFrame, with_value_count: bool = False) -> DataFrame:
+    """Oracle-stable rounding projection of an aggregate_events frame."""
+    return agg.select(
         "window_start",
         "window_end",
         "event_type",
@@ -65,7 +64,12 @@ def _hourly(spark: SparkSession, sf_dir: str, with_value_count: bool = False) ->
         F.round(F.round("total_value", 3) / F.col("value_count"), 4).alias("avg_value"),
         *(["value_count"] if with_value_count else []),
     )
-    return out
+
+
+def _hourly(spark: SparkSession, sf_dir: str, with_value_count: bool = False) -> DataFrame:
+    """Rounded hourly aggregate of the events table (reference A1-A6)."""
+    agg = hourly.aggregate_events(load_table(spark, sf_dir, "events"))
+    return _hourly_project(agg, with_value_count)
 
 
 _HOURLY_SQL = """
@@ -723,6 +727,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_profile_drift"] = _profile_drift
 
+    def _hourly_incremental(s: SparkSession, d: str) -> DataFrame:
+        """Incremental-view-maintenance form of hourly_agg: aggregate rows
+        for events before 2024-01-25 are 'existing', later events arrive
+        as the new batch, and incremental_update's touched-window
+        recompute must reproduce the full recompute bit-for-bit (the
+        oracle IS the full hourly_agg SQL)."""
+        ev = load_table(s, d, "events")
+        cut = F.lit("2024-01-25 00:00:00").cast("timestamp")
+        existing = hourly.aggregate_events(ev.filter(F.col("ts") < cut))
+        merged = hourly.incremental_update(
+            existing, ev, ev.filter(F.col("ts") >= cut)
+        )
+        return _hourly_project(merged, with_value_count=True)
+
+    q["hourly_agg_incremental"] = _hourly_incremental
+
     def _asof_tolerance(s: SparkSession, d: str) -> DataFrame:
         ev = load_table(s, d, "events")
         errors = ev.filter(F.col("event_type") == "error").select(
@@ -937,7 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: text_chunk_overlap, text_ngram_novelty, part_triangle_census,
 #: sim_pq_topk (rows-only, recall-gated), orders_backlog_timeline,
 #: multimodal_png_headers (rows-only, closed-form-pinned),
-#: events_profile_drift — plus any
+#: events_profile_drift, hourly_agg_incremental (IVM vs full-recompute
+#: oracle) — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -1034,6 +1055,9 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["hourly_agg"] = _HOURLY_SQL_VC
+    # IVM correctness claim: the merged incremental result must equal the
+    # full recompute, so the oracle is the full-recompute SQL verbatim.
+    o["hourly_agg_incremental"] = _HOURLY_SQL_VC
     o["agg_filtered_page"] = f"""
 WITH hourly AS ({_HOURLY_SQL})
 SELECT window_start, window_end, event_type, event_count, unique_user_count,

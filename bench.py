@@ -100,6 +100,7 @@ HEADLINE = [
     "sim_pq_topk",
     "orders_backlog_timeline",
     "events_profile_drift",
+    "hourly_agg_incremental",
 ]
 
 

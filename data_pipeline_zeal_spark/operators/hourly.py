@@ -92,3 +92,48 @@ def finalize_aggregate(agg: DataFrame, value_col: str = "value") -> DataFrame:
     (reference ``AggregationRecord.from_aggregation``, ``aggregation.py:104-117``):
     drop the helper contributing-count column, keep the scalar record."""
     return agg.drop(f"{value_col}_count")
+
+
+def incremental_update(
+    existing: DataFrame,
+    all_events: DataFrame,
+    new_events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    **agg_kwargs,
+) -> DataFrame:
+    """Incremental maintenance of the hourly aggregate table: given the
+    EXISTING aggregate rows (same schema as :func:`aggregate_events`), the
+    full event store, and the newly-arrived batch, produce the updated
+    aggregate — the batch-lakehouse twin of the reference's flush-upsert
+    path (``upsert_aggregation.sql:12-19``: replayed/late events rebuild
+    the window and the upsert REPLACES the row).
+
+    Exact distinct counts cannot be merged from finalized scalars (that is
+    WHY sketches exist), so this uses the standard touched-partition
+    recompute: the new batch contributes a tiny DISTINCT list of touched
+    window starts; only events falling in those windows are re-aggregated;
+    every other existing row passes through untouched via an anti join
+    against the same list.
+
+    SCALE: the touched-window list is bounded by windows-per-batch (a
+    60 s micro-batch touches 1-2 hourly windows) → broadcast on both
+    joins; with the event store partitioned by hour/date the semi join
+    becomes partition pruning, so the rescan reads ONLY the touched
+    hours' files — cost proportional to the batch's time locality, not
+    the store size.  The reference pays the same shape (it re-upserts
+    whole windows), minus the pruning."""
+    ws = F.window(F.col(ts_col), window_duration)["start"]
+    touched = (
+        new_events.select(ws.alias("window_start")).distinct()
+    )
+    recomputed = aggregate_events(
+        all_events.withColumn("_ws", ws)
+        .join(F.broadcast(touched), F.col("_ws") == F.col("window_start"))
+        .drop("_ws", "window_start"),
+        ts_col=ts_col,
+        window_duration=window_duration,
+        **agg_kwargs,
+    )
+    untouched = existing.join(F.broadcast(touched), "window_start", "left_anti")
+    return untouched.unionByName(recomputed)

@@ -297,3 +297,39 @@ def test_hll_weekly_rollup_matches_exact_within_error(spark):
     assert set(got) == set(exact) and len(got) > 0
     for wk, est in got.items():
         assert abs(est - exact[wk]) <= max(2, 0.05 * exact[wk]), (wk, est, exact[wk])
+
+
+def test_incremental_update_matches_full_recompute(spark):
+    import datetime
+
+    from data_pipeline_zeal_spark.operators import hourly
+
+    t = lambda h, m: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # window 10:00 gets events in BOTH halves (same user 1 in each, so
+    # exact distinct across the boundary must be 1, not 2); window 11:00
+    # is untouched; window 12:00 exists only in the new batch
+    rows = [
+        (1, t(10, 0), 1, "click", 2.0),
+        (2, t(10, 30), 2, "click", None),
+        (3, t(11, 0), 3, "view", 4.0),
+        (4, t(10, 45), 1, "click", 6.0),   # new batch, touches 10:00
+        (5, t(12, 5), 4, "view", 8.0),     # new batch, fresh window
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from pyspark.sql import functions as F
+
+    cut = t(10, 40)
+    old = ev.filter(F.col("ts") < cut)
+    new = ev.filter(F.col("ts") >= cut)
+    merged = hourly.incremental_update(
+        hourly.aggregate_events(old), ev, new
+    )
+    full = hourly.aggregate_events(ev)
+    key = lambda r: (r.window_start, r.event_type)  # noqa: E731
+    got = {key(r): r.asDict() for r in merged.collect()}
+    want = {key(r): r.asDict() for r in full.collect()}
+    assert got == want
+    assert got[(t(10, 0), "click")]["unique_user_count"] == 2  # users {1, 2}
+    assert got[(t(10, 0), "click")]["event_count"] == 3
