@@ -784,17 +784,24 @@ def order_backlog_timeline(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
     )
+    # both deltas come out of ONE pass over span (a union of two selects
+    # would re-run the aggregate+join lineage once per branch)
     deltas = span.select(
-        F.date_trunc("day", "o_orderdate").alias("day"),
-        F.lit(1).alias("opened"),
-        F.lit(0).alias("closed"),
-    ).unionByName(
-        span.select(
-            F.date_trunc("day", "last_ship").alias("day"),
-            F.lit(0).alias("opened"),
-            F.lit(1).alias("closed"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.date_trunc("day", "o_orderdate").alias("day"),
+                    F.lit(1).alias("opened"),
+                    F.lit(0).alias("closed"),
+                ),
+                F.struct(
+                    F.date_trunc("day", "last_ship").alias("day"),
+                    F.lit(0).alias("opened"),
+                    F.lit(1).alias("closed"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
     daily = deltas.groupBy("day").agg(
         F.sum("opened").alias("n_opened"), F.sum("closed").alias("n_closed")
     )
