@@ -515,11 +515,13 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     the document is mostly re-used phrasing — the cheap memorization /
     boilerplate signal used when curating pre-training corpora.
 
-    SCALE: one explode to distinct (doc_id, shingle), one min-aggregation
-    keyed by the shingle (uniform after hashing), one join back on the
-    same key, one per-doc count — every shuffle is on a high-cardinality
-    uniform key and the shingle text never leaves the first aggregation
-    (the join carries only (shingle, first_doc))."""
+    SCALE: one explode to distinct (doc_id, shingle), ONE shuffle keyed by
+    the shingle (uniform after hashing) under which a min-over-window
+    attaches each shingle's first doc in place (an aggregate-then-join-back
+    formulation would re-run the tokenize+explode lineage for both join
+    sides and shuffle twice), then one per-doc count."""
+    from pyspark.sql import Window
+
     pairs = (
         with_min_parallelism(documents)
         .select(
@@ -530,9 +532,9 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
         )
         .where(F.length("shingle") > 0)
     )
-    first = pairs.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    first = F.min("doc_id").over(Window.partitionBy("shingle"))
     return (
-        pairs.join(first, "shingle")
+        pairs.withColumn("first_doc", first)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
