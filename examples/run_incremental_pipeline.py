@@ -9,7 +9,10 @@ temporal operators implement, chained the way a nightly pipeline would:
      point-in-time question against it (`scd2_point_in_time_join`),
   5. admit only novel documents from an incoming batch against the
      standing corpus (`incremental_dedup`),
-  6. audit the rebuilt table with the DQ checks before publishing.
+  6. maintain the hourly rollup incrementally — only the windows the new
+     batch touched are recomputed (`hourly.incremental_update`),
+  7. audit the rebuilt table with the DQ checks AND a column-profile
+     drift report (`quality.profile_drift`) before publishing.
 
 Run:  python examples/run_incremental_pipeline.py [sf_dir]
 """
@@ -23,7 +26,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from data_pipeline_zeal_spark.io import load_table  # noqa: E402
-from data_pipeline_zeal_spark.operators import cdc, dedup  # noqa: E402
+from data_pipeline_zeal_spark.operators import cdc, dedup, hourly  # noqa: E402
 from data_pipeline_zeal_spark.operators import quality as dq  # noqa: E402
 from data_pipeline_zeal_spark.session import get_spark  # noqa: E402
 
@@ -78,7 +81,24 @@ def main() -> None:
     admitted = dedup.incremental_dedup(batch, docs.filter("doc_id % 2 = 0"))
     print(f"admission: {admitted.count()}/{batch.count()} new docs are novel")
 
-    # 6. publish gate
+    # 6. incremental rollup maintenance: recompute ONLY touched windows
+    cut = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    existing = hourly.aggregate_events(events.filter(F.col("ts") < cut))
+    merged = hourly.incremental_update(
+        existing, events, events.filter(F.col("ts") >= cut)
+    )
+    full = hourly.aggregate_events(events)
+    assert merged.exceptAll(full).count() == 0 and merged.count() == full.count()
+    print(f"incremental rollup == full recompute: {merged.count()} windows")
+
+    # 7. publish gate: contracts + drift
+    drift = dq.profile_drift(
+        yesterday, rebuilt.select(yesterday.columns),
+        ["o_orderstatus", "o_totalprice"],
+    )
+    n_drifted = sum(r.drifted for r in drift.collect())
+    print(f"profile drift: {n_drifted} of {drift.count()} columns flagged")
+
     audit = dq.audit(
         [
             dq.unique_key(rebuilt, ["o_orderkey"]),
