@@ -859,6 +859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_linear_attribution"] = lambda s, d: events_ext.linear_attribution(
         load_table(s, d, "events"), window_hours=24
     )
+    q["events_decay_attribution"] = lambda s, d: events_ext.time_decay_attribution(
+        load_table(s, d, "events"), window_hours=24, half_life_hours=6.0
+    )
 
     q["events_hourly_gapfill"] = lambda s, d: events_ext.hourly_gapfill(
         load_table(s, d, "events")
@@ -958,7 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: sim_pq_topk (rows-only, recall-gated), orders_backlog_timeline,
 #: multimodal_png_headers (rows-only, closed-form-pinned),
 #: events_profile_drift, hourly_agg_incremental (IVM vs full-recompute
-#: oracle) — plus any
+#: oracle), events_decay_attribution — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -2880,6 +2883,34 @@ SELECT user_id,
        CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases_attributed,
        CAST(count(DISTINCT c_id) AS BIGINT) AS n_clicks_credited,
        round(sum(credit), 6) AS credit_mass
+FROM credited GROUP BY user_id ORDER BY user_id
+"""
+    o["events_decay_attribution"] = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS c_ts, event_id AS c_id
+  FROM events WHERE event_type = 'click'
+), touches AS (
+  SELECT DISTINCT p.p_id, p.user_id, p.ts, c.c_ts, c.c_id
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.c_ts >= p.ts - INTERVAL 24 HOUR AND c.c_ts <= p.ts
+), wts AS (
+  SELECT p_id, user_id, c_id,
+         pow(0.5, (date_diff('second', c_ts, ts) / 3600.0) / 6.0) AS w
+  FROM touches
+), tot AS (
+  SELECT p_id, user_id, sum(w) AS tw FROM wts GROUP BY p_id, user_id
+), credited AS (
+  SELECT w.p_id, w.user_id, w.c_id, w.w, w.w / t.tw AS credit
+  FROM wts w JOIN tot t ON w.p_id = t.p_id AND w.user_id = t.user_id
+)
+SELECT user_id,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases_attributed,
+       CAST(count(DISTINCT c_id) AS BIGINT) AS n_clicks_credited,
+       round(sum(credit), 6) AS credit_mass,
+       round(sum(w), 6) AS decay_weight_mass
 FROM credited GROUP BY user_id ORDER BY user_id
 """
     o["events_first_touch"] = """

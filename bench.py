@@ -101,6 +101,7 @@ HEADLINE = [
     "orders_backlog_timeline",
     "events_profile_drift",
     "hourly_agg_incremental",
+    "events_decay_attribution",
 ]
 
 

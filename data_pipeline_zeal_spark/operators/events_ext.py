@@ -526,6 +526,45 @@ def linear_attribution(events: DataFrame, window_hours: int = 24) -> DataFrame:
     )
 
 
+def time_decay_attribution(
+    events: DataFrame, window_hours: int = 24, half_life_hours: float = 6.0
+) -> DataFrame:
+    """Time-decay multi-touch attribution: every click in the lookback
+    window before a purchase gets weight 0.5^(age / half_life) and the
+    purchase's credit splits proportionally — recency-weighted, the third
+    member of the first/linear/decay attribution trio, on the same
+    bucketed range-join kernel (:func:`_window_touches`).
+
+    Per-purchase normalization is a window sum under the SAME
+    (purchase, user) shuffle that the credit projection uses — no second
+    aggregate, no join back.  Credit mass per user still equals the
+    number of attributed purchases (shares sum to 1 by construction);
+    ``decay_weight_mass`` carries the un-normalized recency signal.
+    Ages are whole-second (unix-timestamp) differences so the weights
+    are bit-stable across engines."""
+    touches = (
+        _window_touches(events, window_hours)
+        .select("p_id", "user_id", "ts", "c_ts", "c_id")
+        .distinct()
+    )
+    age_h = (F.unix_timestamp("ts") - F.unix_timestamp("c_ts")) / 3600.0
+    weighted = touches.withColumn(
+        "w", F.pow(F.lit(0.5), age_h / F.lit(half_life_hours))
+    )
+    tot = F.sum("w").over(Window.partitionBy("p_id", "user_id"))
+    credited = weighted.withColumn("credit", F.col("w") / tot)
+    return (
+        credited.groupBy("user_id")
+        .agg(
+            F.countDistinct("p_id").alias("n_purchases_attributed"),
+            F.countDistinct("c_id").alias("n_clicks_credited"),
+            F.round(F.sum("credit"), 6).alias("credit_mass"),
+            F.round(F.sum("w"), 6).alias("decay_weight_mass"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def hourly_gapfill(events: DataFrame, fill: str = "ffill") -> DataFrame:
     """Regularized per-type hourly series with gap filling — the
     timeseries-database resample: every (type, hour) cell of the full

@@ -266,3 +266,32 @@ def test_table_diff_null_keys_roundtrip(spark):
     gone = spark.createDataFrame([(1, 2.0)], "k long, v double")
     d2 = {r.k: r.change for r in cdc.table_diff(old, gone, keys=["k"]).collect()}
     assert d2 == {None: "delete"}
+
+
+def test_time_decay_attribution_weights(spark):
+    """Decay weights: a same-instant click carries weight 1, a half-life-old
+    click weight 0.5, shares sum to 1 per purchase (credit_mass == number
+    of attributed purchases), boundary/future clicks behave as in the
+    other attribution modes."""
+    from data_pipeline_zeal_spark.operators import events_ext
+
+    rows = [
+        ("p1", "u1", "purchase", _ts(2, 12)),
+        ("c1", "u1", "click", _ts(2, 12)),   # age 0h -> weight 1
+        ("c2", "u1", "click", _ts(2, 6)),    # age 6h = half-life -> 0.5
+        ("c3", "u1", "click", _ts(2, 13)),   # future: out
+        ("p2", "u2", "purchase", _ts(2, 12)),  # no clicks: absent
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id string, user_id string, event_type string, ts timestamp"
+    )
+    out = {
+        r.user_id: r
+        for r in events_ext.time_decay_attribution(
+            ev, window_hours=24, half_life_hours=6.0
+        ).collect()
+    }
+    assert set(out) == {"u1"}
+    assert out["u1"].n_clicks_credited == 2
+    assert out["u1"].credit_mass == 1.0          # shares normalize per purchase
+    assert out["u1"].decay_weight_mass == 1.5    # 1 + 0.5
