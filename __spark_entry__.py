@@ -768,6 +768,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_error_last_click_30m"] = _asof_tolerance
 
+    def _asof_nearest(s: SparkSession, d: str) -> DataFrame:
+        """Nearest-mode as-of: each error matched to the CLOSER of the
+        last click before / first click after (ties prefer backward),
+        within +-30 minutes."""
+        ev = load_table(s, d, "events")
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "event_id", "ts", "user_id"
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id", F.col("ts").alias("click_ts"))
+            .agg(F.max("event_id").alias("nearest_click_id"))
+        )
+        joined = asof.asof_join(
+            errors,
+            clicks,
+            on="user_id",
+            left_ts="ts",
+            right_ts="click_ts",
+            right_values=["nearest_click_id"],
+            tolerance="30 minutes",
+            direction="nearest",
+        )
+        return joined.select("event_id", "user_id", "nearest_click_id").orderBy(
+            "event_id"
+        )
+
+    q["asof_error_nearest_click_30m"] = _asof_nearest
+
     def _scd2_pit(s: SparkSession, d: str) -> DataFrame:
         """Point-in-time join: each click attaches the purchase-version
         state its user was in AT click time (SCD2 interval consumer)."""
@@ -961,7 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: sim_pq_topk (rows-only, recall-gated), orders_backlog_timeline,
 #: multimodal_png_headers (rows-only, closed-form-pinned),
 #: events_profile_drift, hourly_agg_incremental (IVM vs full-recompute
-#: oracle), events_decay_attribution — plus any
+#: oracle), events_decay_attribution, asof_error_nearest_click_30m — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -2633,6 +2662,23 @@ ASOF LEFT JOIN (
   FROM events WHERE event_type = 'click' GROUP BY user_id, ts
 ) r ON e.user_id = r.user_id AND e.ts >= r.click_ts
 ORDER BY e.event_id
+"""
+    o["asof_error_nearest_click_30m"] = """
+WITH e AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'
+), c AS (
+  SELECT user_id, ts AS click_ts, max(event_id) AS nearest_click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id,
+       (SELECT r.nearest_click_id FROM c r
+        WHERE r.user_id = e.user_id
+          AND abs(date_diff('microsecond', r.click_ts, e.ts))
+              <= 30 * 60 * 1000000
+        ORDER BY abs(date_diff('microsecond', r.click_ts, e.ts)),
+                 r.click_ts
+        LIMIT 1) AS nearest_click_id
+FROM e ORDER BY e.event_id
 """
     o["events_scd2_pit_join"] = """
 WITH hist AS (

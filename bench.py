@@ -102,6 +102,7 @@ HEADLINE = [
     "events_profile_drift",
     "hourly_agg_incremental",
     "events_decay_attribution",
+    "asof_error_nearest_click_30m",
 ]
 
 

@@ -26,20 +26,33 @@ def asof_join(
     right_values: list[str],
     strict: bool = False,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Point-in-time join: for each left row, the latest right row with
     ``right_ts <= left_ts`` (``<`` when ``strict``) and the same ``on`` key.
 
+    ``direction`` selects the match side like pandas ``merge_asof``:
+    ``"backward"`` (default, latest at-or-before), ``"forward"`` (earliest
+    at-or-after), or ``"nearest"`` (whichever side is closer in time; an
+    exact tie prefers the backward row; ``strict`` is not defined for
+    nearest and raises).  All three run on the SAME single key-shuffle +
+    ordered scan — forward is a mirrored window frame, nearest evaluates
+    both frames over one sort and picks per row.
+
     ``tolerance`` (a SQL interval string, e.g. ``'30 days'``) bounds the
-    match's staleness like pandas/polars ``merge_asof``: a prior right row
-    older than ``left_ts - tolerance`` yields NULLs instead — computed at
-    the final projection from the matched row's own timestamp, so it adds
-    zero shuffles.
+    match's staleness like pandas/polars ``merge_asof``: a matched right
+    row further than ``tolerance`` from ``left_ts`` (on the match's side)
+    yields NULLs instead — computed at the final projection from the
+    matched row's own timestamp, so it adds zero shuffles.
 
     Right rows must be unique per (key, ts) — pre-aggregate ties upstream,
     because "the" most recent row is otherwise ill-defined.  Returns all
-    left columns plus ``right_values`` (null when no prior right row).
+    left columns plus ``right_values`` (null when no matched right row).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if direction == "nearest" and strict:
+        raise ValueError("strict matching is not defined for nearest")
     lcols = left.columns
     l = left.withColumn("__t", F.col(left_ts)).withColumn("__src", F.lit(1))
     r = (
@@ -69,32 +82,52 @@ def asof_join(
         *right_values,
     )
     u = l_aligned.unionByName(r_aligned)
-    # Order so that at equal timestamps right rows sort before left rows
-    # (inclusive semantics); strict mode flips it so same-instant right
-    # rows are NOT visible to the left row.
-    src_order = F.col("__src").asc() if not strict else F.col("__src").desc()
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__t").asc(), src_order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # Forward-fill ONE struct of all right_values (null on left rows so
-    # ignorenulls skips them): every filled column comes from the SAME right
-    # row, even when a right row legitimately carries NULL in one of its
-    # value columns — per-column fills would silently mix rows there.
+    # Tie order at equal timestamps decides whether a same-instant right
+    # row is visible to the left row.  Backward inclusive / forward strict
+    # want rights BEFORE lefts; backward strict / forward inclusive want
+    # the flip.  Nearest uses the inclusive-backward order: a same-instant
+    # right lands in the preceding frame at distance 0 and wins anyway.
+    rights_first = (direction == "backward" and not strict) or (
+        direction == "forward" and strict
+    ) or direction == "nearest"
+    src_order = F.col("__src").asc() if rights_first else F.col("__src").desc()
+    sort = Window.partitionBy(on).orderBy(F.col("__t").asc(), src_order)
+    # Fill ONE struct of all right_values (null on left rows so ignorenulls
+    # skips them): every filled column comes from the SAME right row, even
+    # when a right row legitimately carries NULL in one of its value
+    # columns — per-column fills would silently mix rows there.
     right_struct = F.when(
         F.col("__src") == 0,
         F.struct(*[F.col(c) for c in right_values], F.col("__t").alias("__rt")),
     )
-    filled = u.select(
-        "*", F.last(right_struct, ignorenulls=True).over(w).alias("__f")
+    prev = F.last(right_struct, ignorenulls=True).over(
+        sort.rowsBetween(Window.unboundedPreceding, 0)
     )
+    nxt = F.first(right_struct, ignorenulls=True).over(
+        sort.rowsBetween(0, Window.unboundedFollowing)
+    )
+    if direction == "backward":
+        filled = u.select("*", prev.alias("__f"))
+    elif direction == "forward":
+        filled = u.select("*", nxt.alias("__f"))
+    else:
+        lt = F.unix_micros(F.col("__t"))
+        d_prev = lt - F.unix_micros(prev["__rt"])
+        d_next = F.unix_micros(nxt["__rt"]) - lt
+        take_next = prev.isNull() | (nxt.isNotNull() & (d_next < d_prev))
+        filled = u.select("*", F.when(take_next, nxt).otherwise(prev).alias("__f"))
     if tolerance is None:
         valid = F.lit(True)
     else:
-        valid = F.col("__f")["__rt"] >= (
-            F.col(f"__l_{left_ts}") - F.expr(f"INTERVAL {tolerance}")
-        )
+        tol = F.expr(f"INTERVAL {tolerance}")
+        lts = F.col(f"__l_{left_ts}")
+        rt = F.col("__f")["__rt"]
+        if direction == "backward":
+            valid = rt >= lts - tol
+        elif direction == "forward":
+            valid = rt <= lts + tol
+        else:
+            valid = (rt >= lts - tol) & (rt <= lts + tol)
     return filled.filter(F.col("__src") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
         *[F.when(valid, F.col("__f")[c]).alias(c) for c in right_values],

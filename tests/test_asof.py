@@ -90,3 +90,95 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     # stale > 45, so the tolerance nulls it.
     assert out[(2, "c")] is None
     assert out[(3, "d")] is None    # no right rows at all
+
+
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    out = {
+        (r.k, r.tag): r.px
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_values=["px"], direction="forward",
+        ).collect()
+    }
+    assert out == {
+        (1, "a"): 100.0,  # same-instant right row IS visible forward too
+        (1, "b"): None,   # nothing at-or-after 12:00
+        (2, "c"): 210.0,  # earliest at-or-after: 09:30
+        (3, "d"): None,   # no right rows for key
+    }
+
+
+def test_asof_forward_strict_and_tolerance(spark):
+    left, right = _frames(spark)
+    out = {
+        (r.k, r.tag): r.px
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_values=["px"], direction="forward", strict=True,
+        ).collect()
+    }
+    assert out[(1, "a")] == 110.0  # same-instant 10:00 hidden -> 11:00
+    tol = {
+        (r.k, r.tag): r.px
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_values=["px"], direction="forward", tolerance="20 minutes",
+        ).collect()
+    }
+    assert tol[(2, "c")] is None  # 09:30 is 30 min ahead > 20
+
+
+def test_asof_nearest(spark):
+    left, right = _frames(spark)
+    out = {
+        (r.k, r.tag): r.px
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_values=["px"], direction="nearest",
+        ).collect()
+    }
+    assert out == {
+        (1, "a"): 100.0,  # distance 0 backward
+        (1, "b"): 110.0,  # only backward exists
+        (2, "c"): 210.0,  # 09:30 (30 min ahead) beats 08:00 (60 min back)
+        (3, "d"): None,
+    }
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame(
+        [(1, T("2024-01-01 10:00:00"), "x")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T("2024-01-01 09:30:00"), 1.0),
+            (1, T("2024-01-01 10:30:00"), 2.0),
+        ],
+        "k long, rts timestamp, px double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_values=["px"], direction="nearest",
+    ).collect()
+    assert out[0].px == 1.0  # equal 30-min distance: backward wins
+
+
+def test_asof_nearest_tolerance_and_strict_rejected(spark):
+    import pytest
+
+    left, right = _frames(spark)
+    tol = {
+        (r.k, r.tag): r.px
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_values=["px"], direction="nearest", tolerance="20 minutes",
+        ).collect()
+    }
+    assert tol[(2, "c")] is None  # nearest is 30 min away > 20 both sides
+    assert tol[(1, "a")] == 100.0
+    with pytest.raises(ValueError):
+        asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_values=["px"], direction="nearest", strict=True,
+        )
