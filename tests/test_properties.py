@@ -138,6 +138,54 @@ def test_asof_join_matches_brute_force(spark, left, right):
         assert got[i] == want, (i, k, ts)
 
 
+@pytest.mark.usefixtures("spark")
+@given(
+    left=st.lists(ASOF_LEFT, min_size=1, max_size=25),
+    right=st.lists(ASOF_LEFT, min_size=0, max_size=25),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_nearest_matches_brute_force(spark, left, right):
+    """nearest-direction asof_join == per-row argmin |left_ts - rts| with
+    ties preferring the backward (earlier) right row, for every generated
+    key/timestamp combination."""
+    from data_pipeline_zeal_spark.operators.asof import asof_join
+
+    rkv = {}
+    for i, (k, ts) in enumerate(right):
+        rkv[(k, ts)] = max(rkv.get((k, ts), -1), i)
+    rrows = [(k, ts, v) for (k, ts), v in rkv.items()]
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        "row_id long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        rrows or [(None, None, None)],
+        "k long, rts timestamp, val long",
+    ).filter("k IS NOT NULL")
+    got = {
+        r.row_id: r.val
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+            right_values=["val"], direction="nearest",
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(left):
+        # argmin of (|distance|, rts): at equal distance the earlier rts
+        # is the backward row, which the operator must prefer
+        cands = [
+            (abs((ts - rts).total_seconds()), rts, v)
+            for (rk, rts), v in rkv.items()
+            if rk == k
+        ]
+        want = min(cands)[2] if cands else None
+        assert got[i] == want, (i, k, ts)
+
+
 def test_minhash_lsh_recall_vs_exact(spark):
     """LSH candidates must recover the overwhelming majority of true
     near-duplicate pairs found by exact Jaccard at the same threshold
