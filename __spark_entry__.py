@@ -2615,8 +2615,9 @@ SELECT col_name, n_rows_before, n_rows_after,
          AS distinct_ratio,
        min_before, min_after, max_before, max_after,
        CAST(CASE WHEN abs(round(null_rate_after - null_rate_before, 6)) > 0.05
-                   OR round(n_distinct_after / greatest(n_distinct_before, 1), 6) > 2.0
-                   OR round(n_distinct_after / greatest(n_distinct_before, 1), 6) < 0.5
+                   OR (n_distinct_before <> n_distinct_after
+                       AND (round(n_distinct_after / greatest(n_distinct_before, 1), 6) > 2.0
+                            OR round(n_distinct_after / greatest(n_distinct_before, 1), 6) < 0.5))
              THEN 1 ELSE 0 END AS INT) AS drifted
 FROM bb JOIN aa USING (col_name) ORDER BY col_name
 """

@@ -566,43 +566,37 @@ def parse_wav_header(payload: bytes) -> dict | None:
     }
 
 
-def wav_header_stats(media: DataFrame) -> DataFrame:
-    """Validate-and-describe WAV payloads via Arrow-batched
-    ``mapInPandas``: one row per payload with the parsed header fields,
-    ``valid=false`` (NULL fields) for malformed bytes — the schema gate
-    that quarantines junk before the (expensive) decode stage.  Map-only;
-    fan-out 1:1."""
+def _header_stats(media: DataFrame, parse_fn, schema: T.StructType) -> DataFrame:
+    """Shared validate-and-describe kernel: run a pure-Python header
+    parser over binary payloads via Arrow-batched ``mapInPandas`` — one
+    row per payload with the parsed fields, ``valid=false`` (NULL fields)
+    for anything the parser rejects.  Map-only; fan-out 1:1; the payload
+    bytes never cross a shuffle.  Field names come from ``schema`` (all
+    columns except ``media_id``/``valid``), so parser and output contract
+    cannot drift apart."""
+    fields = tuple(f.name for f in schema.fields if f.name not in ("media_id", "valid"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                parsed = parse_wav_header(bytes(row["payload"]))
+                parsed = parse_fn(bytes(row["payload"]))
                 rows.append(
                     {
                         "media_id": int(row["media_id"]),
                         "valid": parsed is not None,
-                        **(
-                            parsed
-                            if parsed is not None
-                            else dict.fromkeys(
-                                (
-                                    "audio_format",
-                                    "channels",
-                                    "sample_rate",
-                                    "bits_per_sample",
-                                    "data_bytes",
-                                    "duration_s",
-                                )
-                            )
-                        ),
+                        **(parsed if parsed is not None else dict.fromkeys(fields)),
                     }
                 )
             yield pd.DataFrame(rows)
 
-    return media.select("media_id", "payload").mapInPandas(
-        kernel, WAV_HEADER_SCHEMA
-    )
+    return media.select("media_id", "payload").mapInPandas(kernel, schema)
+
+
+def wav_header_stats(media: DataFrame) -> DataFrame:
+    """Validate-and-describe WAV payloads — the schema gate that
+    quarantines junk before the (expensive) decode stage."""
+    return _header_stats(media, parse_wav_header, WAV_HEADER_SCHEMA)
 
 
 def synth_wav_media(spark, count: int = 64) -> DataFrame:
@@ -671,13 +665,14 @@ def parse_png_header(payload: bytes) -> dict | None:
     sig = b"\x89PNG\r\n\x1a\n"
     if len(payload) < len(sig) + 25 or payload[: len(sig)] != sig:
         return None
-    pos, n_chunks, ihdr, saw_end, has_trns = len(sig), 0, None, False, False
+    pos, n_chunks, ihdr = len(sig), 0, None
+    saw_end, saw_data, has_trns = False, False, False
     while pos + 12 <= len(payload):
         (size,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + size > len(payload):
+            return None  # truncated inside the chunk body or its CRC
         body = payload[pos + 8 : pos + 8 + size]
-        if len(body) < size:
-            return None  # truncated chunk
         (crc,) = struct.unpack(">I", payload[pos + 8 + size : pos + 12 + size])
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             return None  # corrupt chunk
@@ -687,12 +682,16 @@ def parse_png_header(payload: bytes) -> dict | None:
             ihdr = struct.unpack(">IIBBBBB", body)
         if ctype == b"tRNS":
             has_trns = True
+        if ctype == b"IDAT":
+            saw_data = True
         n_chunks += 1
         pos += 12 + size
         if ctype == b"IEND":
             saw_end = True
             break
-    if ihdr is None or not saw_end:
+    # the spec requires at least one IDAT — a dataless "valid" PNG would
+    # be waved through to the decoder this gate exists to protect
+    if ihdr is None or not saw_end or not saw_data:
         return None
     width, height, depth, color, comp, filt, interlace = ihdr
     if width == 0 or height == 0 or comp != 0 or filt != 0 or interlace > 1:
@@ -712,43 +711,9 @@ def parse_png_header(payload: bytes) -> dict | None:
 
 
 def png_header_stats(media: DataFrame) -> DataFrame:
-    """Validate-and-describe PNG payloads via Arrow-batched
-    ``mapInPandas`` — the image twin of :func:`wav_header_stats`: one row
-    per payload, ``valid=false`` (NULL fields) for malformed bytes.
-    Map-only; fan-out 1:1; the payload bytes never cross a shuffle."""
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                parsed = parse_png_header(bytes(row["payload"]))
-                rows.append(
-                    {
-                        "media_id": int(row["media_id"]),
-                        "valid": parsed is not None,
-                        **(
-                            parsed
-                            if parsed is not None
-                            else dict.fromkeys(
-                                (
-                                    "width",
-                                    "height",
-                                    "bit_depth",
-                                    "color_type",
-                                    "interlaced",
-                                    "has_alpha",
-                                    "n_chunks",
-                                    "n_pixels",
-                                )
-                            )
-                        ),
-                    }
-                )
-            yield pd.DataFrame(rows)
-
-    return media.select("media_id", "payload").mapInPandas(
-        kernel, PNG_HEADER_SCHEMA
-    )
+    """Validate-and-describe PNG payloads — the image twin of
+    :func:`wav_header_stats`, on the same shared kernel."""
+    return _header_stats(media, parse_png_header, PNG_HEADER_SCHEMA)
 
 
 def synth_png_media(spark, count: int = 64) -> DataFrame:

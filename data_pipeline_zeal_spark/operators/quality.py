@@ -236,10 +236,15 @@ def profile_drift(
         / F.greatest("n_distinct_before", F.lit(1)),
         6,
     )
+    # gate the ratio check on an actual count change: an all-NULL column
+    # is 0 distinct on both sides, and 0/greatest(0,1) = 0 would otherwise
+    # flag a bit-identical column as drifted
     drifted = (
         (F.abs(null_delta) > null_rate_tol)
-        | (ratio > distinct_ratio_tol)
-        | (ratio < 1.0 / distinct_ratio_tol)
+        | (
+            (F.col("n_distinct_before") != F.col("n_distinct_after"))
+            & ((ratio > distinct_ratio_tol) | (ratio < 1.0 / distinct_ratio_tol))
+        )
     )
     return j.select(
         "col_name",

@@ -145,8 +145,6 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
     """Per-label embedding L2-norm profile + unit-normalization check —
     the hygiene pass before any cosine-based retrieval (zero vectors and
     un-normalized rows break downstream similarity)."""
-    from ..functions.vector import norm
-
     n = norm(as_double(F.col("embedding")))
     return (
         with_min_parallelism(embeddings)

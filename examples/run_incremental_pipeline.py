@@ -88,7 +88,13 @@ def main() -> None:
         existing, events, events.filter(F.col("ts") >= cut)
     )
     full = hourly.aggregate_events(events)
-    assert merged.exceptAll(full).count() == 0 and merged.count() == full.count()
+    # round the float sums before comparing: the two results come from
+    # different physical plans, so raw doubles may differ in the last ulp
+    stable = lambda df: df.withColumn(  # noqa: E731
+        "total_value", F.round("total_value", 6)
+    ).withColumn("avg_value", F.round("avg_value", 6))
+    assert stable(merged).exceptAll(stable(full)).count() == 0
+    assert merged.count() == full.count()
     print(f"incremental rollup == full recompute: {merged.count()} windows")
 
     # 7. publish gate: contracts + drift

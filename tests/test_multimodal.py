@@ -251,3 +251,26 @@ def test_png_synth_fixture_branches(spark):
     valid = [r for r in out if r.valid]
     assert len(out) == 64 and len(valid) == 48  # 3 of every 4 parse
     assert all(r.n_pixels == r.width * r.height for r in valid)
+
+
+def test_png_parser_rejects_truncated_crc_and_dataless():
+    from data_pipeline_zeal_spark.operators.multimodal import parse_png_header
+
+    good = _png_bytes()
+    # clipped 2 bytes into a trailing chunk CRC: must reject, not raise
+    assert parse_png_header(good[:-2]) is None
+    # signature + CRC-correct IHDR + IEND but zero IDAT chunks: dataless
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    dataless = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    assert parse_png_header(dataless) is None

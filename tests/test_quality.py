@@ -132,3 +132,19 @@ def test_profile_approx_mode_has_no_expand(spark):
     # rows through the shuffle); the HLL path must stay single-pass
     assert "Expand" in exact
     assert "Expand" not in approx
+
+
+def test_profile_drift_identical_all_null_column_not_flagged(spark):
+    from data_pipeline_zeal_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, x double"
+    )
+    out = {
+        r.col_name: r
+        for r in quality.profile_drift(df, df, ["id", "x"]).collect()
+    }
+    # bit-identical snapshots: nothing drifts, even the all-NULL column
+    # whose 0/0 distinct ratio used to trip the low-side threshold
+    assert out["x"].n_distinct_before == 0 and out["x"].drifted == 0
+    assert out["id"].drifted == 0
