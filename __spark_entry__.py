@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_ngram_novelty"] = lambda s, d: text.ngram_novelty(
         load_table(s, d, "documents"), n=3
     )
+    q["text_doc_similarity"] = lambda s, d: text.doc_similarity_topk(
+        load_table(s, d, "documents"), k=5
+    )
     q["text_normalize"] = lambda s, d: text.normalize_text(
         load_table(s, d, "documents")
     )
@@ -990,7 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: sim_pq_topk (rows-only, recall-gated), orders_backlog_timeline,
 #: multimodal_png_headers (rows-only, closed-form-pinned),
 #: events_profile_drift, hourly_agg_incremental (IVM vs full-recompute
-#: oracle), events_decay_attribution, asof_error_nearest_click_30m — plus any
+#: oracle), events_decay_attribution, asof_error_nearest_click_30m,
+#: text_doc_similarity — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -1865,6 +1869,39 @@ SELECT doc_id, source,
        CAST(len(toks[k*48+1 : k*48+64]) AS INT) AS n_chunk_tokens,
        array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text
 FROM x
+"""
+    o["text_doc_similarity"] = f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS token FROM documents)
+  GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+w AS (
+  SELECT t.doc_id, t.token,
+         t.tf * (ln((n.n_docs + 1) / (d.df + 1)) + 1) AS w
+  FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
+  WHERE d.df >= 2 AND d.df <= 0.5 * n.n_docs
+), nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+), postings AS (
+  SELECT w.doc_id, w.token, w.w / nrm.nrm AS wn
+  FROM w JOIN nrm USING (doc_id)
+), sims AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(sum(a.wn * b.wn), 6) AS sim
+  FROM postings a JOIN postings b
+    ON a.token = b.token AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_a, doc_b, sim,
+         CAST(row_number() OVER (PARTITION BY doc_a
+                                 ORDER BY sim DESC, doc_b ASC) AS INT) AS rank
+  FROM sims
+)
+SELECT doc_a, doc_b, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY doc_a, rank
 """
     o["text_ngram_novelty"] = f"""
 WITH pairs AS (

@@ -103,6 +103,7 @@ HEADLINE = [
     "hourly_agg_incremental",
     "events_decay_attribution",
     "asof_error_nearest_click_30m",
+    "text_doc_similarity",
 ]
 
 

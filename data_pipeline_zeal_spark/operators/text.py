@@ -549,3 +549,71 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def doc_similarity_topk(
+    documents: DataFrame, k: int = 5, max_df_ratio: float = 0.5
+) -> DataFrame:
+    """Sparse TF-IDF document-to-document similarity ("more like this"
+    without embeddings): every document becomes a unit-normalized sparse
+    TF-IDF vector (smoothed idf, matching :func:`tfidf_top_terms`), and
+    cosine between documents is a posting-list self-join — shared tokens
+    contribute weight products, summed per document pair.
+
+    SCALE: the all-pairs fan-out of a posting-list join is sum(df^2) over
+    tokens, which stop-words would blow up quadratically; the
+    ``max_df_ratio`` prune (drop tokens appearing in more than that share
+    of documents) is the classic sparse-retrieval control that bounds the
+    join, and df < 2 tokens are dropped because they cannot match.  The
+    pruned postings frame is localCheckpointed once and reused by both
+    join sides (otherwise the self-join would recompute the whole
+    tokenize-weigh-normalize lineage twice).  Every shuffle keys on the
+    token or the doc id — uniform after hashing.  Scores round to 6 dp
+    BEFORE ranking so ties break identically cross-engine."""
+    from pyspark.sql import Window
+
+    docs = with_min_parallelism(documents)
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    weighted = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= 2) & (F.col("df") <= max_df_ratio * F.col("n_docs"))
+        )
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1)
+            ).alias("w"),
+        )
+    )
+    nrm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc_id")))
+    postings = weighted.select(
+        "doc_id", "token", (F.col("w") / nrm).alias("wn")
+    ).localCheckpoint(eager=True)
+    a = postings.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("wn").alias("wa")
+    )
+    b = postings.select(
+        F.col("doc_id").alias("doc_b"), "token", F.col("wn").alias("wb")
+    )
+    sims = (
+        a.join(b, "token")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 6).alias("sim"))
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.desc("sim"), F.asc("doc_b"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("doc_a", "rank")
+    )

@@ -138,3 +138,27 @@ def test_triangle_census_empty_and_selfloop_only(spark):
     row = graph.triangle_stats(_edges(spark, [(5, 5)])).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (0, 0, 0, 0)
     assert row.clustering_coefficient == 0.0
+
+
+def test_doc_similarity_identical_docs_and_pruning(spark):
+    shared = "alpha beta gamma delta"
+    docs = _docs(
+        spark,
+        [
+            shared,                      # 0 and 1 identical -> sim 1.0
+            shared,
+            shared + " epsilon",         # 2: shares epsilon with 3 (df=2)
+            "epsilon zeta eta theta",    # 3: rest are df=1 -> pruned
+        ],
+    )
+    out = text.doc_similarity_topk(docs, k=3, max_df_ratio=0.95)
+    rows = {(r.doc_a, r.doc_b): (r.sim, r.rank) for r in out.collect()}
+    assert rows[(0, 1)][0] == 1.0 and rows[(0, 1)][1] == 1
+    assert rows[(1, 0)][0] == 1.0
+    # epsilon survives pruning (df=2), so doc 2 differs from 0/1 but is
+    # still their nearest non-identical neighbor
+    assert 0.5 < rows[(0, 2)][0] < 1.0
+    # doc 3's only surviving token is epsilon -> pairs with doc 2 alone,
+    # and after normalization its vector IS the epsilon axis
+    assert (3, 2) in rows and rows[(3, 2)][1] == 1
+    assert not any({a, b} == {0, 3} for (a, b) in rows)

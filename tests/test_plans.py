@@ -220,6 +220,8 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         "corpus_source_divergence": 1,
         "text_unigram_logprob": 1,
         "text_tfidf_top_terms": 1,
+        # (text_doc_similarity's 1-row n_docs crossJoin sits behind the
+        # postings localCheckpoint, so the registered plan carries none)
         "tpch_q11_important_parts": 1,
         "tpch_q22_idle_customers": 1,
         "dq_audit": 2,
