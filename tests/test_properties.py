@@ -353,3 +353,45 @@ def test_scd2_pit_matches_latest_at_or_before(spark, changes, facts):
     expected = {j: model(k, t0 + datetime.timedelta(hours=h))
                 for j, (k, h) in enumerate(facts)}
     assert out == expected
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    n_tok=st.integers(min_value=0, max_value=200),
+    window=st.integers(min_value=2, max_value=40),
+    stride_frac=st.floats(min_value=0.25, max_value=1.0),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_overlap_total_coverage(spark, n_tok, window, stride_frac):
+    """Chunking laws for any (doc length, window, stride): chunks tile the
+    document completely (every token appears in at least one chunk), the
+    first chunk starts at token 1, starts advance by exactly the stride,
+    and only the last chunk may be short."""
+    from data_pipeline_zeal_spark.operators.text import chunk_overlap
+
+    stride = max(1, int(window * stride_frac))
+    text = " ".join(f"t{i}" for i in range(n_tok))
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = sorted(
+        chunk_overlap(docs, window=window, stride=stride).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    if n_tok == 0:
+        assert rows == []
+        return
+    covered = set()
+    for i, r in enumerate(rows):
+        assert r.start_token == 1 + i * stride
+        toks = r.chunk_text.split()
+        assert len(toks) == r.n_chunk_tokens
+        if i < len(rows) - 1:
+            assert r.n_chunk_tokens == window
+        covered.update(range(r.start_token, r.start_token + r.n_chunk_tokens))
+    assert covered == set(range(1, n_tok + 1))
