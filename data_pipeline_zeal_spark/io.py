@@ -149,6 +149,62 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    continuously-ingested parquet table needs: streaming micro-batches and
+    fine-grained partition writes leave thousands of KB-sized files whose
+    per-file open/footer cost eventually dominates scans.
+
+    Sizes the rewrite from the CURRENT on-disk footprint (sum of part-file
+    bytes / ``target_file_bytes``, at least 1), rewrites with
+    ``coalesce`` (no shuffle — compaction only merges, it never needs a
+    repartition exchange), and swaps the directory into place with the
+    same two-rename pattern as the idempotent parquet sink, so readers
+    never observe a half-written table.  Listing is driver-side
+    ``os.walk`` — on a real object store the same numbers come from the
+    store's listing API; the plan shape is identical.
+
+    Returns ``{"files_before", "files_after", "bytes", "partitions"}``.
+    """
+    import os
+
+    sizes = [
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    if not sizes:
+        return {"files_before": 0, "files_after": 0, "bytes": 0, "partitions": 0}
+    total = sum(sizes)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil div
+    df = spark.read.parquet(path)
+    tmp = f"{path}.__compact_tmp"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = f"{path}.__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(old)
+    after = sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return {
+        "files_before": len(sizes),
+        "files_after": after,
+        "bytes": total,
+        "partitions": int(n_out),
+    }
+
+
 def load_wire_events(spark: SparkSession, path: str) -> DataFrame:
     """Batch read of wire-format JSONL event dumps (one JSON object per
     line — the Kafka topic's serialization): offline replay/backfill of a

@@ -71,3 +71,29 @@ def test_load_csv_events_drops_malformed_and_counts_corrupt(spark, tmp_path):
     # quarantine pass would) before inspecting _corrupt_record
     bad = [r for r in raw.collect() if r["_corrupt_record"] is not None]
     assert len(bad) == 2  # two unparseable lines, not the null-field one
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from data_pipeline_zeal_spark.io import compact_parquet
+
+    path = str(tmp_path / "t")
+    # write deliberately fragmented: 32 partitions of a small frame
+    spark.range(0, 10_000).withColumnRenamed("id", "k").repartition(
+        32
+    ).write.parquet(path)
+    # materialize the pre-compaction content: the swap deletes the files
+    # a lazy frame would re-read
+    before = sorted(r.k for r in spark.read.parquet(path).collect())
+    stats = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] >= 32
+    assert stats["files_after"] == stats["partitions"] == 1
+    after = sorted(r.k for r in spark.read.parquet(path).collect())
+    assert after == before  # content identical
+
+
+def test_compact_parquet_empty_dir(spark, tmp_path):
+    from data_pipeline_zeal_spark.io import compact_parquet
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    assert compact_parquet(spark, str(d))["files_before"] == 0
