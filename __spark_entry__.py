@@ -279,6 +279,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_csv"),
     )
 
+    # rows-only: the PCA basis comes from a driver-side SVD (not SQL);
+    # orthonormality/variance/determinism are pytest-gated
+    q["sim_pca_project"] = lambda s, d: similarity.pca_project(
+        load_table(s, d, "embeddings"), k=16
+    ).select(
+        "vec_id",
+        F.concat_ws(",", F.col("proj").cast("array<string>")).alias("proj_csv"),
+    )
+
     # --- [EXT] text analysis over documents ---
     q["text_stats"] = lambda s, d: text.text_stats(load_table(s, d, "documents"))
     q["text_quality_score"] = lambda s, d: text.quality_score(
@@ -329,6 +338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- [EXT] dedup ---
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicates(
+        load_table(s, d, "documents")
+    )
+    q["dedup_rate_by_source"] = lambda s, d: dedup.dup_rate_by_source(
         load_table(s, d, "documents")
     )
     q["dedup_exact_survivors"] = lambda s, d: dedup.exact_dedup(
@@ -994,7 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: multimodal_png_headers (rows-only, closed-form-pinned),
 #: events_profile_drift, hourly_agg_incremental (IVM vs full-recompute
 #: oracle), events_decay_attribution, asof_error_nearest_click_30m,
-#: text_doc_similarity — plus any
+#: text_doc_similarity, dedup_rate_by_source, sim_pca_project (rows-only,
+#: law-gated) — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -1939,6 +1952,20 @@ SELECT md5(text) AS text_hash,
        min(doc_id) AS rep_doc_id,
        count(*) AS dup_count
 FROM documents GROUP BY md5(text) ORDER BY rep_doc_id
+"""
+    o["dedup_rate_by_source"] = """
+WITH sized AS (
+  SELECT doc_id, source,
+         count(*) OVER (PARTITION BY md5(text)) AS group_size
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicated,
+       round(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) / count(*), 6)
+         AS dup_rate
+FROM sized GROUP BY source ORDER BY source
 """
     o["dedup_exact_survivors"] = """
 SELECT * FROM documents

@@ -104,6 +104,8 @@ HEADLINE = [
     "events_decay_attribution",
     "asof_error_nearest_click_30m",
     "text_doc_similarity",
+    "dedup_rate_by_source",
+    "sim_pca_project",
 ]
 
 

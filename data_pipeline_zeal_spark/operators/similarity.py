@@ -544,3 +544,73 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def train_pca(
+    embeddings: DataFrame, k: int = 16, sample_size: int = 4096
+) -> dict:
+    """Train a PCA projection driver-side on a BOUNDED deterministic
+    sample (lowest xxhash64 ids — same recipe as the IVF/PQ trainers):
+    center, SVD, keep the top ``k`` right singular vectors.  Components
+    are sign-normalized (largest-|coordinate| entry positive) so the
+    basis is fully deterministic despite SVD's per-vector sign ambiguity.
+
+    Returns ``{"mean": [dim], "components": [k][dim],
+    "explained_variance_ratio": [k]}``."""
+    import numpy as np
+
+    rows = (
+        embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    _, s, vt = np.linalg.svd(Xc, full_matrices=False)
+    comp = vt[:k]
+    for i in range(comp.shape[0]):  # deterministic sign
+        j = int(np.abs(comp[i]).argmax())
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    var = (s**2) / max(len(X) - 1, 1)
+    ratio = var[:k] / var.sum() if var.sum() > 0 else var[:k]
+    return {
+        "mean": [float(x) for x in mean],
+        "components": [[float(x) for x in c] for c in comp],
+        "explained_variance_ratio": [float(x) for x in ratio],
+    }
+
+
+def pca_project(
+    embeddings: DataFrame, k: int = 16, sample_size: int = 4096
+) -> DataFrame:
+    """Distributed PCA projection — the third member of the embedding
+    compression family (int8 quantization, PQ codes, now linear
+    dimensionality reduction): project every vector onto the top-k
+    principal axes of a sample-trained basis.
+
+    SCALE: training cost is O(sample x dim^2) on the driver regardless of
+    corpus size; projection is one Arrow-batched vectorized kernel
+    ((batch x dim) @ (dim x k) BLAS matmul per batch, the
+    :func:`pq_reconstruct_udf` pattern) — map-only, no shuffle, the basis
+    rides in the task closure.  Returns (vec_id, proj) with coordinates
+    rounded to 6 dp for engine-stable comparison."""
+    import numpy as np
+
+    model = train_pca(embeddings, k, sample_size)
+    mean = np.array(model["mean"])
+    comp = np.array(model["components"])  # (k, dim)
+
+    @F.pandas_udf("array<double>")
+    def proj(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
+        X = np.array(col.tolist(), dtype=np.float64)
+        P = np.round((X - mean) @ comp.T, 6)
+        return pd.Series(list(P))
+
+    return with_min_parallelism(embeddings).select(
+        "vec_id", proj(as_double(F.col("embedding"))).alias("proj")
+    )

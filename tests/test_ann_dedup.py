@@ -271,3 +271,44 @@ def test_pq_codebooks_shape_and_determinism(spark):
     b2 = similarity.train_pq_codebooks(emb, m=8, n_codes=4, iters=3)
     assert b1 == b2
     assert len(b1) == 8 and len(b1[0]) == 4 and len(b1[0][0]) == 8
+
+
+def test_pca_basis_laws(spark):
+    import numpy as np
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    m = similarity.train_pca(emb, k=8)
+    C = np.array(m["components"])
+    # orthonormal basis
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-8)
+    # explained variance ratios are sorted and in (0, 1]
+    r = m["explained_variance_ratio"]
+    assert all(0 < x <= 1 for x in r) and r == sorted(r, reverse=True)
+    # deterministic across retrains (sign normalization included)
+    m2 = similarity.train_pca(emb, k=8)
+    assert m == m2
+
+
+def test_pca_projection_reconstruction_improves_with_k(spark):
+    import numpy as np
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(64).collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    errs = []
+    for k in (4, 16, 32):
+        m = similarity.train_pca(emb, k=k)
+        C, mu = np.array(m["components"]), np.array(m["mean"])
+        rec = (X - mu) @ C.T @ C + mu
+        errs.append(float(((X - rec) ** 2).mean()))
+    assert errs[0] > errs[1] > errs[2]  # more axes, less error
+    # and the distributed projection matches the driver-side math
+    proj = {
+        r.vec_id: list(r.proj)
+        for r in similarity.pca_project(emb, k=4).orderBy("vec_id").limit(64).collect()
+    }
+    m4 = similarity.train_pca(emb, k=4)
+    C4, mu4 = np.array(m4["components"]), np.array(m4["mean"])
+    want = np.round((X - mu4) @ C4.T, 6)
+    got = np.array([proj[r.vec_id] for r in rows])
+    assert np.allclose(got, want, atol=1e-6)
