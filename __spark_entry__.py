@@ -596,6 +596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_grouping_sets"] = lambda s, d: relational.priority_year_grouping_sets(
         load_table(s, d, "orders")
     )
+    q["orders_priority_anova"] = lambda s, d: relational.variance_decomposition(
+        load_table(s, d, "orders"), "o_orderpriority", "o_totalprice"
+    )
     q["corpus_weighted_sample"] = lambda s, d: corpus.weighted_sample(
         load_table(s, d, "documents"), k=50
     )
@@ -1007,7 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: events_profile_drift, hourly_agg_incremental (IVM vs full-recompute
 #: oracle), events_decay_attribution, asof_error_nearest_click_30m,
 #: text_doc_similarity, dedup_rate_by_source, sim_pca_project (rows-only,
-#: law-gated) — plus any
+#: law-gated), orders_priority_anova — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -2427,6 +2430,42 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM toks t JOIN freq f USING (term) CROSS JOIN tot tt
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+    o["orders_priority_anova"] = """
+WITH g AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss
+  FROM orders GROUP BY o_orderpriority
+), t AS (
+  SELECT n,
+         CAST(CAST(s AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(ss AS VARCHAR) AS DOUBLE) AS ss,
+         CAST(CAST(s AS VARCHAR) AS DOUBLE)
+           * CAST(CAST(s AS VARCHAR) AS DOUBLE) / n AS s2n
+  FROM g
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         list_sum(list_sort(list(s))) AS S,
+         list_sum(list_sort(list(ss))) AS SS,
+         list_sum(list_sort(list(s2n))) AS S2N
+  FROM t
+), d AS (
+  SELECT n_groups, n_rows,
+         S2N - S * S / n_rows AS ssb,
+         SS - S2N AS ssw
+  FROM agg
+)
+SELECT n_groups, n_rows,
+       round(ssb, 2) AS ss_between,
+       round(ssw, 2) AS ss_within,
+       round((ssb / (n_groups - 1)) / (ssw / (n_rows - n_groups)), 6)
+         AS f_stat,
+       round(ssb / (ssb + ssw), 6) AS eta_sq
+FROM d
 """
     o["orders_grouping_sets"] = """
 WITH o AS (

@@ -106,6 +106,7 @@ HEADLINE = [
     "text_doc_similarity",
     "dedup_rate_by_source",
     "sim_pca_project",
+    "orders_priority_anova",
 ]
 
 

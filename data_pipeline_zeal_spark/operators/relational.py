@@ -745,3 +745,70 @@ def waiting_orders_by_supplier(
         .orderBy(F.desc("numwait"), "s_name")
         .limit(limit)
     )
+
+
+def variance_decomposition(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way variance decomposition (ANOVA table): how much of a
+    measure's variance lies BETWEEN groups vs WITHIN them, with the
+    F-statistic and effect size eta^2 — the "does this dimension explain
+    the metric" screen run before any segmentation analysis.
+
+    SCALE + cross-engine numerics: one map-side-combined aggregate per
+    group collecting (n, sum, sum-of-squares) IN DECIMAL — decimal sums
+    are exact, so the result is independent of partial-aggregation order
+    (double sums of ~1e14 magnitudes differ across engines by more than
+    any absolute rounding can absorb); the k-row group frame then reduces
+    to one summary row, and only that constant-size arithmetic runs in
+    floating point.  Uses the algebraic identities
+    SSB = sum(s_g^2/n_g) - S^2/N and SSW = SS_total - sum(s_g^2/n_g),
+    so no second pass over the data."""
+    v = F.col(value_col).cast("decimal(18,2)")
+    per_group = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum((v * v).cast("decimal(38,4)")).alias("ss"),
+    )
+    # decimal -> double goes THROUGH THE EXACT DECIMAL STRING: engines
+    # disagree on direct decimal casts at 19 significant digits (observed:
+    # DuckDB's is not correctly rounded), while string -> double is
+    # correctly-rounded IEEE everywhere, so both sides get the identical
+    # nearest double.
+    dd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    terms = per_group.select(
+        "n",
+        dd("s").alias("s"),
+        dd("ss").alias("ss"),
+        (dd("s") * dd("s") / F.col("n")).alias("s2n"),
+    )
+    # the k-row reduce sums doubles: do it as a left fold over a SORTED
+    # list so the summation order (hence every last ulp) is identical in
+    # any engine and any partitioning — plain SUM is order-dependent and
+    # a half-ulp difference at ~1e13 flips rounding boundaries
+    ordered_sum = lambda c: F.aggregate(  # noqa: E731
+        F.array_sort(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
+    out = terms.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+        ordered_sum("s").alias("S"),
+        ordered_sum("ss").alias("SS"),
+        ordered_sum("s2n").alias("S2N"),
+    ).select(
+        "n_groups",
+        "n_rows",
+        (F.col("S2N") - F.col("S") * F.col("S") / F.col("n_rows")).alias("ssb"),
+        (F.col("SS") - F.col("S2N")).alias("ssw"),
+    )
+    f_stat = (F.col("ssb") / (F.col("n_groups") - 1)) / (
+        F.col("ssw") / (F.col("n_rows") - F.col("n_groups"))
+    )
+    return out.select(
+        "n_groups",
+        "n_rows",
+        F.round("ssb", 2).alias("ss_between"),
+        F.round("ssw", 2).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_sq"),
+    )

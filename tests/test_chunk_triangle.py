@@ -162,3 +162,19 @@ def test_doc_similarity_identical_docs_and_pruning(spark):
     # and after normalization its vector IS the epsilon axis
     assert (3, 2) in rows and rows[(3, 2)][1] == 1
     assert not any({a, b} == {0, 3} for (a, b) in rows)
+
+
+def test_variance_decomposition_hand_computed(spark):
+    from data_pipeline_zeal_spark.operators import relational
+
+    # A: [1, 3] mean 2; B: [5, 7] mean 6; grand 4
+    # SSB = 2*(2-4)^2 + 2*(6-4)^2 = 16; SSW = 1+1+1+1 = 4
+    # F = (16/1)/(4/2) = 8; eta^2 = 16/20 = 0.8
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 3.0), ("B", 5.0), ("B", 7.0)],
+        "g string, x double",
+    )
+    row = relational.variance_decomposition(df, "g", "x").collect()[0]
+    assert (row.n_groups, row.n_rows) == (2, 4)
+    assert row.ss_between == 16.0 and row.ss_within == 4.0
+    assert row.f_stat == 8.0 and row.eta_sq == 0.8
