@@ -599,6 +599,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_priority_anova"] = lambda s, d: relational.variance_decomposition(
         load_table(s, d, "orders"), "o_orderpriority", "o_totalprice"
     )
+    q["part_supplier_hhi"] = lambda s, d: etl.supplier_concentration(
+        load_table(s, d, "lineitem")
+    )
+    q["events_stickiness_28d"] = lambda s, d: events_ext.stickiness(
+        load_table(s, d, "events"), window_days=28
+    )
     q["corpus_weighted_sample"] = lambda s, d: corpus.weighted_sample(
         load_table(s, d, "documents"), k=50
     )
@@ -1010,7 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: events_profile_drift, hourly_agg_incremental (IVM vs full-recompute
 #: oracle), events_decay_attribution, asof_error_nearest_click_30m,
 #: text_doc_similarity, dedup_rate_by_source, sim_pca_project (rows-only,
-#: law-gated), orders_priority_anova — plus any
+#: law-gated), orders_priority_anova, part_supplier_hhi,
+#: events_stickiness_28d — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -2430,6 +2437,40 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM toks t JOIN freq f USING (term) CROSS JOIN tot tt
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+    o["events_stickiness_28d"] = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events
+), contrib AS (
+  SELECT day + (k * INTERVAL 1 DAY) AS day, user_id
+  FROM pairs CROSS JOIN unnest(range(0, 28)) AS t(k)
+), mau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM contrib GROUP BY day
+), dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM pairs GROUP BY day
+)
+SELECT day, dau, mau,
+       round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+FROM dau JOIN mau USING (day)
+ORDER BY day
+"""
+    o["part_supplier_hhi"] = """
+WITH per_supp AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), shared AS (
+  SELECT l_partkey, qty,
+         sum(qty) OVER (PARTITION BY l_partkey) AS total
+  FROM per_supp
+)
+SELECT l_partkey,
+       count(*) AS n_suppliers,
+       round(list_sum(list_sort(list((qty / total) * (qty / total)))), 6)
+         AS hhi
+FROM shared GROUP BY l_partkey ORDER BY l_partkey
 """
     o["orders_priority_anova"] = """
 WITH g AS (

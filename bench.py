@@ -107,6 +107,8 @@ HEADLINE = [
     "dedup_rate_by_source",
     "sim_pca_project",
     "orders_priority_anova",
+    "part_supplier_hhi",
+    "events_stickiness_28d",
 ]
 
 

@@ -812,3 +812,41 @@ def order_backlog_timeline(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         "n_closed",
         F.sum(F.col("n_opened") - F.col("n_closed")).over(w).alias("backlog"),
     ).orderBy("day")
+
+
+def supplier_concentration(lineitem: DataFrame) -> DataFrame:
+    """Supply-concentration per part: each supplier's share of the part's
+    total shipped quantity, folded into the Herfindahl-Hirschman index
+    (sum of squared shares; 1.0 = single-supplier, 1/n = evenly split) —
+    the sourcing-risk screen over the order book.
+
+    Two aggregates under ONE partkey shuffle: (part, supplier) quantity,
+    then a window total per part attaches the denominator in place (no
+    join back), then the per-part fold.  Shares are ratios of exact
+    integer-ish sums, so 6 dp rounding is engine-stable."""
+    from pyspark.sql import Window
+
+    per_supp = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    total = F.sum("qty").over(Window.partitionBy("l_partkey"))
+    share = F.col("qty") / total
+    # fold the squared shares in SORTED order so the floating sum is
+    # bit-identical across engines/partitionings (a plain SUM's order-
+    # dependent last ulp can straddle the 6 dp rounding boundary)
+    return (
+        per_supp.withColumn("share2", share * share)
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("share2")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy("l_partkey")
+    )

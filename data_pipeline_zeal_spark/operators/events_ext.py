@@ -651,3 +651,47 @@ def hourly_gapfill(events: DataFrame, fill: str = "ffill") -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.round(lerp, 6).alias("avg_value_lerp"),
     ).orderBy("event_type", "h")
+
+
+def stickiness(events: DataFrame, window_days: int = 28) -> DataFrame:
+    """DAU/MAU stickiness: per active day, the distinct users that day
+    (DAU), the distinct users over the trailing ``window_days`` (MAU),
+    and their ratio — the engagement-health metric every activity
+    dashboard leads with.
+
+    EXACT formulation via contribution explode: each distinct (day, user)
+    pair is exploded to the ``window_days`` trailing windows it counts
+    toward, then one distinct-count per target day — every join is
+    equality, fan-out is a fixed window_days x |day-user pairs| (NOT a
+    range self-join), and the output is only the days actually present.
+    SCALE: the x28 fan-out is the price of exactness; the bounded-memory
+    path at 100 TB is the mergeable-HLL rollup (see
+    ``events_hll_weekly_users``) where per-day sketches union across the
+    trailing window instead of re-counting users."""
+    pairs = (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"), "user_id"
+        ).distinct()
+    )
+    contrib = pairs.select(
+        "day",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("off"),
+    ).select(
+        F.to_timestamp(F.date_add(F.col("day").cast("date"), F.col("off"))).alias(
+            "day"
+        ),
+        "user_id",
+    )
+    mau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("mau"))
+    dau = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(mau, "day")  # inner join keeps only days with activity
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

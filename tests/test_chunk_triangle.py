@@ -178,3 +178,44 @@ def test_variance_decomposition_hand_computed(spark):
     assert (row.n_groups, row.n_rows) == (2, 4)
     assert row.ss_between == 16.0 and row.ss_within == 4.0
     assert row.f_stat == 8.0 and row.eta_sq == 0.8
+
+
+def test_stickiness_trailing_window(spark):
+    import datetime
+
+    from data_pipeline_zeal_spark.operators import events_ext
+
+    d = lambda day, u: (u * 100 + day, datetime.datetime(2024, 1, day), u)  # noqa: E731
+    rows = [
+        d(1, 1), d(1, 2),   # day 1: users {1,2}
+        d(2, 1),            # day 2: user {1}
+        d(4, 3),            # day 4: user {3}
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "click", 1.0, None) for i, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r.day.day: (r.dau, r.mau, r.stickiness)
+        for r in events_ext.stickiness(ev, window_days=3).collect()
+    }
+    # day 1: window {day1} -> users {1,2}; day 2: {1,2} from d1 + {1} = {1,2};
+    # day 4: d2..d4 -> {1} from d2 + {3} = {1,3}
+    assert out[1] == (2, 2, 1.0)
+    assert out[2] == (1, 2, 0.5)
+    assert out[4] == (1, 2, 0.5)
+    assert 3 not in out  # no activity on day 3 -> no row
+
+
+def test_supplier_hhi_shares(spark):
+    from data_pipeline_zeal_spark.operators import etl
+
+    li = spark.createDataFrame(
+        # part 1: 3:1 split -> hhi 0.625; part 2: single supplier -> 1.0
+        [(1, 10, 30.0), (1, 11, 10.0), (2, 10, 5.0)],
+        "l_partkey long, l_suppkey long, l_quantity double",
+    )
+    out = {r.l_partkey: r for r in etl.supplier_concentration(li).collect()}
+    assert out[1].n_suppliers == 2 and out[1].hhi == 0.625
+    assert out[2].n_suppliers == 1 and out[2].hhi == 1.0
