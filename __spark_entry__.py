@@ -605,6 +605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_stickiness_28d"] = lambda s, d: events_ext.stickiness(
         load_table(s, d, "events"), window_days=28
     )
+    q["events_gap_distribution"] = lambda s, d: events_ext.inter_event_gaps(
+        load_table(s, d, "events")
+    )
     q["corpus_weighted_sample"] = lambda s, d: corpus.weighted_sample(
         load_table(s, d, "documents"), k=50
     )
@@ -1017,7 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: oracle), events_decay_attribution, asof_error_nearest_click_30m,
 #: text_doc_similarity, dedup_rate_by_source, sim_pca_project (rows-only,
 #: law-gated), orders_priority_anova, part_supplier_hhi,
-#: events_stickiness_28d — plus any
+#: events_stickiness_28d, events_gap_distribution — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -2437,6 +2440,24 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM toks t JOIN freq f USING (term) CROSS JOIN tot tt
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+    o["events_gap_distribution"] = """
+WITH g AS (
+  SELECT event_type,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                   ts) / 1000000.0 AS gap_s
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_gaps,
+       round(avg(gap_s), 4) AS avg_gap_s,
+       round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+       round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+       round(max(gap_s), 4) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY event_type ORDER BY event_type
 """
     o["events_stickiness_28d"] = """
 WITH pairs AS (

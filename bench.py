@@ -109,6 +109,7 @@ HEADLINE = [
     "orders_priority_anova",
     "part_supplier_hhi",
     "events_stickiness_28d",
+    "events_gap_distribution",
 ]
 
 

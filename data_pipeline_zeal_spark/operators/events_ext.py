@@ -695,3 +695,37 @@ def stickiness(events: DataFrame, window_days: int = 28) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def inter_event_gaps(events: DataFrame) -> DataFrame:
+    """Inter-arrival time distribution per event type: for each event, the
+    gap to the SAME USER's previous event (any type), summarized per type
+    of the later event — the burstiness/cadence profile behind rate
+    limits, session-timeout tuning, and bot screening.
+
+    One lag window under a single user-keyed shuffle, then a per-type
+    aggregate with exact interpolated percentiles (the GK-sketch
+    ``approx_percentile`` swap documented in ``price_quantiles_sketch``
+    applies verbatim at 100 TB).  Gaps are whole-microsecond differences
+    scaled to seconds, so values are engine-exact."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) / 1_000_000.0
+    gaps = events.select("event_type", gap.alias("gap_s")).where(
+        F.col("gap_s").isNotNull()
+    )
+    pct = lambda q: F.round(  # noqa: E731
+        F.percentile(F.col("gap_s"), F.lit(q)), 4
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+            pct(0.5).alias("p50_gap_s"),
+            pct(0.9).alias("p90_gap_s"),
+            F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
