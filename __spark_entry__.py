@@ -608,6 +608,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_gap_distribution"] = lambda s, d: events_ext.inter_event_gaps(
         load_table(s, d, "events")
     )
+
+    def _markov_steady(s: SparkSession, d: str) -> DataFrame:
+        """Stationary event-type mix: power iteration over the per-user
+        type-transition matrix — the PageRank kernel at damping=1.0 (zero
+        teleport) IS the Markov steady-state iteration, so the graph
+        operator composes directly with the journey bigrams."""
+        from data_pipeline_zeal_spark.operators import graph
+
+        t = events_ext.type_transitions(load_table(s, d, "events"))
+        ranks = graph.pagerank(
+            t, iterations=6, damping=1.0,
+            src="from_type", dst="to_type", weight="n",
+        )
+        return ranks.select(
+            F.col("node").alias("event_type"),
+            F.round("rank", 9).alias("pi"),
+        ).orderBy("event_type")
+
+    q["events_markov_steady"] = _markov_steady
     q["corpus_weighted_sample"] = lambda s, d: corpus.weighted_sample(
         load_table(s, d, "documents"), k=50
     )
@@ -1020,7 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: oracle), events_decay_attribution, asof_error_nearest_click_30m,
 #: text_doc_similarity, dedup_rate_by_source, sim_pca_project (rows-only,
 #: law-gated), orders_priority_anova, part_supplier_hhi,
-#: events_stickiness_28d, events_gap_distribution — plus any
+#: events_stickiness_28d, events_gap_distribution,
+#: events_markov_steady — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -2440,6 +2460,42 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM toks t JOIN freq f USING (term) CROSS JOIN tot tt
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+    _MK_STEP = """
+  SELECT n.node, coalesce(sum(r.rank * t.p), 0.0) AS rank
+  FROM nodes n
+  LEFT JOIN trans t ON t.dst = n.node
+  LEFT JOIN {prev} r ON r.node = t.src
+  GROUP BY n.node
+"""
+    o["events_markov_steady"] = f"""
+WITH steps AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+edges AS (
+  SELECT prev_type AS src, event_type AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+trans AS (
+  SELECT e.src, e.dst, e.w / o.out_w AS p
+  FROM edges e JOIN outw o ON e.src = o.src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+r1 AS ({_MK_STEP.format(prev="r0")}),
+r2 AS ({_MK_STEP.format(prev="r1")}),
+r3 AS ({_MK_STEP.format(prev="r2")}),
+r4 AS ({_MK_STEP.format(prev="r3")}),
+r5 AS ({_MK_STEP.format(prev="r4")}),
+r6 AS ({_MK_STEP.format(prev="r5")})
+SELECT node AS event_type, round(rank, 9) AS pi FROM r6 ORDER BY event_type
 """
     o["events_gap_distribution"] = """
 WITH g AS (

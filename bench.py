@@ -110,6 +110,7 @@ HEADLINE = [
     "part_supplier_hhi",
     "events_stickiness_28d",
     "events_gap_distribution",
+    "events_markov_steady",
 ]
 
 

@@ -295,3 +295,25 @@ def test_time_decay_attribution_weights(spark):
     assert out["u1"].n_clicks_credited == 2
     assert out["u1"].credit_mass == 1.0          # shares normalize per purchase
     assert out["u1"].decay_weight_mass == 1.5    # 1 + 0.5
+
+
+def test_markov_steady_state_laws(spark):
+    """damping=1.0 pagerank over a transition matrix is Markov power
+    iteration: mass is conserved (sum pi == 1) and iterating an already-
+    stationary chain leaves it fixed (checked on a 2-state chain with
+    known stationary distribution [1/3, 2/3])."""
+    from data_pipeline_zeal_spark.operators import graph
+
+    # P = [[0.5, 0.5], [0.25, 0.75]] -> pi = [1/3, 2/3]
+    edges = spark.createDataFrame(
+        [("a", "a", 0.5), ("a", "b", 0.5), ("b", "a", 0.25), ("b", "b", 0.75)],
+        "src string, dst string, w double",
+    )
+    out = {
+        r.node: r.rank
+        for r in graph.pagerank(
+            edges, iterations=30, damping=1.0, weight="w"
+        ).collect()
+    }
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert abs(out["a"] - 1 / 3) < 1e-6 and abs(out["b"] - 2 / 3) < 1e-6
