@@ -1989,13 +1989,16 @@ FROM documents GROUP BY md5(text) ORDER BY rep_doc_id
     o["dedup_rate_by_source"] = """
 WITH sized AS (
   SELECT doc_id, source,
-         count(*) OVER (PARTITION BY md5(text)) AS group_size
+         count(*) OVER (PARTITION BY md5(text)) AS group_size,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS rep_doc_id
   FROM documents
 )
 SELECT source,
        count(*) AS n_docs,
        CAST(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_duplicated,
+       CAST(sum(CASE WHEN doc_id <> rep_doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redundant,
        round(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) / count(*), 6)
          AS dup_rate
 FROM sized GROUP BY source ORDER BY source

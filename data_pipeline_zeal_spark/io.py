@@ -149,6 +149,35 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def _recover_compaction(path: str) -> None:
+    """Roll back or finish a compaction swap that crashed mid-rename:
+    a leaf left as ``<dir>.__compact_old`` with no live ``<dir>`` is
+    renamed back (the crash hit between the two renames); one whose live
+    dir exists is a completed swap that crashed before cleanup and is
+    removed, as are stale ``__compact_tmp`` write dirs."""
+    import os
+    import shutil
+
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    roots = [parent]
+    if os.path.isdir(path):
+        roots.append(path)
+    for base in roots:
+        for root, dirs, _ in os.walk(base):
+            for d in list(dirs):
+                full = os.path.join(root, d)
+                if d.endswith(".__compact_tmp"):
+                    shutil.rmtree(full)
+                    dirs.remove(d)
+                elif d.endswith(".__compact_old"):
+                    live = full[: -len(".__compact_old")]
+                    if os.path.exists(live):
+                        shutil.rmtree(full)
+                    else:
+                        os.rename(full, live)
+                    dirs.remove(d)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -159,49 +188,62 @@ def compact_parquet(
     fine-grained partition writes leave thousands of KB-sized files whose
     per-file open/footer cost eventually dominates scans.
 
-    Sizes the rewrite from the CURRENT on-disk footprint (sum of part-file
-    bytes / ``target_file_bytes``, at least 1), rewrites with
-    ``coalesce`` (no shuffle — compaction only merges, it never needs a
-    repartition exchange), and swaps the directory into place with the
-    same two-rename pattern as the idempotent parquet sink, so readers
-    never observe a half-written table.  Listing is driver-side
-    ``os.walk`` — on a real object store the same numbers come from the
-    store's listing API; the plan shape is identical.
+    Hive-partitioned layouts are PRESERVED: every leaf directory that
+    holds parquet files is compacted independently (read the leaf,
+    ``coalesce`` to ceil(leaf_bytes / target_file_bytes) files — no
+    shuffle, compaction only merges — and two-rename swap the leaf), so
+    ``day=.../part-*.parquet`` trees keep their pruning structure and
+    partition-column types are never re-inferred.  Each swap is covered
+    by :func:`_recover_compaction`, which runs first and rolls back (or
+    finishes) any swap a previous crash left half-done — the same
+    recovery contract as the idempotent streaming parquet sink.  Listing
+    is driver-side ``os.walk``; on a real object store the same numbers
+    come from the store's listing API.
 
-    Returns ``{"files_before", "files_after", "bytes", "partitions"}``.
+    Returns ``{"files_before", "files_after", "bytes", "partitions"}``
+    summed over the leaves (``partitions`` = total output file budget).
     """
     import os
-
-    sizes = [
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    ]
-    if not sizes:
-        return {"files_before": 0, "files_after": 0, "bytes": 0, "partitions": 0}
-    total = sum(sizes)
-    n_out = max(1, -(-total // target_file_bytes))  # ceil div
-    df = spark.read.parquet(path)
-    tmp = f"{path}.__compact_tmp"
-    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    old = f"{path}.__compact_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
     import shutil
 
-    shutil.rmtree(old)
-    after = sum(
+    _recover_compaction(path)
+    leaves: dict[str, list[int]] = {}
+    for root, _, files in os.walk(path):
+        sizes = [
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        ]
+        if sizes:
+            leaves[root] = sizes
+    if not leaves:
+        return {"files_before": 0, "files_after": 0, "bytes": 0, "partitions": 0}
+    files_before = sum(len(s) for s in leaves.values())
+    total_bytes = sum(sum(s) for s in leaves.values())
+    n_total = 0
+    for leaf, sizes in leaves.items():
+        n_out = max(1, -(-sum(sizes) // target_file_bytes))  # ceil div
+        n_total += n_out
+        # reading the LEAF directory keeps partition values in the path,
+        # untouched and never re-inferred into the data files
+        df = spark.read.parquet(leaf)
+        tmp = f"{leaf}.__compact_tmp"
+        df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+        old = f"{leaf}.__compact_old"
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old)
+    files_after = sum(
         1
         for root, _, files in os.walk(path)
         for f in files
         if f.endswith(".parquet")
     )
     return {
-        "files_before": len(sizes),
-        "files_after": after,
-        "bytes": total,
-        "partitions": int(n_out),
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+        "partitions": int(n_total),
     }
 
 

@@ -597,30 +597,36 @@ def incremental_dedup(
 
 
 def dup_rate_by_source(documents: DataFrame) -> DataFrame:
-    """Exact-duplicate pressure per source: how many of each source's
-    documents share their md5 text hash with at least one other document
-    ANYWHERE in the corpus, plus the redundant-doc count (group size
-    minus one representative per group) — the per-slice health metric a
+    """Exact-duplicate pressure per source: ``n_duplicated`` counts the
+    source's documents that share their md5 text hash with at least one
+    other document ANYWHERE in the corpus (dup_rate = that over n_docs),
+    and ``n_redundant`` counts the ones that are not their group's
+    representative (min doc_id) — i.e. exactly how many of this source's
+    docs an exact-dedup pass would drop.  The per-slice health metric a
     curation run reads before deciding where to spend dedup effort.
 
-    SCALE: one hash aggregate over (md5, count) — uniform 128-bit keys —
-    attached back to the scan via a window count under a single md5
-    shuffle (no join back, no second scan), then a #sources-row rollup.
+    SCALE: group size and representative attach to the scan via two
+    window functions under a SINGLE md5-keyed shuffle (uniform 128-bit
+    keys, no join back, no second scan), then a #sources-row rollup.
     """
     from pyspark.sql import Window
 
     h = F.md5(F.col("text"))
-    sized = with_min_parallelism(documents).select(
-        "doc_id", "source", h.alias("text_hash")
-    ).withColumn(
-        "group_size",
-        F.count(F.lit(1)).over(Window.partitionBy("text_hash")),
+    w = Window.partitionBy("text_hash")
+    sized = (
+        with_min_parallelism(documents)
+        .select("doc_id", "source", h.alias("text_hash"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("rep_doc_id", F.min("doc_id").over(w))
     )
     return (
         sized.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum((F.col("group_size") > 1).cast("long")).alias("n_duplicated"),
+            F.sum((F.col("doc_id") != F.col("rep_doc_id")).cast("long")).alias(
+                "n_redundant"
+            ),
             F.round(
                 F.sum((F.col("group_size") > 1).cast("long"))
                 / F.count(F.lit(1)),

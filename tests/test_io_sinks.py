@@ -97,3 +97,40 @@ def test_compact_parquet_empty_dir(spark, tmp_path):
     d = tmp_path / "empty"
     d.mkdir()
     assert compact_parquet(spark, str(d))["files_before"] == 0
+
+
+def test_compact_parquet_preserves_partitions(spark, tmp_path):
+    from data_pipeline_zeal_spark.io import compact_parquet
+
+    path = str(tmp_path / "pt")
+    df = spark.range(0, 1000).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS day")
+    df.repartition(8).write.partitionBy("day").parquet(path)
+    before = sorted((r.k, r.day) for r in spark.read.parquet(path).collect())
+    stats = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats["partitions"] == 3  # one output file budget per leaf
+    # hive layout intact: the day=N directories survive
+    import os
+
+    subdirs = sorted(
+        d for d in os.listdir(path) if d.startswith("day=")
+    )
+    assert subdirs == ["day=0", "day=1", "day=2"]
+    after = sorted((r.k, r.day) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
+def test_compact_parquet_crash_recovery(spark, tmp_path):
+    import os
+
+    from data_pipeline_zeal_spark.io import compact_parquet
+
+    path = str(tmp_path / "t2")
+    spark.range(0, 100).withColumnRenamed("id", "k").repartition(4).write.parquet(
+        path
+    )
+    rows = sorted(r.k for r in spark.read.parquet(path).collect())
+    # simulate a crash between the two renames: live dir gone, old present
+    os.rename(path, f"{path}.__compact_old")
+    stats = compact_parquet(spark, path)
+    assert stats["files_before"] == 4 and stats["files_after"] == 1
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == rows
