@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_csv"),
     )
 
+    q["sim_centroid_drift"] = lambda s, d: similarity.centroid_drift(
+        load_table(s, d, "embeddings")
+    )
     # rows-only: the PCA basis comes from a driver-side SVD (not SQL);
     # orthonormality/variance/determinism are pytest-gated
     q["sim_pca_project"] = lambda s, d: similarity.pca_project(
@@ -325,6 +328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["text_doc_similarity"] = lambda s, d: text.doc_similarity_topk(
         load_table(s, d, "documents"), k=5
+    )
+    q["text_zipf_fit"] = lambda s, d: text.zipf_fit(
+        load_table(s, d, "documents"), top_n=500
     )
     q["text_normalize"] = lambda s, d: text.normalize_text(
         load_table(s, d, "documents")
@@ -1040,7 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: text_doc_similarity, dedup_rate_by_source, sim_pca_project (rows-only,
 #: law-gated), orders_priority_anova, part_supplier_hhi,
 #: events_stickiness_28d, events_gap_distribution,
-#: events_markov_steady — plus any
+#: events_markov_steady, text_zipf_fit, sim_centroid_drift — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -1916,6 +1922,26 @@ SELECT doc_id, source,
        array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text
 FROM x
 """
+    o["text_zipf_fit"] = f"""
+WITH freq AS (
+  SELECT token, count(*) AS freq
+  FROM (SELECT unnest({_TOK}) AS token FROM documents)
+  GROUP BY token ORDER BY freq DESC, token ASC LIMIT 500
+), pts AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+               AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM freq
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tokens_fit,
+         covar_pop(x, y) AS sxy, var_pop(x) AS sxx, corr(x, y) AS r
+  FROM pts
+)
+SELECT n_tokens_fit,
+       round(CASE WHEN sxx = 0 THEN 0.0 ELSE sxy / sxx END, 6) AS zipf_slope,
+       round(r * r, 6) AS r_squared
+FROM m
+"""
     o["text_doc_similarity"] = f"""
 WITH tf AS (
   SELECT doc_id, token, count(*) AS tf
@@ -2187,6 +2213,27 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
 """
     # sim_lsh_topk: approximate (recall < 1), rows-only check.
+    o["sim_centroid_drift"] = """
+WITH per_pos AS (
+  SELECT label, p,
+         avg(CASE WHEN vec_id % 2 = 0 THEN embedding[p]::DOUBLE END) AS ma,
+         avg(CASE WHEN vec_id % 2 = 1 THEN embedding[p]::DOUBLE END) AS mb
+  FROM embeddings, range(1, 65) t(p)
+  GROUP BY label, p
+), agg AS (
+  SELECT label,
+         sum(ma * mb) AS dot,
+         sqrt(sum(ma * ma)) AS na,
+         sqrt(sum(mb * mb)) AS nb,
+         sqrt(sum((ma - mb) * (ma - mb))) AS l2
+  FROM per_pos GROUP BY label
+)
+SELECT label,
+       round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END, 6)
+         AS centroid_cosine,
+       round(l2, 6) AS centroid_l2_shift
+FROM agg ORDER BY label
+"""
     o["sim_label_centroids"] = """
 SELECT label, CAST(p - 1 AS INTEGER) AS pos, round(avg(embedding[p]::DOUBLE), 6) AS m
 FROM embeddings, range(1, 65) t(p)

@@ -111,6 +111,8 @@ HEADLINE = [
     "events_stickiness_28d",
     "events_gap_distribution",
     "events_markov_steady",
+    "text_zipf_fit",
+    "sim_centroid_drift",
 ]
 
 

@@ -614,3 +614,53 @@ def pca_project(
     return with_min_parallelism(embeddings).select(
         "vec_id", proj(as_double(F.col("embedding"))).alias("proj")
     )
+
+
+def centroid_drift(
+    embeddings: DataFrame, split_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding drift monitor: split the corpus into two halves (by the
+    parity of ``split_col`` — stand-in for "last week's batch vs this
+    week's"), compute each label's centroid in both halves, and report
+    the per-label centroid cosine and L2 shift — the cheap canary that
+    fires when an upstream embedding model changed or a data slice moved.
+
+    One scan with CONDITIONAL averages (avg of the even half and the odd
+    half in the same aggregate — no second pass, no join of two
+    pipelines), shuffled on (label, position) then reduced to #labels
+    rows.  Positions come from posexplode, so the kernel works for any
+    dimension without a literal."""
+    half = F.pmod(F.col(split_col), F.lit(2))
+    pos = with_min_parallelism(embeddings).select(
+        "label",
+        half.alias("h"),
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    per_pos = pos.groupBy("label", "pos").agg(
+        F.avg(F.when(F.col("h") == 0, F.col("x"))).alias("ma"),
+        F.avg(F.when(F.col("h") == 1, F.col("x"))).alias("mb"),
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ma") * F.col("ma"))).alias("na"),
+            F.sqrt(F.sum(F.col("mb") * F.col("mb"))).alias("nb"),
+            F.sqrt(
+                F.sum(
+                    (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+                )
+            ).alias("l2"),
+        )
+        .select(
+            "label",
+            F.round(
+                F.when(F.col("na") * F.col("nb") == 0, F.lit(0.0)).otherwise(
+                    F.col("dot") / (F.col("na") * F.col("nb"))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+            F.round("l2", 6).alias("centroid_l2_shift"),
+        )
+        .orderBy("label")
+    )

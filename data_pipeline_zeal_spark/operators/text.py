@@ -617,3 +617,46 @@ def doc_similarity_topk(
         .filter(F.col("rank") <= k)
         .orderBy("doc_a", "rank")
     )
+
+
+def zipf_fit(documents: DataFrame, top_n: int = 500) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank) for the ``top_n`` most frequent
+    tokens — natural-language corpora fit a slope near -1, so a corpus
+    whose slope drifts far from it is full of boilerplate (too flat) or
+    synthetic repetition (too steep).  The one-number corpus-health check
+    next to the repetition and novelty profiles.
+
+    SCALE: one token-count aggregate (uniform token-keyed shuffle), a
+    top-n TakeOrdered (no global sort), then the closed-form OLS moments
+    (``covar_pop``/``var_pop``/``corr`` — single-pass mergeable) over
+    top_n rows.  The rank window runs over only the top_n rows."""
+    from pyspark.sql import Window
+
+    freq = (
+        with_min_parallelism(documents)
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    pts = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n_tokens_fit"),
+        F.covar_pop("x", "y").alias("sxy"),
+        F.var_pop("x").alias("sxx"),
+        F.corr("x", "y").alias("r"),
+    )
+    slope = F.when(F.col("sxx") == 0, F.lit(0.0)).otherwise(
+        F.col("sxy") / F.col("sxx")
+    )
+    return m.select(
+        "n_tokens_fit",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.col("r") * F.col("r"), 6).alias("r_squared"),
+    )
