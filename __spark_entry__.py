@@ -633,6 +633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("event_type")
 
     q["events_markov_steady"] = _markov_steady
+
+    q["events_hour_uniformity"] = lambda s, d: events_ext.hour_uniformity(
+        load_table(s, d, "events")
+    )
     q["corpus_weighted_sample"] = lambda s, d: corpus.weighted_sample(
         load_table(s, d, "documents"), k=50
     )
@@ -1046,7 +1050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: text_doc_similarity, dedup_rate_by_source, sim_pca_project (rows-only,
 #: law-gated), orders_priority_anova, part_supplier_hhi,
 #: events_stickiness_28d, events_gap_distribution,
-#: events_markov_steady, text_zipf_fit, sim_centroid_drift — plus any
+#: events_markov_steady, text_zipf_fit, sim_centroid_drift,
+#: events_hour_uniformity — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -2510,6 +2515,24 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM toks t JOIN freq f USING (term) CROSS JOIN tot tt
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+    o["events_hour_uniformity"] = """
+WITH hourly AS (
+  SELECT event_type, extract(hour FROM ts) AS h, count(*) AS n
+  FROM events GROUP BY event_type, h
+), e AS (
+  SELECT event_type, h, n,
+         sum(n) OVER (PARTITION BY event_type) AS total,
+         sum(n) OVER (PARTITION BY event_type) / 24.0 AS exp
+  FROM hourly
+)
+SELECT event_type,
+       CAST(max(total) AS BIGINT) AS n_events,
+       count(*) AS hours_active,
+       round(sum((n - exp) * (n - exp) / exp)
+             + (24 - count(*)) * max(exp), 4) AS chi_square,
+       CAST((list(h ORDER BY n DESC, h ASC))[1] AS INTEGER) AS peak_hour
+FROM e GROUP BY event_type ORDER BY event_type
 """
     _MK_STEP = """
   SELECT n.node, coalesce(sum(r.rank * t.p), 0.0) AS rank

@@ -113,6 +113,7 @@ HEADLINE = [
     "events_markov_steady",
     "text_zipf_fit",
     "sim_centroid_drift",
+    "events_hour_uniformity",
 ]
 
 

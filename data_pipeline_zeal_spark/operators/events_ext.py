@@ -729,3 +729,40 @@ def inter_event_gaps(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def hour_uniformity(events: DataFrame) -> DataFrame:
+    """Diurnality test per event type: chi-square statistic of the
+    hour-of-day histogram against the uniform distribution, plus the peak
+    hour — "is this event type time-of-day dependent", the screening
+    counterpart of the variance decomposition for categorical buckets.
+
+    Missing hours contribute (0 - exp)^2/exp = exp each, so the empty
+    24-bucket cells fold into the closed form ``(24 - k) * exp`` and no
+    dense grid join is needed; everything is one hourly aggregate
+    (<= types x 24 rows) plus a window total under the same type key."""
+    hourly = events.groupBy(
+        "event_type", F.hour(F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    exp = total / 24.0
+    with_exp = hourly.select(
+        "event_type", "h", "n", total.alias("total"), exp.alias("exp")
+    )
+    chi_obs = F.sum(
+        (F.col("n") - F.col("exp")) * (F.col("n") - F.col("exp")) / F.col("exp")
+    )
+    return (
+        with_exp.groupBy("event_type")
+        .agg(
+            F.max("total").alias("n_events"),
+            F.count(F.lit(1)).alias("hours_active"),
+            F.round(
+                chi_obs + (24 - F.count(F.lit(1))) * F.max("exp"), 4
+            ).alias("chi_square"),
+            F.min_by(
+                "h", F.struct((-F.col("n")).alias("a"), F.col("h").alias("b"))
+            ).alias("peak_hour"),
+        )
+        .orderBy("event_type")
+    )

@@ -219,3 +219,22 @@ def test_supplier_hhi_shares(spark):
     out = {r.l_partkey: r for r in etl.supplier_concentration(li).collect()}
     assert out[1].n_suppliers == 2 and out[1].hhi == 0.625
     assert out[2].n_suppliers == 1 and out[2].hhi == 1.0
+
+
+def test_hour_uniformity_closed_form(spark):
+    import datetime
+
+    from data_pipeline_zeal_spark.operators import events_ext
+
+    # 24 events all at hour 7: exp = 1/hour, chi2 = (24-1)^2/1 + 23*1 = 552
+    ev = spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, 1 + i, 7, 0), 1, "click", 1.0, None)
+            for i in range(24)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = events_ext.hour_uniformity(ev).collect()[0]
+    assert (row.n_events, row.hours_active, row.peak_hour) == (24, 1, 7)
+    assert row.chi_square == 552.0
