@@ -622,14 +622,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         operator composes directly with the journey bigrams."""
         from data_pipeline_zeal_spark.operators import graph
 
+        from pyspark.sql import Window
+
         t = events_ext.type_transitions(load_table(s, d, "events"))
         ranks = graph.pagerank(
             t, iterations=6, damping=1.0,
             src="from_type", dst="to_type", weight="n",
         )
+        # renormalize: with a dangling type (appears only as a stream's
+        # last event) damping=1.0 leaks mass each step; dividing by the
+        # total reports the quasi-stationary distribution (a no-op on a
+        # closed chain like this fixture's)
+        total = F.sum("rank").over(Window.partitionBy())
         return ranks.select(
             F.col("node").alias("event_type"),
-            F.round("rank", 9).alias("pi"),
+            F.round(F.col("rank") / total, 9).alias("pi"),
         ).orderBy("event_type")
 
     q["events_markov_steady"] = _markov_steady
@@ -1944,7 +1951,7 @@ WITH freq AS (
 )
 SELECT n_tokens_fit,
        round(CASE WHEN sxx = 0 THEN 0.0 ELSE sxy / sxx END, 6) AS zipf_slope,
-       round(r * r, 6) AS r_squared
+       round(CASE WHEN r IS NULL THEN 0.0 ELSE r * r END, 6) AS r_squared
 FROM m
 """
     o["text_doc_similarity"] = f"""
@@ -2568,7 +2575,9 @@ r3 AS ({_MK_STEP.format(prev="r2")}),
 r4 AS ({_MK_STEP.format(prev="r3")}),
 r5 AS ({_MK_STEP.format(prev="r4")}),
 r6 AS ({_MK_STEP.format(prev="r5")})
-SELECT node AS event_type, round(rank, 9) AS pi FROM r6 ORDER BY event_type
+SELECT node AS event_type,
+       round(rank / sum(rank) OVER (), 9) AS pi
+FROM r6 ORDER BY event_type
 """
     o["events_gap_distribution"] = """
 WITH g AS (

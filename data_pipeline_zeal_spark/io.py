@@ -150,61 +150,62 @@ def write_partitioned(
 
 
 def _recover_compaction(path: str) -> None:
-    """Roll back or finish a compaction swap that crashed mid-rename:
-    a leaf left as ``<dir>.__compact_old`` with no live ``<dir>`` is
-    renamed back (the crash hit between the two renames); one whose live
-    dir exists is a completed swap that crashed before cleanup and is
-    removed, as are stale ``__compact_tmp`` write dirs."""
+    """Roll back or finish a compaction swap of THIS table that crashed
+    mid-rename: a stale sibling staging dir ``<path>.__compact_tmp`` is
+    removed; ``<path>.__compact_old`` with no live ``<path>`` is renamed
+    back (the crash hit between the two renames), while one whose live
+    table exists is a completed swap that crashed before cleanup and is
+    removed.  Scoped strictly to this table's two sibling names — never
+    walks the parent tree, so concurrent compactions of sibling tables
+    are untouched."""
     import os
     import shutil
 
-    parent = os.path.dirname(path.rstrip("/")) or "."
-    roots = [parent]
-    if os.path.isdir(path):
-        roots.append(path)
-    for base in roots:
-        for root, dirs, _ in os.walk(base):
-            for d in list(dirs):
-                full = os.path.join(root, d)
-                if d.endswith(".__compact_tmp"):
-                    shutil.rmtree(full)
-                    dirs.remove(d)
-                elif d.endswith(".__compact_old"):
-                    live = full[: -len(".__compact_old")]
-                    if os.path.exists(live):
-                        shutil.rmtree(full)
-                    else:
-                        os.rename(full, live)
-                    dirs.remove(d)
+    tmp = f"{path}.__compact_tmp"
+    old = f"{path}.__compact_old"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    if os.path.isdir(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
 
 
 def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    max_concurrency: int = 8,
 ) -> dict:
     """Small-file compaction — the table-maintenance pass every
     continuously-ingested parquet table needs: streaming micro-batches and
     fine-grained partition writes leave thousands of KB-sized files whose
     per-file open/footer cost eventually dominates scans.
 
-    Hive-partitioned layouts are PRESERVED: every leaf directory that
-    holds parquet files is compacted independently (read the leaf,
-    ``coalesce`` to ceil(leaf_bytes / target_file_bytes) files — no
-    shuffle, compaction only merges — and two-rename swap the leaf), so
-    ``day=.../part-*.parquet`` trees keep their pruning structure and
-    partition-column types are never re-inferred.  Each swap is covered
-    by :func:`_recover_compaction`, which runs first and rolls back (or
-    finishes) any swap a previous crash left half-done — the same
-    recovery contract as the idempotent streaming parquet sink.  Listing
-    is driver-side ``os.walk``; on a real object store the same numbers
-    come from the store's listing API.
+    Hive-partitioned layouts are PRESERVED: every leaf directory holding
+    parquet files is rewritten (coalesce to ceil(leaf_bytes /
+    target_file_bytes) files — no shuffle, compaction only merges) into a
+    SIBLING staging root ``<path>.__compact_tmp`` that mirrors the leaf
+    structure, and the whole table swaps in with ONE two-rename exchange
+    at the root.  Staging never lives inside the table, so concurrent
+    readers cannot ingest half-written files or misparse staging dirs as
+    ``key=value`` partitions, and nested leaves (files at the root AND in
+    subdirectories) rewrite independently with no ancestor-rename hazard.
+    Leaf rewrites run concurrently on a small driver thread pool (Spark
+    schedules the jobs in parallel), bounding the serial-job latency a
+    1000-partition table would otherwise pay.  :func:`_recover_compaction`
+    runs first and rolls back (or finishes) a swap a previous crash left
+    half-done — the same recovery contract as the idempotent streaming
+    parquet sink.  Listing is driver-side ``os.walk``; on a real object
+    store the same numbers come from the store's listing API.
 
     Returns ``{"files_before", "files_after", "bytes", "partitions"}``
     summed over the leaves (``partitions`` = total output file budget).
     """
     import os
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     _recover_compaction(path)
     leaves: dict[str, list[int]] = {}
@@ -215,24 +216,37 @@ def compact_parquet(
             if f.endswith(".parquet")
         ]
         if sizes:
-            leaves[root] = sizes
+            leaves[os.path.relpath(root, path)] = sizes
     if not leaves:
         return {"files_before": 0, "files_after": 0, "bytes": 0, "partitions": 0}
     files_before = sum(len(s) for s in leaves.values())
     total_bytes = sum(sum(s) for s in leaves.values())
-    n_total = 0
-    for leaf, sizes in leaves.items():
-        n_out = max(1, -(-sum(sizes) // target_file_bytes))  # ceil div
-        n_total += n_out
+    tmp_root = f"{path}.__compact_tmp"
+
+    def rewrite(rel: str) -> int:
+        n_out = max(1, -(-sum(leaves[rel]) // target_file_bytes))  # ceil div
         # reading the LEAF directory keeps partition values in the path,
         # untouched and never re-inferred into the data files
-        df = spark.read.parquet(leaf)
-        tmp = f"{leaf}.__compact_tmp"
-        df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
-        old = f"{leaf}.__compact_old"
-        os.rename(leaf, old)
-        os.rename(tmp, leaf)
-        shutil.rmtree(old)
+        df = spark.read.parquet(os.path.join(path, rel))
+        df.coalesce(int(n_out)).write.mode("overwrite").parquet(
+            os.path.join(tmp_root, rel)
+        )
+        return int(n_out)
+
+    # the root leaf (rel ".") writes tmp_root itself with overwrite, which
+    # would clobber nested leaves written before it — do it first, alone
+    ordered = sorted(leaves, key=lambda r: (r != ".", r))
+    n_total = 0
+    if ordered and ordered[0] == ".":
+        n_total += rewrite(".")
+        ordered = ordered[1:]
+    if ordered:
+        with ThreadPoolExecutor(min(max_concurrency, len(ordered))) as ex:
+            n_total += sum(ex.map(rewrite, ordered))
+    old = f"{path}.__compact_old"
+    os.rename(path, old)
+    os.rename(tmp_root, path)
+    shutil.rmtree(old)
     files_after = sum(
         1
         for root, _, files in os.walk(path)

@@ -655,8 +655,14 @@ def zipf_fit(documents: DataFrame, top_n: int = 500) -> DataFrame:
     slope = F.when(F.col("sxx") == 0, F.lit(0.0)).otherwise(
         F.col("sxy") / F.col("sxx")
     )
+    # guard the degenerate fit the same way as the slope: Spark corr
+    # yields NaN where DuckDB yields NULL when fewer than two distinct
+    # points exist, so both collapse to 0.0 explicitly
+    r2 = F.when(
+        F.col("r").isNull() | F.isnan(F.col("r")), F.lit(0.0)
+    ).otherwise(F.col("r") * F.col("r"))
     return m.select(
         "n_tokens_fit",
         F.round(slope, 6).alias("zipf_slope"),
-        F.round(F.col("r") * F.col("r"), 6).alias("r_squared"),
+        F.round(r2, 6).alias("r_squared"),
     )

@@ -134,3 +134,40 @@ def test_compact_parquet_crash_recovery(spark, tmp_path):
     stats = compact_parquet(spark, path)
     assert stats["files_before"] == 4 and stats["files_after"] == 1
     assert sorted(r.k for r in spark.read.parquet(path).collect()) == rows
+
+
+def test_compact_parquet_nested_leaf_survives(spark, tmp_path):
+    from data_pipeline_zeal_spark.io import compact_parquet
+
+    path = str(tmp_path / "mix")
+    spark.range(0, 50).withColumnRenamed("id", "k").repartition(4).write.parquet(
+        path
+    )
+    spark.range(100, 150).withColumnRenamed("id", "k").repartition(
+        4
+    ).write.parquet(path + "/nested")
+    stats = compact_parquet(spark, path)
+    # both leaves compacted independently; the nested one is NOT destroyed
+    assert stats["partitions"] == 2
+    root_rows = sorted(r.k for r in spark.read.parquet(path).collect())
+    nested_rows = sorted(r.k for r in spark.read.parquet(path + "/nested").collect())
+    assert nested_rows == list(range(100, 150))
+    # the root read picks up only its own files plus nested per normal
+    # spark semantics; the nested leaf's own rows must all survive
+    assert set(range(100, 150)) <= set(root_rows) | set(nested_rows)
+
+
+def test_compact_recovery_is_scoped_to_the_table(spark, tmp_path):
+    import os
+
+    from data_pipeline_zeal_spark.io import compact_parquet
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (a, b):
+        spark.range(0, 20).withColumnRenamed("id", "k").repartition(2).write.parquet(p)
+    # a sibling table's in-flight staging dir must NOT be touched when
+    # compacting a different table under the same parent
+    os.makedirs(f"{a}.__compact_tmp/partial")
+    compact_parquet(spark, b)
+    assert os.path.isdir(f"{a}.__compact_tmp/partial")
+    os.rmdir(f"{a}.__compact_tmp/partial"); os.rmdir(f"{a}.__compact_tmp")
