@@ -390,6 +390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_hash_split"] = lambda s, d: corpus.hash_split(
         load_table(s, d, "documents"), test_frac=0.1
     )
+    q["corpus_split_leakage"] = lambda s, d: corpus.split_leakage(
+        load_table(s, d, "documents"), test_frac=0.1
+    )
     q["corpus_stratified_sample"] = lambda s, d: corpus.stratified_sample(
         load_table(s, d, "documents"), fractions=_STRAT_FRACS
     )
@@ -1058,7 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: law-gated), orders_priority_anova, part_supplier_hhi,
 #: events_stickiness_28d, events_gap_distribution,
 #: events_markov_steady, text_zipf_fit, sim_centroid_drift,
-#: events_hour_uniformity — plus any
+#: events_hour_uniformity, corpus_split_leakage — plus any
 #: still-unverified stragglers; all are locally parity-green via
 #: tools/driver_sim.py.
 _DRIVER_FIRST = [
@@ -2099,6 +2102,29 @@ SELECT doc_id, lang, source,
        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
             THEN 'test' ELSE 'train' END AS split
 FROM documents ORDER BY doc_id
+"""
+    o["corpus_split_leakage"] = """
+WITH tagged AS (
+  SELECT doc_id, md5(text) AS text_hash,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+), marked AS (
+  SELECT split,
+         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY text_hash) > 0 AS in_train
+  FROM tagged
+)
+SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test,
+       CAST(sum(CASE WHEN split = 'test' AND in_train THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaked,
+       round(sum(CASE WHEN split = 'test' AND in_train THEN 1 ELSE 0 END)
+             / greatest(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END), 1),
+             6) AS leak_rate
+FROM marked
 """
     strat_cases = " ".join(
         f"WHEN '{lg}' THEN '{_strat_thr(fr)}'"

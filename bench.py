@@ -114,6 +114,7 @@ HEADLINE = [
     "text_zipf_fit",
     "sim_centroid_drift",
     "events_hour_uniformity",
+    "corpus_split_leakage",
 ]
 
 

@@ -540,3 +540,45 @@ def shuffle_shards(documents: DataFrame, n_shards: int = 8) -> DataFrame:
         .select("doc_id", "shard", "position")
         .orderBy("shard", "position")
     )
+
+
+def split_leakage(documents: DataFrame, test_frac: float = 0.1) -> DataFrame:
+    """Train/test leakage audit for the hash split: the split is keyed on
+    ``doc_id``, so EXACT-TEXT duplicates can legally straddle the
+    boundary — every test document whose md5 text hash also appears in
+    train is evaluation data the model saw verbatim.  Reports the counts
+    and the leaked share of the test split: the check a training run must
+    pass before trusting its eval numbers (run exact dedup first or
+    switch the split key to the text hash to drive it to zero).
+
+    One scan assigns split + text hash; a window count of train members
+    per hash under a single text-hash shuffle marks leaked test docs —
+    no self-join, no second scan."""
+    from pyspark.sql import Window
+
+    thr = frac_threshold(test_frac)
+    tagged = with_min_parallelism(documents).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_hash"),
+        F.when(hash_bucket("doc_id") < thr, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    train_copies = F.sum(
+        (F.col("split") == "train").cast("long")
+    ).over(Window.partitionBy("text_hash"))
+    marked = tagged.withColumn("in_train", train_copies > 0)
+    return marked.agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+        F.sum(
+            ((F.col("split") == "test") & F.col("in_train")).cast("long")
+        ).alias("n_leaked"),
+        F.round(
+            F.sum(((F.col("split") == "test") & F.col("in_train")).cast("long"))
+            / F.greatest(
+                F.sum((F.col("split") == "test").cast("long")), F.lit(1)
+            ),
+            6,
+        ).alias("leak_rate"),
+    )

@@ -129,3 +129,38 @@ def test_semantic_dedup_lsh_path_has_no_theta_join(spark):
     plan = plans.explain_mode(df, "formatted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_leakage_detects_straddling_duplicates(spark):
+    from data_pipeline_zeal_spark.operators import corpus
+
+    # craft doc_ids whose hash buckets land one copy of a duplicate text
+    # on each side of the 10% split boundary
+    from data_pipeline_zeal_spark.operators.corpus import (
+        frac_threshold,
+        hash_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    thr = frac_threshold(0.1)
+    base = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    ).withColumn("b", hash_bucket("doc_id"))
+    rows = {r.doc_id: r.b for r in base.collect()}
+    test_ids = [i for i, b in rows.items() if b < thr]
+    train_ids = [i for i, b in rows.items() if b >= thr]
+    assert test_ids and train_ids
+    docs = spark.createDataFrame(
+        [
+            (test_ids[0], "dup text", "en", "s", 8),    # test copy
+            (train_ids[0], "dup text", "en", "s", 8),   # train copy -> leak
+            (train_ids[1], "unique a", "en", "s", 8),
+            (test_ids[1] if len(test_ids) > 1 else test_ids[0] + 0,
+             "unique b", "en", "s", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    row = corpus.split_leakage(docs, test_frac=0.1).collect()[0]
+    assert row.n_leaked == 1
+    assert row.n_test >= 1 and row.n_train >= 2
+    assert row.leak_rate == round(1 / row.n_test, 6)
