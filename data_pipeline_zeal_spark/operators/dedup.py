@@ -269,9 +269,17 @@ def connected_components(
     swap in the O(log n)-round large-star/small-star variant; the join
     pattern below is its building block."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # Materialize the (undirected) edge frame ONCE.  Every iteration joins
+    # against it, and so does every convergence count — without this
+    # checkpoint each of those jobs re-executes the whole upstream pair
+    # generation (for semantic_dedup that is the cosine theta-join; for
+    # duplicate_clusters the LSH band join), turning an O(diameter) loop
+    # into O(diameter × pair-generation).
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
