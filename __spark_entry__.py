@@ -1024,6 +1024,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "orders"), load_table(s, d, "lineitem")
     )
 
+    q["text_duplicated_spans"] = lambda s, d: text.duplicated_spans(
+        load_table(s, d, "documents"), n=20
+    )
+    q["text_gopher_flags"] = lambda s, d: text.gopher_flags(
+        load_table(s, d, "documents")
+    )
+
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
     # historically sat at the front, so rotate the never-driver-verified
@@ -3325,5 +3332,61 @@ SELECT d.doc_id, d.lang, d.source
 FROM documents d
 WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM dup)
 ORDER BY d.doc_id
+"""
+    # window text (not its hash) is the grouping key here — semantically
+    # identical to the engine's xxhash64 key modulo 64-bit collisions
+    o["text_duplicated_spans"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+w AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 20
+             THEN list_transform(range(1, len(toks) - 18),
+                                 i -> array_to_string(toks[i:i+19], ' '))
+             ELSE []::VARCHAR[] END AS wins
+      FROM t),
+x AS (SELECT doc_id, unnest(wins) AS win FROM w),
+g AS (SELECT win, count(*) AS n_occ FROM x GROUP BY win),
+p AS (SELECT x.doc_id, count(*) AS n_windows,
+             sum(CASE WHEN g.n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup_windows
+      FROM x JOIN g USING (win) GROUP BY x.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_windows, 0)::BIGINT AS n_windows,
+       coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       round(coalesce(p.n_dup_windows / p.n_windows, 0.0), 6)
+         AS dup_span_frac
+FROM documents d LEFT JOIN p USING (doc_id)
+ORDER BY d.doc_id
+"""
+    o["text_gopher_flags"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+m AS (SELECT doc_id,
+        len(toks)::BIGINT AS n_words,
+        coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+          AS sum_len,
+        len(list_filter(toks,
+            x -> contains(x, '#') OR contains(x, '...'))) AS n_symbolic,
+        len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+          AS n_alpha,
+        len(list_intersect(
+            list_distinct(list_transform(toks, x -> lower(x))),
+            ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+          AS stop_hits
+      FROM t),
+f AS (SELECT doc_id, n_words,
+        CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER)
+          AS word_count_ok,
+        CAST(CASE WHEN n_words > 0 THEN sum_len / n_words ELSE 0.0 END
+               BETWEEN 3.0 AND 10.0 AS INTEGER) AS mean_word_len_ok,
+        CAST(CASE WHEN n_words > 0 THEN n_symbolic / n_words ELSE 0.0 END
+               <= 0.1 AS INTEGER) AS symbol_ratio_ok,
+        CAST(CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END
+               >= 0.8 AS INTEGER) AS alpha_word_ok,
+        CAST(stop_hits >= 2 AS INTEGER) AS stopwords_ok
+      FROM m)
+SELECT doc_id, n_words, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+       alpha_word_ok, stopwords_ok,
+       word_count_ok * mean_word_len_ok * symbol_ratio_ok * alpha_word_ok
+         * stopwords_ok AS passes_gopher
+FROM f
+ORDER BY doc_id
 """
     return o

@@ -666,3 +666,140 @@ def zipf_fit(documents: DataFrame, top_n: int = 500) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(r2, 6).alias("r_squared"),
     )
+
+
+def duplicated_spans(documents: DataFrame, n: int = 20) -> DataFrame:
+    """Exact substring-level duplication profile: slide an ``n``-token
+    window over every document, count how often each distinct window text
+    occurs corpus-wide, and report per document how many of its window
+    instances are duplicated (global occurrence >= 2 — within-doc repeats
+    count too).
+
+    This is the detection half of exact-substring training-data dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): the suffix-array pass there finds 50-token repeated spans;
+    here the fixed-stride rolling window over whitespace tokens finds the
+    same spans as a pure DataFrame plan.  (Reference analogue: none — the
+    reference engine has no substring dedup; this extends its dedup
+    family for pretraining pipelines.)
+
+    SCALE: windows are built with ``transform``/``slice`` inside codegen
+    (one window string per token position — no Python).  The global count
+    groups on ``xxhash64(window)`` so the wide window text never leaves
+    the map side: the exploded exchange carries (doc_id, 8-byte hash),
+    and the count-by-hash combines map-side.  A 64-bit hash collision
+    would merge two distinct windows — at 10^12 windows the expected
+    collision count is ~0.03 per distinct pair (birthday bound), noise
+    for a dup-rate statistic.  Two shuffles total (hash count + per-doc
+    re-aggregation), both on uniform keys.  Documents shorter than ``n``
+    tokens have no window and report 0/0/0.0.
+    """
+    win = F.when(
+        F.size("tok") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tok") - (n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("tok"), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    spans = (
+        with_min_parallelism(documents)
+        .select("doc_id", tokens("text").alias("tok"))
+        .select("doc_id", F.explode(win).alias("whash"))
+    )
+    counts = spans.groupBy("whash").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        spans.join(counts, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("n_occ") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_windows") / F.col("n_windows"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_span_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Gopher rule constants (Rae et al. 2021, table A1 — public).  Word-count
+#: bounds are scaled down from the web-scale [50, 100k] so the rule set
+#: discriminates on fixture-length documents; the RATIOS are the published
+#: ones.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+#: the published stop-word octet
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(documents: DataFrame) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021): one boolean
+    per published heuristic plus the conjunction.  A document passes when
+    its word count, mean word length, symbol-to-word ratio, alphabetic-
+    word ratio, and stop-word coverage all sit in the published bands.
+
+    Complements :func:`quality_score` (continuous score for ranked
+    filtering) with the fixed PASS/FAIL rule set most pretraining recipes
+    quote.  Pure projection — tokenize once, every rule is an array
+    aggregate in codegen, ZERO shuffle."""
+    tok = tokens("text")
+    n_words = F.size(tok).cast("long")
+    sum_len = F.aggregate(
+        tok, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_len = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
+    n_symbolic = F.size(
+        F.filter(tok, lambda x: x.contains("#") | x.contains("..."))
+    ).cast("long")
+    n_alpha = F.size(F.filter(tok, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(tok, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "word_count_ok": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "mean_word_len_ok": (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "symbol_ratio_ok": F.when(n_words > 0, n_symbolic / n_words).otherwise(
+            F.lit(0.0)
+        )
+        <= GOPHER_MAX_SYMBOL_RATIO,
+        "alpha_word_ok": F.when(n_words > 0, n_alpha / n_words).otherwise(
+            F.lit(0.0)
+        )
+        >= GOPHER_MIN_ALPHA_WORD_RATIO,
+        "stopwords_ok": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    cols = [v.cast("int").alias(k) for k, v in flags.items()]
+    passes = F.lit(True)
+    for v in flags.values():
+        passes = passes & v
+    return (
+        with_min_parallelism(documents)
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            *cols,
+            passes.cast("int").alias("passes_gopher"),
+        )
+        .orderBy("doc_id")
+    )

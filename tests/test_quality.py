@@ -148,3 +148,52 @@ def test_profile_drift_identical_all_null_column_not_flagged(spark):
     # whose 0/0 distinct ratio used to trip the low-side threshold
     assert out["x"].n_distinct_before == 0 and out["x"].drifted == 0
     assert out["id"].drifted == 0
+
+
+def test_duplicated_spans_hand_computed(spark):
+    from data_pipeline_zeal_spark.operators import text
+
+    # n=3 windows; doc 1 repeats "a b c" internally, doc 2 shares it,
+    # doc 3 is unique, doc 4 is shorter than the window
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b c"),   # windows: abc bcd cda dab abc
+            (2, "x a b c y"),       # windows: xab abc bcy
+            (3, "p q r s"),         # windows: pqr qrs
+            (4, "t u"),             # too short: no windows
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.duplicated_spans(docs, n=3).collect()}
+    assert (out[1].n_windows, out[1].n_dup_windows) == (5, 2)  # both "a b c"
+    assert (out[2].n_windows, out[2].n_dup_windows) == (3, 1)
+    assert (out[3].n_windows, out[3].n_dup_windows) == (2, 0)
+    assert (out[4].n_windows, out[4].n_dup_windows, out[4].dup_span_frac) == (
+        0, 0, 0.0,
+    )
+    assert out[1].dup_span_frac == 0.4
+
+
+def test_gopher_flags_rule_boundaries(spark):
+    from data_pipeline_zeal_spark.operators import text
+
+    fifty = " ".join(["the", "cat", "sat", "with", "dogs"] * 10)  # 50 words
+    out = {
+        r.doc_id: r
+        for r in text.gopher_flags(
+            spark.createDataFrame(
+                [
+                    (1, fifty),                       # passes everything
+                    (2, "short text only"),           # fails word count
+                    (3, " ".join(["####"] * 60)),     # symbolic, no alpha/stops
+                ],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert out[1].passes_gopher == 1 and out[1].n_words == 50
+    assert out[2].word_count_ok == 0 and out[2].passes_gopher == 0
+    r3 = out[3]
+    assert (r3.symbol_ratio_ok, r3.alpha_word_ok, r3.stopwords_ok) == (0, 0, 0)
+    # mean word length 4.0 is inside the band even for the junk doc
+    assert r3.mean_word_len_ok == 1
