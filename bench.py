@@ -115,6 +115,8 @@ HEADLINE = [
     "sim_centroid_drift",
     "events_hour_uniformity",
     "corpus_split_leakage",
+    "text_duplicated_spans",
+    "text_gopher_flags",
 ]
 
 

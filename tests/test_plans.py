@@ -289,3 +289,31 @@ def test_ship_latency_modes_share_schema(spark):
         assert abs(e[k].p50_days - a[k].p50_days) <= max(
             5.0, 0.05 * e[k].p50_days
         )
+
+
+def test_duplicated_spans_hash_keyed_no_cartesian(spark):
+    """The window-count exchange must carry the 8-byte xxhash64 key, never
+    the window text itself, and the whole plan must be equality-joined
+    (hash count -> per-doc re-aggregation), with no nested loop and no
+    global window."""
+    from data_pipeline_zeal_spark.operators import text
+
+    df = text.duplicated_spans(load_table(spark, SF_SMALL, "documents"), n=20)
+    p = plans.summarize(df)
+    assert p.nested_loop_joins == 0
+    assert p.global_windows == 0
+    simple = plans.explain_mode(df, "simple")
+    assert "xxhash64" in simple  # the slim grouping key exists in the plan
+    assert "CartesianProduct" not in simple
+
+
+def test_gopher_flags_zero_shuffle(spark):
+    """Per-document rule evaluation is a pure projection: no exchange at
+    all before the (orderBy-driven) range partitioning for output."""
+    from data_pipeline_zeal_spark.operators import text
+
+    df = text.gopher_flags(load_table(spark, SF_SMALL, "documents"))
+    p = plans.summarize(df)
+    # the only exchange allowed is the rangepartitioning for orderBy
+    assert p.shuffles <= 1
+    assert p.nested_loop_joins == 0 and p.global_windows == 0
