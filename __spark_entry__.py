@@ -1030,6 +1030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_gopher_flags"] = lambda s, d: text.gopher_flags(
         load_table(s, d, "documents")
     )
+    q["text_bpe_token_estimate"] = lambda s, d: text.bpe_token_estimate(
+        load_table(s, d, "documents")
+    )
 
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
@@ -3388,5 +3391,29 @@ SELECT doc_id, n_words, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
          * stopwords_ok AS passes_gopher
 FROM f
 ORDER BY doc_id
+"""
+    # same lookahead-free GPT-2-style pretokenizer; RE2 and Java regex
+    # agree on \p{L}/\p{N} classes and leftmost-first alternation
+    o["text_bpe_token_estimate"] = f"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+')
+           AS pts,
+         {_TOK} AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_ws_tokens,
+         len(pts)::BIGINT AS n_pretokens,
+         coalesce(list_sum(list_transform(pts,
+             x -> greatest(1, ceil(length(trim(x)) / 4.0)::BIGINT))),
+           0)::BIGINT AS est_bpe_tokens
+  FROM p)
+SELECT doc_id, n_ws_tokens, n_pretokens, est_bpe_tokens,
+       round(CASE WHEN n_ws_tokens > 0
+                  THEN est_bpe_tokens / n_ws_tokens ELSE 0.0 END, 6)
+         AS bpe_per_word
+FROM m ORDER BY doc_id
 """
     return o

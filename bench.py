@@ -117,6 +117,7 @@ HEADLINE = [
     "corpus_split_leakage",
     "text_duplicated_spans",
     "text_gopher_flags",
+    "text_bpe_token_estimate",
 ]
 
 

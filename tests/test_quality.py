@@ -197,3 +197,33 @@ def test_gopher_flags_rule_boundaries(spark):
     assert (r3.symbol_ratio_ok, r3.alpha_word_ok, r3.stopwords_ok) == (0, 0, 0)
     # mean word length 4.0 is inside the band even for the junk doc
     assert r3.mean_word_len_ok == 1
+
+
+def test_bpe_token_estimate_hand_computed(spark):
+    from data_pipeline_zeal_spark.operators import text
+
+    out = {
+        r.doc_id: r
+        for r in text.bpe_token_estimate(
+            spark.createDataFrame(
+                [
+                    (1, "hello world"),        # 2 pretokens, 5 chars each -> 2+2
+                    (2, "it's extraordinary"), # it / 's / extraordinary(13->4)
+                    (3, "a b2 #!"),            # letter, digit-mix, symbols
+                    (4, ""),                   # empty
+                ],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    r1 = out[1]
+    assert (r1.n_ws_tokens, r1.n_pretokens, r1.est_bpe_tokens) == (2, 2, 4)
+    r2 = out[2]
+    # pretokens: "it", "'s", " extraordinary" -> 1 + 1 + ceil(13/4)=4 -> 6
+    assert (r2.n_pretokens, r2.est_bpe_tokens) == (3, 6)
+    r3 = out[3]
+    # "a", " b", "2", " #!" -> 4 pretokens, each <=4 chars -> 4 est
+    assert (r3.n_pretokens, r3.est_bpe_tokens) == (4, 4)
+    assert (out[4].n_pretokens, out[4].est_bpe_tokens, out[4].bpe_per_word) == (
+        0, 0, 0.0,
+    )
