@@ -1033,6 +1033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bpe_token_estimate"] = lambda s, d: text.bpe_token_estimate(
         load_table(s, d, "documents")
     )
+    # exact pair generation pinned (oracle anchor; auto flips to LSH at scale)
+    q["dedup_best_quality"] = lambda s, d: dedup.best_quality_survivors(
+        load_table(s, d, "documents"), threshold=0.2, method="exact"
+    )
 
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
@@ -3415,5 +3419,50 @@ SELECT doc_id, n_ws_tokens, n_pretokens, est_bpe_tokens,
                   THEN est_bpe_tokens / n_ws_tokens ELSE 0.0 END, 6)
          AS bpe_per_word
 FROM m ORDER BY doc_id
+"""
+    # clusters = the dedup_clusters recursive-CTE kernel; survivor = the
+    # row_number-1 member ordered by (quality DESC, doc_id ASC) — identical
+    # to the engine's max_by((quality, -doc_id)) election
+    o["dedup_best_quality"] = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+        / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0), 6) >= 0.2
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+), clus AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+), t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents
+), qual AS (
+  SELECT doc_id,
+         round((CASE WHEN len(toks) >= 16 THEN 1 ELSE 0 END
+         + CASE WHEN (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))::DOUBLE
+                      / greatest(length(text), 1) < 0.2 THEN 1 ELSE 0 END
+         + CASE WHEN ({stop_hits}) > 0 THEN 1 ELSE 0 END) / 3.0, 4)
+           AS quality_score
+  FROM t
+), lab AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         q.quality_score
+  FROM documents d
+  LEFT JOIN clus c ON c.doc_id = d.doc_id
+  JOIN qual q ON q.doc_id = d.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY quality_score DESC, doc_id ASC) AS rn
+  FROM lab)
+SELECT doc_id, cluster_id, quality_score,
+       CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_survivor
+FROM ranked ORDER BY doc_id
 """
     return o

@@ -118,6 +118,7 @@ HEADLINE = [
     "text_duplicated_spans",
     "text_gopher_flags",
     "text_bpe_token_estimate",
+    "dedup_best_quality",
 ]
 
 

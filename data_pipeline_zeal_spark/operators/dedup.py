@@ -643,3 +643,57 @@ def dup_rate_by_source(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def best_quality_survivors(
+    documents: DataFrame,
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+    method: str = "auto",
+) -> DataFrame:
+    """Quality-aware duplicate resolution: cluster near-duplicates (same
+    pair generation + component kernel as :func:`duplicate_clusters`),
+    then keep the HIGHEST-quality member of each cluster instead of the
+    minimum doc_id — what a production curation pass actually wants when
+    duplicates differ in cleanliness (boilerplate-stripped mirror vs raw
+    scrape).  Ties break to the smaller doc_id; unclustered documents are
+    their own survivors.
+
+    Returns every document with its cluster id, quality score, and
+    survivor bit.  SCALE: survivor election is one ``max_by`` aggregate
+    over (quality, -doc_id) struct ordering per cluster — a uniform-key
+    map-side-combined shuffle, no window sort; the join back is
+    cluster-keyed.  Quality is :func:`..text.quality_score`'s [0,1]
+    heuristic, computed in the same scan that labels clusters."""
+    from .text import quality_score
+
+    clusters = duplicate_clusters(
+        documents, threshold, shingle_n, method=method
+    ).select(F.col("doc_id"), F.col("cluster_id"))
+    scored = (
+        documents.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .join(quality_score(documents).select("doc_id", "quality_score"), "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            "quality_score",
+        )
+    )
+    best = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("quality_score"), -F.col("doc_id"))
+        ).alias("survivor_id")
+    )
+    return (
+        scored.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality_score",
+            (F.col("doc_id") == F.col("survivor_id")).cast("int").alias(
+                "is_survivor"
+            ),
+        )
+        .orderBy("doc_id")
+    )

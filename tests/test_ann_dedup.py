@@ -312,3 +312,29 @@ def test_pca_projection_reconstruction_improves_with_k(spark):
     want = np.round((X - mu4) @ C4.T, 6)
     got = np.array([proj[r.vec_id] for r in rows])
     assert np.allclose(got, want, atol=1e-6)
+
+
+def test_best_quality_survivor_beats_min_id(spark):
+    """When near-duplicates differ in quality, the election must pick the
+    higher-quality member even when it has the larger doc_id."""
+    from data_pipeline_zeal_spark.operators import dedup
+
+    # docs 1 and 2 are near-identical 20-token texts (Jaccard ~1), but doc 1
+    # is punctuation-junk (fails the punct band) while doc 2 is clean and
+    # carries stopwords; doc 3 is unrelated and survives alone.
+    clean = "the quick brown fox jumps over the lazy dog and runs far away with great speed every single day"
+    junk = clean + " !!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!! ??? ### $$$ %%% ^^^ &&& *** !!!"
+    docs = spark.createDataFrame(
+        [(1, junk), (2, clean), (3, "completely different content here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.best_quality_survivors(
+            docs, threshold=0.5, method="exact"
+        ).collect()
+    }
+    assert out[1].cluster_id == out[2].cluster_id == 1
+    assert out[2].is_survivor == 1 and out[1].is_survivor == 0
+    assert out[2].quality_score > out[1].quality_score
+    assert out[3].is_survivor == 1 and out[3].cluster_id == 3
