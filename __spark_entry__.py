@@ -1037,6 +1037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_best_quality"] = lambda s, d: dedup.best_quality_survivors(
         load_table(s, d, "documents"), threshold=0.2, method="exact"
     )
+    q["text_bigram_logprob"] = lambda s, d: text.bigram_logprob(
+        load_table(s, d, "documents"), alpha=0.5
+    )
 
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
@@ -3464,5 +3467,23 @@ WITH RECURSIVE sh AS (
 SELECT doc_id, cluster_id, quality_score,
        CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_survivor
 FROM ranked ORDER BY doc_id
+"""
+    o["text_bigram_logprob"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+bi AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+  WHERE len(toks) >= 2),
+uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bi GROUP BY 1, 2)
+SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-log2((big.c12 + 0.5) / (uni.c1 + 0.5 * vv.v))), 6)
+         AS bits_per_bigram
+FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab vv
+GROUP BY bi.doc_id
+ORDER BY bi.doc_id
 """
     return o

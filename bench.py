@@ -119,6 +119,7 @@ HEADLINE = [
     "text_gopher_flags",
     "text_bpe_token_estimate",
     "dedup_best_quality",
+    "text_bigram_logprob",
 ]
 
 

@@ -855,3 +855,60 @@ def bpe_token_estimate(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def bigram_logprob(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Corpus-trained add-alpha-smoothed bigram language-model score per
+    document: average ``-log2 P(w2|w1)`` over the document's word bigrams,
+    with ``P(w2|w1) = (C(w1,w2) + alpha) / (C(w1) + alpha * V)`` — one
+    step up the KenLM ladder from :func:`unigram_logprob`, and the usual
+    second-stage perplexity filter when unigram scores saturate.
+
+    Three aggregates (bigram counts, unigram counts, vocabulary size) and
+    two token-keyed joins.  The count tables are Zipf-bounded (vocab and
+    bigram-type count grow sublinearly with the corpus), so at 100 TB the
+    joins are AQE-broadcastable or plain hash joins on uniform-enough
+    keys; the head-token skew (joins on "the") is exactly the shape AQE's
+    skew-join splitting handles.  V attaches as a 1-row broadcast, never
+    a driver collect.  Documents with fewer than two tokens carry no
+    bigram and drop out (same contract as the unigram scorer's empty-doc
+    drop-out)."""
+    base = with_min_parallelism(documents).select(
+        "doc_id", tokens("text").alias("tok")
+    )
+    n = F.size("tok")
+    bi = (
+        base.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("tok", 1, n - 1),
+                    F.slice("tok", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    uni = (
+        base.select(F.explode("tok").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    p = (F.col("c12") + F.lit(alpha)) / (
+        F.col("c1") + F.lit(alpha) * F.col("v")
+    )
+    return (
+        bi.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log2(p)), 6).alias("bits_per_bigram"),
+        )
+        .orderBy("doc_id")
+    )

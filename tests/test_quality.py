@@ -227,3 +227,32 @@ def test_bpe_token_estimate_hand_computed(spark):
     assert (out[4].n_pretokens, out[4].est_bpe_tokens, out[4].bpe_per_word) == (
         0, 0, 0.0,
     )
+
+
+def test_bigram_logprob_closed_form(spark):
+    """Two-doc corpus small enough to hand-compute the smoothed bigram
+    probabilities: doc 1 = 'a b a b', doc 2 = 'a b'."""
+    import math
+
+    from data_pipeline_zeal_spark.operators import text
+
+    out = {
+        r.doc_id: r
+        for r in text.bigram_logprob(
+            spark.createDataFrame(
+                [(1, "a b a b"), (2, "a b"), (3, "solo")],
+                "doc_id long, text string",
+            ),
+            alpha=0.5,
+        ).collect()
+    }
+    # corpus: C(a)=3, C(b)=3, C(solo)=1, V=3
+    # C(a,b)=3, C(b,a)=1
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)  # 3.5/4.5
+    p_ba = (1 + 0.5) / (3 + 0.5 * 3)  # 1.5/4.5
+    exp1 = -(2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    assert out[1].n_bigrams == 3
+    assert abs(out[1].bits_per_bigram - round(exp1, 6)) < 1e-6
+    assert out[2].n_bigrams == 1
+    assert abs(out[2].bits_per_bigram - round(-math.log2(p_ab), 6)) < 1e-6
+    assert 3 not in out  # single-token doc has no bigram
