@@ -680,6 +680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_png_headers"] = lambda s, d: multimodal.png_header_stats(
         multimodal.synth_png_media(s, 64)
     ).orderBy("media_id")
+    q["multimodal_jpeg_headers"] = lambda s, d: multimodal.jpeg_header_stats(
+        multimodal.synth_jpeg_media(s, 64)
+    ).orderBy("media_id")
 
     # --- [EXT] CDC merge, graph rank, cross-doc boilerplate ---
     from data_pipeline_zeal_spark.operators import cdc, graph

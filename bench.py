@@ -120,6 +120,7 @@ HEADLINE = [
     "text_bpe_token_estimate",
     "dedup_best_quality",
     "text_bigram_logprob",
+    "multimodal_jpeg_headers",
 ]
 
 

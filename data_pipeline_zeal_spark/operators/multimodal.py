@@ -759,3 +759,139 @@ def synth_png_media(spark, count: int = 64) -> DataFrame:
             payload = good
         rows.append((i, payload))
     return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+JPEG_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("precision", T.IntegerType(), True),
+        T.StructField("n_components", T.IntegerType(), True),
+        T.StructField("progressive", T.BooleanType(), True),
+        T.StructField("n_segments", T.IntegerType(), True),
+    ]
+)
+
+#: markers that carry no length word (standalone)
+_JPEG_STANDALONE = frozenset(
+    [0xD8, 0xD9] + list(range(0xD0, 0xD8))  # SOI, EOI, RSTn
+)
+#: SOF markers that define frame dimensions (C4/C8/CC are DHT/JPG/DAC)
+_JPEG_SOF = frozenset(
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+)
+
+
+def parse_jpeg_header(payload: bytes) -> dict | None:
+    """REAL JPEG/JFIF marker-segment parse (pure ``struct``, no codec
+    library): require SOI, walk the marker list with each segment's
+    big-endian length word, pull precision/height/width/components from
+    the first SOF frame header, and require an SOS followed by a final
+    EOI.  Returns None for anything malformed — the validity gate an
+    image ingestion pipeline runs before ever touching a decoder."""
+    import struct
+
+    if len(payload) < 4 or payload[0] != 0xFF or payload[1] != 0xD8:
+        return None
+    pos, n_segments, sof = 2, 1, None
+    progressive = False
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None  # marker misalignment
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        n_segments += 1
+        if marker in _JPEG_STANDALONE:
+            if marker == 0xD9:  # EOI before SOS: no image data
+                return None
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            return None
+        (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if size < 2 or pos + 2 + size > len(payload):
+            return None  # truncated or nonsense length
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker in _JPEG_SOF and sof is None:
+            if size < 8:
+                return None
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", body[:6]
+            )
+            if width == 0 or height == 0 or ncomp not in (1, 3, 4):
+                return None
+            sof = (precision, height, width, ncomp)
+            progressive = marker == 0xC2
+        pos += 2 + size
+        if marker == 0xDA:  # SOS: entropy-coded data until EOI
+            if sof is None:
+                return None
+            # FF00 byte-stuffing keeps real markers out of the scan data,
+            # so a well-formed stream ends with an EOI marker
+            if payload[-2:] != b"\xff\xd9":
+                return None
+            return {
+                "width": int(sof[2]),
+                "height": int(sof[1]),
+                "precision": int(sof[0]),
+                "n_components": int(sof[3]),
+                "progressive": progressive,
+                "n_segments": int(n_segments + 1),  # + the final EOI
+            }
+    return None  # ran out of bytes before SOS
+
+
+def jpeg_header_stats(media: DataFrame) -> DataFrame:
+    """Validate-and-describe JPEG payloads — the third format gate on the
+    shared :func:`_header_stats` kernel (WAV, PNG, JPEG)."""
+    return _header_stats(media, parse_jpeg_header, JPEG_HEADER_SCHEMA)
+
+
+def synth_jpeg_media(spark, count: int = 64) -> DataFrame:
+    """Deterministic mixed JPEG fixture: 3 of every 4 payloads are
+    spec-conformant marker streams (SOI, APP0/JFIF, DQT, SOF0 or the
+    progressive SOF2, DHT, SOS, stuffed entropy bytes, EOI) with
+    dimensions derived from the id; the fourth is corrupt in a rotating
+    way (bad SOI / truncated SOF length / zero width) — exercises every
+    branch of the header gate."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def jpeg(width: int, height: int, ncomp: int, progressive: bool) -> bytes:
+        app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        dqt = seg(0xDB, b"\x00" + bytes(64))
+        sof_body = struct.pack(">BHHB", 8, height, width, ncomp) + bytes(
+            3 * ncomp
+        )
+        sof = seg(0xC2 if progressive else 0xC0, sof_body)
+        dht = seg(0xC4, b"\x00" + bytes(16) + b"\x00")
+        sos = seg(0xDA, bytes([ncomp]) + bytes(2 * ncomp) + b"\x00\x3f\x00")
+        entropy = b"\xab\xff\x00\xcd" * 4  # stuffed FF00 inside scan data
+        return (
+            b"\xff\xd8" + app0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+        )
+
+    rows = []
+    for i in range(count):
+        good = jpeg(16 + i % 9, 9 + i % 7, (1, 3, 3)[i % 3], i % 5 == 0)
+        if i % 4 == 3:
+            kind = (i // 4) % 3
+            if kind == 0:
+                payload = b"\x00\x00" + good[2:]  # bad SOI
+            elif kind == 1:
+                payload = good[: len(good) // 2]  # truncated mid-stream
+            else:  # zero width in SOF
+                payload = good.replace(
+                    struct.pack(">BHHB", 8, 9 + i % 7, 16 + i % 9, 3),
+                    struct.pack(">BHHB", 8, 9 + i % 7, 0, 3),
+                )
+        else:
+            payload = good
+        rows.append((i, payload))
+    return spark.createDataFrame(rows, "media_id long, payload binary")

@@ -274,3 +274,47 @@ def test_png_parser_rejects_truncated_crc_and_dataless():
     ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
     dataless = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
     assert parse_png_header(dataless) is None
+
+
+def test_jpeg_header_parse_real_bytes(spark):
+    from data_pipeline_zeal_spark.operators.multimodal import (
+        jpeg_header_stats,
+        synth_jpeg_media,
+    )
+
+    media = synth_jpeg_media(spark, 16)
+    out = {r.media_id: r for r in jpeg_header_stats(media).collect()}
+    assert len(out) == 16
+    # ids 0..2 are well-formed; dims derive from the id
+    assert out[0].valid and (out[0].width, out[0].height) == (16, 9)
+    assert out[0].progressive  # i % 5 == 0 -> SOF2
+    assert out[1].valid and not out[1].progressive
+    assert out[1].n_components == 3 and out[1].precision == 8
+    # every 4th payload is corrupt (rotating SOI / truncation / zero-width)
+    for i in (3, 7, 11, 15):
+        assert not out[i].valid and out[i].width is None
+    for i in (0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14):
+        assert out[i].valid
+
+
+def test_jpeg_parser_rejects_corruption():
+    import struct
+
+    from data_pipeline_zeal_spark.operators.multimodal import parse_jpeg_header
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 10, 20, 3) + bytes(9))
+    sos = seg(0xDA, b"\x03" + bytes(6) + b"\x00\x3f\x00")
+    good = b"\xff\xd8" + sof + sos + b"\xaa\xbb" + b"\xff\xd9"
+    parsed = parse_jpeg_header(good)
+    assert parsed is not None and (parsed["width"], parsed["height"]) == (20, 10)
+    assert parse_jpeg_header(b"\x00\x00" + good[2:]) is None   # bad SOI
+    assert parse_jpeg_header(good[:-2]) is None                # missing EOI
+    assert parse_jpeg_header(b"\xff\xd8" + sos) is None        # SOS before SOF
+    # EOI with no scan data at all
+    assert parse_jpeg_header(b"\xff\xd8\xff\xd9") is None
+    # nonsense segment length (1 < 2)
+    bad_len = b"\xff\xd8" + bytes([0xFF, 0xC0]) + struct.pack(">H", 1)
+    assert parse_jpeg_header(bad_len) is None
