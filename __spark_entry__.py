@@ -1043,6 +1043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bigram_logprob"] = lambda s, d: text.bigram_logprob(
         load_table(s, d, "documents"), alpha=0.5
     )
+    q["corpus_decontaminate"] = lambda s, d: corpus.decontaminate(
+        load_table(s, d, "documents"), n=8, benchmark_mod=7
+    )
 
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
@@ -3488,5 +3491,22 @@ SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab vv
 GROUP BY bi.doc_id
 ORDER BY bi.doc_id
+"""
+    o["corpus_decontaminate"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
+         i -> array_to_string(t[i:i+7], ' '))) AS gs
+  FROM toks),
+corpus_side AS (
+  SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 7 <> 0),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 7 = 0),
+bad AS (SELECT DISTINCT c.doc_id FROM corpus_side c JOIN bench b USING (gram))
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id % 7 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY d.doc_id
 """
     return o

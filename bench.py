@@ -121,6 +121,7 @@ HEADLINE = [
     "dedup_best_quality",
     "text_bigram_logprob",
     "multimodal_jpeg_headers",
+    "corpus_decontaminate",
 ]
 
 

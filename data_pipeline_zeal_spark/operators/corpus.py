@@ -582,3 +582,35 @@ def split_leakage(documents: DataFrame, test_frac: float = 0.1) -> DataFrame:
             6,
         ).alias("leak_rate"),
     )
+
+
+def decontaminate(
+    documents: DataFrame, n: int = 8, benchmark_mod: int = 7
+) -> DataFrame:
+    """The removal half of :func:`ngram_contamination`: the surviving
+    training corpus after dropping every document that shares at least one
+    word ``n``-gram with the benchmark set (and the benchmark documents
+    themselves).  Returns (doc_id, lang, source) of survivors — what
+    actually ships to the trainer after the decontamination pass.
+
+    Same scale shape as the check: broadcast benchmark gram set, one
+    explode + broadcast join to find contaminated ids, then a LEFT ANTI
+    join back — corpus rows never shuffle, only the (small) contaminated
+    id set does."""
+    grams = with_min_parallelism(documents).select(
+        "doc_id", F.explode(_distinct_ngrams(tokens("text"), n)).alias("gram")
+    )
+    is_bench = F.col("doc_id") % benchmark_mod == 0
+    bench = grams.filter(is_bench).select("gram").distinct()
+    contaminated = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        documents.filter(~is_bench)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

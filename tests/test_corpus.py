@@ -164,3 +164,26 @@ def test_split_leakage_detects_straddling_duplicates(spark):
     assert row.n_leaked == 1
     assert row.n_test >= 1 and row.n_train >= 2
     assert row.leak_rate == round(1 / row.n_test, 6)
+
+
+def test_decontaminate_complements_contamination_report(spark):
+    """Survivors = non-benchmark docs minus exactly the ids the
+    contamination check reports."""
+    from data_pipeline_zeal_spark.operators import corpus
+    from data_pipeline_zeal_spark.io import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    flagged = {
+        r.doc_id
+        for r in corpus.ngram_contamination(docs, n=8, benchmark_mod=7).collect()
+    }
+    survivors = {
+        r.doc_id
+        for r in corpus.decontaminate(docs, n=8, benchmark_mod=7).collect()
+    }
+    non_bench = {
+        r.doc_id for r in docs.select("doc_id").collect() if r.doc_id % 7 != 0
+    }
+    assert survivors == non_bench - flagged
+    assert survivors.isdisjoint(flagged)
