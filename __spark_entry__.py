@@ -1046,6 +1046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_decontaminate"] = lambda s, d: corpus.decontaminate(
         load_table(s, d, "documents"), n=8, benchmark_mod=7
     )
+    q["events_audience_overlap"] = lambda s, d: events_ext.audience_overlap(
+        load_table(s, d, "events")
+    )
 
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
@@ -3508,5 +3511,24 @@ SELECT d.doc_id, d.lang, d.source
 FROM documents d
 WHERE d.doc_id % 7 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
 ORDER BY d.doc_id
+"""
+    o["events_audience_overlap"] = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+       FROM du GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS overlap
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT i.type_a, i.type_b,
+       ca.n_users AS users_a, cb.n_users AS users_b, i.overlap,
+       round(i.overlap / (ca.n_users + cb.n_users - i.overlap), 6)
+         AS jaccard
+FROM inter i
+JOIN pt ca ON ca.event_type = i.type_a
+JOIN pt cb ON cb.event_type = i.type_b
+ORDER BY i.type_a, i.type_b
 """
     return o

@@ -122,6 +122,7 @@ HEADLINE = [
     "text_bigram_logprob",
     "multimodal_jpeg_headers",
     "corpus_decontaminate",
+    "events_audience_overlap",
 ]
 
 

@@ -766,3 +766,51 @@ def hour_uniformity(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def audience_overlap(events: DataFrame) -> DataFrame:
+    """Audience overlap between every pair of event types: distinct-user
+    counts per type, the pairwise intersection, and its Jaccard — the
+    cross-feature reach matrix a growth dashboard renders as a heatmap.
+
+    SCALE: one distinct projection to (event_type, user_id), one per-type
+    count, then a user-keyed self-join — co-partitioned on user_id, so
+    each user's type set meets itself locally; pair rows are bounded by
+    sum over users of C(types_of_user, 2) ≤ |users| x C(|types|, 2), and
+    the final aggregate has C(|types|, 2) output rows.  No collect, no
+    cross join; |types| is small by construction (it is an enum)."""
+    du = events.select("event_type", "user_id").distinct()
+    per_type = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    ca = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("users_a")
+    )
+    cb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("users_b")
+    )
+    return (
+        inter.join(ca, "type_a")
+        .join(cb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "overlap",
+            F.round(
+                F.col("overlap")
+                / (F.col("users_a") + F.col("users_b") - F.col("overlap")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -395,3 +395,44 @@ def test_chunk_overlap_total_coverage(spark, n_tok, window, stride_frac):
             assert r.n_chunk_tokens == window
         covered.update(range(r.start_token, r.start_token + r.n_chunk_tokens))
     assert covered == set(range(1, n_tok + 1))
+
+
+WORD = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(WORD, min_size=0, max_size=30),
+    n=st.integers(min_value=2, max_value=5),
+)
+def test_duplicated_spans_laws(spark, words, n):
+    """Laws vs a brute-force Python model: (1) window count = max(0,
+    len-n+1); (2) a doc cloned verbatim under another id has EVERY window
+    duplicated; (3) per-doc dup counts match the model exactly."""
+    from collections import Counter
+
+    from data_pipeline_zeal_spark.operators.text import duplicated_spans
+
+    text = " ".join(words)
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in duplicated_spans(docs, n=n).collect()}
+    expect_windows = max(0, len(words) - n + 1)
+    wins = [" ".join(words[i : i + n]) for i in range(expect_windows)]
+    # model: global counts over both (identical) docs
+    counts = Counter(wins + wins)
+    expect_dup = sum(1 for w in wins if counts[w] >= 2)
+    for doc_id in (1, 2):
+        r = out[doc_id]
+        assert r.n_windows == expect_windows
+        assert r.n_dup_windows == expect_dup
+        if expect_windows:  # clone ⇒ every window appears ≥ twice
+            assert r.n_dup_windows == r.n_windows
+            assert r.dup_span_frac == 1.0
+        else:
+            assert r.dup_span_frac == 0.0
