@@ -1050,6 +1050,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events")
     )
 
+    def _heavy_hitters(s: SparkSession, d: str) -> DataFrame:
+        from data_pipeline_zeal_spark.streaming.heavy_hitters import (
+            heavy_hitters_batch,
+        )
+
+        # project away the shard label: xxhash64 is not reproducible in
+        # the DuckDB oracle; the top-k contract is on (user, count)
+        return heavy_hitters_batch(load_table(s, d, "events"), k=10).select(
+            "user_id", "n"
+        )
+
+    q["events_heavy_hitters"] = _heavy_hitters
+
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
     # historically sat at the front, so rotate the never-driver-verified
@@ -3530,5 +3543,10 @@ FROM inter i
 JOIN pt ca ON ca.event_type = i.type_a
 JOIN pt cb ON cb.event_type = i.type_b
 ORDER BY i.type_a, i.type_b
+"""
+    o["events_heavy_hitters"] = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+ORDER BY n DESC, user_id ASC LIMIT 10
 """
     return o

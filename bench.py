@@ -123,6 +123,7 @@ HEADLINE = [
     "multimodal_jpeg_headers",
     "corpus_decontaminate",
     "events_audience_overlap",
+    "events_heavy_hitters",
 ]
 
 

@@ -287,3 +287,68 @@ def test_streaming_error_context_interval_join(spark, workdir):
         for r in spark.table("err_ctx").collect()
     }
     assert got == {("e5", "e1"), ("e5", "e2")}
+
+
+def test_streaming_heavy_hitters_guarantee(spark, workdir):
+    """Misra-Gries contract over a drained stream: every user whose true
+    count exceeds N_shard/(capacity+1) must appear in its shard's summary
+    with count_lb <= true count, and count_lb within N_shard/(capacity+1)
+    of the truth."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.streaming.heavy_hitters import (
+        heavy_hitters_stream,
+    )
+
+    # skewed traffic: hot users dominate a tail of one-off users
+    lines, truth = [], Counter()
+    i = 0
+    for user, cnt in [("hot_a", 40), ("hot_b", 25)] + [
+        (f"cold_{j}", 1) for j in range(30)
+    ]:
+        for _ in range(cnt):
+            lines.append(_event(i, "2024-01-01T10:00:00Z", user=user))
+            truth[user] += cnt and 1
+            i += 1
+    src = os.path.join(workdir, "src")
+    _write_jsonl(os.path.join(src, "a.jsonl"), lines)
+
+    events = read_event_stream_json(spark, src)
+    out_dir = os.path.join(workdir, "out")
+    q = (
+        heavy_hitters_stream(events, capacity=8, n_shards=4)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = {
+        (r.shard, r.user_id): r.count_lb
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # per-shard truth and slack
+    shard_of = {
+        r.user_id: r.shard
+        for r in spark.createDataFrame(
+            [(u,) for u in truth], "user_id string"
+        ).select(
+            "user_id",
+            F.pmod(F.xxhash64("user_id"), F.lit(4)).cast("int").alias("shard"),
+        ).collect()
+    }
+    shard_n = Counter()
+    for u, c in truth.items():
+        shard_n[shard_of[u]] += c
+    for u, c in truth.items():
+        slack = shard_n[shard_of[u]] / (8 + 1)
+        if c > slack:  # the MG survival guarantee
+            key = (shard_of[u], u)
+            assert key in got, f"{u} (count {c}) missing from summary"
+            assert got[key] <= c
+            assert got[key] >= c - slack
