@@ -98,3 +98,66 @@ def render_prometheus(snapshot: dict[str, dict[str, Any]]) -> str:
             name = (m.get("name") or "unnamed").replace('"', "'")
             lines.append(f'{metric}{{query="{name}",id="{qid}"}} {v}')
     return "\n".join(lines) + "\n"
+
+
+def parse_prometheus_text(
+    text: str, metric: str, labels: dict[str, str] | None = None
+) -> dict[tuple[tuple[str, str], ...], float]:
+    """Parse one metric family out of Prometheus text exposition — the
+    read side the reference's status endpoint implements by scraping its
+    own ``/metrics`` (``pipeline_status.py:29-63``).  Returns
+    {sorted-label-tuple: value} for every sample of ``metric`` whose
+    labels are a superset of ``labels``.  Round-trips
+    :func:`render_prometheus` exactly, and accepts the general format
+    (HELP/TYPE comments, label-less samples, escaped quotes)."""
+    want = dict(labels or {})
+    out: dict[tuple[tuple[str, str], ...], float] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        name_part, _, rest = line.partition("{")
+        if rest:  # labeled sample: metric{k="v",...} value
+            if name_part != metric:
+                continue
+            label_str, _, value_str = rest.rpartition("}")
+            sample: dict[str, str] = {}
+            for item in filter(None, _split_labels(label_str)):
+                k, _, v = item.partition("=")
+                sample[k.strip()] = v.strip().strip('"').replace("\\\"", '"')
+        else:  # label-less: "metric value"
+            parts = line.split()
+            if len(parts) < 2 or parts[0] != metric:
+                continue
+            sample, value_str = {}, parts[-1]
+        if any(sample.get(k) != v for k, v in want.items()):
+            continue
+        try:
+            value = float(value_str.strip())
+        except ValueError:
+            continue
+        out[tuple(sorted(sample.items()))] = value
+    return out
+
+
+def _split_labels(label_str: str) -> list[str]:
+    """Split a Prometheus label body on commas OUTSIDE quoted values."""
+    items, buf, in_quotes, escaped = [], [], False, False
+    for ch in label_str:
+        if escaped:
+            buf.append(ch)
+            escaped = False
+        elif ch == "\\":
+            buf.append(ch)
+            escaped = True
+        elif ch == '"':
+            in_quotes = not in_quotes
+            buf.append(ch)
+        elif ch == "," and not in_quotes:
+            items.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        items.append("".join(buf))
+    return items

@@ -83,3 +83,48 @@ def test_render_prometheus_text():
     assert 'pipeline_input_rows_total{query="unnamed",id="q2"} 5' in text
     # absent gauges are skipped, not rendered as None
     assert "None" not in text
+
+
+def test_prometheus_text_round_trip():
+    """render -> parse recovers every sample; label filters select."""
+    from data_pipeline_zeal_spark.streaming.observability import (
+        parse_prometheus_text,
+        render_prometheus,
+    )
+
+    snap = {
+        "q1": {"name": "hourly", "batches": 7, "total_input_rows": 120,
+               "last_input_rows_per_second": 3.5,
+               "last_batch_duration_ms": 90, "state_rows": 4},
+        "q2": {"name": "funnel", "batches": 2, "total_input_rows": 10,
+               "last_input_rows_per_second": 1.0,
+               "last_batch_duration_ms": 5, "state_rows": 1},
+    }
+    text = render_prometheus(snap)
+    got = parse_prometheus_text(text, "pipeline_batches_total")
+    assert len(got) == 2 and set(got.values()) == {7.0, 2.0}
+    only_q1 = parse_prometheus_text(
+        text, "pipeline_input_rows_total", labels={"query": "hourly"}
+    )
+    assert list(only_q1.values()) == [120.0]
+
+
+def test_prometheus_parser_general_format():
+    from data_pipeline_zeal_spark.streaming.observability import (
+        parse_prometheus_text,
+    )
+
+    text = """# HELP up Whether the target is up
+# TYPE up gauge
+up 1
+requests_total{path="/a,b",method="GET"} 10
+requests_total{path="/x",method="POST"} 2.5
+junk_line_without_value
+requests_total{path="/x",method="POST"} not_a_number
+"""
+    assert parse_prometheus_text(text, "up") == {(): 1.0}
+    by_path = parse_prometheus_text(text, "requests_total", {"method": "GET"})
+    assert list(by_path.values()) == [10.0]
+    # the comma inside a quoted label value must not split the label list
+    [(labels, v)] = by_path.items()
+    assert dict(labels)["path"] == "/a,b"
