@@ -128,3 +128,41 @@ requests_total{path="/x",method="POST"} not_a_number
     # the comma inside a quoted label value must not split the label list
     [(labels, v)] = by_path.items()
     assert dict(labels)["path"] == "/a,b"
+
+
+def test_admin_server_routes():
+    """The reference admin surface: /admin/health, /admin/status (GET),
+    /admin/flush (POST), 404 otherwise — served over live callbacks."""
+    import json as _json
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+
+    from data_pipeline_zeal_spark.streaming.admin import AdminServer
+
+    flushed = []
+
+    def status():
+        return {"active": True, "batches": 3}
+
+    def flush():
+        flushed.append(1)
+        return {"flushed": True}
+
+    srv = AdminServer(status, flush).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        with urlopen(f"{base}/admin/health", timeout=5) as r:
+            assert _json.loads(r.read()) == {"status": "healthy"}
+        with urlopen(f"{base}/admin/status", timeout=5) as r:
+            assert _json.loads(r.read())["batches"] == 3
+        req = Request(f"{base}/admin/flush", data=b"", method="POST")
+        with urlopen(req, timeout=5) as r:
+            assert _json.loads(r.read()) == {"flushed": True}
+        assert flushed == [1]
+        try:
+            urlopen(f"{base}/admin/nope", timeout=5)
+            raise AssertionError("expected 404")
+        except HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
