@@ -61,3 +61,58 @@ def test_query_subcommand_unknown_name_fails_fast():
     )
     assert proc.returncode == 2
     assert "unknown query" in proc.stderr
+
+
+def test_query_api_server_routes(spark):
+    """Reference REST contract end-to-end: envelope shape, filters,
+    pagination bounds (422 on violation), stats and event-type routes."""
+    import json as _json
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    from data_pipeline_zeal_spark.api_http import QueryApiServer
+    from data_pipeline_zeal_spark.io import load_table
+    from data_pipeline_zeal_spark.operators.hourly import aggregate_events
+    from tests.conftest import SF_SMALL
+
+    agg = aggregate_events(load_table(spark, SF_SMALL, "events")).cache()
+    srv = QueryApiServer(agg).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        with urlopen(f"{base}/health", timeout=10) as r:
+            assert _json.loads(r.read()) == {"status": "healthy"}
+
+        with urlopen(f"{base}/api/aggregations?limit=5", timeout=60) as r:
+            body = _json.loads(r.read())
+        assert body["count"] == 5 == len(body["records"])
+        rec = body["records"][0]
+        assert {"window_start", "event_type", "event_count"} <= set(rec)
+
+        et = rec["event_type"]
+        with urlopen(
+            f"{base}/api/aggregations?event_type={et}&limit=3", timeout=60
+        ) as r:
+            filtered = _json.loads(r.read())
+        assert all(x["event_type"] == et for x in filtered["records"])
+
+        with urlopen(f"{base}/api/aggregations/latest?limit=2", timeout=60) as r:
+            assert _json.loads(r.read())["count"] == 2
+
+        with urlopen(f"{base}/api/aggregations/stats", timeout=60) as r:
+            stats = _json.loads(r.read())
+        assert stats["count"] >= 1 and "total_events" in stats["records"][0]
+
+        with urlopen(f"{base}/api/aggregations/event-types", timeout=60) as r:
+            types = _json.loads(r.read())
+        assert sorted(x["event_type"] for x in types["records"]) == [
+            x["event_type"] for x in types["records"]
+        ]
+
+        try:
+            urlopen(f"{base}/api/aggregations?limit=5000", timeout=60)
+            raise AssertionError("expected 422")
+        except HTTPError as e:
+            assert e.code == 422
+    finally:
+        srv.stop()
+        agg.unpersist()
