@@ -1,0 +1,68 @@
+"""Regenerate the _DRIVER_FIRST rotation list for the next round.
+
+The verify driver checks exactly ``queries()[:50]`` (insertion order) at
+sf0.01, so each round the 50-slot window should hold the queries with the
+weakest driver evidence.  This tool ranks every registered query by its
+LAST driver result across all ``CORRECTNESS_r*.json`` files:
+
+1. never sampled, oracle-backed           (strongest claim on a slot)
+2. last sample was an error / mismatch    (stale red to clear)
+3. never sampled, rows-only
+4. green                                  (keep behind position 50)
+
+and prints a ready-to-paste ``_DRIVER_FIRST`` literal.  Run it at the
+START of a round, paste into ``__spark_entry__.py``, then verify the new
+window with ``python tools/driver_sim.py $(window names)`` BEFORE
+committing.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    qk = list(entry.queries().keys())
+    oracle = set(entry.oracle_sql().keys())
+
+    last: dict[str, dict] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        for k, v in json.load(open(path)).items():
+            last[k] = v
+
+    def green(v: dict) -> bool:
+        if v.get("err") == "no_oracle":  # rows-only by design: counts as done
+            return v.get("spark_rows") is not None
+        return bool(v.get("rows_match")) and bool(v.get("schema_match")) and not v.get("err")
+
+    def rank(name: str) -> tuple:
+        v = last.get(name)
+        if v is None:
+            prio = 0 if name in oracle else 2
+        elif not green(v):
+            prio = 1
+        else:
+            prio = 3
+        return (prio, qk.index(name))
+
+    ordered = sorted(qk, key=rank)
+    window = ordered[:50]
+    n_new = sum(1 for n in window if n not in last)
+    n_stale = sum(1 for n in window if n in last and not green(last[n]))
+    print(f"# window: {n_new} never-sampled, {n_stale} stale, "
+          f"{50 - n_new - n_stale} re-verifications")
+    print("_DRIVER_FIRST = [")
+    for name in window:
+        print(f'    "{name}",')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()
