@@ -11,6 +11,8 @@ capabilities:
   generate N --out PATH      producer role: synthesize N wire-format
                              JSONL events (feed them to the streaming
                              pipeline or load_wire_events)
+  serve [--port P]           API role: aggregate the fixture events and
+                             serve the reference's REST query routes
 
 ``python bench.py`` times the headline suite;
 ``python examples/run_local_pipeline.py`` runs the full
@@ -92,6 +94,42 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """API role (reference ``api/src/main.py``): aggregate the fixture
+    events and serve the REST query surface over the result."""
+    from .api_http import QueryApiServer
+    from .io import load_table
+    from .operators.hourly import aggregate_events
+    from .session import get_spark
+
+    spark = get_spark(app_name="cli-serve")
+    agg = aggregate_events(load_table(spark, args.sf_dir, "events")).cache()
+    agg.count()  # materialize once before the first request
+    srv = QueryApiServer(agg, port=args.port).start()
+    print(f"serving on http://127.0.0.1:{srv.port}")
+    rc = 0
+    if args.smoke:
+        import urllib.request
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/health", timeout=10
+        ) as r:
+            ok = json.loads(r.read()) == {"status": "healthy"}
+        print("smoke:", "ok" if ok else "FAILED")
+        rc = 0 if ok else 1
+    else:  # pragma: no cover - interactive serving loop
+        import time
+
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
+    srv.stop()
+    agg.unpersist()
+    return rc
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m data_pipeline_zeal_spark",
@@ -122,6 +160,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("statement")
     _common(sp)
     sp.set_defaults(fn=cmd_sql)
+
+    vp = sub.add_parser("serve", help="serve the REST query surface")
+    vp.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    vp.add_argument("--port", type=int, default=0)
+    vp.add_argument(
+        "--smoke", action="store_true",
+        help="probe /health once and exit (for tests/CI)",
+    )
+    vp.set_defaults(fn=cmd_serve)
 
     gp = sub.add_parser("generate", help="synthesize wire-format JSONL events")
     gp.add_argument("n", type=int)

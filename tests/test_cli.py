@@ -116,3 +116,10 @@ def test_query_api_server_routes(spark):
     finally:
         srv.stop()
         agg.unpersist()
+
+
+def test_cli_serve_smoke(spark):
+    from data_pipeline_zeal_spark.__main__ import main
+    from tests.conftest import SF_SMALL
+
+    assert main(["serve", "--sf-dir", SF_SMALL, "--smoke"]) == 0
