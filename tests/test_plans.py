@@ -219,6 +219,7 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         "corpus_mixture_weights": 1,
         "corpus_source_divergence": 1,
         "text_unigram_logprob": 1,
+        "text_bigram_logprob": 1,  # 1-row vocabulary-size broadcast
         "text_tfidf_top_terms": 1,
         # (text_doc_similarity's 1-row n_docs crossJoin sits behind the
         # postings localCheckpoint, so the registered plan carries none)
