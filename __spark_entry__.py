@@ -1062,6 +1062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_heavy_hitters"] = _heavy_hitters
+    q["corpus_temperature_mix"] = lambda s, d: corpus.temperature_mixture(
+        load_table(s, d, "documents"), by="lang", alpha=0.3
+    )
 
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
@@ -3548,5 +3551,18 @@ ORDER BY i.type_a, i.type_b
 SELECT user_id, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY user_id
 ORDER BY n DESC, user_id ASC LIMIT 10
+"""
+    o["corpus_temperature_mix"] = """
+WITH counts AS (
+  SELECT lang, count(*) AS doc_count FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(doc_count) AS BIGINT) AS total_docs FROM counts),
+powed AS (
+  SELECT lang, doc_count, power(doc_count, 0.3) AS pw FROM counts),
+z AS (SELECT sum(pw) AS z FROM powed)
+SELECT lang, doc_count,
+       round(doc_count / total_docs, 6) AS share,
+       round(pw / z, 6) AS temp_share,
+       round((pw / z) / (doc_count / total_docs), 6) AS sample_factor
+FROM powed, z, tot ORDER BY lang
 """
     return o

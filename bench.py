@@ -124,6 +124,7 @@ HEADLINE = [
     "corpus_decontaminate",
     "events_audience_overlap",
     "events_heavy_hitters",
+    "corpus_temperature_mix",
 ]
 
 

@@ -614,3 +614,39 @@ def decontaminate(
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+def temperature_mixture(
+    documents: DataFrame, by: str = "lang", alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-scaled sampling mixture (the mT5/XLM-R alpha-sampling
+    recipe, public): resample group shares as ``q_i ∝ p_i^alpha`` —
+    ``alpha=1`` keeps the natural mixture, ``alpha→0`` flattens toward
+    uniform, the standard 0.3 boosts low-resource groups without drowning
+    the head.  Returns per group the natural share, the temperature share,
+    and the up/downsampling factor a weighted sampler applies.
+
+    Same scale shape as :func:`mixture_weights`: one group-count
+    aggregate (map-side-combined, group cardinality is enum-small) plus
+    two 1-row broadcast attaches (total and the power-sum normalizer)."""
+    counts = documents.groupBy(by).agg(F.count(F.lit(1)).alias("doc_count"))
+    totals = counts.agg(F.sum("doc_count").alias("total_docs"))
+    # q_i = p_i^a / sum p_j^a == c_i^a / sum c_j^a (the total^a cancels),
+    # so the power branch never needs the totals join
+    powed_counts = counts.withColumn("powed", F.pow("doc_count", F.lit(alpha)))
+    z = powed_counts.agg(F.sum("powed").alias("z"))
+    p = F.col("doc_count") / F.col("total_docs")
+    return (
+        powed_counts.join(F.broadcast(z))
+        .join(F.broadcast(totals))
+        .select(
+            by,
+            "doc_count",
+            F.round(p, 6).alias("share"),
+            F.round(F.col("powed") / F.col("z"), 6).alias("temp_share"),
+            F.round((F.col("powed") / F.col("z")) / p, 6).alias(
+                "sample_factor"
+            ),
+        )
+        .orderBy(by)
+    )

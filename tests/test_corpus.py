@@ -187,3 +187,23 @@ def test_decontaminate_complements_contamination_report(spark):
     }
     assert survivors == non_bench - flagged
     assert survivors.isdisjoint(flagged)
+
+
+def test_temperature_mixture_laws(spark):
+    """alpha=1 reproduces the natural mixture; alpha<1 moves every
+    group's temp share toward uniform (tail up, head down); shares sum
+    to 1 either way."""
+    from data_pipeline_zeal_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, "x", "big" if i < 90 else "small", "s", 1) for i in range(100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    flat = {r.lang: r for r in corpus.temperature_mixture(docs, alpha=1.0).collect()}
+    assert abs(flat["big"].temp_share - 0.9) < 1e-6
+    assert abs(flat["big"].sample_factor - 1.0) < 1e-6
+    temp = {r.lang: r for r in corpus.temperature_mixture(docs, alpha=0.3).collect()}
+    assert temp["small"].temp_share > 0.1      # tail boosted
+    assert temp["big"].temp_share < 0.9        # head damped
+    assert abs(sum(r.temp_share for r in temp.values()) - 1.0) < 1e-5
+    assert temp["small"].sample_factor > 1.0 > temp["big"].sample_factor

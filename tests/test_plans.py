@@ -217,6 +217,7 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
     ALLOWED = {
         # 1-row scalar broadcast attaches
         "corpus_mixture_weights": 1,
+        "corpus_temperature_mix": 2,  # total + power-sum 1-row broadcasts
         "corpus_source_divergence": 1,
         "text_unigram_logprob": 1,
         "text_bigram_logprob": 1,  # 1-row vocabulary-size broadcast
