@@ -347,3 +347,29 @@ def load_csv_events(
         & F.col("event_type").isNotNull()
         & F.col("timestamp").isNotNull()
     ).drop("_corrupt_record")
+
+
+def write_training_shards(
+    documents: DataFrame, path: str, n_shards: int = 8, mode: str = "overwrite"
+) -> None:
+    """Materialize the deterministic global shuffle to disk: one
+    ``shard=N`` directory per training shard, rows stored in their
+    reproducible shuffle order (``corpus.shuffle_shards`` assignment) —
+    the "shuffle once, read sequentially forever" export a training run
+    consumes.
+
+    One shard-keyed exchange (each task sorts only its own ~1/n of the
+    corpus: shard + position are computed from md5, so a rerun or
+    backfill writes byte-identical order) and a partitioned parquet
+    write; no global sort, no single-reducer stage."""
+    from .operators.corpus import shuffle_shards
+
+    assignment = shuffle_shards(documents, n_shards=n_shards)
+    (
+        documents.join(assignment, "doc_id")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "position")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -171,3 +171,45 @@ def test_compact_recovery_is_scoped_to_the_table(spark, tmp_path):
     compact_parquet(spark, b)
     assert os.path.isdir(f"{a}.__compact_tmp/partial")
     os.rmdir(f"{a}.__compact_tmp/partial"); os.rmdir(f"{a}.__compact_tmp")
+
+
+def test_write_training_shards_deterministic_and_ordered(spark, tmp_path):
+    """Shard export: every shard directory exists, rows inside each shard
+    are stored in shuffle-position order, the assignment matches
+    corpus.shuffle_shards, and a second export is byte-identical in
+    content (reproducible shuffle)."""
+    from data_pipeline_zeal_spark.io import load_table, write_training_shards
+    from data_pipeline_zeal_spark.operators.corpus import shuffle_shards
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    want = {
+        r.doc_id: (r.shard, r.position)
+        for r in shuffle_shards(docs, n_shards=4).collect()
+    }
+    got = {r.doc_id: (r.shard, r.position) for r in back.collect()}
+    assert got == want
+
+    import glob
+    import pyarrow.parquet as pq
+
+    for shard_dir in sorted(glob.glob(f"{out}/shard=*")):
+        files = sorted(glob.glob(f"{shard_dir}/*.parquet"))
+        positions = []
+        for f in files:
+            positions.extend(pq.read_table(f, columns=["position"])["position"].to_pylist())
+        assert positions == sorted(positions)  # stored in read order
+        assert positions[0] == 0  # dense from zero within the shard
+
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=4)
+    again = {
+        r.doc_id: (r.shard, r.position)
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert again == got
