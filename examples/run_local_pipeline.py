@@ -66,7 +66,11 @@ def main(n_events: int = 50_000) -> None:
     from data_pipeline_zeal_spark.streaming.funnel import funnel_detect_stream
 
     fq = (
-        funnel_detect_stream(read_event_stream_json(spark, f"{wd}/topic"))
+        # drain mode: no processing-time timeout, else timeout wakeups keep
+        # the availableNow query alive past the data (funnel.py docstring)
+        funnel_detect_stream(
+            read_event_stream_json(spark, f"{wd}/topic"), stale_timeout_ms=None
+        )
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("funnels")
@@ -93,6 +97,8 @@ def main(n_events: int = 50_000) -> None:
 
     # 5. observability snapshot
     print("listener:", listener.snapshot())
+    for q in spark.streams.active:  # clean shutdown: no teardown races
+        q.stop()
     spark.stop()
 
 
