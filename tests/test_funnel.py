@@ -65,7 +65,11 @@ def test_streaming_funnel_detection(spark, tmp_path):
 
     events = read_event_stream_json(spark, str(src))
     q = (
-        funnel_detect_stream(events)
+        # drain mode: no processing-time timeout — with one registered,
+        # availableNow keeps scheduling timeout-check batches and the
+        # query never terminates (it used to burn the full 120 s here and
+        # leak an active query into the rest of the suite)
+        funnel_detect_stream(events, stale_timeout_ms=None)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("funnels")
@@ -74,6 +78,7 @@ def test_streaming_funnel_detection(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+    assert not q.isActive  # drained and terminated, not timed out
     rows = spark.table("funnels").collect()
     by_user = {}
     for r in rows:
