@@ -95,7 +95,9 @@ def funnel_detect_stream(
     ``stale_timeout_ms`` expires a key's state after that much processing
     time without events (default 1 h), so state stays bounded by ACTIVE
     users — without it, every user ever seen holds a state row forever.
-    Pass None to disable (e.g. short drain tests)."""
+    Pass None for drain mode (``availableNow`` one-shots): a registered
+    processing-time timeout keeps the query scheduling timeout-check
+    micro-batches after the data is exhausted, so it never terminates."""
     return events.groupBy("user_id").applyInPandasWithState(
         _funnel_fn(tuple(steps), stale_timeout_ms),
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
