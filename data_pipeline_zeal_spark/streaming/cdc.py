@@ -107,7 +107,10 @@ def latest_state_stream(
     out-of-order ones that don't advance its state).  Eviction is silent —
     no tombstone row is emitted — so downstream consumers treat a key's
     absence after the timeout as "no update", not "deleted"; re-appearance
-    of an evicted key re-emits its (then-) latest observation."""
+    of an evicted key re-emits its (then-) latest observation.  Pass
+    ``stale_timeout_ms=None`` for drain mode (``availableNow``): a
+    registered processing-time timeout keeps the query scheduling
+    timeout-check micro-batches forever after the data is exhausted."""
     return events.groupBy("user_id", "event_type").applyInPandasWithState(
         _latest_fn(stale_timeout_ms),
         outputStructType=LATEST_OUTPUT_SCHEMA,
