@@ -1040,6 +1040,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_best_quality"] = lambda s, d: dedup.best_quality_survivors(
         load_table(s, d, "documents"), threshold=0.2, method="exact"
     )
+    # the 100 TB path (banded LSH candidates), rows-only: benched at sf0.1
+    # where the exact kernel is deliberately excluded like dedup_jaccard
+    q["dedup_best_quality_lsh"] = lambda s, d: dedup.best_quality_survivors(
+        load_table(s, d, "documents"), threshold=0.2, method="lsh"
+    )
     q["text_bigram_logprob"] = lambda s, d: text.bigram_logprob(
         load_table(s, d, "documents"), alpha=0.5
     )

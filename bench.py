@@ -118,7 +118,7 @@ HEADLINE = [
     "text_duplicated_spans",
     "text_gopher_flags",
     "text_bpe_token_estimate",
-    "dedup_best_quality",
+    "dedup_best_quality_lsh",
     "text_bigram_logprob",
     "multimodal_jpeg_headers",
     "corpus_decontaminate",
