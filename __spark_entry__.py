@@ -259,6 +259,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_funnel"] = lambda s, d: funnel_conversions_batch(
         load_table(s, d, "events")
     )
+
+    def _funnel_rates(s: SparkSession, d: str) -> DataFrame:
+        from data_pipeline_zeal_spark.streaming.funnel import funnel_step_rates
+
+        return funnel_step_rates(load_table(s, d, "events"))
+
+    q["events_funnel_rates"] = _funnel_rates
     q["range_error_context"] = lambda s, d: relational.error_event_context(
         load_table(s, d, "events")
     )
@@ -3569,5 +3576,31 @@ SELECT lang, doc_count,
        round(pw / z, 6) AS temp_share,
        round((pw / z) / (doc_count / total_docs), 6) AS sample_factor
 FROM powed, z, tot ORDER BY lang
+"""
+    o["events_funnel_rates"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, t1, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts >= t1 GROUP BY 1, 2),
+s3 AS (
+  SELECT e.user_id, t1, t2, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1, 2, 3),
+c AS (
+  SELECT 1 AS step_index, 'view' AS step,
+         CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+  UNION ALL
+  SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT))
+SELECT step_index, step, n_users,
+       round(CASE WHEN lag(n_users) OVER (ORDER BY step_index) IS NULL
+                  THEN 1.0
+                  ELSE n_users / lag(n_users) OVER (ORDER BY step_index)
+             END, 6) AS rate_vs_prev,
+       round(n_users / first_value(n_users) OVER (ORDER BY step_index), 6)
+         AS rate_vs_entry
+FROM c ORDER BY step_index
 """
     return o

@@ -125,6 +125,7 @@ HEADLINE = [
     "events_audience_overlap",
     "events_heavy_hitters",
     "corpus_temperature_mix",
+    "events_funnel_rates",
 ]
 
 

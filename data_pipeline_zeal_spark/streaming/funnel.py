@@ -219,3 +219,65 @@ def funnel_conversions_batch(
             F.col(last).cast("double") - F.col("t1").cast("double"), 3
         ).alias("duration_s"),
     ).orderBy(user_col)
+
+
+def funnel_step_rates(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The funnel-chart readout over :func:`funnel_conversions_batch`'s
+    semantics: per step, how many users reached it (earliest occurrence
+    at-or-after their previous step), the conversion rate vs the previous
+    step, and vs the funnel entry.
+
+    Each stage frame is the same staged conditional-min aggregate as the
+    batch funnel (per-user shuffle reused, no event-level window); the
+    readout aggregates every stage to ONE row, so the final rate window
+    runs over exactly ``len(steps)`` rows — bounded by construction."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import Window
+
+    counts = []
+    cur = None
+    for i, step in enumerate(steps):
+        filt = F.col(type_col) == step
+        if cur is None:
+            cur = (
+                events.filter(filt)
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("t1"))
+            )
+        else:
+            cur = (
+                events.filter(filt)
+                .join(cur, user_col)
+                .filter(F.col(ts_col) >= F.col(f"t{i}"))
+                .groupBy(user_col, *[f"t{j + 1}" for j in range(i)])
+                .agg(F.min(ts_col).alias(f"t{i + 1}"))
+            )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("step_index"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+    summary = _reduce(lambda a, b: a.unionByName(b), counts)
+    w = Window.orderBy("step_index")  # len(steps) rows: bounded window
+    first = F.first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("n_users").over(w)
+    return summary.select(
+        "step_index",
+        "step",
+        "n_users",
+        F.round(
+            F.when(prev.isNull(), 1.0).otherwise(F.col("n_users") / prev), 6
+        ).alias("rate_vs_prev"),
+        F.round(F.col("n_users") / first, 6).alias("rate_vs_entry"),
+    ).orderBy("step_index")

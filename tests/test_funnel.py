@@ -312,3 +312,31 @@ def test_batch_funnel_matches_manual(spark):
     got = {r.user_id: r for r in funnel_conversions_batch(ev).collect()}
     assert set(got) == {"u1"}
     assert got["u1"].duration_s == 1200.0
+
+
+def test_funnel_step_rates_hand_computed(spark):
+    """3 users enter, 2 click after viewing, 1 purchases after clicking —
+    rates 1.0 / 0.667 / 0.5, entry-rates 1.0 / 0.667 / 0.333."""
+    import datetime
+
+    from data_pipeline_zeal_spark.streaming.funnel import funnel_step_rates
+
+    T0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(u, t, off):
+        return (u, T0 + datetime.timedelta(minutes=off), t)
+
+    events = spark.createDataFrame(
+        [
+            ev("a", "view", 0), ev("a", "click", 1), ev("a", "purchase", 2),
+            ev("b", "view", 0), ev("b", "click", 3),
+            ev("c", "view", 0),
+            ev("d", "click", 0),  # clicked without viewing: not in funnel
+        ],
+        "user_id string, ts timestamp, event_type string",
+    )
+    rows = {r.step_index: r for r in funnel_step_rates(events).collect()}
+    assert [rows[i].n_users for i in (1, 2, 3)] == [3, 2, 1]
+    assert rows[1].rate_vs_prev == 1.0 and rows[1].rate_vs_entry == 1.0
+    assert rows[2].rate_vs_prev == 0.666667
+    assert rows[3].rate_vs_prev == 0.5 and rows[3].rate_vs_entry == 0.333333
