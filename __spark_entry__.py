@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return funnel_step_rates(load_table(s, d, "events"))
 
     q["events_funnel_rates"] = _funnel_rates
+    q["orders_pareto_share"] = lambda s, d: etl.top_customer_revenue_share(
+        load_table(s, d, "orders"), ks=(10, 100)
+    )
     q["range_error_context"] = lambda s, d: relational.error_event_context(
         load_table(s, d, "events")
     )
@@ -3602,5 +3605,24 @@ SELECT step_index, step, n_users,
        round(n_users / first_value(n_users) OVER (ORDER BY step_index), 6)
          AS rate_vs_entry
 FROM c ORDER BY step_index
+"""
+    o["orders_pareto_share"] = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(o_totalprice) AS spend
+  FROM orders GROUP BY 1),
+tot AS (SELECT sum(spend) AS total_spend FROM per_cust),
+t10 AS (SELECT spend FROM per_cust ORDER BY spend DESC, o_custkey LIMIT 10),
+t100 AS (SELECT spend FROM per_cust ORDER BY spend DESC, o_custkey LIMIT 100),
+c AS (
+  SELECT 10 AS k, CAST((SELECT count(*) FROM t10) AS BIGINT) AS n_customers,
+         (SELECT sum(spend) FROM t10) AS top_spend
+  UNION ALL
+  SELECT 100, CAST((SELECT count(*) FROM t100) AS BIGINT),
+         (SELECT sum(spend) FROM t100))
+SELECT k, n_customers,
+       round(top_spend, 2) AS top_spend,
+       round(total_spend, 2) AS total_spend,
+       round(top_spend / total_spend, 6) AS revenue_share
+FROM c, tot ORDER BY k
 """
     return o

@@ -126,6 +126,7 @@ HEADLINE = [
     "events_heavy_hitters",
     "corpus_temperature_mix",
     "events_funnel_rates",
+    "orders_pareto_share",
 ]
 
 

@@ -850,3 +850,45 @@ def supplier_concentration(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+def top_customer_revenue_share(
+    orders: DataFrame, ks: tuple[int, ...] = (10, 100)
+) -> DataFrame:
+    """Revenue concentration: what share of total order revenue the top-k
+    customers capture, for each ``k`` — the Pareto readout next to
+    :func:`customer_spend_deciles` that needs NO global ranking window:
+    the top-k spends come from ``TakeOrderedAndProject`` (per-partition
+    heaps of k rows), the total from one scalar aggregate, and each k's
+    share is a bounded union row.  Safe at any customer count for the
+    fixed, small ``ks`` a dashboard shows."""
+    from functools import reduce as _reduce
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend")
+    )
+    total = per_cust.agg(F.sum("spend").alias("total_spend"))
+    rows = []
+    for k in ks:
+        topk = per_cust.orderBy(F.desc("spend"), F.asc("o_custkey")).limit(k)
+        rows.append(
+            topk.agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum("spend").alias("top_spend"),
+            )
+            .select(F.lit(k).alias("k"), "n_customers", "top_spend")
+            .crossJoin(F.broadcast(total))
+        )
+    return (
+        _reduce(lambda a, b: a.unionByName(b), rows)
+        .select(
+            "k",
+            "n_customers",
+            F.round("top_spend", 2).alias("top_spend"),
+            F.round("total_spend", 2).alias("total_spend"),
+            F.round(F.col("top_spend") / F.col("total_spend"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("k")
+    )
