@@ -436,3 +436,34 @@ def test_duplicated_spans_laws(spark, words, n):
             assert r.dup_span_frac == 1.0
         else:
             assert r.dup_span_frac == 0.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        st.integers(min_value=1, max_value=1000),
+        max_size=40,
+    ),
+    capacity=st.integers(min_value=1, max_value=12),
+)
+def test_mg_merge_laws(counts, capacity):
+    """Misra-Gries reduction laws for ANY counter table: at most
+    ``capacity`` survivors; every surviving count is reduced by the same
+    cut; every item whose count exceeds the cut survives; and the cut is
+    bounded by total/(capacity+1) (the classic error bound)."""
+    from data_pipeline_zeal_spark.streaming.heavy_hitters import mg_merge
+
+    out = mg_merge(dict(counts), capacity)
+    assert len(out) <= capacity
+    if len(counts) <= capacity:
+        assert out == counts
+        return
+    cut = sorted(counts.values(), reverse=True)[capacity]
+    total = sum(counts.values())
+    assert cut <= total // (capacity + 1) or cut <= total / (capacity + 1)
+    for k, v in counts.items():
+        if v > cut:
+            assert out[k] == v - cut
+        else:
+            assert k not in out
