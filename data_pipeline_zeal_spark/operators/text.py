@@ -857,7 +857,9 @@ def bpe_token_estimate(documents: DataFrame) -> DataFrame:
     )
 
 
-def bigram_logprob(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
+def bigram_logprob(
+    documents: DataFrame, alpha: float = 0.5, prehash: bool = False
+) -> DataFrame:
     """Corpus-trained add-alpha-smoothed bigram language-model score per
     document: average ``-log2 P(w2|w1)`` over the document's word bigrams,
     with ``P(w2|w1) = (C(w1,w2) + alpha) / (C(w1) + alpha * V)`` — one
@@ -898,12 +900,29 @@ def bigram_logprob(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    if prehash:
+        # 100 TB exchange-slimming: join on 8-byte xxhash64 keys so the
+        # bigram stream never shuffles its strings (same move as
+        # duplicated_spans; 64-bit collisions are noise for an LM score —
+        # keep the default exact-string path for oracle parity)
+        bi = bi.select(
+            "doc_id",
+            F.xxhash64("w1", "w2").alias("bh"),
+            F.xxhash64("w1").alias("uh"),
+        )
+        big = big.select(
+            F.xxhash64("w1", "w2").alias("bh"), "c12"
+        )
+        uni = uni.select(F.xxhash64("w1").alias("uh"), "c1")
+        join_big, join_uni = ["bh"], ["uh"]
+    else:
+        join_big, join_uni = ["w1", "w2"], ["w1"]
     p = (F.col("c12") + F.lit(alpha)) / (
         F.col("c1") + F.lit(alpha) * F.col("v")
     )
     return (
-        bi.join(big, ["w1", "w2"])
-        .join(uni, "w1")
+        bi.join(big, join_big)
+        .join(uni, join_uni)
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(

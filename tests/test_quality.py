@@ -256,3 +256,22 @@ def test_bigram_logprob_closed_form(spark):
     assert out[2].n_bigrams == 1
     assert abs(out[2].bits_per_bigram - round(-math.log2(p_ab), 6)) < 1e-6
     assert 3 not in out  # single-token doc has no bigram
+
+
+def test_bigram_logprob_prehash_matches_exact(spark):
+    """The 8-byte-key scale path must reproduce the exact-string scores
+    on a collision-free fixture."""
+    from data_pipeline_zeal_spark.io import load_table
+    from data_pipeline_zeal_spark.operators import text
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    exact = {
+        r.doc_id: (r.n_bigrams, r.bits_per_bigram)
+        for r in text.bigram_logprob(docs).collect()
+    }
+    hashed = {
+        r.doc_id: (r.n_bigrams, r.bits_per_bigram)
+        for r in text.bigram_logprob(docs, prehash=True).collect()
+    }
+    assert exact == hashed
