@@ -1101,8 +1101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: round-3 verdict (sim_ivf_topk recall-gated ANN, events_hll_weekly_users
 #: mergeable-sketch rollup).
 #:
-#: NEXT ROTATION (round 5): once these 50 have driver rows, replace them
-#: with the queries added AFTER this list was frozen — events_scd2_pit_join,
+#: NEXT ROTATION (round 5): run `python tools/rotate_registry.py` — it
+#: regenerates this list from CORRECTNESS_r*.json (never-sampled
+#: oracle-backed first), then verify the new window with
+#: `python tools/driver_sim.py <names>` BEFORE committing.  Queries added
+#: after this list was frozen include — events_scd2_pit_join,
 #: orders_snapshot_diff, orders_snapshot_rebuild, dedup_incremental_survivors,
 #: text_top_terms_per_source, events_first_touch, events_user_cms_counts,
 #: events_daily_trend, order_ship_latency, supplier_scorecard,
