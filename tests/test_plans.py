@@ -227,6 +227,7 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         "tpch_q11_important_parts": 1,
         "tpch_q22_idle_customers": 1,
         "dq_audit": 2,
+        "orders_pareto_share": 2,  # one 1-row total broadcast per k
         # bounded broadcast query/centroid sets
         "sim_cosine_topk": 1,
         "sim_filtered_topk": 1,
