@@ -1097,84 +1097,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
-#: 48 oracle-backed never-green queries + 2 rows-only ones called out in the
-#: round-3 verdict (sim_ivf_topk recall-gated ANN, events_hll_weekly_users
-#: mergeable-sketch rollup).
+#: ROUND-5 WINDOW: 48 oracle-backed queries with no (or stale) driver row —
+#: the 47 never-sampled oracle-backed r3/r4 additions plus
+#: dedup_minhash_lsh_pairs (its only driver row is a stale r2 no_oracle;
+#: it now has an exact-Jaccard pair-count oracle) — plus 2 rows-only picks
+#: (sim_pca_project: law-gated PCA; multimodal_resize: closed-form-pinned
+#: Arrow plumbing).  Generated by `python tools/rotate_registry.py` and
+#: verified with `python tools/driver_sim.py <names>` before commit.
 #:
-#: NEXT ROTATION (round 5): run `python tools/rotate_registry.py` — it
-#: regenerates this list from CORRECTNESS_r*.json (never-sampled
-#: oracle-backed first), then verify the new window with
-#: `python tools/driver_sim.py <names>` BEFORE committing.  Queries added
-#: after this list was frozen include — events_scd2_pit_join,
-#: orders_snapshot_diff, orders_snapshot_rebuild, dedup_incremental_survivors,
-#: text_top_terms_per_source, events_first_touch, events_user_cms_counts,
-#: events_daily_trend, order_ship_latency, supplier_scorecard,
-#: corpus_effective_tokens, part_degree_histogram, events_linear_attribution,
-#: corpus_shuffle_shards, text_feature_hash, events_hourly_gapfill,
-#: events_hourly_interpolate, multimodal_wav_headers (rows-only),
-#: text_chunk_overlap, text_ngram_novelty, part_triangle_census,
-#: sim_pq_topk (rows-only, recall-gated), orders_backlog_timeline,
-#: multimodal_png_headers (rows-only, closed-form-pinned),
-#: events_profile_drift, hourly_agg_incremental (IVM vs full-recompute
-#: oracle), events_decay_attribution, asof_error_nearest_click_30m,
-#: text_doc_similarity, dedup_rate_by_source, sim_pca_project (rows-only,
-#: law-gated), orders_priority_anova, part_supplier_hhi,
-#: events_stickiness_28d, events_gap_distribution,
-#: events_markov_steady, text_zipf_fit, sim_centroid_drift,
-#: events_hour_uniformity, corpus_split_leakage — plus any
-#: still-unverified stragglers; all are locally parity-green via
-#: tools/driver_sim.py.
+#: NEXT ROTATION (round 6): rerun `python tools/rotate_registry.py`; the
+#: remaining never-sampled pool after this window is the rows-only
+#: multimodal/sketch stragglers (sim_pq_topk, dedup_best_quality_lsh,
+#: multimodal_pcm_energy/image_phash/wav_headers/png_headers/jpeg_headers,
+#: multimodal_scene_detect) plus anything added in round 5.
 _DRIVER_FIRST = [
-    "dedup_normalized_groups",
-    "dedup_levenshtein_pairs",
-    "corpus_stratified_sample",
-    "corpus_source_cap",
-    "corpus_pack_chunks",
-    "corpus_quality_filter",
-    "corpus_mixture_weights",
-    "corpus_contamination",
-    "semdedup_survivors",
-    "corpus_length_histogram",
-    "corpus_curation_summary",
-    "corpus_weighted_sample",
-    "corpus_boilerplate_profile",
-    "corpus_source_divergence",
-    "events_props_profile",
-    "events_daily_cube",
-    "events_daily_moving_avg",
-    "events_sessionize",
-    "events_type_share",
-    "events_top_users",
-    "events_hour_profile",
-    "events_cohort_retention",
-    "events_value_histogram",
-    "events_daily_anomaly",
-    "events_session_window",
-    "events_sliding_window",
-    "events_user_counts_salted",
-    "events_type_transitions",
-    "events_hour_unpivot",
-    "events_value_percentiles",
-    "events_cdc_merge",
-    "events_scd2_history",
-    "events_hll_weekly_users",
-    "orders_rfm",
-    "orders_grouping_sets",
-    "customer_spend_deciles",
-    "sql_entry_revenue_rank",
-    "sim_label_centroids",
-    "sim_embedding_norms",
-    "sim_filtered_topk",
-    "sim_centroid_pairs",
-    "sim_knn_label",
-    "sim_ivf_topk",
-    "basket_part_pairs",
-    "text_repetition_profile",
-    "text_unigram_logprob",
-    "part_pagerank",
-    "dq_audit",
-    "asof_error_last_click_30m",
-    "events_approx_distinct",
+    "events_funnel_rates",
+    "orders_pareto_share",
+    "sim_centroid_drift",
+    "text_top_terms_per_source",
+    "text_feature_hash",
+    "text_chunk_overlap",
+    "text_ngram_novelty",
+    "text_doc_similarity",
+    "text_zipf_fit",
+    "dedup_rate_by_source",
+    "corpus_split_leakage",
+    "orders_priority_anova",
+    "part_supplier_hhi",
+    "events_stickiness_28d",
+    "events_gap_distribution",
+    "events_markov_steady",
+    "events_hour_uniformity",
+    "events_profile_drift",
+    "hourly_agg_incremental",
+    "asof_error_nearest_click_30m",
+    "events_scd2_pit_join",
+    "orders_snapshot_diff",
+    "orders_snapshot_rebuild",
+    "dedup_incremental_survivors",
+    "events_first_touch",
+    "events_linear_attribution",
+    "events_decay_attribution",
+    "events_hourly_gapfill",
+    "events_hourly_interpolate",
+    "events_user_cms_counts",
+    "events_daily_trend",
+    "order_ship_latency",
+    "supplier_scorecard",
+    "corpus_effective_tokens",
+    "corpus_shuffle_shards",
+    "part_degree_histogram",
+    "part_triangle_census",
+    "orders_backlog_timeline",
+    "text_duplicated_spans",
+    "text_gopher_flags",
+    "text_bpe_token_estimate",
+    "dedup_best_quality",
+    "text_bigram_logprob",
+    "corpus_decontaminate",
+    "events_audience_overlap",
+    "events_heavy_hitters",
+    "corpus_temperature_mix",
+    "sim_pca_project",
+    "multimodal_resize",
+    "dedup_minhash_lsh_pairs",
 ]
 
 
@@ -3603,10 +3589,15 @@ c AS (
 SELECT step_index, step, n_users,
        round(CASE WHEN lag(n_users) OVER (ORDER BY step_index) IS NULL
                   THEN 1.0
+                  WHEN lag(n_users) OVER (ORDER BY step_index) = 0
+                  THEN 0.0
                   ELSE n_users / lag(n_users) OVER (ORDER BY step_index)
              END, 6) AS rate_vs_prev,
-       round(n_users / first_value(n_users) OVER (ORDER BY step_index), 6)
-         AS rate_vs_entry
+       round(CASE WHEN first_value(n_users) OVER (ORDER BY step_index) = 0
+                  THEN 0.0
+                  ELSE n_users
+                       / first_value(n_users) OVER (ORDER BY step_index)
+             END, 6) AS rate_vs_entry
 FROM c ORDER BY step_index
 """
     o["orders_pareto_share"] = """

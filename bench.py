@@ -1,8 +1,24 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints per-query detail FIRST (one JSON line + a BENCH_DETAIL.json file),
+then ONE compact final JSON line the driver parses:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+
+The driver captures only the last ~2000 characters of stdout, and round 4's
+90-query final line outgrew that window ("parsed": null) — so the final
+line caps its "queries" dict at the slowest TOP_K entries (2 dp) and points
+at BENCH_DETAIL.json for the full per-query map.  The detail line is
+printed before the final line so truncation can only ever eat the detail,
+never the headline.
+
+Modes:
+  (default)      headline suite (curated list below)
+  BENCH_FULL=1   every registered query, minus the O(n^2) exact oracle
+                 anchors whose registered LSH/auto twins are the at-scale
+                 path (benching the anchors at sf0.1 measures the wrong
+                 kernel — see SCALE.md).
+  BENCH_ONLY=a,b comma-separated subset (isolation runs for drift checks)
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect overhead).  A warmup run of the smallest query absorbs
@@ -21,6 +37,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from data_pipeline_zeal_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+#: max entries in the final line's "queries" dict (keeps the line < ~1.5 kB)
+TOP_K = 25
+
+#: exact kernels excluded from BENCH_FULL: each is an oracle-pinning anchor
+#: whose at-scale twin IS in the suite (minhash_lsh / best_quality_lsh /
+#: embedding_lsh_pairs / ivf / lsh_topk).  O(n^2) at sf0.1 measures the
+#: kernel we deliberately do not ship for scale.
+FULL_EXCLUDE = {
+    "dedup_jaccard_pairs",
+    "dedup_best_quality",
+    "dedup_embedding_pairs",
+    "dedup_ngram_jaccard",
+}
 
 #: Headline suite: the flagship aggregation, the join/window/rollup ETL
 #: spine, and the LLM-data operators.  dedup_jaccard_pairs (O(n^2) exact
@@ -141,23 +170,53 @@ def main() -> None:
     spark = get_spark(app_name=f"bench-sf{sf}")
     queries = em.queries()
 
+    if os.environ.get("BENCH_ONLY"):
+        suite = [n.strip() for n in os.environ["BENCH_ONLY"].split(",") if n.strip()]
+    elif os.environ.get("BENCH_FULL"):
+        suite = [n for n in queries if n not in FULL_EXCLUDE]
+    else:
+        suite = HEADLINE
+
     _force(queries["agg_event_types"](spark, SF_DIR))  # warmup
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in suite:
         t0 = time.perf_counter()
         _force(queries[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail: printed FIRST (truncation-safe) + durable file.
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(detail))
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # Compact final line: slowest TOP_K only, 2 dp — guaranteed to fit the
+    # driver's ~2000-char stdout tail.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:TOP_K]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": {k: round(v, 2) for k, v in slowest.items()},
+                "queries_benched": len(timings),
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf_val,
             }
         )
     )

@@ -114,8 +114,8 @@ class QueryApiServer:
         df = api.get_aggregations(
             self._agg,
             event_type=q.get("event_type"),
-            from_time=q.get("from_time"),
-            to_time=q.get("to_time"),
+            from_time=_datetime_param(q, "from_time"),
+            to_time=_datetime_param(q, "to_time"),
             limit=limit,
             offset=offset,
         )
@@ -149,6 +149,21 @@ class QueryApiServer:
 
 class _ValidationError(ValueError):
     pass
+
+
+def _datetime_param(q: dict, name: str) -> datetime.datetime | None:
+    """Validate an ISO-8601 datetime query param — 422 on garbage, like the
+    reference's FastAPI ``Query(datetime)`` layer, instead of letting the
+    bad string reach the Spark filter and surface as a 500."""
+    raw = q.get(name)
+    if raw is None:
+        return None
+    try:
+        # FastAPI accepts a trailing 'Z' for UTC; fromisoformat (pre-3.11
+        # semantics) does not — normalize for parity.
+        return datetime.datetime.fromisoformat(raw.replace("Z", "+00:00"))
+    except ValueError as e:
+        raise _ValidationError(f"{name} must be an ISO-8601 datetime") from e
 
 
 def _int_param(q: dict, name: str, default: int, lo: int, hi: int | None) -> int:

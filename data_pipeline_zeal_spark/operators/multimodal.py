@@ -831,8 +831,11 @@ def parse_jpeg_header(payload: bytes) -> dict | None:
             if sof is None:
                 return None
             # FF00 byte-stuffing keeps real markers out of the scan data,
-            # so a well-formed stream ends with an EOI marker
-            if payload[-2:] != b"\xff\xd9":
+            # so a well-formed stream carries an EOI marker at or after the
+            # SOS offset.  Real-world files often append padding/trailer
+            # bytes after EOI (EXIF writers, camera firmware), so search for
+            # the marker instead of requiring it at exact end-of-buffer.
+            if payload.find(b"\xff\xd9", pos) < 0:
                 return None
             return {
                 "width": int(sof[2]),

@@ -272,12 +272,20 @@ def funnel_step_rates(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev = F.lag("n_users").over(w)
+    # Zero-denominator guard: an upstream step with zero users yields 0.0
+    # conversion (x/0 is NULL in Spark but +-inf/NaN in other engines —
+    # pin the semantics explicitly rather than inherit either).
     return summary.select(
         "step_index",
         "step",
         "n_users",
         F.round(
-            F.when(prev.isNull(), 1.0).otherwise(F.col("n_users") / prev), 6
+            F.when(prev.isNull(), 1.0)
+            .when(prev == 0, 0.0)
+            .otherwise(F.col("n_users") / prev),
+            6,
         ).alias("rate_vs_prev"),
-        F.round(F.col("n_users") / first, 6).alias("rate_vs_entry"),
+        F.round(
+            F.when(first == 0, 0.0).otherwise(F.col("n_users") / first), 6
+        ).alias("rate_vs_entry"),
     ).orderBy("step_index")

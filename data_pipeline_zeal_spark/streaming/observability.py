@@ -117,7 +117,7 @@ def parse_prometheus_text(
         if not line or line.startswith("#"):
             continue
         name_part, _, rest = line.partition("{")
-        if rest:  # labeled sample: metric{k="v",...} value
+        if rest:  # labeled sample: metric{k="v",...} value [timestamp]
             if name_part != metric:
                 continue
             label_str, _, value_str = rest.rpartition("}")
@@ -125,11 +125,17 @@ def parse_prometheus_text(
             for item in filter(None, _split_labels(label_str)):
                 k, _, v = item.partition("=")
                 sample[k.strip()] = v.strip().strip('"').replace("\\\"", '"')
-        else:  # label-less: "metric value"
+        else:  # label-less: "metric value [timestamp]"
             parts = line.split()
             if len(parts) < 2 or parts[0] != metric:
                 continue
-            sample, value_str = {}, parts[-1]
+            sample, value_str = {}, parts[1]
+        # The exposition format allows an optional trailing timestamp after
+        # the value — the value is always the FIRST field.
+        fields = value_str.split()
+        if not fields:
+            continue
+        value_str = fields[0]
         if any(sample.get(k) != v for k, v in want.items()):
             continue
         try:

@@ -113,6 +113,24 @@ def test_query_api_server_routes(spark):
             raise AssertionError("expected 422")
         except HTTPError as e:
             assert e.code == 422
+
+        # unparseable datetime params are a 422 validation error (reference
+        # FastAPI contract), not a 500 from the Spark filter
+        try:
+            urlopen(
+                f"{base}/api/aggregations?from_time=not-a-date", timeout=60
+            )
+            raise AssertionError("expected 422")
+        except HTTPError as e:
+            assert e.code == 422
+
+        # a valid ISO datetime (with a FastAPI-style trailing Z) still flows
+        # through to the range filter
+        with urlopen(
+            f"{base}/api/aggregations?from_time=2020-01-01T00:00:00Z&limit=3",
+            timeout=60,
+        ) as r:
+            assert _json.loads(r.read())["count"] >= 0
     finally:
         srv.stop()
         agg.unpersist()

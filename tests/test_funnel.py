@@ -340,3 +340,24 @@ def test_funnel_step_rates_hand_computed(spark):
     assert rows[1].rate_vs_prev == 1.0 and rows[1].rate_vs_entry == 1.0
     assert rows[2].rate_vs_prev == 0.666667
     assert rows[3].rate_vs_prev == 0.5 and rows[3].rate_vs_entry == 0.333333
+
+
+def test_funnel_step_rates_zero_denominator(spark):
+    """An upstream step with zero users yields 0.0 conversion (not NULL
+    from Spark's x/0, not inf/NaN) — the explicitly-pinned semantics."""
+    import datetime
+
+    from data_pipeline_zeal_spark.streaming.funnel import funnel_step_rates
+
+    T0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    # nobody views: every step downstream of entry has 0 users
+    events = spark.createDataFrame(
+        [("d", T0, "click"), ("e", T0, "purchase")],
+        "user_id string, ts timestamp, event_type string",
+    )
+    rows = {r.step_index: r for r in funnel_step_rates(events).collect()}
+    assert [rows[i].n_users for i in (1, 2, 3)] == [0, 0, 0]
+    assert rows[1].rate_vs_prev == 1.0  # entry step: defined as 1.0
+    assert rows[2].rate_vs_prev == 0.0 and rows[3].rate_vs_prev == 0.0
+    assert rows[1].rate_vs_entry == 0.0  # 0/0 pinned to 0.0, not NULL
+    assert rows[2].rate_vs_entry == 0.0 and rows[3].rate_vs_entry == 0.0

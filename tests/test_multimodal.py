@@ -318,3 +318,24 @@ def test_jpeg_parser_rejects_corruption():
     # nonsense segment length (1 < 2)
     bad_len = b"\xff\xd8" + bytes([0xFF, 0xC0]) + struct.pack(">H", 1)
     assert parse_jpeg_header(bad_len) is None
+
+
+def test_jpeg_parser_accepts_trailer_after_eoi():
+    """Real-world JPEGs often carry padding or appended bytes after the
+    EOI marker (EXIF writers, camera firmware); the gate must search for
+    EOI at-or-after SOS, not require it at exact end-of-buffer."""
+    import struct
+
+    from data_pipeline_zeal_spark.operators.multimodal import parse_jpeg_header
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 10, 20, 3) + bytes(9))
+    sos = seg(0xDA, b"\x03" + bytes(6) + b"\x00\x3f\x00")
+    good = b"\xff\xd8" + sof + sos + b"\xaa\xbb" + b"\xff\xd9"
+    padded = good + b"\x00" * 16 + b"trailing-exif-junk"
+    parsed = parse_jpeg_header(padded)
+    assert parsed is not None and (parsed["width"], parsed["height"]) == (20, 10)
+    # but a stream with NO EOI anywhere after SOS is still rejected
+    assert parse_jpeg_header(good[:-2] + b"\x00\x00") is None

@@ -130,6 +130,24 @@ requests_total{path="/x",method="POST"} not_a_number
     assert dict(labels)["path"] == "/a,b"
 
 
+def test_prometheus_parser_optional_timestamps():
+    """The exposition format allows an optional trailing timestamp after
+    the value; the value is the FIRST field after the metric/labels — a
+    parser that takes the last field returns the timestamp instead, and
+    one that float()s the whole remainder drops labeled samples."""
+    from data_pipeline_zeal_spark.streaming.observability import (
+        parse_prometheus_text,
+    )
+
+    text = """up 5 1700000000
+requests_total{method="GET"} 10 1700000001
+requests_total{method="POST"} 2.5
+"""
+    assert parse_prometheus_text(text, "up") == {(): 5.0}
+    got = parse_prometheus_text(text, "requests_total")
+    assert sorted(got.values()) == [2.5, 10.0]
+
+
 def test_admin_server_routes():
     """The reference admin surface: /admin/health, /admin/status (GET),
     /admin/flush (POST), 404 otherwise — served over live callbacks."""
