@@ -1822,7 +1822,32 @@ GROUP BY cohort_week, week_offset
 ORDER BY cohort_week, week_offset
 """
     # events_approx_distinct: estimator-specific (HLL++), rows-only check.
-    # multimodal_decode / generator_profile: hash-kernel ops, rows-only.
+    # multimodal_decode: hash-kernel op, rows-only.
+    # generator_profile: the generator is a PURE FUNCTION of the row id
+    # (seeded xxhash64 draws — sources/generator.py:34-43), so its profile
+    # at (count=10000, num_users=100, seed=42) is a fixed constant table
+    # independent of partitioning and session config.  The oracle pins
+    # those constants (captured from an independent session, stable across
+    # reruns): it verifies determinism + distribution shape every round —
+    # any drift in the hash kernel, type table, or session-rotation rule
+    # breaks the hash match.  Invariants baked into the constants: all 10
+    # REFERENCE_EVENT_TYPES present, sum(n)=10000, users=100 everywhere,
+    # sessions<=n with ~n/10 expected run length.
+    o["generator_profile"] = """
+SELECT * FROM (VALUES
+  ('add_to_cart', 976, 100, 974),
+  ('click', 1039, 100, 1035),
+  ('form_submit', 977, 100, 972),
+  ('logout', 1011, 100, 1004),
+  ('page_view', 1027, 100, 1019),
+  ('purchase', 1047, 100, 1043),
+  ('scroll', 975, 100, 973),
+  ('search', 936, 100, 934),
+  ('video_pause', 1001, 100, 997),
+  ('video_play', 1011, 100, 1005)
+) AS t(event_type, n, users, sessions)
+ORDER BY event_type
+"""
     o["events_session_window"] = """
 WITH g AS (
   SELECT user_id, ts,
@@ -2140,7 +2165,35 @@ ORDER BY vec_a, vec_b
     # kernel), so the exact-Jaccard SQL is a sound oracle here.  If the
     # band layout or threshold changes, re-verify recall before keeping it.
     o["dedup_minhash_lsh_pairs"] = o["dedup_jaccard_pairs"]
-    # dedup_simhash: hash-kernel op (xxhash64 bit votes), rows-only check.
+    # dedup_simhash: the md5-based portable hash (operators/dedup.py simhash
+    # hash_fn="md5") makes the fingerprint engine-reproducible — DuckDB
+    # re-derives the identical 64-bit token hashes from md5 hex and replays
+    # the per-bit majority vote.  Bit 63 packs as the sign term -(2^63),
+    # mirroring the Spark long.
+    o["dedup_simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOK})) AS tok
+  FROM documents
+  WHERE len({_TOK}) > 0),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM toks),
+n AS (SELECT doc_id, count(*) AS n FROM h GROUP BY 1),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b)
+  GROUP BY 1, 2),
+majority AS (
+  SELECT v.doc_id, v.b
+  FROM votes v JOIN n USING (doc_id)
+  WHERE 2 * v.ones > n.n)
+SELECT n.doc_id,
+       coalesce(sum(CASE WHEN m.b = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << m.b) END), 0)::BIGINT AS simhash
+FROM n LEFT JOIN majority m USING (doc_id)
+GROUP BY 1 ORDER BY doc_id
+"""
 
     # --- corpus curation ---
     o["corpus_hash_split"] = """

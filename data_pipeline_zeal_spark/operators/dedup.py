@@ -216,7 +216,9 @@ def minhash_lsh_pairs(
     return result
 
 
-def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+def simhash(
+    documents: DataFrame, bits: int = 64, hash_fn: str = "md5"
+) -> DataFrame:
     """SimHash fingerprints: per-token 64-bit hashes vote ±1 on each bit;
     the sign vector packs into one long.  Implemented as a PURE PROJECTION:
     the distinct-token hashes stay an array column and each bit's ONE
@@ -224,8 +226,31 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     groupBy, ZERO shuffle (the earlier formulation exploded to a token
     stream and aggregated 64 sums back; map-only is the right shape for an
     embarrassingly-parallel fingerprint at any scale).  Docs with no
-    tokens are dropped, matching the explode semantics."""
-    hs = F.transform(F.array_distinct(tokens("text")), lambda t: F.xxhash64(t))
+    tokens are dropped, matching the explode semantics.
+
+    ``hash_fn`` picks the per-token 64-bit hash:
+
+    - ``"md5"`` (default): the first 16 hex chars of md5, assembled from
+      two 32-bit halves.  md5 is implemented identically in every engine,
+      so fingerprints are REPRODUCIBLE ACROSS ENGINES (DuckDB/Trino/
+      Postgres can verify or re-derive them) — the property a data-lineage
+      or decontamination pipeline actually wants from a fingerprint, and
+      what lets the driver oracle-check this operator exactly.
+    - ``"xx64"``: Spark's xxhash64 — fastest, but Spark-specific bit
+      patterns; use when fingerprints never leave this engine.
+
+    Both run inside whole-stage codegen; the per-token hash is a tiny
+    fraction of the 64 bit-vote aggregates either way."""
+    if hash_fn == "xx64":
+        _h64 = F.xxhash64
+    else:
+        def _h64(t):
+            hx = F.md5(t)
+            hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+    hs = F.transform(F.array_distinct(tokens("text")), _h64)
     agg = (
         with_min_parallelism(documents)
         .select("doc_id", hs.alias("hs"))
