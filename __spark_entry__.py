@@ -243,6 +243,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "nation"),
         )
     )
+    q["tpch_q4_priority_check"] = lambda s, d: relational.late_order_priority_check(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    )
+    q["tpch_q10_returned_items"] = lambda s, d: relational.returned_item_revenue(
+        load_table(s, d, "customer"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "nation"),
+    )
+    q["tpch_q18_large_volume"] = lambda s, d: relational.large_volume_customers(
+        load_table(s, d, "customer"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "lineitem"),
+    )
     q["events_type_hour_pivot"] = lambda s, d: relational.type_hour_pivot(
         load_table(s, d, "events")
     )
@@ -421,10 +435,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_contamination"] = lambda s, d: corpus.ngram_contamination(
         load_table(s, d, "documents"), n=8, benchmark_mod=7
     )
-    # exact pinned for the oracle (LSH pair generation is the scale path,
-    # same flip logic as dedup_embedding_near)
+    # method="auto": exact at the driver's oracle scale (sf0.01 = 200 vecs,
+    # under the 1k flip) — so hash-parity holds — and banded sign-LSH pair
+    # generation beyond it (the 100 TB path; was pinned "exact" through r4,
+    # which made the sf0.1 bench run the O(n^2) theta join: 20.8 s -> LSH)
     q["semdedup_survivors"] = lambda s, d: corpus.semantic_dedup(
-        load_table(s, d, "embeddings"), threshold=0.4, method="exact"
+        load_table(s, d, "embeddings"), threshold=0.4, method="auto"
     )
     q["corpus_length_histogram"] = lambda s, d: corpus.token_length_histogram(
         load_table(s, d, "documents")
@@ -1535,6 +1551,39 @@ WHERE n_name = 'NATION_3'
     GROUP BY l_partkey, l_suppkey
     HAVING sum(l_quantity) > 25.0)
 ORDER BY s_name
+"""
+    o["tpch_q4_priority_check"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1995-07-01' AND o_orderdate < '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND date_diff('day', o.o_orderdate, l.l_shipdate) > 1400)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+    o["tpch_q10_returned_items"] = """
+WITH per_cust AS (
+  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= '1995-07-01' AND o_orderdate < '1995-10-01'
+  GROUP BY o_custkey)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+    o["tpch_q18_large_volume"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate AS orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 """
     o["tpch_q21_waiting_orders"] = """
 WITH lo AS (

@@ -47,8 +47,7 @@ TOP_K = 25
 FULL_EXCLUDE = {
     "dedup_jaccard_pairs",
     "dedup_best_quality",
-    "dedup_embedding_pairs",
-    "dedup_ngram_jaccard",
+    "dedup_embedding_near",
 }
 
 #: Headline suite: the flagship aggregation, the join/window/rollup ETL
@@ -65,6 +64,9 @@ HEADLINE = [
     "tpch_q9_product_revenue",
     "tpch_q13_order_distribution",
     "tpch_q16_part_variety",
+    "tpch_q4_priority_check",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
     "top_orders_per_customer",
     "customer_order_stats",
     "order_priority_rollup",

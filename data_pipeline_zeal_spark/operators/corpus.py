@@ -249,7 +249,11 @@ def ngram_contamination(
 
 
 def semantic_dedup(
-    embeddings: DataFrame, threshold: float = 0.4, method: str = "auto"
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    method: str = "auto",
+    bands: int | None = None,
+    planes_per_band: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup over the embedding table: cosine
     near-dup pairs → connected components → keep the minimum vec_id per
@@ -258,8 +262,23 @@ def semantic_dedup(
     Pair generation delegates to :func:`dedup.embedding_near_dup_pairs`
     (exact theta-join at fixture scale / oracle; banded sign-LSH at 100 TB
     via ``method="lsh"``); clustering is the shared min-label-propagation
-    kernel (``dedup.connected_components``)."""
-    pairs = dedup.embedding_near_dup_pairs(embeddings, threshold, method=method)
+    kernel (``dedup.connected_components``).
+
+    When the band layout is not given, the LSH path picks it from the
+    threshold: low-contrast thresholds (< 0.9) need MANY SHORT bands for
+    recall (8 bands x 3 planes ≈ 0.92 at cosine 0.45); high thresholds
+    keep the leaner 4 x 6 default (≈ 0.95 at cosine 0.95).  Passing the
+    default layout blindly at threshold 0.4 would silently run at ~23 %
+    recall."""
+    if bands is None or planes_per_band is None:
+        bands, planes_per_band = (8, 3) if threshold < 0.9 else (4, 6)
+    pairs = dedup.embedding_near_dup_pairs(
+        embeddings,
+        threshold,
+        method=method,
+        bands=bands,
+        planes_per_band=planes_per_band,
+    )
     clusters = dedup.connected_components(
         pairs.select("vec_a", "vec_b"), src="vec_a", dst="vec_b"
     ).select(F.col("doc_id").alias("vec_id"), "cluster_id")

@@ -365,7 +365,7 @@ def duplicate_clusters(
     threshold: float = 0.2,
     shingle_n: int = 3,
     method: str = "auto",
-    auto_row_threshold: int = 50_000,
+    auto_row_threshold: int = 1_000,
 ) -> DataFrame:
     """Near-duplicate clusters: candidate pair list → connected components.
     Only documents that belong to some near-dup pair appear; cluster_id is
@@ -398,7 +398,7 @@ def embedding_near_dup_pairs(
     bands: int = 4,
     planes_per_band: int = 6,
     dim: int = 64,
-    auto_row_threshold: int = 50_000,
+    auto_row_threshold: int = 1_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -415,7 +415,6 @@ def embedding_near_dup_pairs(
       count() job), else lsh.
     """
     from ..functions.vector import as_double, cosine
-    from .similarity import lsh_bucket_expr
 
     if method == "auto":
         method = "exact" if embeddings.count() <= auto_row_threshold else "lsh"
@@ -438,26 +437,25 @@ def embedding_near_dup_pairs(
 
     # Banded sign-LSH: only (vec_id, band, bucket) flows through the bucket
     # exchange; vectors re-attach for the (much smaller) verification join —
-    # same slim-exchange shape as minhash_lsh_pairs.
-    banded = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        lsh_bucket_expr(
-                            F.col("v"),
-                            dim,
-                            planes_per_band,
-                            plane_offset=b * planes_per_band,
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bucket")
+    # same slim-exchange shape as minhash_lsh_pairs.  All band buckets come
+    # from ONE BLAS matmul per Arrow batch (lsh_band_buckets_udf) — the
+    # unrolled expression-tree form spent multiples of the scan time
+    # compiling bands*planes aggregate expressions in codegen.  Both the
+    # vector frame (3 consumers: bucketing + two verify sides) and the
+    # banded frame (both sides of the self-join) are persisted — the same
+    # compute-once hygiene as minhash_lsh_pairs; without it the Arrow
+    # kernel and the source scan re-run per consumer.
+    from pyspark import StorageLevel
+
+    from .similarity import lsh_band_buckets_udf
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    bucket_fn = lsh_band_buckets_udf(dim, bands, planes_per_band)
+    banded = (
+        e.select("vec_id", F.posexplode(bucket_fn(F.col("v"))))
+        .select("vec_id", F.col("pos").alias("band"), F.col("col").alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cand = (
         banded.alias("l")
         .join(

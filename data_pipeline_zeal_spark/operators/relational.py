@@ -747,6 +747,127 @@ def waiting_orders_by_supplier(
     )
 
 
+def late_order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    from_date: str = "1995-07-01",
+    to_date: str = "1995-10-01",
+    late_days: int = 1400,
+) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders in a date window that
+    have AT LEAST ONE problem line — the EXISTS-semi-join + rollup pattern
+    (reference Q4 counts orders with a line where commitdate < receiptdate).
+    Deviations: the fixture has no commit/receipt dates, so the problem
+    line is one shipped more than ``late_days`` after the order date
+    (1400 ≈ the fixture's p90 ship latency, so the predicate actually
+    discriminates).
+
+    LEFT SEMI join with the compound condition: the order row survives at
+    most once no matter how many lines qualify — Catalyst plans a hash
+    semi-join on orderkey with the date predicate as a join residual, so
+    the fact table never produces duplicate order rows and no distinct is
+    needed.  The date-window filter on orders pushes to the parquet scan."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(from_date))
+        & (F.col("o_orderdate") < F.lit(to_date))
+    )
+    l = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                > late_days
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    from_date: str = "1995-07-01",
+    to_date: str = "1995-10-01",
+    limit: int = 20,
+) -> DataFrame:
+    """TPC-H Q10: top customers by revenue lost to returned items in a
+    quarter.  Fact-fact equi-join lineitem(R-flag)×orders(window) — both
+    filters push to the scans — then one customer-keyed aggregate;
+    nation broadcasts (25 rows).  The final top-``limit`` is
+    TakeOrderedAndProject (no global sort); c_custkey tiebreaks equal
+    revenues so the cut is deterministic for the oracle."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(from_date))
+        & (F.col("o_orderdate") < F.lit(to_date))
+    ).select("o_orderkey", "o_custkey")
+    l = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", rev.alias("rev")
+    )
+    per_cust = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+    )
+    return (
+        per_cust.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal", "n_name"
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(limit)
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_quantity: float = 300.0,
+    limit: int = 100,
+) -> DataFrame:
+    """TPC-H Q18: customers holding orders whose total line quantity
+    exceeds ``min_quantity``.  The IN-subquery (orders qualifying by a
+    grouped HAVING over lineitem) becomes one lineitem aggregate reused
+    twice: the qualifying keys semi-filter via an inner join (big-order
+    keys are rare — the aggregate output after HAVING is tiny, so AQE
+    broadcasts it), and the same row carries the total_qty the output
+    needs, avoiding TPC-H's classic re-join of lineitem.  o_totalprice
+    DESC + orderkey tiebreak → TakeOrderedAndProject."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_quantity)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(limit)
+    )
+
+
 def variance_decomposition(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:

@@ -87,6 +87,42 @@ def lsh_bucket_expr(vec_col, dim: int, planes: int = 8, plane_offset: int = 0):
     return bucket
 
 
+def lsh_band_buckets_udf(dim: int, bands: int, planes_per_band: int):
+    """All band buckets in ONE Arrow-batched kernel: stack the
+    ``bands * planes_per_band`` hyperplanes into a matrix and compute every
+    projection as a single BLAS matmul per batch, then pack sign bits into
+    per-band bucket ids.  Returns a ``pandas_udf`` mapping the embedding
+    array column to ``array<int>`` of length ``bands``.
+
+    Bit-identical to ``lsh_bucket_expr(v, dim, planes_per_band,
+    plane_offset=b * planes_per_band)`` for each band b (same
+    :func:`_hyperplane` family, same sign convention) — pinned by
+    ``tests/test_ann_dedup.py``.  Exists because the expression-tree form
+    unrolls ``bands * planes_per_band`` aggregates over ``dim``-element
+    literal arrays: at 4x6 planes the plan spends multiples of the actual
+    scan time in codegen compilation — the same trap the PQ encoder avoids
+    the same way (BLAS per Arrow batch, constants in the closure)."""
+    import numpy as np
+
+    total = bands * planes_per_band
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(total)], dtype=np.float64
+    )  # (total, dim)
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))  # per-band bits
+
+    @F.pandas_udf("array<int>")
+    def buckets(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
+        mat = np.array(col.tolist(), dtype=np.float64)  # (n, dim)
+        signs = (mat @ planes.T) >= 0  # (n, total)
+        per_band = signs.reshape(len(mat), bands, planes_per_band)
+        ids = (per_band * weights).sum(axis=2).astype(np.int32)  # (n, bands)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
