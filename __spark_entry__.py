@@ -543,6 +543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "lineitem"),
         load_table(s, d, "nation"),
     )
+    # ≡ TPC-H Q14 (promo revenue %) — registered under its business name
+    # since round 1; with q4/q10/q18 added in round 5 every TPC-H query
+    # shape (q1-q22) has a registered, oracle-backed counterpart.
     q["promo_revenue_share"] = lambda s, d: etl.promo_revenue_share(
         load_table(s, d, "lineitem"), load_table(s, d, "part")
     )
