@@ -590,6 +590,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_lsh_topk"] = lambda s, d: similarity.lsh_topk(
         load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
     )
+    # two-stage (coarse-prefix → exact rerank) retrieval: approximate yet
+    # fully deterministic, so oracle-backed end-to-end — unlike IVF/LSH
+    q["sim_matryoshka_topk"] = lambda s, d: similarity.matryoshka_topk(
+        load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
+    )
     # exploded to (label, pos, m) scalar rows: the centroid array column
     # would hit the same driver-canonicalizer list crash as q above
     q["sim_label_centroids"] = lambda s, d: similarity.label_centroids(
@@ -809,6 +814,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dq_audit"] = _dq_audit
+
+    def _dq_fds(s: SparkSession, d: str) -> DataFrame:
+        """Functional-dependency audit: one FD that holds by construction
+        (orders: o_orderkey -> o_custkey), one cross-table FD after a join
+        (lineitem x orders: l_orderkey -> o_orderdate), and one that real
+        corpora violate (documents: source -> lang)."""
+        from data_pipeline_zeal_spark.operators import quality as dq
+
+        orders = load_table(s, d, "orders")
+        li = load_table(s, d, "lineitem").join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        return dq.audit(
+            [
+                dq.functional_dependency(orders, ["o_orderkey"], "o_custkey"),
+                dq.functional_dependency(li, ["l_orderkey"], "o_orderdate"),
+                dq.functional_dependency(
+                    load_table(s, d, "documents"), ["source"], "lang"
+                ),
+            ]
+        )
+
+    q["dq_functional_deps"] = _dq_fds
 
     def _profile_drift(s: SparkSession, d: str) -> DataFrame:
         """Column-profile drift between the first and second half of the
@@ -2402,6 +2431,37 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
 """
     # sim_lsh_topk: approximate (recall < 1), rows-only check.
+    # sim_matryoshka_topk: approximate but DETERMINISTIC (rounded scores,
+    # vec_id tiebreaks), so both stages replay exactly in SQL.
+    o["sim_matryoshka_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN ({ids})),
+coarse AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qv[1:32],
+                                      (e.embedding::DOUBLE[])[1:32]), 6)
+           AS coarse_cosine
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY coarse_cosine DESC, vec_id ASC)
+              AS crank
+    FROM coarse) WHERE crank <= 100),
+rerank AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+           AS cosine
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC)
+                 AS INTEGER) AS rank
+  FROM rerank) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
     o["sim_centroid_drift"] = """
 WITH per_pos AS (
   SELECT label, p,
@@ -3100,6 +3160,30 @@ SELECT col_name, n_rows_before, n_rows_after,
                             OR round(n_distinct_after / greatest(n_distinct_before, 1), 6) < 0.5))
              THEN 1 ELSE 0 END AS INT) AS drifted
 FROM bb JOIN aa USING (col_name) ORDER BY col_name
+"""
+    o["dq_functional_deps"] = """
+WITH checks AS (
+  SELECT 'fd:o_orderkey->o_custkey' AS "check",
+         count(*) AS n_checked,
+         count(*) FILTER (WHERE n_dep > 1) AS n_violations
+  FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS n_dep
+        FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1)
+  UNION ALL
+  SELECT 'fd:l_orderkey->o_orderdate', count(*),
+         count(*) FILTER (WHERE n_dep > 1)
+  FROM (SELECT l_orderkey, count(DISTINCT o_orderdate) AS n_dep
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_orderkey IS NOT NULL GROUP BY 1)
+  UNION ALL
+  SELECT 'fd:source->lang', count(*),
+         count(*) FILTER (WHERE n_dep > 1)
+  FROM (SELECT source, count(DISTINCT lang) AS n_dep
+        FROM documents WHERE source IS NOT NULL GROUP BY 1)
+)
+SELECT "check", CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM checks ORDER BY "check"
 """
     o["dq_audit"] = """
 WITH checks AS (

@@ -114,6 +114,43 @@ def accepted_values(
     )
 
 
+def functional_dependency(
+    df: DataFrame,
+    determinant: list[str],
+    dependent: str,
+    name: str | None = None,
+) -> DataFrame:
+    """FD check ``determinant -> dependent``: checked = distinct
+    determinant keys (NULL-key tuples excluded, matching COUNT DISTINCT
+    semantics everywhere else in this module); violations = keys mapping
+    to MORE than one distinct non-null dependent value.  The schema-rule
+    analogue of Deequ's uniqueness family — catches denormalization drift
+    (one order shipping under two customers, one code with two labels).
+
+    One determinant-keyed aggregate with map-side combine, then a tiny
+    second aggregate over |keys| rows — no join, no window."""
+    name = name or f"fd:{','.join(determinant)}->{dependent}"
+    keys = (
+        df.filter(
+            reduce(
+                lambda a, b: a & b,
+                [F.col(c).isNotNull() for c in determinant],
+            )
+        )
+        .groupBy(*determinant)
+        .agg(F.count_distinct(F.col(dependent)).alias("n_dep"))
+    )
+    return keys.agg(
+        *_result(
+            name,
+            F.count(F.lit(1)),
+            F.coalesce(
+                F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0)), F.lit(0)
+            ),
+        )
+    )
+
+
 def audit(checks: list[DataFrame]) -> DataFrame:
     """Union any number of single-row check frames into one audit result,
     ordered by check name, with a pass flag."""

@@ -338,3 +338,28 @@ def test_best_quality_survivor_beats_min_id(spark):
     assert out[2].is_survivor == 1 and out[1].is_survivor == 0
     assert out[2].quality_score > out[1].quality_score
     assert out[3].is_survivor == 1 and out[3].cluster_id == 3
+
+
+def test_matryoshka_recall_gate_and_determinism(spark):
+    """Two-stage coarse-prefix retrieval: recall vs exact top-k must hold
+    at the fixture's weak contrast, and the output must be byte-stable
+    across runs (the property that makes it oracle-checkable, unlike
+    IVF/LSH)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qids = [r.vec_id for r in emb.orderBy("vec_id").limit(10).collect()]
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    two_stage = similarity.matryoshka_topk(emb, qids, k=10)
+    got = {(r.query_id, r.vec_id) for r in two_stage.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"matryoshka recall {recall:.2f} < 0.8"
+    rerun = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.matryoshka_topk(emb, qids, k=10).collect()
+    }
+    first = {
+        (r.query_id, r.vec_id, r.cosine, r.rank) for r in two_stage.collect()
+    }
+    assert first == rerun

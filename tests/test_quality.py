@@ -275,3 +275,28 @@ def test_bigram_logprob_prehash_matches_exact(spark):
         for r in text.bigram_logprob(docs, prehash=True).collect()
     }
     assert exact == hashed
+
+
+def test_functional_dependency_check(spark):
+    """FD violations = determinant keys with >1 distinct non-null
+    dependent; NULL determinant tuples are excluded from checked keys."""
+    from data_pipeline_zeal_spark.operators import quality as dq
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1), ("a", 1),          # consistent key
+            ("b", 1), ("b", 2),          # violating key
+            ("c", None),                 # single NULL dependent: no violation
+            (None, 9),                   # NULL determinant: excluded
+        ],
+        "k string, v int",
+    )
+    row = dq.functional_dependency(df, ["k"], "v").collect()[0]
+    assert row.check == "fd:k->v"
+    assert row.n_checked == 3       # a, b, c — NULL key excluded
+    assert row.n_violations == 1    # only b
+    # empty frame: 0 checked, 0 violations (coalesced, not NULL)
+    empty = dq.functional_dependency(
+        spark.createDataFrame([], "k string, v int"), ["k"], "v"
+    ).collect()[0]
+    assert (empty.n_checked, empty.n_violations) == (0, 0)
