@@ -1904,6 +1904,818 @@ ORDER BY cohort_week, week_offset
 """
     # events_approx_distinct: estimator-specific (HLL++), rows-only check.
     # multimodal_decode: hash-kernel op, rows-only.
+    # multimodal_pcm_energy / image_phash: same determinism argument as
+    # the header gates below — synth_pcm_audio / synth_media are pure
+    # functions of media_id, so the REAL kernels' outputs (Goertzel-free
+    # frame RMS/peak over synthesized tones; 64-bit DCT-free difference
+    # pHash) are fixed constants, pinned and hash-checked per round.  The
+    # closed-form laws (rms == amplitude/sqrt(2), pHash locality) stay in
+    # tests/test_multimodal.py.  multimodal_{decode,resize,scene_detect}
+    # remain rows-only: their kernels are the DOCUMENTED fake-decode stubs
+    # (no codec libs in-sandbox), and pinning a stub's fake output would
+    # manufacture evidence without testing anything real.
+    o["multimodal_pcm_energy"] = """
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx, CAST(n_samples AS INTEGER) AS n_samples, CAST(rms AS DOUBLE) AS rms, CAST(peak AS INTEGER) AS peak FROM (VALUES
+  (0, 0, 200, 0.423172, 19660),
+  (0, 1, 200, 0.425293, 19660),
+  (0, 2, 200, 0.423172, 19660),
+  (0, 3, 200, 0.425293, 19660),
+  (0, 4, 200, 0.423172, 19660),
+  (0, 5, 200, 0.425293, 19660),
+  (0, 6, 200, 0.423172, 19660),
+  (0, 7, 200, 0.425293, 19660),
+  (1, 0, 200, 0.070691, 3276),
+  (1, 1, 200, 0.070691, 3276),
+  (1, 2, 200, 0.070691, 3276),
+  (1, 3, 200, 0.070691, 3276),
+  (1, 4, 200, 0.070691, 3276),
+  (1, 5, 200, 0.070691, 3276),
+  (1, 6, 200, 0.070691, 3276),
+  (1, 7, 200, 0.070691, 3276),
+  (2, 0, 200, 0.28211, 13106),
+  (2, 1, 200, 0.283524, 13106),
+  (2, 2, 200, 0.28211, 13106),
+  (2, 3, 200, 0.283524, 13106),
+  (2, 4, 200, 0.28211, 13106),
+  (2, 5, 200, 0.283524, 13106),
+  (2, 6, 200, 0.28211, 13106),
+  (2, 7, 200, 0.283524, 13106),
+  (3, 0, 200, 0.494945, 22936),
+  (3, 1, 200, 0.494945, 22936),
+  (3, 2, 200, 0.494945, 22936),
+  (3, 3, 200, 0.494945, 22936),
+  (3, 4, 200, 0.494945, 22936),
+  (3, 5, 200, 0.494945, 22936),
+  (3, 6, 200, 0.494945, 22936),
+  (3, 7, 200, 0.494945, 22936),
+  (4, 0, 200, 0.141049, 6553),
+  (4, 1, 200, 0.141756, 6553),
+  (4, 2, 200, 0.141049, 6553),
+  (4, 3, 200, 0.141756, 6553),
+  (4, 4, 200, 0.141049, 6553),
+  (4, 5, 200, 0.141756, 6553),
+  (4, 6, 200, 0.141049, 6553),
+  (4, 7, 200, 0.141756, 6553),
+  (5, 0, 200, 0.353524, 16383),
+  (5, 1, 200, 0.353524, 16383),
+  (5, 2, 200, 0.353524, 16383),
+  (5, 3, 200, 0.353524, 16383),
+  (5, 4, 200, 0.353524, 16383),
+  (5, 5, 200, 0.353524, 16383),
+  (5, 6, 200, 0.353524, 16383),
+  (5, 7, 200, 0.353524, 16383),
+  (6, 0, 200, 0.564236, 26213),
+  (6, 1, 200, 0.567064, 26213),
+  (6, 2, 200, 0.564236, 26213),
+  (6, 3, 200, 0.567064, 26213),
+  (6, 4, 200, 0.564236, 26213),
+  (6, 5, 200, 0.567064, 26213),
+  (6, 6, 200, 0.564236, 26213),
+  (6, 7, 200, 0.567064, 26213),
+  (7, 0, 200, 0.212108, 9830),
+  (7, 1, 200, 0.212108, 9830),
+  (7, 2, 200, 0.212108, 9830),
+  (7, 3, 200, 0.212108, 9830),
+  (7, 4, 200, 0.212108, 9830),
+  (7, 5, 200, 0.212108, 9830),
+  (7, 6, 200, 0.212108, 9830),
+  (7, 7, 200, 0.212108, 9830),
+  (8, 0, 200, 0.423175, 19660),
+  (8, 1, 200, 0.425296, 19660),
+  (8, 2, 200, 0.423175, 19660),
+  (8, 3, 200, 0.425296, 19660),
+  (8, 4, 200, 0.423175, 19660),
+  (8, 5, 200, 0.425296, 19660),
+  (8, 6, 200, 0.423175, 19660),
+  (8, 7, 200, 0.425296, 19660),
+  (9, 0, 200, 0.070691, 3276),
+  (9, 1, 200, 0.070691, 3276),
+  (9, 2, 200, 0.070691, 3276),
+  (9, 3, 200, 0.070691, 3276),
+  (9, 4, 200, 0.070691, 3276),
+  (9, 5, 200, 0.070691, 3276),
+  (9, 6, 200, 0.070691, 3276),
+  (9, 7, 200, 0.070691, 3276),
+  (10, 0, 200, 0.28211, 13106),
+  (10, 1, 200, 0.283524, 13106),
+  (10, 2, 200, 0.28211, 13106),
+  (10, 3, 200, 0.283524, 13106),
+  (10, 4, 200, 0.28211, 13106),
+  (10, 5, 200, 0.283524, 13106),
+  (10, 6, 200, 0.28211, 13106),
+  (10, 7, 200, 0.283524, 13106),
+  (11, 0, 200, 0.494945, 22936),
+  (11, 1, 200, 0.494945, 22936),
+  (11, 2, 200, 0.494945, 22936),
+  (11, 3, 200, 0.494945, 22936),
+  (11, 4, 200, 0.494945, 22936),
+  (11, 5, 200, 0.494945, 22936),
+  (11, 6, 200, 0.494945, 22936),
+  (11, 7, 200, 0.494945, 22936),
+  (12, 0, 200, 0.141049, 6553),
+  (12, 1, 200, 0.141756, 6553),
+  (12, 2, 200, 0.141049, 6553),
+  (12, 3, 200, 0.141756, 6553),
+  (12, 4, 200, 0.141049, 6553),
+  (12, 5, 200, 0.141756, 6553),
+  (12, 6, 200, 0.141049, 6553),
+  (12, 7, 200, 0.141756, 6553),
+  (13, 0, 200, 0.353522, 15581),
+  (13, 1, 200, 0.353522, 15581),
+  (13, 2, 200, 0.353522, 15581),
+  (13, 3, 200, 0.353522, 15581),
+  (13, 4, 200, 0.353522, 15581),
+  (13, 5, 200, 0.353522, 15581),
+  (13, 6, 200, 0.353522, 15581),
+  (13, 7, 200, 0.353522, 15581),
+  (14, 0, 200, 0.564235, 26213),
+  (14, 1, 200, 0.567064, 26213),
+  (14, 2, 200, 0.564235, 26213),
+  (14, 3, 200, 0.567064, 26213),
+  (14, 4, 200, 0.564235, 26213),
+  (14, 5, 200, 0.567064, 26213),
+  (14, 6, 200, 0.564235, 26213),
+  (14, 7, 200, 0.567064, 26213),
+  (15, 0, 200, 0.212106, 9830),
+  (15, 1, 200, 0.212106, 9830),
+  (15, 2, 200, 0.212106, 9830),
+  (15, 3, 200, 0.212106, 9830),
+  (15, 4, 200, 0.212106, 9830),
+  (15, 5, 200, 0.212106, 9830),
+  (15, 6, 200, 0.212106, 9830),
+  (15, 7, 200, 0.212106, 9830),
+  (16, 0, 200, 0.423172, 19660),
+  (16, 1, 200, 0.425293, 19660),
+  (16, 2, 200, 0.423172, 19660),
+  (16, 3, 200, 0.425293, 19660),
+  (16, 4, 200, 0.423172, 19660),
+  (16, 5, 200, 0.425293, 19660),
+  (16, 6, 200, 0.423172, 19660),
+  (16, 7, 200, 0.425293, 19660),
+  (17, 0, 200, 0.070691, 3276),
+  (17, 1, 200, 0.070691, 3276),
+  (17, 2, 200, 0.070691, 3276),
+  (17, 3, 200, 0.070691, 3276),
+  (17, 4, 200, 0.070691, 3276),
+  (17, 5, 200, 0.070691, 3276),
+  (17, 6, 200, 0.070691, 3276),
+  (17, 7, 200, 0.070691, 3276),
+  (18, 0, 200, 0.28211, 13106),
+  (18, 1, 200, 0.283524, 13106),
+  (18, 2, 200, 0.28211, 13106),
+  (18, 3, 200, 0.283524, 13106),
+  (18, 4, 200, 0.28211, 13106),
+  (18, 5, 200, 0.283524, 13106),
+  (18, 6, 200, 0.28211, 13106),
+  (18, 7, 200, 0.283524, 13106),
+  (19, 0, 200, 0.494945, 22936),
+  (19, 1, 200, 0.494945, 22936),
+  (19, 2, 200, 0.494945, 22936),
+  (19, 3, 200, 0.494945, 22936),
+  (19, 4, 200, 0.494945, 22936),
+  (19, 5, 200, 0.494945, 22936),
+  (19, 6, 200, 0.494945, 22936),
+  (19, 7, 200, 0.494945, 22936),
+  (20, 0, 200, 0.141049, 6553),
+  (20, 1, 200, 0.141756, 6553),
+  (20, 2, 200, 0.141049, 6553),
+  (20, 3, 200, 0.141756, 6553),
+  (20, 4, 200, 0.141049, 6553),
+  (20, 5, 200, 0.141756, 6553),
+  (20, 6, 200, 0.141049, 6553),
+  (20, 7, 200, 0.141756, 6553),
+  (21, 0, 200, 0.353524, 16383),
+  (21, 1, 200, 0.353524, 16383),
+  (21, 2, 200, 0.353524, 16383),
+  (21, 3, 200, 0.353524, 16383),
+  (21, 4, 200, 0.353524, 16383),
+  (21, 5, 200, 0.353524, 16383),
+  (21, 6, 200, 0.353524, 16383),
+  (21, 7, 200, 0.353524, 16383),
+  (22, 0, 200, 0.564236, 26213),
+  (22, 1, 200, 0.567064, 26213),
+  (22, 2, 200, 0.564236, 26213),
+  (22, 3, 200, 0.567064, 26213),
+  (22, 4, 200, 0.564236, 26213),
+  (22, 5, 200, 0.567064, 26213),
+  (22, 6, 200, 0.564236, 26213),
+  (22, 7, 200, 0.567064, 26213),
+  (23, 0, 200, 0.212108, 9830),
+  (23, 1, 200, 0.212108, 9830),
+  (23, 2, 200, 0.212108, 9830),
+  (23, 3, 200, 0.212108, 9830),
+  (23, 4, 200, 0.212108, 9830),
+  (23, 5, 200, 0.212108, 9830),
+  (23, 6, 200, 0.212108, 9830),
+  (23, 7, 200, 0.212108, 9830),
+  (24, 0, 200, 0.423175, 19660),
+  (24, 1, 200, 0.425296, 19660),
+  (24, 2, 200, 0.423175, 19660),
+  (24, 3, 200, 0.425296, 19660),
+  (24, 4, 200, 0.423175, 19660),
+  (24, 5, 200, 0.425296, 19660),
+  (24, 6, 200, 0.423175, 19660),
+  (24, 7, 200, 0.425296, 19660),
+  (25, 0, 200, 0.070691, 3276),
+  (25, 1, 200, 0.070691, 3276),
+  (25, 2, 200, 0.070691, 3276),
+  (25, 3, 200, 0.070691, 3276),
+  (25, 4, 200, 0.070691, 3276),
+  (25, 5, 200, 0.070691, 3276),
+  (25, 6, 200, 0.070691, 3276),
+  (25, 7, 200, 0.070691, 3276),
+  (26, 0, 200, 0.28211, 13106),
+  (26, 1, 200, 0.283524, 13106),
+  (26, 2, 200, 0.28211, 13106),
+  (26, 3, 200, 0.283524, 13106),
+  (26, 4, 200, 0.28211, 13106),
+  (26, 5, 200, 0.283524, 13106),
+  (26, 6, 200, 0.28211, 13106),
+  (26, 7, 200, 0.283524, 13106),
+  (27, 0, 200, 0.494945, 22936),
+  (27, 1, 200, 0.494945, 22936),
+  (27, 2, 200, 0.494945, 22936),
+  (27, 3, 200, 0.494945, 22936),
+  (27, 4, 200, 0.494945, 22936),
+  (27, 5, 200, 0.494945, 22936),
+  (27, 6, 200, 0.494945, 22936),
+  (27, 7, 200, 0.494945, 22936),
+  (28, 0, 200, 0.141049, 6553),
+  (28, 1, 200, 0.141756, 6553),
+  (28, 2, 200, 0.141049, 6553),
+  (28, 3, 200, 0.141756, 6553),
+  (28, 4, 200, 0.141049, 6553),
+  (28, 5, 200, 0.141756, 6553),
+  (28, 6, 200, 0.141049, 6553),
+  (28, 7, 200, 0.141756, 6553),
+  (29, 0, 200, 0.353522, 15581),
+  (29, 1, 200, 0.353522, 15581),
+  (29, 2, 200, 0.353522, 15581),
+  (29, 3, 200, 0.353522, 15581),
+  (29, 4, 200, 0.353522, 15581),
+  (29, 5, 200, 0.353522, 15581),
+  (29, 6, 200, 0.353522, 15581),
+  (29, 7, 200, 0.353522, 15581),
+  (30, 0, 200, 0.564235, 26213),
+  (30, 1, 200, 0.567064, 26213),
+  (30, 2, 200, 0.564235, 26213),
+  (30, 3, 200, 0.567064, 26213),
+  (30, 4, 200, 0.564235, 26213),
+  (30, 5, 200, 0.567064, 26213),
+  (30, 6, 200, 0.564235, 26213),
+  (30, 7, 200, 0.567064, 26213),
+  (31, 0, 200, 0.212106, 9830),
+  (31, 1, 200, 0.212106, 9830),
+  (31, 2, 200, 0.212106, 9830),
+  (31, 3, 200, 0.212106, 9830),
+  (31, 4, 200, 0.212106, 9830),
+  (31, 5, 200, 0.212106, 9830),
+  (31, 6, 200, 0.212106, 9830),
+  (31, 7, 200, 0.212106, 9830),
+  (32, 0, 200, 0.423172, 19660),
+  (32, 1, 200, 0.425293, 19660),
+  (32, 2, 200, 0.423172, 19660),
+  (32, 3, 200, 0.425293, 19660),
+  (32, 4, 200, 0.423172, 19660),
+  (32, 5, 200, 0.425293, 19660),
+  (32, 6, 200, 0.423172, 19660),
+  (32, 7, 200, 0.425293, 19660),
+  (33, 0, 200, 0.070691, 3276),
+  (33, 1, 200, 0.070691, 3276),
+  (33, 2, 200, 0.070691, 3276),
+  (33, 3, 200, 0.070691, 3276),
+  (33, 4, 200, 0.070691, 3276),
+  (33, 5, 200, 0.070691, 3276),
+  (33, 6, 200, 0.070691, 3276),
+  (33, 7, 200, 0.070691, 3276),
+  (34, 0, 200, 0.28211, 13106),
+  (34, 1, 200, 0.283524, 13106),
+  (34, 2, 200, 0.28211, 13106),
+  (34, 3, 200, 0.283524, 13106),
+  (34, 4, 200, 0.28211, 13106),
+  (34, 5, 200, 0.283524, 13106),
+  (34, 6, 200, 0.28211, 13106),
+  (34, 7, 200, 0.283524, 13106),
+  (35, 0, 200, 0.494945, 22936),
+  (35, 1, 200, 0.494945, 22936),
+  (35, 2, 200, 0.494945, 22936),
+  (35, 3, 200, 0.494945, 22936),
+  (35, 4, 200, 0.494945, 22936),
+  (35, 5, 200, 0.494945, 22936),
+  (35, 6, 200, 0.494945, 22936),
+  (35, 7, 200, 0.494945, 22936),
+  (36, 0, 200, 0.141049, 6553),
+  (36, 1, 200, 0.141756, 6553),
+  (36, 2, 200, 0.141049, 6553),
+  (36, 3, 200, 0.141756, 6553),
+  (36, 4, 200, 0.141049, 6553),
+  (36, 5, 200, 0.141756, 6553),
+  (36, 6, 200, 0.141049, 6553),
+  (36, 7, 200, 0.141756, 6553),
+  (37, 0, 200, 0.353524, 16383),
+  (37, 1, 200, 0.353524, 16383),
+  (37, 2, 200, 0.353524, 16383),
+  (37, 3, 200, 0.353524, 16383),
+  (37, 4, 200, 0.353524, 16383),
+  (37, 5, 200, 0.353524, 16383),
+  (37, 6, 200, 0.353524, 16383),
+  (37, 7, 200, 0.353524, 16383),
+  (38, 0, 200, 0.564236, 26213),
+  (38, 1, 200, 0.567064, 26213),
+  (38, 2, 200, 0.564236, 26213),
+  (38, 3, 200, 0.567064, 26213),
+  (38, 4, 200, 0.564236, 26213),
+  (38, 5, 200, 0.567064, 26213),
+  (38, 6, 200, 0.564236, 26213),
+  (38, 7, 200, 0.567064, 26213),
+  (39, 0, 200, 0.212108, 9830),
+  (39, 1, 200, 0.212108, 9830),
+  (39, 2, 200, 0.212108, 9830),
+  (39, 3, 200, 0.212108, 9830),
+  (39, 4, 200, 0.212108, 9830),
+  (39, 5, 200, 0.212108, 9830),
+  (39, 6, 200, 0.212108, 9830),
+  (39, 7, 200, 0.212108, 9830),
+  (40, 0, 200, 0.423175, 19660),
+  (40, 1, 200, 0.425296, 19660),
+  (40, 2, 200, 0.423175, 19660),
+  (40, 3, 200, 0.425296, 19660),
+  (40, 4, 200, 0.423175, 19660),
+  (40, 5, 200, 0.425296, 19660),
+  (40, 6, 200, 0.423175, 19660),
+  (40, 7, 200, 0.425296, 19660),
+  (41, 0, 200, 0.070691, 3276),
+  (41, 1, 200, 0.070691, 3276),
+  (41, 2, 200, 0.070691, 3276),
+  (41, 3, 200, 0.070691, 3276),
+  (41, 4, 200, 0.070691, 3276),
+  (41, 5, 200, 0.070691, 3276),
+  (41, 6, 200, 0.070691, 3276),
+  (41, 7, 200, 0.070691, 3276),
+  (42, 0, 200, 0.28211, 13106),
+  (42, 1, 200, 0.283524, 13106),
+  (42, 2, 200, 0.28211, 13106),
+  (42, 3, 200, 0.283524, 13106),
+  (42, 4, 200, 0.28211, 13106),
+  (42, 5, 200, 0.283524, 13106),
+  (42, 6, 200, 0.28211, 13106),
+  (42, 7, 200, 0.283524, 13106),
+  (43, 0, 200, 0.494945, 22936),
+  (43, 1, 200, 0.494945, 22936),
+  (43, 2, 200, 0.494945, 22936),
+  (43, 3, 200, 0.494945, 22936),
+  (43, 4, 200, 0.494945, 22936),
+  (43, 5, 200, 0.494945, 22936),
+  (43, 6, 200, 0.494945, 22936),
+  (43, 7, 200, 0.494945, 22936),
+  (44, 0, 200, 0.141049, 6553),
+  (44, 1, 200, 0.141756, 6553),
+  (44, 2, 200, 0.141049, 6553),
+  (44, 3, 200, 0.141756, 6553),
+  (44, 4, 200, 0.141049, 6553),
+  (44, 5, 200, 0.141756, 6553),
+  (44, 6, 200, 0.141049, 6553),
+  (44, 7, 200, 0.141756, 6553),
+  (45, 0, 200, 0.353522, 15581),
+  (45, 1, 200, 0.353522, 15581),
+  (45, 2, 200, 0.353522, 15581),
+  (45, 3, 200, 0.353522, 15581),
+  (45, 4, 200, 0.353522, 15581),
+  (45, 5, 200, 0.353522, 15581),
+  (45, 6, 200, 0.353522, 15581),
+  (45, 7, 200, 0.353522, 15581),
+  (46, 0, 200, 0.564235, 26213),
+  (46, 1, 200, 0.567064, 26213),
+  (46, 2, 200, 0.564235, 26213),
+  (46, 3, 200, 0.567064, 26213),
+  (46, 4, 200, 0.564235, 26213),
+  (46, 5, 200, 0.567064, 26213),
+  (46, 6, 200, 0.564235, 26213),
+  (46, 7, 200, 0.567064, 26213),
+  (47, 0, 200, 0.212106, 9830),
+  (47, 1, 200, 0.212106, 9830),
+  (47, 2, 200, 0.212106, 9830),
+  (47, 3, 200, 0.212106, 9830),
+  (47, 4, 200, 0.212106, 9830),
+  (47, 5, 200, 0.212106, 9830),
+  (47, 6, 200, 0.212106, 9830),
+  (47, 7, 200, 0.212106, 9830),
+  (48, 0, 200, 0.423172, 19660),
+  (48, 1, 200, 0.425293, 19660),
+  (48, 2, 200, 0.423172, 19660),
+  (48, 3, 200, 0.425293, 19660),
+  (48, 4, 200, 0.423172, 19660),
+  (48, 5, 200, 0.425293, 19660),
+  (48, 6, 200, 0.423172, 19660),
+  (48, 7, 200, 0.425293, 19660),
+  (49, 0, 200, 0.070691, 3276),
+  (49, 1, 200, 0.070691, 3276),
+  (49, 2, 200, 0.070691, 3276),
+  (49, 3, 200, 0.070691, 3276),
+  (49, 4, 200, 0.070691, 3276),
+  (49, 5, 200, 0.070691, 3276),
+  (49, 6, 200, 0.070691, 3276),
+  (49, 7, 200, 0.070691, 3276),
+  (50, 0, 200, 0.28211, 13106),
+  (50, 1, 200, 0.283524, 13106),
+  (50, 2, 200, 0.28211, 13106),
+  (50, 3, 200, 0.283524, 13106),
+  (50, 4, 200, 0.28211, 13106),
+  (50, 5, 200, 0.283524, 13106),
+  (50, 6, 200, 0.28211, 13106),
+  (50, 7, 200, 0.283524, 13106),
+  (51, 0, 200, 0.494945, 22936),
+  (51, 1, 200, 0.494945, 22936),
+  (51, 2, 200, 0.494945, 22936),
+  (51, 3, 200, 0.494945, 22936),
+  (51, 4, 200, 0.494945, 22936),
+  (51, 5, 200, 0.494945, 22936),
+  (51, 6, 200, 0.494945, 22936),
+  (51, 7, 200, 0.494945, 22936),
+  (52, 0, 200, 0.141049, 6553),
+  (52, 1, 200, 0.141756, 6553),
+  (52, 2, 200, 0.141049, 6553),
+  (52, 3, 200, 0.141756, 6553),
+  (52, 4, 200, 0.141049, 6553),
+  (52, 5, 200, 0.141756, 6553),
+  (52, 6, 200, 0.141049, 6553),
+  (52, 7, 200, 0.141756, 6553),
+  (53, 0, 200, 0.353524, 16383),
+  (53, 1, 200, 0.353524, 16383),
+  (53, 2, 200, 0.353524, 16383),
+  (53, 3, 200, 0.353524, 16383),
+  (53, 4, 200, 0.353524, 16383),
+  (53, 5, 200, 0.353524, 16383),
+  (53, 6, 200, 0.353524, 16383),
+  (53, 7, 200, 0.353524, 16383),
+  (54, 0, 200, 0.564236, 26213),
+  (54, 1, 200, 0.567064, 26213),
+  (54, 2, 200, 0.564236, 26213),
+  (54, 3, 200, 0.567064, 26213),
+  (54, 4, 200, 0.564236, 26213),
+  (54, 5, 200, 0.567064, 26213),
+  (54, 6, 200, 0.564236, 26213),
+  (54, 7, 200, 0.567064, 26213),
+  (55, 0, 200, 0.212108, 9830),
+  (55, 1, 200, 0.212108, 9830),
+  (55, 2, 200, 0.212108, 9830),
+  (55, 3, 200, 0.212108, 9830),
+  (55, 4, 200, 0.212108, 9830),
+  (55, 5, 200, 0.212108, 9830),
+  (55, 6, 200, 0.212108, 9830),
+  (55, 7, 200, 0.212108, 9830),
+  (56, 0, 200, 0.423175, 19660),
+  (56, 1, 200, 0.425296, 19660),
+  (56, 2, 200, 0.423175, 19660),
+  (56, 3, 200, 0.425296, 19660),
+  (56, 4, 200, 0.423175, 19660),
+  (56, 5, 200, 0.425296, 19660),
+  (56, 6, 200, 0.423175, 19660),
+  (56, 7, 200, 0.425296, 19660),
+  (57, 0, 200, 0.070691, 3276),
+  (57, 1, 200, 0.070691, 3276),
+  (57, 2, 200, 0.070691, 3276),
+  (57, 3, 200, 0.070691, 3276),
+  (57, 4, 200, 0.070691, 3276),
+  (57, 5, 200, 0.070691, 3276),
+  (57, 6, 200, 0.070691, 3276),
+  (57, 7, 200, 0.070691, 3276),
+  (58, 0, 200, 0.28211, 13106),
+  (58, 1, 200, 0.283524, 13106),
+  (58, 2, 200, 0.28211, 13106),
+  (58, 3, 200, 0.283524, 13106),
+  (58, 4, 200, 0.28211, 13106),
+  (58, 5, 200, 0.283524, 13106),
+  (58, 6, 200, 0.28211, 13106),
+  (58, 7, 200, 0.283524, 13106),
+  (59, 0, 200, 0.494945, 22936),
+  (59, 1, 200, 0.494945, 22936),
+  (59, 2, 200, 0.494945, 22936),
+  (59, 3, 200, 0.494945, 22936),
+  (59, 4, 200, 0.494945, 22936),
+  (59, 5, 200, 0.494945, 22936),
+  (59, 6, 200, 0.494945, 22936),
+  (59, 7, 200, 0.494945, 22936),
+  (60, 0, 200, 0.141049, 6553),
+  (60, 1, 200, 0.141756, 6553),
+  (60, 2, 200, 0.141049, 6553),
+  (60, 3, 200, 0.141756, 6553),
+  (60, 4, 200, 0.141049, 6553),
+  (60, 5, 200, 0.141756, 6553),
+  (60, 6, 200, 0.141049, 6553),
+  (60, 7, 200, 0.141756, 6553),
+  (61, 0, 200, 0.353522, 15581),
+  (61, 1, 200, 0.353522, 15581),
+  (61, 2, 200, 0.353522, 15581),
+  (61, 3, 200, 0.353522, 15581),
+  (61, 4, 200, 0.353522, 15581),
+  (61, 5, 200, 0.353522, 15581),
+  (61, 6, 200, 0.353522, 15581),
+  (61, 7, 200, 0.353522, 15581),
+  (62, 0, 200, 0.564235, 26213),
+  (62, 1, 200, 0.567064, 26213),
+  (62, 2, 200, 0.564235, 26213),
+  (62, 3, 200, 0.567064, 26213),
+  (62, 4, 200, 0.564235, 26213),
+  (62, 5, 200, 0.567064, 26213),
+  (62, 6, 200, 0.564235, 26213),
+  (62, 7, 200, 0.567064, 26213),
+  (63, 0, 200, 0.212106, 9830),
+  (63, 1, 200, 0.212106, 9830),
+  (63, 2, 200, 0.212106, 9830),
+  (63, 3, 200, 0.212106, 9830),
+  (63, 4, 200, 0.212106, 9830),
+  (63, 5, 200, 0.212106, 9830),
+  (63, 6, 200, 0.212106, 9830),
+  (63, 7, 200, 0.212106, 9830)
+) AS t(media_id, frame_idx, n_samples, rms, peak)
+ORDER BY media_id, frame_idx
+"""
+    o["multimodal_image_phash"] = """
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(phash AS BIGINT) AS phash FROM (VALUES
+  (0, -8780484748371731349),
+  (1, 7607028816478507330),
+  (2, -637583103981133824),
+  (3, 1107413000465672480),
+  (4, -9061073289685562141),
+  (5, -3845395237086158031),
+  (6, 304204209522809337),
+  (7, 3315986985407683337),
+  (8, 7514347416116539912),
+  (9, -8924593495846803276),
+  (10, 596878342918077094),
+  (11, 4983352423480670224),
+  (12, -1245904750197133230),
+  (13, 6986599936022295124),
+  (14, 165171478387460281),
+  (15, 1641580755910657892),
+  (16, -8222230009837550318),
+  (17, 3486984665271744593),
+  (18, 3119048887686545418),
+  (19, 3712131138609848352),
+  (20, 1515212832363454849),
+  (21, 239249456803035276),
+  (22, 1163701120129860878),
+  (23, -6694155088566676732),
+  (24, 3501991693669540692),
+  (25, -5124811790335997942),
+  (26, 3315214621958216286),
+  (27, 290395790274487316),
+  (28, 7134405999977662986),
+  (29, -5380549445029981888),
+  (30, -430705615820242912),
+  (31, 4977050548218921257),
+  (32, 7242606930391288508),
+  (33, -7236611617034570944),
+  (34, 5480881768232003653),
+  (35, 381183297410584082),
+  (36, -7806870010206221246),
+  (37, 6564420939507974299),
+  (38, 2280408184333427392),
+  (39, 1481789848046405376),
+  (40, -3803736974102735808),
+  (41, 602083870334984324),
+  (42, 1496357743402672735),
+  (43, -5569949842432422266),
+  (44, 4775188206045964985),
+  (45, 51040705560510468),
+  (46, 142574244552560910),
+  (47, 2342857292303106386),
+  (48, -7914218022800045726),
+  (49, 7785080334404667536),
+  (50, 6206831402556358468),
+  (51, 1914356200751764933),
+  (52, 6003870653987381650),
+  (53, 1370945392425873565),
+  (54, -5441306504172045904),
+  (55, 4715205001448960236),
+  (56, 5220876041102149013),
+  (57, 6000490446024560781),
+  (58, -2157637620346253887),
+  (59, 1390891872965456177),
+  (60, -8159035691571172065),
+  (61, 9027488363623633217),
+  (62, 5801551293579333962),
+  (63, 337005163247272499)
+) AS t(media_id, phash)
+ORDER BY media_id
+"""
+    # multimodal_{wav,png,jpeg}_headers: the synth_*_media fixtures are
+    # PURE FUNCTIONS of media_id (deterministic byte construction), so the
+    # parsed header tables are fixed constants — pinned below exactly like
+    # generator_profile.  The oracles hash-check the full parser output
+    # (valid gates, dims, chunk counts) every round; any drift in the
+    # container parsers or fixture construction breaks the match.  The
+    # parsers' closed-form correctness (CRC walk, fmt gates, EOI search)
+    # remains pinned in tests/test_multimodal.py.
+    o["multimodal_wav_headers"] = """
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(valid AS BOOLEAN) AS valid, CAST(audio_format AS INTEGER) AS audio_format, CAST(channels AS INTEGER) AS channels, CAST(sample_rate AS INTEGER) AS sample_rate, CAST(bits_per_sample AS INTEGER) AS bits_per_sample, CAST(data_bytes AS BIGINT) AS data_bytes, CAST(duration_s AS DOUBLE) AS duration_s FROM (VALUES
+  (0, true, 1, 1, 8000, 16, 800, 0.05),
+  (1, true, 1, 2, 16000, 16, 2000, 0.03125),
+  (2, true, 1, 1, 24000, 16, 1200, 0.025),
+  (3, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (4, true, 1, 1, 16000, 16, 1600, 0.05),
+  (5, true, 1, 2, 24000, 16, 1600, 0.016667),
+  (6, true, 1, 1, 8000, 16, 1000, 0.0625),
+  (7, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (8, true, 1, 1, 24000, 16, 1400, 0.029167),
+  (9, true, 1, 2, 8000, 16, 3200, 0.1),
+  (10, true, 1, 1, 16000, 16, 800, 0.025),
+  (11, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (12, true, 1, 1, 8000, 16, 1200, 0.075),
+  (13, true, 1, 2, 16000, 16, 2800, 0.04375),
+  (14, true, 1, 1, 24000, 16, 1600, 0.033333),
+  (15, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (16, true, 1, 1, 16000, 16, 1000, 0.03125),
+  (17, true, 1, 2, 24000, 16, 2400, 0.025),
+  (18, true, 1, 1, 8000, 16, 1400, 0.0875),
+  (19, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (20, true, 1, 1, 24000, 16, 800, 0.016667),
+  (21, true, 1, 2, 8000, 16, 2000, 0.0625),
+  (22, true, 1, 1, 16000, 16, 1200, 0.0375),
+  (23, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (24, true, 1, 1, 8000, 16, 1600, 0.1),
+  (25, true, 1, 2, 16000, 16, 1600, 0.025),
+  (26, true, 1, 1, 24000, 16, 1000, 0.020833),
+  (27, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (28, true, 1, 1, 16000, 16, 1400, 0.04375),
+  (29, true, 1, 2, 24000, 16, 3200, 0.033333),
+  (30, true, 1, 1, 8000, 16, 800, 0.05),
+  (31, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (32, true, 1, 1, 24000, 16, 1200, 0.025),
+  (33, true, 1, 2, 8000, 16, 2800, 0.0875),
+  (34, true, 1, 1, 16000, 16, 1600, 0.05),
+  (35, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (36, true, 1, 1, 8000, 16, 1000, 0.0625),
+  (37, true, 1, 2, 16000, 16, 2400, 0.0375),
+  (38, true, 1, 1, 24000, 16, 1400, 0.029167),
+  (39, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (40, true, 1, 1, 16000, 16, 800, 0.025),
+  (41, true, 1, 2, 24000, 16, 2000, 0.020833),
+  (42, true, 1, 1, 8000, 16, 1200, 0.075),
+  (43, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (44, true, 1, 1, 24000, 16, 1600, 0.033333),
+  (45, true, 1, 2, 8000, 16, 1600, 0.05),
+  (46, true, 1, 1, 16000, 16, 1000, 0.03125),
+  (47, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (48, true, 1, 1, 8000, 16, 1400, 0.0875),
+  (49, true, 1, 2, 16000, 16, 3200, 0.05),
+  (50, true, 1, 1, 24000, 16, 800, 0.016667),
+  (51, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (52, true, 1, 1, 16000, 16, 1200, 0.0375),
+  (53, true, 1, 2, 24000, 16, 2800, 0.029167),
+  (54, true, 1, 1, 8000, 16, 1600, 0.1),
+  (55, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (56, true, 1, 1, 24000, 16, 1000, 0.020833),
+  (57, true, 1, 2, 8000, 16, 2400, 0.075),
+  (58, true, 1, 1, 16000, 16, 1400, 0.04375),
+  (59, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (60, true, 1, 1, 8000, 16, 800, 0.05),
+  (61, true, 1, 2, 16000, 16, 2000, 0.03125),
+  (62, true, 1, 1, 24000, 16, 1200, 0.025),
+  (63, false, NULL, NULL, NULL, NULL, NULL, NULL)
+) AS t(media_id, valid, audio_format, channels, sample_rate, bits_per_sample, data_bytes, duration_s)
+ORDER BY media_id
+"""
+    o["multimodal_png_headers"] = """
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(valid AS BOOLEAN) AS valid, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height, CAST(bit_depth AS INTEGER) AS bit_depth, CAST(color_type AS INTEGER) AS color_type, CAST(interlaced AS BOOLEAN) AS interlaced, CAST(has_alpha AS BOOLEAN) AS has_alpha, CAST(n_chunks AS INTEGER) AS n_chunks, CAST(n_pixels AS BIGINT) AS n_pixels FROM (VALUES
+  (0, true, 4, 3, 8, 0, false, false, 3, 12),
+  (1, true, 5, 4, 8, 2, false, false, 3, 20),
+  (2, true, 6, 5, 8, 6, false, true, 3, 30),
+  (3, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (4, true, 8, 7, 8, 2, false, false, 3, 56),
+  (5, true, 9, 3, 8, 6, false, true, 3, 27),
+  (6, true, 10, 4, 8, 0, false, false, 3, 40),
+  (7, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (8, true, 5, 6, 8, 6, false, true, 3, 30),
+  (9, true, 6, 7, 8, 0, false, false, 3, 42),
+  (10, true, 7, 3, 8, 2, false, false, 3, 21),
+  (11, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (12, true, 9, 5, 8, 0, false, false, 3, 45),
+  (13, true, 10, 6, 8, 2, false, false, 3, 60),
+  (14, true, 4, 7, 8, 6, false, true, 3, 28),
+  (15, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (16, true, 6, 4, 8, 2, false, false, 3, 24),
+  (17, true, 7, 5, 8, 6, false, true, 3, 35),
+  (18, true, 8, 6, 8, 0, false, false, 3, 48),
+  (19, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (20, true, 10, 3, 8, 6, false, true, 3, 30),
+  (21, true, 4, 4, 8, 0, false, false, 3, 16),
+  (22, true, 5, 5, 8, 2, false, false, 3, 25),
+  (23, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (24, true, 7, 7, 8, 0, false, false, 3, 49),
+  (25, true, 8, 3, 8, 2, false, false, 3, 24),
+  (26, true, 9, 4, 8, 6, false, true, 3, 36),
+  (27, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (28, true, 4, 6, 8, 2, false, false, 3, 24),
+  (29, true, 5, 7, 8, 6, false, true, 3, 35),
+  (30, true, 6, 3, 8, 0, false, false, 3, 18),
+  (31, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (32, true, 8, 5, 8, 6, false, true, 3, 40),
+  (33, true, 9, 6, 8, 0, false, false, 3, 54),
+  (34, true, 10, 7, 8, 2, false, false, 3, 70),
+  (35, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (36, true, 5, 4, 8, 0, false, false, 3, 20),
+  (37, true, 6, 5, 8, 2, false, false, 3, 30),
+  (38, true, 7, 6, 8, 6, false, true, 3, 42),
+  (39, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (40, true, 9, 3, 8, 2, false, false, 3, 27),
+  (41, true, 10, 4, 8, 6, false, true, 3, 40),
+  (42, true, 4, 5, 8, 0, false, false, 3, 20),
+  (43, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (44, true, 6, 7, 8, 6, false, true, 3, 42),
+  (45, true, 7, 3, 8, 0, false, false, 3, 21),
+  (46, true, 8, 4, 8, 2, false, false, 3, 32),
+  (47, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (48, true, 10, 6, 8, 0, false, false, 3, 60),
+  (49, true, 4, 7, 8, 2, false, false, 3, 28),
+  (50, true, 5, 3, 8, 6, false, true, 3, 15),
+  (51, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (52, true, 7, 5, 8, 2, false, false, 3, 35),
+  (53, true, 8, 6, 8, 6, false, true, 3, 48),
+  (54, true, 9, 7, 8, 0, false, false, 3, 63),
+  (55, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (56, true, 4, 4, 8, 6, false, true, 3, 16),
+  (57, true, 5, 5, 8, 0, false, false, 3, 25),
+  (58, true, 6, 6, 8, 2, false, false, 3, 36),
+  (59, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+  (60, true, 8, 3, 8, 0, false, false, 3, 24),
+  (61, true, 9, 4, 8, 2, false, false, 3, 36),
+  (62, true, 10, 5, 8, 6, false, true, 3, 50),
+  (63, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+) AS t(media_id, valid, width, height, bit_depth, color_type, interlaced, has_alpha, n_chunks, n_pixels)
+ORDER BY media_id
+"""
+    o["multimodal_jpeg_headers"] = """
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(valid AS BOOLEAN) AS valid, CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, CAST(precision AS INTEGER) AS precision, CAST(n_components AS INTEGER) AS n_components, CAST(progressive AS BOOLEAN) AS progressive, CAST(n_segments AS INTEGER) AS n_segments FROM (VALUES
+  (0, true, 16, 9, 8, 1, true, 7),
+  (1, true, 17, 10, 8, 3, false, 7),
+  (2, true, 18, 11, 8, 3, false, 7),
+  (3, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (4, true, 20, 13, 8, 3, false, 7),
+  (5, true, 21, 14, 8, 3, true, 7),
+  (6, true, 22, 15, 8, 1, false, 7),
+  (7, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (8, true, 24, 10, 8, 3, false, 7),
+  (9, true, 16, 11, 8, 1, false, 7),
+  (10, true, 17, 12, 8, 3, true, 7),
+  (11, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (12, true, 19, 14, 8, 1, false, 7),
+  (13, true, 20, 15, 8, 3, false, 7),
+  (14, true, 21, 9, 8, 3, false, 7),
+  (15, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (16, true, 23, 11, 8, 3, false, 7),
+  (17, true, 24, 12, 8, 3, false, 7),
+  (18, true, 16, 13, 8, 1, false, 7),
+  (19, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (20, true, 18, 15, 8, 3, true, 7),
+  (21, true, 19, 9, 8, 1, false, 7),
+  (22, true, 20, 10, 8, 3, false, 7),
+  (23, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (24, true, 22, 12, 8, 1, false, 7),
+  (25, true, 23, 13, 8, 3, true, 7),
+  (26, true, 24, 14, 8, 3, false, 7),
+  (27, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (28, true, 17, 9, 8, 3, false, 7),
+  (29, true, 18, 10, 8, 3, false, 7),
+  (30, true, 19, 11, 8, 1, true, 7),
+  (31, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (32, true, 21, 13, 8, 3, false, 7),
+  (33, true, 22, 14, 8, 1, false, 7),
+  (34, true, 23, 15, 8, 3, false, 7),
+  (35, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (36, true, 16, 10, 8, 1, false, 7),
+  (37, true, 17, 11, 8, 3, false, 7),
+  (38, true, 18, 12, 8, 3, false, 7),
+  (39, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (40, true, 20, 14, 8, 3, true, 7),
+  (41, true, 21, 15, 8, 3, false, 7),
+  (42, true, 22, 9, 8, 1, false, 7),
+  (43, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (44, true, 24, 11, 8, 3, false, 7),
+  (45, true, 16, 12, 8, 1, true, 7),
+  (46, true, 17, 13, 8, 3, false, 7),
+  (47, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (48, true, 19, 15, 8, 1, false, 7),
+  (49, true, 20, 9, 8, 3, false, 7),
+  (50, true, 21, 10, 8, 3, true, 7),
+  (51, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (52, true, 23, 12, 8, 3, false, 7),
+  (53, true, 24, 13, 8, 3, false, 7),
+  (54, true, 16, 14, 8, 1, false, 7),
+  (55, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (56, true, 18, 9, 8, 3, false, 7),
+  (57, true, 19, 10, 8, 1, false, 7),
+  (58, true, 20, 11, 8, 3, false, 7),
+  (59, false, NULL, NULL, NULL, NULL, NULL, NULL),
+  (60, true, 22, 13, 8, 1, true, 7),
+  (61, true, 23, 14, 8, 3, false, 7),
+  (62, true, 24, 15, 8, 3, false, 7),
+  (63, false, NULL, NULL, NULL, NULL, NULL, NULL)
+) AS t(media_id, valid, width, height, precision, n_components, progressive, n_segments)
+ORDER BY media_id
+"""
+
     # generator_profile: the generator is a PURE FUNCTION of the row id
     # (seeded xxhash64 draws — sources/generator.py:34-43), so its profile
     # at (count=10000, num_users=100, seed=42) is a fixed constant table
