@@ -1145,19 +1145,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
-#: ROUND-5 WINDOW: 48 oracle-backed queries with no (or stale) driver row —
-#: the 47 never-sampled oracle-backed r3/r4 additions plus
+#: ROUND-5 WINDOW: 50 oracle-backed queries with no (or stale) driver row —
+#: the 47 never-sampled oracle-backed r3/r4 additions,
 #: dedup_minhash_lsh_pairs (its only driver row is a stale r2 no_oracle;
-#: it now has an exact-Jaccard pair-count oracle) — plus 2 rows-only picks
-#: (sim_pca_project: law-gated PCA; multimodal_resize: closed-form-pinned
-#: Arrow plumbing).  Generated by `python tools/rotate_registry.py` and
-#: verified with `python tools/driver_sim.py <names>` before commit.
+#: it now has an exact-Jaccard pair-count oracle), and 2 round-5 additions
+#: (sim_matryoshka_topk: deterministic two-stage retrieval;
+#: tpch_q4_priority_check: EXISTS semi-join).  Generated by
+#: `python tools/rotate_registry.py` and verified with
+#: `python tools/driver_sim.py <names>` before commit.
 #:
-#: NEXT ROTATION (round 6): rerun `python tools/rotate_registry.py`; the
-#: remaining never-sampled pool after this window is the rows-only
-#: multimodal/sketch stragglers (sim_pq_topk, dedup_best_quality_lsh,
-#: multimodal_pcm_energy/image_phash/wav_headers/png_headers/jpeg_headers,
-#: multimodal_scene_detect) plus anything added in round 5.
+#: NEXT ROTATION (round 6): rerun `python tools/rotate_registry.py`.
+#: Remaining no-driver-row pool after this window: the round-5
+#: oracle-backed additions (tpch_q10_returned_items, tpch_q18_large_volume,
+#: dq_functional_deps), the newly oracle-UPGRADED queries whose existing
+#: driver rows predate their oracles (dedup_simhash, generator_profile,
+#: multimodal_{wav,png,jpeg}_headers, multimodal_pcm_energy,
+#: multimodal_image_phash — rotate in to convert no_oracle rows to green),
+#: and the genuinely rows-only stragglers (sim_pq_topk, sim_pca_project,
+#: dedup_best_quality_lsh, multimodal_resize/scene_detect).
 _DRIVER_FIRST = [
     "events_funnel_rates",
     "orders_pareto_share",
@@ -1206,8 +1211,8 @@ _DRIVER_FIRST = [
     "events_audience_overlap",
     "events_heavy_hitters",
     "corpus_temperature_mix",
-    "sim_pca_project",
-    "multimodal_resize",
+    "sim_matryoshka_topk",
+    "tpch_q4_priority_check",
     "dedup_minhash_lsh_pairs",
 ]
 
