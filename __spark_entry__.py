@@ -317,6 +317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- [EXT] text analysis over documents ---
     q["text_stats"] = lambda s, d: text.text_stats(load_table(s, d, "documents"))
+    q["text_readability"] = lambda s, d: text.readability(
+        load_table(s, d, "documents")
+    )
     q["text_quality_score"] = lambda s, d: text.quality_score(
         load_table(s, d, "documents")
     )
@@ -628,6 +631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events")
     )
     q["basket_part_pairs"] = lambda s, d: etl.part_basket_pairs(
+        load_table(s, d, "lineitem"), min_support=2
+    )
+    q["basket_rules"] = lambda s, d: etl.basket_association_rules(
         load_table(s, d, "lineitem"), min_support=2
     )
     q["text_repetition_profile"] = lambda s, d: text.repetition_profile(
@@ -1762,6 +1768,27 @@ ORDER BY e.event_id
 """
 
     # --- text ---
+    o["text_readability"] = f"""
+WITH c AS (
+  SELECT doc_id,
+         greatest(len({_TOK}), 1) AS n_words,
+         greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1)
+           AS n_sentences,
+         greatest(len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1, 1)
+           AS n_syllables
+  FROM documents)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_sentences AS INTEGER) AS n_sentences,
+       CAST(n_syllables AS INTEGER) AS n_syllables,
+       round(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4)
+         AS flesch_ease,
+       round(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+             + 11.8 * (n_syllables / CAST(n_words AS DOUBLE)) - 15.59, 4)
+         AS fk_grade
+FROM c ORDER BY doc_id
+"""
     o["text_stats"] = f"""
 SELECT doc_id, lang,
        length(text) AS char_count,
@@ -3532,6 +3559,36 @@ SELECT from_type, to_type, n,
          AS share
 FROM edges
 ORDER BY from_type, to_type
+"""
+    o["basket_rules"] = """
+WITH baskets AS (
+  SELECT l_orderkey, count(DISTINCT l_partkey) AS nparts
+  FROM lineitem GROUP BY 1 HAVING count(DISTINCT l_partkey) >= 2),
+i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey IN (SELECT l_orderkey FROM baskets)),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_orders
+  FROM i a JOIN i b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+item AS (SELECT l_partkey AS part, count(*) AS item_orders FROM i GROUP BY 1),
+nb AS (SELECT count(*) AS n_baskets FROM baskets),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, n_orders FROM pair
+  UNION ALL
+  SELECT part_b, part_a, n_orders FROM pair)
+SELECT antecedent, consequent,
+       CAST(n_orders AS BIGINT) AS support,
+       round(n_orders / ia.item_orders, 6) AS confidence,
+       round((n_orders / ia.item_orders)
+             / (ic.item_orders / CAST(n_baskets AS DOUBLE)), 6) AS lift
+FROM rules
+JOIN item ia ON ia.part = antecedent
+JOIN item ic ON ic.part = consequent
+CROSS JOIN nb
+ORDER BY lift DESC, support DESC, antecedent, consequent
+LIMIT 100
 """
     o["basket_part_pairs"] = """
 WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

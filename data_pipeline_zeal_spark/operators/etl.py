@@ -608,6 +608,86 @@ def part_basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
     )
 
 
+def basket_association_rules(
+    lineitem: DataFrame,
+    min_support: int = 2,
+    min_confidence: float = 0.0,
+    top_n: int = 100,
+) -> DataFrame:
+    """Association rules (A → B) from the k=2 frequent itemsets of
+    :func:`part_basket_pairs`: support, confidence = P(B|A), and
+    lift = P(B|A)/P(B).  Both rule directions are emitted per pair.
+
+    Scale shape: pair supports come from the basket-expansion kernel (no
+    self-join); per-item basket counts are ONE aggregate over the basket
+    frame; both attach to the rules via item-keyed joins whose right side
+    is |items| rows — broadcastable at any realistic catalog size.  The
+    n_baskets denominator is a 1-row broadcast cross join."""
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pair_support = part_basket_pairs(lineitem, min_support=min_support)
+    item_support = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("item_orders"))
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    # both directions: (a → b) and (b → a)
+    rules = pair_support.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_orders",
+    ).unionByName(
+        pair_support.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "n_orders",
+        )
+    )
+    out = (
+        rules.join(
+            F.broadcast(
+                item_support.select(
+                    F.col("part").alias("antecedent"),
+                    F.col("item_orders").alias("ante_orders"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                item_support.select(
+                    F.col("part").alias("consequent"),
+                    F.col("item_orders").alias("cons_orders"),
+                )
+            ),
+            "consequent",
+        )
+        .join(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_orders").alias("support"),
+            F.round(F.col("n_orders") / F.col("ante_orders"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_orders") / F.col("ante_orders"))
+                / (F.col("cons_orders") / F.col("n_baskets")),
+                6,
+            ).alias("lift"),
+        )
+        .filter(F.col("confidence") >= min_confidence)
+    )
+    return out.orderBy(
+        F.desc("lift"), F.desc("support"), "antecedent", "consequent"
+    ).limit(top_n)
+
+
 def customer_spend_deciles(
     customer: DataFrame,
     orders: DataFrame,

@@ -460,6 +460,33 @@ def feature_hash(documents: DataFrame, dim: int = 256) -> DataFrame:
     )
 
 
+def readability(documents: DataFrame) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document, from
+    regex-counted sentences, whitespace tokens, and vowel-group syllables
+    (the standard public heuristic: a vowel run ≈ one syllable).  All
+    three counts are split-size expressions — map-only, zero shuffle,
+    fully inside codegen; the corpus-quality analogue of the
+    length/punct/stopword filters, used to bucket documents by audience
+    reading level before mixing."""
+    n_words = F.greatest(F.size(tokens("text")), F.lit(1))
+    n_sentences = F.greatest(
+        F.size(F.split(F.col("text"), r"[.!?]+")) - 1, F.lit(1)
+    )
+    n_syllables = F.greatest(
+        F.size(F.split(F.lower(F.col("text")), r"[aeiouy]+")) - 1, F.lit(1)
+    )
+    wps = n_words.cast("double") / n_sentences
+    spw = n_syllables.cast("double") / n_words
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+    ).orderBy("doc_id")
+
+
 def chunk_overlap(
     documents: DataFrame, window: int = 64, stride: int = 48
 ) -> DataFrame:

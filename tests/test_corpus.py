@@ -207,3 +207,23 @@ def test_temperature_mixture_laws(spark):
     assert temp["big"].temp_share < 0.9        # head damped
     assert abs(sum(r.temp_share for r in temp.values()) - 1.0) < 1e-5
     assert temp["small"].sample_factor > 1.0 > temp["big"].sample_factor
+
+
+def test_basket_rules_laws(spark):
+    """Association-rule invariants on the fixture: confidence in (0, 1],
+    support matches the pair kernel, and lift is symmetric across the two
+    directions of a pair (lift(A->B) == lift(B->A) by definition)."""
+    from data_pipeline_zeal_spark.operators import etl
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    rules = etl.basket_association_rules(li, min_support=2, top_n=10_000)
+    rows = rules.collect()
+    assert rows, "fixture must produce rules"
+    assert all(0 < r.confidence <= 1.0 for r in rows)
+    assert all(r.support >= 2 for r in rows)
+    by_pair = {(r.antecedent, r.consequent): r for r in rows}
+    for (a, b), r in by_pair.items():
+        mirror = by_pair.get((b, a))
+        if mirror is not None:
+            assert abs(r.lift - mirror.lift) < 1e-6
+            assert r.support == mirror.support
