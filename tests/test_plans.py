@@ -228,8 +228,11 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         "tpch_q22_idle_customers": 1,
         "dq_audit": 2,
         "orders_pareto_share": 2,  # one 1-row total broadcast per k
+        # 1-row n_baskets denominator broadcast
+        "basket_rules": 1,
         # bounded broadcast query/centroid sets
         "sim_cosine_topk": 1,
+        "sim_matryoshka_topk": 1,  # coarse-stage query-set broadcast
         "sim_filtered_topk": 1,
         "sim_centroid_pairs": 1,
         "sim_knn_label": 1,
