@@ -465,6 +465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_sessionize"] = lambda s, d: events_ext.sessionize(
         load_table(s, d, "events")
     )
+    q["events_top_paths"] = lambda s, d: events_ext.top_paths(
+        load_table(s, d, "events")
+    )
     q["events_type_share"] = lambda s, d: events_ext.type_share(
         load_table(s, d, "events")
     )
@@ -1875,6 +1878,30 @@ SELECT day, n,
        round(avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
          AS ma_7d
 FROM daily ORDER BY day
+"""
+    o["events_top_paths"] = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_num
+  FROM ordered),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_num
+                               ORDER BY ts, event_id) AS rn
+  FROM sess),
+paths AS (
+  SELECT user_id, session_num,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY 1, 2)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path LIMIT 20
 """
     o["events_sessionize"] = """
 WITH g AS (

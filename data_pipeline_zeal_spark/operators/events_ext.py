@@ -63,6 +63,62 @@ def daily_moving_average(events: DataFrame, days: int = 7) -> DataFrame:
     ).orderBy("day")
 
 
+def top_paths(
+    events: DataFrame,
+    k: int = 3,
+    gap_minutes: int = 30,
+    top_n: int = 20,
+) -> DataFrame:
+    """Journey mining: the most common ordered sequences of the first
+    ``k`` event types per session (gap-based sessions, same
+    gaps-and-islands kernel as :func:`sessionize`) — the product-analytics
+    "what do users do first" query, and the n>2 generalization of
+    :func:`type_transitions`.
+
+    Scale shape: ONE user-keyed shuffle runs sessionization, in-session
+    ranking, and the path assembly (all three windows share the
+    (user_id, ts, event_id) sort); path assembly aggregates ≤ k tiny
+    structs per session; the final per-path count is map-side combined and
+    top-``top_n`` plans as TakeOrderedAndProject."""
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = events.select(
+        "user_id", "ts", "event_id", "event_type", new_session.alias("is_new")
+    ).withColumn(
+        "session_num",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ranked = numbered.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_num").orderBy(*order)
+        ),
+    ).filter(F.col("rn") <= k)
+    paths = (
+        ranked.groupBy("user_id", "session_num")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type"))
+            ).alias("steps")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform("steps", lambda s: s["event_type"])
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(top_n)
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (gaps-and-islands): a new session starts
     when a user is idle longer than ``gap_minutes``.  One shuffle on
