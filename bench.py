@@ -158,6 +158,16 @@ HEADLINE = [
     "corpus_temperature_mix",
     "events_funnel_rates",
     "orders_pareto_share",
+    "tpch_q4_priority_check",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "sim_matryoshka_topk",
+    "dq_functional_deps",
+    "basket_rules",
+    "text_readability",
+    "events_top_paths",
+    "dedup_clusters",
+    "semdedup_survivors",
 ]
 
 

@@ -363,3 +363,31 @@ def test_matryoshka_recall_gate_and_determinism(spark):
         (r.query_id, r.vec_id, r.cosine, r.rank) for r in two_stage.collect()
     }
     assert first == rerun
+
+
+def test_star_cc_matches_propagation(spark):
+    """Large-star/small-star CC (the O(log n)-round adversarial-diameter
+    scale path) must label identically to min-label propagation — tested
+    on the exact family propagation handles worst (a long chain, where
+    propagation needs diameter rounds) plus a mixed random graph."""
+    import random
+
+    from data_pipeline_zeal_spark.operators import dedup
+
+    def labels(fn, edges, **kw):
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        return {(r.doc_id, r.cluster_id) for r in fn(df, **kw).collect()}
+
+    chain = [(i, i + 1) for i in range(60)]
+    assert labels(dedup.connected_components, chain, max_iter=100) == labels(
+        dedup.connected_components_star, chain
+    )
+
+    random.seed(11)
+    rnd = [
+        (random.randrange(80), random.randrange(80)) for _ in range(120)
+    ]
+    rnd = [(a, b) for a, b in rnd if a != b]
+    assert labels(dedup.connected_components, rnd, max_iter=100) == labels(
+        dedup.connected_components_star, rnd
+    )
