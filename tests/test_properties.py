@@ -467,3 +467,43 @@ def test_mg_merge_laws(counts, capacity):
             assert out[k] == v - cut
         else:
             assert k not in out
+
+
+FD_ROW = st.tuples(
+    st.one_of(st.none(), st.sampled_from(["k1", "k2", "k3", "k4"])),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=st.lists(FD_ROW, min_size=0, max_size=40))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_functional_dependency_matches_model(spark, rows):
+    """quality.functional_dependency == the brute-force dict model: checked
+    = distinct non-null keys, violations = keys with >1 distinct non-null
+    dependent value."""
+    from collections import defaultdict as dd
+
+    from data_pipeline_zeal_spark.operators import quality as dq
+
+    SCHEMA_FD = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    by_key = dd(set)
+    for k, v in rows:
+        if k is not None:
+            by_key[k].add(v)
+    want_checked = len(by_key)
+    want_viol = sum(
+        1 for vs in by_key.values() if len({x for x in vs if x is not None}) > 1
+    )
+    df = spark.createDataFrame(rows, SCHEMA_FD)
+    got = dq.functional_dependency(df, ["k"], "v").collect()[0]
+    assert (got.n_checked, got.n_violations) == (want_checked, want_viol)

@@ -6,9 +6,10 @@ weakest driver evidence.  This tool ranks every registered query by its
 LAST driver result across all ``CORRECTNESS_r*.json`` files:
 
 1. never sampled, oracle-backed           (strongest claim on a slot)
-2. last sample was an error / mismatch    (stale red to clear)
-3. never sampled, rows-only
-4. green                                  (keep behind position 50)
+2. oracle ADDED since the last sample     (stale no_oracle row to upgrade)
+3. last sample was an error / mismatch    (stale red to clear)
+4. never sampled, rows-only
+5. green                                  (keep behind position 50)
 
 and prints a ready-to-paste ``_DRIVER_FIRST`` literal.  Run it at the
 START of a round, paste into ``__spark_entry__.py``, then verify the new
@@ -45,19 +46,28 @@ def main() -> None:
     def rank(name: str) -> tuple:
         v = last.get(name)
         if v is None:
-            prio = 0 if name in oracle else 2
+            prio = 0 if name in oracle else 3
+        elif v.get("err") == "no_oracle" and name in oracle:
+            prio = 1  # oracle added since the sample: row is stale rows-only
         elif not green(v):
-            prio = 1
+            prio = 2
         else:
-            prio = 3
+            prio = 4
         return (prio, qk.index(name))
 
     ordered = sorted(qk, key=rank)
     window = ordered[:50]
     n_new = sum(1 for n in window if n not in last)
-    n_stale = sum(1 for n in window if n in last and not green(last[n]))
-    print(f"# window: {n_new} never-sampled, {n_stale} stale, "
-          f"{50 - n_new - n_stale} re-verifications")
+    n_upg = sum(
+        1
+        for n in window
+        if n in last and last[n].get("err") == "no_oracle" and n in oracle
+    )
+    n_stale = sum(
+        1 for n in window if n in last and not green(last[n])
+    )
+    print(f"# window: {n_new} never-sampled, {n_upg} oracle-upgraded, "
+          f"{n_stale} stale, {50 - n_new - n_upg - n_stale} re-verifications")
     print("_DRIVER_FIRST = [")
     for name in window:
         print(f'    "{name}",')
