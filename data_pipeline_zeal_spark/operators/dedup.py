@@ -512,7 +512,7 @@ def embedding_near_dup_pairs(
     * ``method="auto"`` — exact below ``auto_row_threshold`` rows (one
       count() job), else lsh.
     """
-    from ..functions.vector import as_double, cosine
+    from ..functions.vector import as_double, cosine, dot, norm
 
     if method == "auto":
         method = "exact" if embeddings.count() <= auto_row_threshold else "lsh"
@@ -547,7 +547,17 @@ def embedding_near_dup_pairs(
 
     from .similarity import lsh_band_buckets_udf
 
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    # Pre-normalize ONCE per vector (map-only): pair verification is then a
+    # single dot product instead of dot + two norms — 3x less per-pair
+    # arithmetic on the candidate set, which dominates at low-selectivity
+    # band layouts.  Zero vectors stay unnormalized (dot 0 == cosine 0).
+    nrm = norm(F.col("v"))
+    e = e.select(
+        "vec_id",
+        F.when(nrm == 0, F.col("v"))
+        .otherwise(F.transform("v", lambda x: x / nrm))
+        .alias("v"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bucket_fn = lsh_band_buckets_udf(dim, bands, planes_per_band)
     banded = (
         e.select("vec_id", F.posexplode(bucket_fn(F.col("v"))))
@@ -569,7 +579,12 @@ def embedding_near_dup_pairs(
         e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a"
     ).join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
     return (
-        verified.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        verified.select(
+            "vec_a",
+            "vec_b",
+            # unit vectors: cosine IS the dot product
+            F.round(dot(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
