@@ -2,9 +2,13 @@
 
 ``entry(spark)`` — flagship hourly windowed aggregation at sf0.001.
 ``queries()``   — one entry per implemented operator (SURVEY.md §2 + [EXT]).
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only for
-ops whose kernels are not SQL-expressible: minhash LSH banding, simhash,
-sign-LSH top-k — those get rows-only checks).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query.  Omitted only
+for genuinely estimator-specific ops (sign-LSH / IVF / PQ top-k, HLL and
+GK sketches, LSH survivor election) and the documented fake-decode
+multimodal stubs — those get rows-only checks plus pytest error/recall
+gates.  Deterministic hash-kernel ops are oracle-backed either portably
+(simhash via md5) or via pinned constant tables (generator profile,
+synth-media parsers — pure functions of ids, SF-independent).
 
 Column-name and type parity notes:
 * every computed column is aliased identically in Spark and SQL;
