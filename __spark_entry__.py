@@ -649,6 +649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_unigram_logprob"] = lambda s, d: text.unigram_logprob(
         load_table(s, d, "documents")
     )
+    q["text_source_fair_quality"] = lambda s, d: text.source_fair_quality(
+        load_table(s, d, "documents")
+    )
     q["orders_grouping_sets"] = lambda s, d: relational.priority_year_grouping_sets(
         load_table(s, d, "orders")
     )
@@ -3664,6 +3667,21 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM toks t JOIN freq f USING (term) CROSS JOIN tot tt
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+    o["text_source_fair_quality"] = """
+WITH toks AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS term FROM documents),
+freq AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+scored AS (
+  SELECT t.doc_id, round(avg(-log2(f.cnt / tt.total)), 6) AS bits_per_token
+  FROM toks t JOIN freq f USING (term) CROSS JOIN tot tt
+  GROUP BY t.doc_id)
+SELECT s.doc_id, d.source, s.bits_per_token,
+       round(percent_rank() OVER (PARTITION BY d.source
+                                  ORDER BY s.bits_per_token, s.doc_id), 6)
+         AS source_pct
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.doc_id
 """
     o["events_hour_uniformity"] = """
 WITH hourly AS (

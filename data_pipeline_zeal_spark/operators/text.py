@@ -390,6 +390,35 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def source_fair_quality(documents: DataFrame) -> DataFrame:
+    """Source-debiased quality calibration: each document's
+    :func:`unigram_logprob` bits-per-token converted to a percentile rank
+    WITHIN ITS SOURCE.  A single global quality threshold systematically
+    deletes whole domains (code and tables score "worse" than prose under
+    any LM); thresholding the per-source percentile instead keeps each
+    source's own best X% — the standard debiasing step before corpus
+    mixing.
+
+    Plan shape: the logprob kernel's shuffles plus ONE window partitioned
+    by source — every partition ranks only its own slice, no global sort.
+    Deterministic tiebreak on doc_id makes the rank (and so any
+    threshold cut) reproducible and oracle-checkable."""
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(documents).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.asc("bits_per_token"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "bits_per_token",
+        F.round(F.percent_rank().over(w), 6).alias("source_pct"),
+    ).orderBy("doc_id")
+
+
 def top_terms_per_source(documents: DataFrame, k: int = 5) -> DataFrame:
     """Top-``k`` most frequent tokens within each source (ties broken
     alphabetically) — the per-stratum vocabulary profile reviewers use to
