@@ -652,6 +652,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_source_fair_quality"] = lambda s, d: text.source_fair_quality(
         load_table(s, d, "documents")
     )
+    # zlib kernel: deterministic but not SQL-expressible -> rows-only;
+    # closed-form pins in tests/test_corpus.py (repetition compresses,
+    # noise doesn't)
+    q["text_compression_ratio"] = lambda s, d: text.compression_ratio(
+        load_table(s, d, "documents")
+    )
     q["orders_grouping_sets"] = lambda s, d: relational.priority_year_grouping_sets(
         load_table(s, d, "orders")
     )

@@ -8,6 +8,7 @@ shuffle except the final group-bys, no Python in the row path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -388,6 +389,38 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def compression_ratio(documents: DataFrame, level: int = 6) -> DataFrame:
+    """zlib compression ratio per document — the RefinedWeb/Gopher-family
+    repetition signal: highly repetitive boilerplate compresses far below
+    natural prose, and near-random noise compresses above it, so both
+    tails are filter candidates.  Complements the exact-span and n-gram
+    repetition profiles with a whole-document signal that catches
+    paraphrase-level templating they miss.
+
+    Python is unavoidable (no zlib in Catalyst) so this is an
+    Arrow-batched ``pandas_udf`` — one Python call per batch, C-speed
+    compression inside, map-only, no shuffle.  Deterministic (zlib level
+    pinned), so outputs are stable across runs; rows-only for the driver
+    (DuckDB has no zlib) with closed-form pins in pytest."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def ratio(col: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return col.map(one)
+
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("char_count"),
+        ratio(F.col("text")).alias("compression_ratio"),
+    ).orderBy("doc_id")
 
 
 def source_fair_quality(documents: DataFrame) -> DataFrame:

@@ -227,3 +227,31 @@ def test_basket_rules_laws(spark):
         if mirror is not None:
             assert abs(r.lift - mirror.lift) < 1e-6
             assert r.support == mirror.support
+
+
+def test_compression_ratio_signal(spark):
+    """Closed-form pins for the zlib repetition signal: pure repetition
+    compresses to a tiny ratio, high-entropy text stays near (or above) 1,
+    prose sits in between; empty text yields NULL."""
+    import random
+    import string
+
+    from data_pipeline_zeal_spark.operators import text as textops
+
+    random.seed(3)
+    noise = "".join(random.choice(string.ascii_letters + " ") for _ in range(2000))
+    rows = [
+        (1, "spam " * 400),
+        (2, noise),
+        (3, "The quick brown fox jumps over the lazy dog. " * 40),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.compression_ratio for r in textops.compression_ratio(df).collect()}
+    assert got[1] < 0.05          # repetition collapses
+    assert got[2] > 0.7           # noise barely compresses
+    assert got[1] < got[3] < got[2]
+    assert got[4] is None
+    # determinism: identical on rerun
+    again = {r.doc_id: r.compression_ratio for r in textops.compression_ratio(df).collect()}
+    assert got == again
