@@ -220,6 +220,7 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         "corpus_temperature_mix": 2,  # total + power-sum 1-row broadcasts
         "corpus_source_divergence": 1,
         "text_unigram_logprob": 1,
+        "text_source_fair_quality": 1,  # same 1-row total broadcast
         "text_bigram_logprob": 1,  # 1-row vocabulary-size broadcast
         "text_tfidf_top_terms": 1,
         # (text_doc_similarity's 1-row n_docs crossJoin sits behind the
