@@ -643,6 +643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["basket_rules"] = lambda s, d: etl.basket_association_rules(
         load_table(s, d, "lineitem"), min_support=2
     )
+    q["orders_cohort_ltv"] = lambda s, d: etl.cohort_ltv(
+        load_table(s, d, "orders")
+    )
     q["text_repetition_profile"] = lambda s, d: text.repetition_profile(
         load_table(s, d, "documents")
     )
@@ -1149,6 +1152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_heavy_hitters"] = _heavy_hitters
     q["corpus_temperature_mix"] = lambda s, d: corpus.temperature_mixture(
         load_table(s, d, "documents"), by="lang", alpha=0.3
+    )
+    q["corpus_epoch_plan"] = lambda s, d: corpus.epoch_plan(
+        load_table(s, d, "documents"), target_tokens=1_000_000
     )
 
     # The driver verifies the FIRST 50 entries of this dict in insertion
@@ -3600,6 +3606,29 @@ SELECT from_type, to_type, n,
 FROM edges
 ORDER BY from_type, to_type
 """
+    o["orders_cohort_ltv"] = """
+WITH first AS (
+  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort_month
+  FROM orders GROUP BY 1),
+pcm AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2),
+tri AS (
+  SELECT cohort_month,
+         CAST(datediff('month', cohort_month, month) AS INTEGER)
+           AS month_offset,
+         CAST(count(*) AS BIGINT) AS buyers,
+         round(sum(rev), 2) AS revenue
+  FROM pcm JOIN first USING (o_custkey)
+  GROUP BY 1, 2)
+SELECT cohort_month, month_offset, buyers, revenue,
+       round(sum(revenue) OVER (PARTITION BY cohort_month
+                                ORDER BY month_offset
+                                ROWS UNBOUNDED PRECEDING), 2)
+         AS cum_revenue
+FROM tri ORDER BY cohort_month, month_offset
+"""
     o["basket_rules"] = """
 WITH baskets AS (
   SELECT l_orderkey, count(DISTINCT l_partkey) AS nparts
@@ -4673,6 +4702,20 @@ ORDER BY i.type_a, i.type_b
 SELECT user_id, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY user_id
 ORDER BY n DESC, user_id ASC LIMIT 10
+"""
+    o["corpus_epoch_plan"] = f"""
+WITH toks AS (
+  SELECT source,
+         CAST(sum(len({_TOK})) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY 1),
+p AS (SELECT *, available_tokens ** 0.3 AS powed FROM toks),
+z AS (SELECT sum(powed) AS z FROM p)
+SELECT source, available_tokens,
+       round(powed / z, 6) AS token_share,
+       round(powed / z * 1000000.0, 2) AS target_tokens,
+       round(powed / z * 1000000.0 / available_tokens, 4) AS epochs
+FROM p CROSS JOIN z
+ORDER BY source
 """
     o["corpus_temperature_mix"] = """
 WITH counts AS (

@@ -635,6 +635,42 @@ def decontaminate(
     )
 
 
+def epoch_plan(
+    documents: DataFrame,
+    target_tokens: int,
+    by: str = "source",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Training-run epoch plan: given a total token budget and a
+    temperature-``alpha`` mixture (same q_i ∝ p_i^alpha recipe as
+    :func:`temperature_mixture`, but weighted by TOKENS, not documents),
+    how many tokens each group must contribute and how many EPOCHS
+    (repeats) of the group that implies — the repetition plan a data
+    loader executes (epochs > 1 = upsampling; < 1 = subsample).
+
+    Same scale shape as the mixture ops: one group aggregate over
+    whitespace token counts (map-side combined, group cardinality is
+    enum-small) plus two 1-row broadcast attaches."""
+    toks = documents.groupBy(by).agg(
+        F.sum(F.size(tokens("text"))).alias("available_tokens")
+    )
+    powed = toks.withColumn("powed", F.pow("available_tokens", F.lit(alpha)))
+    z = powed.agg(F.sum("powed").alias("z"))
+    share = F.col("powed") / F.col("z")
+    target = share * F.lit(float(target_tokens))
+    return (
+        powed.join(F.broadcast(z))
+        .select(
+            by,
+            "available_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(target, 2).alias("target_tokens"),
+            F.round(target / F.col("available_tokens"), 4).alias("epochs"),
+        )
+        .orderBy(by)
+    )
+
+
 def temperature_mixture(
     documents: DataFrame, by: str = "lang", alpha: float = 0.3
 ) -> DataFrame:

@@ -294,6 +294,50 @@ def order_lineitem_detail(
     )
 
 
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month, revenue and buyer counts accumulated at each later month
+    offset — the revenue twin of the retention triangle
+    (:func:`events_ext.weekly_cohort_retention`).
+
+    Scale shape: the first-order aggregate and the per-(customer, month)
+    pre-aggregate both shuffle ONCE on o_custkey (uniform key); the join
+    is custkey⋈custkey so AQE co-locates it, and the final aggregate is
+    tiny (#cohorts x #offsets).  Cumulative revenue comes from a window
+    over the already-aggregated triangle (cohorts x offsets rows), never
+    over raw orders."""
+    from pyspark.sql import Window
+
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    first = orders.groupBy("o_custkey").agg(F.min(month).alias("cohort_month"))
+    per_cust_month = (
+        orders.select("o_custkey", month.alias("month"), "o_totalprice")
+        .groupBy("o_custkey", "month")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    offset = F.months_between(F.col("month"), F.col("cohort_month")).cast("int")
+    tri = (
+        per_cust_month.join(first, "o_custkey")
+        .groupBy("cohort_month", offset.alias("month_offset"))
+        .agg(
+            F.count(F.lit(1)).alias("buyers"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tri.select(
+        "cohort_month",
+        "month_offset",
+        "buyers",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+    ).orderBy("cohort_month", "month_offset")
+
+
 def inactive_customers(
     customer: DataFrame,
     orders: DataFrame,

@@ -218,6 +218,7 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         # 1-row scalar broadcast attaches
         "corpus_mixture_weights": 1,
         "corpus_temperature_mix": 2,  # total + power-sum 1-row broadcasts
+        "corpus_epoch_plan": 1,  # power-sum normalizer 1-row broadcast
         "corpus_source_divergence": 1,
         "text_unigram_logprob": 1,
         "text_source_fair_quality": 1,  # same 1-row total broadcast
