@@ -1,0 +1,49 @@
+"""Diff two bench detail files (BENCH_DETAIL.json / BENCH_FULL_r*.json).
+
+Usage: python tools/bench_compare.py OLD.json NEW.json [--threshold 0.25]
+
+Prints per-query deltas over the threshold (relative), the shared-set
+totals, and adds/removes — the exact readout the round-5 drift
+investigation needed (SCALE.md "Bench drift investigation").  Remember:
+absolute seconds drift ±15-35 % with host state across sessions; within
+one session the comparison is sound.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 0.25
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+    old = json.load(open(args[0]))["queries"]
+    new = json.load(open(args[1]))["queries"]
+    shared = sorted(set(old) & set(new))
+    t_old = sum(old[k] for k in shared)
+    t_new = sum(new[k] for k in shared)
+    print(
+        f"shared {len(shared)} queries: {t_old:.2f}s -> {t_new:.2f}s "
+        f"({100 * (t_new / t_old - 1):+.1f}%)"
+    )
+    moved = [
+        (k, old[k], new[k])
+        for k in shared
+        if old[k] > 0.05 and abs(new[k] / old[k] - 1) >= thr
+    ]
+    for k, a, b in sorted(moved, key=lambda x: x[2] / x[1]):
+        print(f"  {k:40s} {a:7.2f} -> {b:7.2f}  ({100 * (b / a - 1):+.0f}%)")
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    if added:
+        print(f"added ({len(added)}):", ", ".join(added))
+    if removed:
+        print(f"removed ({len(removed)}):", ", ".join(removed))
+
+
+if __name__ == "__main__":
+    main()
