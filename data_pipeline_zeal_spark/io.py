@@ -149,6 +149,28 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def read_evolved(
+    spark: SparkSession, path: str, expected: list[str] | None = None
+) -> DataFrame:
+    """Schema-evolution-safe parquet read for an append-only table whose
+    writers added columns over time: ``mergeSchema`` unions every file
+    footer's schema (old files surface new columns as NULL), and
+    ``expected`` appends typed NULL columns that NO file carries yet — so
+    a reader deployed ahead of its writers still compiles.
+
+    Cost note: schema merging reads every footer at planning time (a
+    driver-side listing pass, not a data scan); production tables should
+    pin the merged schema in a catalog and pass it via ``.schema(...)``
+    instead — this helper is the bridge until that exists.  ``expected``
+    entries are ``name:type`` strings (Spark DDL types)."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for spec in expected or []:
+        name, _, dtype = spec.partition(":")
+        if name not in df.columns:
+            df = df.withColumn(name, F.lit(None).cast(dtype or "string"))
+    return df
+
+
 def _recover_compaction(path: str) -> None:
     """Roll back or finish a compaction swap of THIS table that crashed
     mid-rename: a stale sibling staging dir ``<path>.__compact_tmp`` is

@@ -213,3 +213,25 @@ def test_write_training_shards_deterministic_and_ordered(spark, tmp_path):
         for r in spark.read.parquet(out2).collect()
     }
     assert again == got
+
+
+def test_read_evolved_merges_and_backfills(spark, tmp_path):
+    """mergeSchema unions footers across writer generations (old files
+    yield NULL for later columns) and `expected` backfills a typed column
+    no file carries yet."""
+    from data_pipeline_zeal_spark.io import read_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        path + "/gen=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(path + "/gen=2")
+
+    df = read_evolved(spark, path, expected=["flags:int"])
+    rows = {r.id: r for r in df.collect()}
+    assert set(df.columns) >= {"id", "name", "score", "flags"}
+    assert rows[1].score is None and rows[2].score == 9.5
+    assert rows[1].flags is None and rows[2].flags is None
+    assert dict(df.dtypes)["flags"] == "int"
