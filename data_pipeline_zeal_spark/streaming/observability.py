@@ -38,6 +38,7 @@ class MetricsListener(StreamingQueryListener):
                 "last_input_rows_per_second": 0.0,
                 "last_batch_duration_ms": None,
                 "state_rows": None,
+                "rows_dropped_by_watermark": 0,
                 "watermark": None,
                 "terminated": False,
                 "exception": None,
@@ -55,6 +56,16 @@ class MetricsListener(StreamingQueryListener):
             m["last_batch_duration_ms"] = (p.durationMs or {}).get("triggerExecution")
             ops = p.stateOperators or []
             m["state_rows"] = ops[0].numRowsTotal if ops else None
+            # late-data accounting: rows the watermark silently discarded —
+            # THE metric that distinguishes "no traffic" from "traffic too
+            # late"; summed across batches and operators so the admin
+            # surface can alert on it
+            m["rows_dropped_by_watermark"] = m.get(
+                "rows_dropped_by_watermark", 0
+            ) + sum(
+                (getattr(op, "numRowsDroppedByWatermark", 0) or 0)
+                for op in ops
+            )
             m["watermark"] = (p.eventTime or {}).get("watermark")
 
     def onQueryTerminated(self, event) -> None:
@@ -87,6 +98,11 @@ def render_prometheus(snapshot: dict[str, dict[str, Any]]) -> str:
         ),
         ("pipeline_batch_duration_ms", "gauge", "last_batch_duration_ms"),
         ("pipeline_state_rows", "gauge", "state_rows"),
+        (
+            "pipeline_rows_dropped_by_watermark_total",
+            "counter",
+            "rows_dropped_by_watermark",
+        ),
     ]
     lines: list[str] = []
     for metric, kind, key in metrics:

@@ -184,3 +184,43 @@ def test_admin_server_routes():
             assert e.code == 404
     finally:
         srv.stop()
+
+
+def test_listener_accumulates_watermark_drops():
+    """rows_dropped_by_watermark sums numRowsDroppedByWatermark across
+    batches and state operators.  (Spark populates that field when late
+    rows reach a stateful operator — stream-stream joins,
+    flatMapGroupsWithState; plain aggregations filter late rows at the
+    EventTimeWatermark node instead, where they are invisible to state
+    metrics — so the listener's job is faithful accumulation, pinned
+    here with stub progress events.)"""
+
+    class _Op:
+        def __init__(self, dropped, total=5):
+            self.numRowsTotal = total
+            self.numRowsDroppedByWatermark = dropped
+
+    class _Progress:
+        def __init__(self, qid, ops):
+            self.id = qid
+            self.name = "stub"
+            self.numInputRows = 10
+            self.inputRowsPerSecond = 1.0
+            self.durationMs = {"triggerExecution": 5}
+            self.stateOperators = ops
+            self.eventTime = {"watermark": "2024-01-01T00:00:00Z"}
+
+    class _Event:
+        def __init__(self, progress):
+            self.progress = progress
+
+    listener = MetricsListener()
+    listener.onQueryProgress(_Event(_Progress("q", [_Op(3), _Op(2)])))
+    listener.onQueryProgress(_Event(_Progress("q", [_Op(4)])))
+    snap = listener.snapshot()
+    assert snap["q"]["rows_dropped_by_watermark"] == 9
+    # operators that lack the field (older Spark) contribute 0, not a crash
+    class _Bare:
+        numRowsTotal = 1
+    listener.onQueryProgress(_Event(_Progress("q", [_Bare()])))
+    assert listener.snapshot()["q"]["rows_dropped_by_watermark"] == 9
