@@ -4713,7 +4713,9 @@ z AS (SELECT sum(powed) AS z FROM p)
 SELECT source, available_tokens,
        round(powed / z, 6) AS token_share,
        round(powed / z * 1000000.0, 2) AS target_tokens,
-       round(powed / z * 1000000.0 / available_tokens, 4) AS epochs
+       round(CASE WHEN available_tokens > 0
+                  THEN powed / z * 1000000.0 / available_tokens
+                  ELSE 0.0 END, 4) AS epochs
 FROM p CROSS JOIN z
 ORDER BY source
 """

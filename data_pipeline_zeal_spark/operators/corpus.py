@@ -665,7 +665,13 @@ def epoch_plan(
             "available_tokens",
             F.round(share, 6).alias("token_share"),
             F.round(target, 2).alias("target_tokens"),
-            F.round(target / F.col("available_tokens"), 4).alias("epochs"),
+            # an all-empty group has 0 available tokens and 0 share;
+            # pin its epochs to 0.0 instead of inheriting 0/0 semantics
+            F.round(
+                F.when(F.col("available_tokens") > 0,
+                       target / F.col("available_tokens")).otherwise(0.0),
+                4,
+            ).alias("epochs"),
         )
         .orderBy(by)
     )
