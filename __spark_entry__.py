@@ -3608,16 +3608,19 @@ ORDER BY from_type, to_type
 """
     o["orders_cohort_ltv"] = """
 WITH first AS (
-  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort_month
+  SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m')) AS cohort_month
   FROM orders GROUP BY 1),
 pcm AS (
-  SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+  SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
          sum(o_totalprice) AS rev
   FROM orders GROUP BY 1, 2),
 tri AS (
   SELECT cohort_month,
-         CAST(datediff('month', cohort_month, month) AS INTEGER)
-           AS month_offset,
+         CAST(12 * (CAST(substr(month, 1, 4) AS INTEGER)
+                    - CAST(substr(cohort_month, 1, 4) AS INTEGER))
+              + (CAST(substr(month, 6, 2) AS INTEGER)
+                 - CAST(substr(cohort_month, 6, 2) AS INTEGER))
+              AS INTEGER) AS month_offset,
          CAST(count(*) AS BIGINT) AS buyers,
          round(sum(rev), 2) AS revenue
   FROM pcm JOIN first USING (o_custkey)

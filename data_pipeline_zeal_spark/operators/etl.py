@@ -308,14 +308,22 @@ def cohort_ltv(orders: DataFrame) -> DataFrame:
     over raw orders."""
     from pyspark.sql import Window
 
-    month = F.date_trunc("month", F.col("o_orderdate"))
+    # month key as a 'yyyy-MM' STRING: every engine renders it identically
+    # (date_trunc's return type varies date/timestamp across engines and
+    # SF fixtures, which broke cross-engine hash parity both ways)
+    month = F.date_format(F.col("o_orderdate"), "yyyy-MM")
     first = orders.groupBy("o_custkey").agg(F.min(month).alias("cohort_month"))
     per_cust_month = (
         orders.select("o_custkey", month.alias("month"), "o_totalprice")
         .groupBy("o_custkey", "month")
         .agg(F.sum("o_totalprice").alias("rev"))
     )
-    offset = F.months_between(F.col("month"), F.col("cohort_month")).cast("int")
+    offset = (
+        12 * (F.substring("month", 1, 4).cast("int")
+              - F.substring("cohort_month", 1, 4).cast("int"))
+        + (F.substring("month", 6, 2).cast("int")
+           - F.substring("cohort_month", 6, 2).cast("int"))
+    )
     tri = (
         per_cust_month.join(first, "o_custkey")
         .groupBy("cohort_month", offset.alias("month_offset"))
