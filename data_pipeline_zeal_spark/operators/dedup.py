@@ -280,20 +280,35 @@ def simhash(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 15
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 15,
+    driver_edge_max: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list: each node labeled
     with the minimum node id reachable from it (= its cluster id).
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own and its neighbors' labels; converges in graph-diameter rounds —
-    near-dup clusters are short chains, so diameter is small.  Each
-    iteration localCheckpoints the label frame (truncates the exponential
-    lineage — THE correctness requirement for iterative DataFrame algos)
-    and stops early on a converged fixpoint.  At adversarial-diameter scale
-    use :func:`connected_components_star` (the O(log n)-round
-    large-star/small-star variant, same output contract — equivalence
-    pytest-pinned on chains and random graphs)."""
+    Two execution paths behind one contract:
+
+    * **Bounded driver union-find** when the (deduplicated, undirected)
+      edge count is ≤ ``driver_edge_max``: collect the edge list (≤ ~16 MB
+      at the default bound), run path-compressed union-find, re-label each
+      component by its minimum node, parallelize the labels back.  Near-dup
+      candidate graphs are SPARSE BY CONSTRUCTION (LSH admits ~true-pair
+      volume), so even a 100 TB corpus typically lands here — the same
+      bounded-driver-side pattern as the IVF/PQ trainers, and it replaces
+      O(diameter) join rounds with one collect.  Set ``driver_edge_max=0``
+      to force the distributed path.
+    * **Iterative min-label propagation** above the bound: each round every
+      node takes the min of its own and its neighbors' labels; converges in
+      graph-diameter rounds.  Each iteration localCheckpoints the label
+      frame (truncates the exponential lineage — THE correctness
+      requirement for iterative DataFrame algos) and stops early on a
+      converged fixpoint.  At adversarial diameter use
+      :func:`connected_components_star` (O(log n) rounds).
+
+    Path equivalence is pytest-pinned on chains and random graphs."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Materialize the (undirected) edge frame ONCE.  Every iteration joins
     # against it, and so does every convergence count — without this
@@ -306,6 +321,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_edge_max and und.count() <= 2 * driver_edge_max:
+        return _union_find_labels(und)
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
@@ -359,6 +376,43 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+def _union_find_labels(und: DataFrame) -> DataFrame:
+    """Driver-side union-find over a BOUNDED undirected edge frame
+    (caller guards size): path compression + union by min keeps the
+    canonical representative the component minimum, so output is
+    bit-identical to the distributed kernels."""
+    from pyspark.sql import types as T
+
+    spark = und.sparkSession
+    parent: dict = {}
+    nodes: set = set()
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in und.collect():
+        nodes.add(row.a)
+        nodes.add(row.b)
+        ra, rb = find(row.a), find(row.b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = sorted((n, find(n)) for n in nodes)
+    node_type = und.schema["a"].dataType  # preserve the caller's id type
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", node_type),
+            T.StructField("cluster_id", node_type),
+        ]
+    )
+    return spark.createDataFrame(labels, schema).orderBy("doc_id")
 
 
 def connected_components_star(

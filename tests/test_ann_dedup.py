@@ -379,15 +379,18 @@ def test_star_cc_matches_propagation(spark):
         return {(r.doc_id, r.cluster_id) for r in fn(df, **kw).collect()}
 
     chain = [(i, i + 1) for i in range(60)]
-    assert labels(dedup.connected_components, chain, max_iter=100) == labels(
-        dedup.connected_components_star, chain
-    )
-
     random.seed(11)
     rnd = [
         (random.randrange(80), random.randrange(80)) for _ in range(120)
     ]
     rnd = [(a, b) for a, b in rnd if a != b]
-    assert labels(dedup.connected_components, rnd, max_iter=100) == labels(
-        dedup.connected_components_star, rnd
-    )
+    for edges in (chain, rnd):
+        uf = labels(dedup.connected_components, edges)  # driver union-find
+        prop = labels(
+            dedup.connected_components,
+            edges,
+            driver_edge_max=0,  # force the distributed propagation path
+            max_iter=100,
+        )
+        star = labels(dedup.connected_components_star, edges)
+        assert uf == prop == star
