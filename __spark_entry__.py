@@ -646,6 +646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_cohort_ltv"] = lambda s, d: etl.cohort_ltv(
         load_table(s, d, "orders")
     )
+    q["orders_seasonality"] = lambda s, d: etl.revenue_seasonality(
+        load_table(s, d, "orders")
+    )
     q["text_repetition_profile"] = lambda s, d: text.repetition_profile(
         load_table(s, d, "documents")
     )
@@ -3605,6 +3608,33 @@ SELECT from_type, to_type, n,
          AS share
 FROM edges
 ORDER BY from_type, to_type
+"""
+    o["orders_seasonality"] = """
+WITH series AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT month, revenue,
+         CASE WHEN count(revenue) OVER w = 13
+              THEN floor((sum(revenue) OVER w
+                          - (first_value(revenue) OVER w
+                             + last_value(revenue) OVER w) / 2) / 12
+                         * 100 + 0.5) / 100
+         END AS trend,
+         substr(month, 6, 2) AS moy
+  FROM series
+  WINDOW w AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+idx AS (
+  SELECT moy, avg(revenue / trend) AS seasonal_idx
+  FROM t WHERE trend IS NOT NULL GROUP BY 1)
+SELECT month, revenue, trend,
+       floor(seasonal_idx * 1000000 + 0.5) / 1000000 AS seasonal_idx,
+       floor(floor(revenue * 100 + 0.5) * 1000000
+             / floor(seasonal_idx * 1000000 + 0.5) + 0.5) / 100
+         AS deseasonalized
+FROM t JOIN idx USING (moy)
+ORDER BY month
 """
     o["orders_cohort_ltv"] = """
 WITH first AS (

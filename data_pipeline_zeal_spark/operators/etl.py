@@ -294,6 +294,78 @@ def order_lineitem_detail(
     )
 
 
+def revenue_seasonality(orders: DataFrame, period: int = 12) -> DataFrame:
+    """Classical (ratio-to-moving-average) time-series decomposition of
+    monthly revenue: centered ``period``-month trend, multiplicative
+    seasonal index per month-of-year, and the deseasonalized series — the
+    "is December really up, or is that just December" readout.
+
+    Scale shape: ONE aggregate collapses orders to the monthly series
+    (map-side combined; the series is ≤ #months rows no matter the SF),
+    and every window below runs over that tiny frame — a deliberate
+    single-partition window over dozens of rows, not raw data.  Months at
+    the series edges lack a full centered window and carry NULL trend,
+    matching the textbook treatment; the seasonal index averages only
+    months with trend."""
+    from pyspark.sql import Window
+
+    month = F.date_format(F.col("o_orderdate"), "yyyy-MM")
+    series = (
+        orders.groupBy(month.alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    half = period // 2
+    w = Window.orderBy("month")
+    # centered MA over `period` months (even periods use the standard
+    # (period+1)-point window with half-weight endpoints)
+    win = w.rowsBetween(-half, half)
+    n_in_win = F.count("revenue").over(win)
+    first_rev = F.first("revenue").over(win)
+    last_rev = F.last("revenue").over(win)
+    centered = F.when(
+        n_in_win == period + 1,
+        (F.sum("revenue").over(win) - (first_rev + last_rev) / 2) / period,
+    )
+    with_trend = series.select(
+        "month",
+        "revenue",
+        # floor-based cent quantization: engines' round(double, 2)
+        # implementations can disagree by one ULP exactly at .5 cent
+        # boundaries; floor over the same IEEE double cannot
+        (F.floor(centered * 100 + 0.5) / 100).alias("trend"),
+        F.substring("month", 6, 2).alias("moy"),
+    )
+    idx = (
+        with_trend.filter(F.col("trend").isNotNull())
+        .groupBy("moy")
+        .agg(F.avg(F.col("revenue") / F.col("trend")).alias("seasonal_idx"))
+    )
+    # Cross-engine numerics: engines implement round(double, n)
+    # differently on the same double (BigDecimal-exact vs multiply-based),
+    # so the published index is derived via floor — floor over identical
+    # IEEE doubles is identical everywhere — and the deseasonalized cents
+    # divide by that exact micro-unit integer.
+    idx6 = F.floor(F.col("seasonal_idx") * 1_000_000 + 0.5)
+    # quantize the (already 2-dp) revenue to integer cents as well: the
+    # engines' round(double, 2) can disagree by one ULP, and a 1-ulp
+    # divisor/dividend difference flips the final cent at division
+    # boundaries; integer cents / integer micro-index is exact
+    rev_cents = F.floor(F.col("revenue") * 100 + 0.5)
+    return (
+        with_trend.join(F.broadcast(idx), "moy")
+        .select(
+            "month",
+            "revenue",
+            "trend",
+            (idx6 / 1_000_000).alias("seasonal_idx"),
+            (
+                F.floor(rev_cents * 1_000_000 / idx6 + 0.5) / 100
+            ).alias("deseasonalized"),
+        )
+        .orderBy("month")
+    )
+
+
 def cohort_ltv(orders: DataFrame) -> DataFrame:
     """Cohort lifetime-value triangle: customers grouped by first-order
     month, revenue and buyer counts accumulated at each later month
