@@ -158,9 +158,6 @@ HEADLINE = [
     "corpus_temperature_mix",
     "events_funnel_rates",
     "orders_pareto_share",
-    "tpch_q4_priority_check",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume",
     "sim_matryoshka_topk",
     "dq_functional_deps",
     "basket_rules",
@@ -168,6 +165,11 @@ HEADLINE = [
     "events_top_paths",
     "dedup_clusters",
     "semdedup_survivors",
+    "orders_cohort_ltv",
+    "corpus_epoch_plan",
+    "text_source_fair_quality",
+    "text_compression_ratio",
+    "orders_seasonality",
 ]
 
 
