@@ -316,16 +316,23 @@ def revenue_seasonality(orders: DataFrame, period: int = 12) -> DataFrame:
     )
     half = period // 2
     w = Window.orderBy("month")
-    # centered MA over `period` months (even periods use the standard
-    # (period+1)-point window with half-weight endpoints)
     win = w.rowsBetween(-half, half)
     n_in_win = F.count("revenue").over(win)
-    first_rev = F.first("revenue").over(win)
-    last_rev = F.last("revenue").over(win)
-    centered = F.when(
-        n_in_win == period + 1,
-        (F.sum("revenue").over(win) - (first_rev + last_rev) / 2) / period,
-    )
+    if period % 2 == 0:
+        # even period: the standard (period+1)-point centered window with
+        # half-weight endpoints
+        first_rev = F.first("revenue").over(win)
+        last_rev = F.last("revenue").over(win)
+        centered = F.when(
+            n_in_win == period + 1,
+            (F.sum("revenue").over(win) - (first_rev + last_rev) / 2)
+            / period,
+        )
+    else:
+        # odd period: a plain period-point centered moving average
+        centered = F.when(
+            n_in_win == period, F.sum("revenue").over(win) / period
+        )
     with_trend = series.select(
         "month",
         "revenue",
