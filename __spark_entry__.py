@@ -498,6 +498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_daily_anomaly"] = lambda s, d: events_ext.daily_anomaly_zscore(
         load_table(s, d, "events")
     )
+    q["events_daily_anomaly_mad"] = lambda s, d: events_ext.daily_anomaly_mad(
+        load_table(s, d, "events")
+    )
     q["orders_rfm"] = lambda s, d: etl.rfm_segments(load_table(s, d, "orders"))
 
     # the ad-hoc ANSI-SQL entry path (io.sql → temp views → spark.sql),
@@ -3485,6 +3488,29 @@ SELECT event_type,
        count(*) AS n
 FROM events WHERE value IS NOT NULL
 GROUP BY 1, 2 ORDER BY event_type, bin
+"""
+    o["events_daily_anomaly_mad"] = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+med AS (
+  SELECT event_type, quantile_cont(n, 0.5) AS med FROM daily GROUP BY 1),
+adev AS (
+  SELECT day, d.event_type, n, med, abs(n - med) AS adev
+  FROM daily d JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM adev GROUP BY 1)
+SELECT day, a.event_type, CAST(n AS BIGINT) AS n,
+       round(med, 1) AS median_n,
+       round(mad, 1) AS mad,
+       round(CASE WHEN mad > 0
+                  THEN 0.6745 * (n - med) / mad ELSE 0.0 END, 4)
+         AS modified_z,
+       CAST(abs(CASE WHEN mad > 0
+                     THEN 0.6745 * (n - med) / mad ELSE 0.0 END) > 3.5
+            AS INTEGER) AS is_anomaly
+FROM adev a JOIN mad USING (event_type)
+ORDER BY day, a.event_type
 """
     o["events_daily_anomaly"] = """
 WITH daily AS (

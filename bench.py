@@ -170,6 +170,7 @@ HEADLINE = [
     "text_source_fair_quality",
     "text_compression_ratio",
     "orders_seasonality",
+    "events_daily_anomaly_mad",
 ]
 
 

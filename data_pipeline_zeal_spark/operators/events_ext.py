@@ -292,6 +292,50 @@ def value_histogram(events: DataFrame, bin_width: float = 10.0) -> DataFrame:
     )
 
 
+def daily_anomaly_mad(events: DataFrame, k: float = 3.5) -> DataFrame:
+    """Robust daily anomaly flags per type: deviation from the per-type
+    MEDIAN in units of the median absolute deviation (MAD) — the
+    break-down-resistant twin of :func:`daily_anomaly_zscore` (one wild
+    day inflates a trailing stddev and masks later anomalies; it barely
+    moves the median).  ``k=3.5`` is the conventional Iglewicz-Hoaglin
+    cutoff on the modified z-score 0.6745*(x-med)/MAD.
+
+    Scale shape: the daily aggregate collapses events to #days x #types
+    rows FIRST (map-side combined); both medians are exact percentiles
+    over that bounded frame grouped by type — never over raw events.  The
+    day-level frame joins back on event_type (bounded broadcast)."""
+    daily = events.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    abs_dev = daily.join(F.broadcast(med), "event_type").select(
+        "day",
+        "event_type",
+        "n",
+        "med",
+        F.abs(F.col("n") - F.col("med")).alias("adev"),
+    )
+    mad = abs_dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    scored = abs_dev.join(F.broadcast(mad), "event_type")
+    mz = F.when(
+        F.col("mad") > 0, 0.6745 * (F.col("n") - F.col("med")) / F.col("mad")
+    ).otherwise(F.lit(0.0))
+    return scored.select(
+        "day",
+        "event_type",
+        "n",
+        F.round("med", 1).alias("median_n"),
+        F.round("mad", 1).alias("mad"),
+        F.round(mz, 4).alias("modified_z"),
+        (F.abs(mz) > k).cast("int").alias("is_anomaly"),
+    ).orderBy("day", "event_type")
+
+
 def daily_anomaly_zscore(events: DataFrame, trailing_days: int = 7) -> DataFrame:
     """Daily event-count anomaly score per type: z-score of each day's
     count against its own trailing window (previous ``trailing_days`` days,
