@@ -501,6 +501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_daily_anomaly_mad"] = lambda s, d: events_ext.daily_anomaly_mad(
         load_table(s, d, "events")
     )
+    q["events_user_bursts"] = lambda s, d: events_ext.user_burst_profile(
+        load_table(s, d, "events")
+    )
     q["orders_rfm"] = lambda s, d: etl.rfm_segments(load_table(s, d, "orders"))
 
     # the ad-hoc ANSI-SQL entry path (io.sql → temp views → spark.sql),
@@ -3488,6 +3491,32 @@ SELECT event_type,
        count(*) AS n
 FROM events WHERE value IS NOT NULL
 GROUP BY 1, 2 ORDER BY event_type, bin
+"""
+    o["events_user_bursts"] = """
+WITH ev AS (
+  -- floor, not cast: DuckDB double->BIGINT casts ROUND sub-second
+  -- epochs while Spark's cast(long) truncates
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events),
+counted AS (
+  SELECT user_id, epoch,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch
+                        RANGE BETWEEN 299 PRECEDING AND CURRENT ROW)
+           AS in_window
+  FROM ev),
+per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(in_window) AS BIGINT) AS peak_window,
+         max(epoch) - min(epoch) AS span_s
+  FROM counted GROUP BY 1)
+SELECT user_id, n_events, peak_window,
+       floor(n_events * 300.0 / greatest(span_s, 300) * 10000 + 0.5) / 10000
+         AS expected_per_window,
+       floor(peak_window
+             / (n_events * 300.0 / greatest(span_s, 300)) * 10000 + 0.5)
+         / 10000 AS burst_ratio
+FROM per_user WHERE n_events >= 10
+ORDER BY user_id
 """
     o["events_daily_anomaly_mad"] = """
 WITH daily AS (

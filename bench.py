@@ -171,6 +171,7 @@ HEADLINE = [
     "text_compression_ratio",
     "orders_seasonality",
     "events_daily_anomaly_mad",
+    "events_user_bursts",
 ]
 
 

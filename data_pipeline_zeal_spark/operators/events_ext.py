@@ -292,6 +292,58 @@ def value_histogram(events: DataFrame, bin_width: float = 10.0) -> DataFrame:
     )
 
 
+def user_burst_profile(
+    events: DataFrame, window_seconds: int = 300, min_events: int = 10
+) -> DataFrame:
+    """Per-user burst detection: the peak event count inside ANY sliding
+    ``window_seconds`` window, against the user's own steady-state rate —
+    the velocity signal abuse/fraud screens lead with (a scraper's
+    60-events-in-5-minutes looks nothing like its daily average).
+
+    Exact sliding peak via a RANGE window on epoch seconds: each event
+    counts the events in its trailing window, so the max over events IS
+    the max over all window placements ending at an event — no window
+    grid, no self-join.  One user-keyed shuffle shared by the range
+    window and the per-user aggregate; users below ``min_events`` are
+    noise and dropped.  burst_ratio divides the peak by the expected
+    count per window at the user's average rate over their active span
+    (span floored at one window so drive-by users don't divide by ~0)."""
+    ev = events.select(
+        "user_id", F.col("ts").cast("long").alias("epoch")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-(window_seconds - 1), 0)
+    )
+    counted = ev.withColumn("in_window", F.count(F.lit(1)).over(w))
+    per_user = counted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("in_window").alias("peak_window"),
+        (F.max("epoch") - F.min("epoch")).alias("span_s"),
+    )
+    span = F.greatest(F.col("span_s"), F.lit(window_seconds))
+    expected = F.col("n_events") * window_seconds / span
+    return (
+        per_user.filter(F.col("n_events") >= min_events)
+        .select(
+            "user_id",
+            "n_events",
+            "peak_window",
+            # floor-quantized: engines' round(double, 4) can differ one ULP
+            # at .5 boundaries; floor over identical doubles cannot
+            (F.floor(expected * 10_000 + 0.5) / 10_000).alias(
+                "expected_per_window"
+            ),
+            (
+                F.floor(F.col("peak_window") / expected * 10_000 + 0.5)
+                / 10_000
+            ).alias("burst_ratio"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def daily_anomaly_mad(events: DataFrame, k: float = 3.5) -> DataFrame:
     """Robust daily anomaly flags per type: deviation from the per-type
     MEDIAN in units of the median absolute deviation (MAD) — the
