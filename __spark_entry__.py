@@ -504,6 +504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_user_bursts"] = lambda s, d: events_ext.user_burst_profile(
         load_table(s, d, "events")
     )
+    q["events_key_skew_profile"] = lambda s, d: events_ext.key_skew_profile(
+        load_table(s, d, "events")
+    )
     q["orders_rfm"] = lambda s, d: etl.rfm_segments(load_table(s, d, "orders"))
 
     # the ad-hoc ANSI-SQL entry path (io.sql → temp views → spark.sql),
@@ -1197,7 +1200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: window: round-5 oracle-backed additions with no driver row
 #: (tpch_q10_returned_items, tpch_q18_large_volume, dq_functional_deps,
 #: basket_rules, text_readability, events_top_paths, orders_cohort_ltv,
-#: corpus_epoch_plan, text_source_fair_quality, orders_seasonality),
+#: corpus_epoch_plan, text_source_fair_quality, orders_seasonality,
+#: events_daily_anomaly_mad, events_user_bursts, events_key_skew_profile),
 #: the oracle-upgraded set (dedup_simhash, generator_profile,
 #: multimodal_{wav,png,jpeg}_headers, multimodal_pcm_energy,
 #: multimodal_image_phash), and the genuinely rows-only stragglers
@@ -3517,6 +3521,23 @@ SELECT user_id, n_events, peak_window,
          / 10000 AS burst_ratio
 FROM per_user WHERE n_events >= 10
 ORDER BY user_id
+"""
+    o["events_key_skew_profile"] = """
+WITH k AS (
+  SELECT event_type, user_id, CAST(count(*) AS DOUBLE) AS c
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2)
+SELECT event_type,
+       count(*) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(max(c) AS BIGINT) AS max_count,
+       round(max(c) / sum(c), 4) AS top1_share,
+       round(quantile_cont(c, 0.5), 4) AS p50_count,
+       round(quantile_cont(c, 0.99), 4) AS p99_count,
+       round(CASE WHEN count(*) = 1 THEN 0.0
+             ELSE (log2(sum(c)) - sum(c * log2(c)) / sum(c))
+                  / log2(count(*)) END, 4) AS evenness
+FROM k GROUP BY event_type ORDER BY event_type
 """
     o["events_daily_anomaly_mad"] = """
 WITH daily AS (

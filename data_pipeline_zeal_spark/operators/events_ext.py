@@ -966,3 +966,45 @@ def audience_overlap(events: DataFrame) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def key_skew_profile(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Shuffle-key skew diagnosis per event type: the distribution of
+    per-key row counts — hottest-key share, exact p50/p99 of the count
+    distribution, and normalized Shannon evenness — the profile you run
+    BEFORE deciding whether a groupBy/join key needs salting
+    (``functions/skew.py``) or AQE skew-join handling.  Evenness near 1.0
+    means hash partitioning balances; a top1_share near 1.0 means one key
+    owns the partition and two-phase salting is mandatory.
+
+    Scale shape: one map-side-combined count per (type, key), then one
+    reduction per type.  Entropy uses the closed form
+    ``log2(T) - sum(c*log2 c)/T`` so no per-row probability (and hence no
+    window over all keys of a type, which would single-partition the
+    hottest dimension) is ever materialized — both levels are plain
+    partial-aggregated exchanges, O(|keys|) shuffle bytes total."""
+    counts = events.where(F.col(key).isNotNull()).groupBy(
+        "event_type", key
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    t = F.sum("c")
+    s = F.sum(F.col("c") * F.log2("c"))
+    n_keys = F.count(F.lit(1))
+    entropy = F.log2(t) - s / t
+    return (
+        counts.groupBy("event_type")
+        .agg(
+            n_keys.alias("n_keys"),
+            t.cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_count"),
+            F.round(F.max("c") / t, 4).alias("top1_share"),
+            F.round(F.percentile(F.col("c"), F.lit(0.5)), 4).alias("p50_count"),
+            F.round(F.percentile(F.col("c"), F.lit(0.99)), 4).alias("p99_count"),
+            F.round(
+                F.when(n_keys == 1, F.lit(0.0)).otherwise(
+                    entropy / F.log2(n_keys)
+                ),
+                4,
+            ).alias("evenness"),
+        )
+        .orderBy("event_type")
+    )
