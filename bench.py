@@ -172,6 +172,7 @@ HEADLINE = [
     "orders_seasonality",
     "events_daily_anomaly_mad",
     "events_user_bursts",
+    "events_key_skew_profile",
 ]
 
 
