@@ -194,7 +194,12 @@ def main() -> None:
     else:
         suite = HEADLINE
 
-    _force(queries["agg_event_types"](spark, SF_DIR))  # warmup
+    _force(queries["agg_event_types"](spark, SF_DIR))  # warmup (JVM/codegen)
+    # Warm the Python/Arrow worker pool too: the first pandas-UDF stage of a
+    # session pays worker fork + numpy/pandas import (~5 s across 32 slots),
+    # which otherwise lands on whichever pandas-backed query runs first.
+    _warm = spark.range(32).repartition(32)
+    _force(_warm.mapInPandas(lambda it: it, "id long"))
 
     timings: dict[str, float] = {}
     for name in suite:

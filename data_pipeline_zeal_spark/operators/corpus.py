@@ -264,14 +264,13 @@ def semantic_dedup(
     via ``method="lsh"``); clustering is the shared min-label-propagation
     kernel (``dedup.connected_components``).
 
-    When the band layout is not given, the LSH path picks it from the
-    threshold: low-contrast thresholds (< 0.9) need MANY SHORT bands for
-    recall (8 bands x 3 planes ≈ 0.92 at cosine 0.45); high thresholds
-    keep the leaner 4 x 6 default (≈ 0.95 at cosine 0.95).  Passing the
-    default layout blindly at threshold 0.4 would silently run at ~23 %
-    recall."""
-    if bands is None or planes_per_band is None:
-        bands, planes_per_band = (8, 3) if threshold < 0.9 else (4, 6)
+    When the band layout is not given, the LSH path SOLVES it from the
+    threshold via the s-curve collision probability
+    (:func:`similarity.derive_band_layout`): recall >= 0.85 at the
+    threshold with background candidate volume budgeted < ~9 % of pairs.
+    A fixed layout is wrong at both ends — the lean 4x6 at threshold 0.4
+    runs at ~23 % recall, while round 5's 8x3 patch admitted ~65 % of all
+    pairs as verify candidates."""
     pairs = dedup.embedding_near_dup_pairs(
         embeddings,
         threshold,

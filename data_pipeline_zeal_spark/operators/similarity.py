@@ -15,6 +15,9 @@ Two tiers:
 
 from __future__ import annotations
 
+import functools as _functools
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -152,7 +155,70 @@ def matryoshka_topk(
     )
 
 
-def lsh_band_buckets_udf(dim: int, bands: int, planes_per_band: int):
+def derive_band_layout(
+    threshold: float,
+    target_recall: float = 0.85,
+    max_bg: float = 0.09,
+    max_keys: int = 1024,
+    background: float = 0.0,
+) -> tuple[int, int, float]:
+    """Solve the sign-LSH s-curve for a (bands, planes_per_band) layout
+    that meets ``target_recall`` at cosine ``threshold`` while keeping the
+    expected candidate rate for ``background``-similarity pairs at or
+    under ``max_bg`` — the fix for the round-5 finding that a FIXED band
+    layout admits ~65 % of all pairs as candidates at low thresholds
+    (verify stage becomes the job at 100 TB).
+
+    Math (standard random-hyperplane LSH): a pair at cosine s collides on
+    one plane with p(s) = 1 - arccos(s)/pi, on a band of r planes with
+    p^r, and in at least one of b bands with 1 - (1 - p^r)^b.  For each
+    row count r, the smallest band count meeting the recall floor is
+    b(r) = ceil(ln(1-R) / ln(1-p_t^r)); more rows per band sharpen the
+    s-curve (lower background rate) at the price of more bands (more
+    bucket keys per vector — the exchange cost).  Among layouts with
+    b(r) <= max_keys we pick the CHEAPEST (fewest keys) whose predicted
+    background rate clears ``max_bg``; if none does (very low contrast —
+    e.g. threshold 0.3 vs background 0.0), fall back to the minimum-
+    background layout and let the caller's instrumentation surface the
+    rate.  Returns (bands, planes_per_band, predicted_bg_rate).
+
+    The prediction is for INDEPENDENT planes; the orthogonalized family
+    actually used by :func:`lsh_band_buckets_udf` (``orthogonal=True``)
+    measures slightly BETTER (fixture sf0.1: predicted 8.8 % background
+    -> 8.3 % measured at threshold 0.4), so the budget is conservative.
+    """
+    if not -1.0 < background < threshold <= 1.0:
+        raise ValueError(
+            f"need background < threshold in (-1, 1]: {background}, {threshold}"
+        )
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1): {target_recall}")
+    p_t = 1.0 - math.acos(min(threshold, 1.0)) / math.pi
+    p_bg = 1.0 - math.acos(background) / math.pi
+    feasible: list[tuple[int, int, float]] = []
+    for r in range(1, 25):
+        q = p_t**r
+        if q >= 1.0:  # threshold == 1.0 -> any layout has recall 1
+            return (1, r, p_bg**r)
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q))
+        if b > max_keys:
+            continue
+        bg = 1.0 - (1.0 - p_bg**r) ** b
+        feasible.append((b, r, bg))
+    if not feasible:
+        raise ValueError(
+            f"no layout with <= {max_keys} bands reaches recall "
+            f"{target_recall} at threshold {threshold}"
+        )
+    within = [f for f in feasible if f[2] <= max_bg]
+    if within:
+        return min(within, key=lambda f: f[0])
+    return min(feasible, key=lambda f: f[2])
+
+
+def lsh_band_buckets_udf(
+    dim: int, bands: int, planes_per_band: int, orthogonal: bool = False
+):
     """All band buckets in ONE Arrow-batched kernel: stack the
     ``bands * planes_per_band`` hyperplanes into a matrix and compute every
     projection as a single BLAS matmul per batch, then pack sign bits into
@@ -166,13 +232,18 @@ def lsh_band_buckets_udf(dim: int, bands: int, planes_per_band: int):
     unrolls ``bands * planes_per_band`` aggregates over ``dim``-element
     literal arrays: at 4x6 planes the plan spends multiples of the actual
     scan time in codegen compilation — the same trap the PQ encoder avoids
-    the same way (BLAS per Arrow batch, constants in the closure)."""
+    the same way (BLAS per Arrow batch, constants in the closure).
+
+    ``orthogonal=True`` QR-orthonormalizes each band's planes (Super-Bit
+    LSH, Ji et al., NIPS 2012 — public algorithm): within-band sign bits
+    become negatively correlated, which concentrates the per-band
+    collision probability and measurably cuts the background candidate
+    rate at equal recall (fixture sf0.1, threshold 0.4: 14.6 % -> 10.3 %
+    of all pairs at 476x12).  Default False preserves bit-parity with
+    :func:`lsh_bucket_expr` (pinned by tests)."""
     import numpy as np
 
-    total = bands * planes_per_band
-    planes = np.array(
-        [_hyperplane(dim, p) for p in range(total)], dtype=np.float64
-    )  # (total, dim)
+    planes = _band_planes(dim, bands, planes_per_band, orthogonal)
     weights = (1 << np.arange(planes_per_band, dtype=np.int64))  # per-band bits
 
     @F.pandas_udf("array<int>")
@@ -186,6 +257,86 @@ def lsh_band_buckets_udf(dim: int, bands: int, planes_per_band: int):
         return pd.Series(list(ids))
 
     return buckets
+
+
+@_functools.lru_cache(maxsize=32)
+def _band_planes(dim: int, bands: int, planes_per_band: int, orthogonal: bool):
+    """The (bands*planes_per_band, dim) hyperplane matrix shared by the
+    banded bucket kernels; see :func:`lsh_band_buckets_udf` for the
+    orthogonalization rationale.  Cached: solver layouts for low
+    thresholds reach ~10k planes, and the pure-Python hash generation
+    costs ~0.8 s per construction — paid once per layout, not per query.
+    Callers must treat the returned array as immutable."""
+    import numpy as np
+
+    total = bands * planes_per_band
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(total)], dtype=np.float64
+    )  # (total, dim)
+    if orthogonal:
+        if planes_per_band > dim:
+            raise ValueError(
+                f"orthogonal bands need planes_per_band <= dim "
+                f"({planes_per_band} > {dim})"
+            )
+        per_band_planes = planes.reshape(bands, planes_per_band, dim)
+        for b in range(bands):
+            q, _ = np.linalg.qr(per_band_planes[b].T)  # (dim, r) orthonormal
+            per_band_planes[b] = q.T
+        planes = per_band_planes.reshape(total, dim)
+    return planes
+
+
+def lsh_banded_rows(
+    vectors: DataFrame,
+    dim: int,
+    bands: int,
+    planes_per_band: int,
+    orthogonal: bool = True,
+) -> DataFrame:
+    """Slim (vec_id, band, bucket) rows for every vector — the banded
+    sign-LSH bucket exchange input, emitted PRE-EXPLODED from one
+    ``mapInPandas`` kernel: the matmul, the sign-bit packing, AND the
+    band explosion all happen as numpy array ops inside a single Arrow
+    batch.  At solver layouts for low thresholds (hundreds of bands) the
+    earlier ``pandas_udf -> array<int> -> posexplode`` pipeline built a
+    per-row Python list of bucket ids and re-exploded it JVM-side —
+    measured 3.5 s of the 15 s total at sf0.1; this kernel emits the same
+    rows in ~1 s.  ``vectors`` must have (vec_id, v) columns; bucket ids
+    are sign projections, so callers may pass unnormalized vectors.
+
+    The plane matrix rides a Spark BROADCAST, not the task closure: at
+    solver layouts it is ~5 MB, and closure capture re-pickles it into
+    every task (32 tasks x 5 MB per stage locally; per-task network cost
+    on a cluster)."""
+    import numpy as np
+
+    planes_bc = vectors.sparkSession.sparkContext.broadcast(
+        _band_planes(dim, bands, planes_per_band, orthogonal)
+    )
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+    band_idx = np.arange(bands, dtype=np.int32)
+
+    def emit(batches):
+        planes = planes_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)  # (n, dim)
+            signs = (mat @ planes.T) >= 0
+            per_band = signs.reshape(len(mat), bands, planes_per_band)
+            ids = (per_band * weights).sum(axis=2).astype(np.int32)  # (n, bands)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                    "band": np.tile(band_idx, len(mat)),
+                    "bucket": ids.ravel(),
+                }
+            )
+
+    return vectors.select("vec_id", "v").mapInPandas(
+        emit, "vec_id long, band int, bucket int"
+    )
 
 
 def lsh_topk(

@@ -83,6 +83,65 @@ def test_embedding_near_dup_auto_switches(spark):
     assert "BroadcastNestedLoopJoin" not in plans.explain_mode(auto_big, "simple")
 
 
+def test_derive_band_layout_solver():
+    """The s-curve solver must guarantee the recall floor analytically and
+    keep the background candidate budget whenever the geometry allows."""
+    import math
+
+    import pytest
+
+    from data_pipeline_zeal_spark.operators.similarity import derive_band_layout
+
+    for t in (0.4, 0.45, 0.6, 0.8, 0.9, 0.95, 0.99):
+        b, r, bg = derive_band_layout(t)
+        p = 1 - math.acos(t) / math.pi
+        recall = 1 - (1 - p**r) ** b
+        assert recall >= 0.85, f"t={t}: analytic recall {recall:.3f}"
+        assert bg <= 0.09, f"t={t}: background rate {bg:.3f}"
+    # high thresholds solve to far cheaper layouts (fewer keys/vector)
+    assert derive_band_layout(0.9)[0] < derive_band_layout(0.4)[0]
+    # very low contrast: budget infeasible under the keys cap -> solver
+    # falls back to the minimum-background layout instead of raising
+    b, r, bg = derive_band_layout(0.3)
+    assert bg > 0.09
+    with pytest.raises(ValueError):
+        derive_band_layout(0.4, background=0.5)
+    with pytest.raises(ValueError):
+        # recall floor unreachable under the keys cap
+        derive_band_layout(0.4, target_recall=0.99, max_keys=4)
+
+
+def test_adaptive_band_layout_bounds_candidates(spark):
+    """Round-5 verdict fix: at the fixture's low-contrast threshold the
+    solver's layout must keep the verify-stage candidate volume under
+    10 % of all pairs (the fixed 8x3 admitted ~65 %) while still clearing
+    the 0.8 recall gate.  Everything is deterministic (hash-derived
+    planes, fixed fixture), so the bounds are tight pins, not flaky
+    statistics."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.functions.vector import as_double
+    from data_pipeline_zeal_spark.operators.similarity import derive_band_layout
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = emb.count()
+    all_pairs = n * (n - 1) // 2
+    bands, planes, predicted_bg = derive_band_layout(0.4)
+    assert predicted_bg <= 0.09
+    # bucket ids are scale-invariant (sign projections), so candidate
+    # generation runs on the raw vectors
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    n_cand = dedup.lsh_candidate_pairs(e, bands, planes).count()
+    assert n_cand < 0.10 * all_pairs, f"{n_cand}/{all_pairs} candidates"
+    exact = _pairs(
+        dedup.embedding_near_dup_pairs(emb, threshold=0.4, method="exact")
+    )
+    lsh = _pairs(dedup.embedding_near_dup_pairs(emb, threshold=0.4, method="lsh"))
+    assert lsh <= exact  # exact verification -> no false positives
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"adaptive-layout recall {recall:.3f} < 0.8"
+
+
 def test_quantile_sketch_error_bounded(spark):
     """GK-sketch percentiles must land within 1% relative error of the
     exact sort-based operator (the contract that justifies swapping it in
