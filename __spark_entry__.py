@@ -405,16 +405,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings"), threshold=0.4, method="exact"
     )
     # The 100 TB path: banded sign-LSH candidates, exact verify, no theta
-    # join.  Fixture near-dups sit at cosine ~0.45 (weak contrast), so the
-    # band layout is 8 bands x 3 planes (recall ≈ 0.92 there); production
-    # thresholds ≥ 0.9 use the leaner 4 x 6 default.  Rows-only (bucket
-    # membership isn't SQL-expressible).
+    # join.  The band layout is SOLVED from the threshold via the s-curve
+    # collision probability (similarity.derive_band_layout: recall >= 0.85
+    # at the threshold, background candidate volume < ~9 % of pairs —
+    # threshold 0.4 solves to 755 orthogonal bands x 13 planes; the old
+    # fixed 8x3 admitted ~65 % of ALL pairs to the verify stage).
+    # Rows-only (bucket membership isn't SQL-expressible); recall and the
+    # candidate budget are pinned by tests/test_ann_dedup.py.
     q["dedup_embedding_near_lsh"] = lambda s, d: dedup.embedding_near_dup_pairs(
-        load_table(s, d, "embeddings"),
-        threshold=0.4,
-        method="lsh",
-        bands=8,
-        planes_per_band=3,
+        load_table(s, d, "embeddings"), threshold=0.4, method="lsh"
     )
 
     # --- [EXT] corpus curation (training-data pipeline surface) ---
@@ -667,9 +666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_source_fair_quality"] = lambda s, d: text.source_fair_quality(
         load_table(s, d, "documents")
     )
-    # zlib kernel: deterministic but not SQL-expressible -> rows-only;
-    # closed-form pins in tests/test_corpus.py (repetition compresses,
-    # noise doesn't)
+    # zlib kernel: not SQL-expressible, but deterministic — oracle-backed
+    # since r6 via the pinned (md5(text) -> ratio) content-hash table
+    # (see oracle_sql); closed-form pins in tests/test_corpus.py
+    # (repetition compresses, noise doesn't)
     q["text_compression_ratio"] = lambda s, d: text.compression_ratio(
         load_table(s, d, "documents")
     )
@@ -1135,8 +1135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_best_quality"] = lambda s, d: dedup.best_quality_survivors(
         load_table(s, d, "documents"), threshold=0.2, method="exact"
     )
-    # the 100 TB path (banded LSH candidates), rows-only: benched at sf0.1
-    # where the exact kernel is deliberately excluded like dedup_jaccard
+    # the 100 TB path (banded LSH candidates), benched at sf0.1 where the
+    # exact kernel is deliberately excluded like dedup_jaccard.  Oracle-
+    # backed since r6: at the pinned band layout LSH recall is measured
+    # 1.0 at both driver SFs, so the exact-survivors SQL is sound here
+    # (the dedup_minhash_lsh_pairs argument — see oracle_sql).
     q["dedup_best_quality_lsh"] = lambda s, d: dedup.best_quality_survivors(
         load_table(s, d, "documents"), threshold=0.2, method="lsh"
     )
@@ -1185,31 +1188,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
-#: ROUND-5 WINDOW: 50 oracle-backed queries with no (or stale) driver row —
-#: the 47 never-sampled oracle-backed r3/r4 additions,
-#: dedup_minhash_lsh_pairs (its only driver row is a stale r2 no_oracle;
-#: it now has an exact-Jaccard pair-count oracle), and 2 round-5 additions
-#: (sim_matryoshka_topk: deterministic two-stage retrieval;
-#: tpch_q4_priority_check: EXISTS semi-join).  Generated by
-#: `python tools/rotate_registry.py` and verified with
-#: `python tools/driver_sim.py <names>` before commit.
-#:
-#: NEXT ROTATION (round 6): rerun `python tools/rotate_registry.py` — it
-#: now ranks oracle-UPGRADED queries (stale no_oracle rows whose oracle
-#: was added later) right behind never-sampled ones.  Pool after this
-#: window: round-5 oracle-backed additions with no driver row
-#: (tpch_q10_returned_items, tpch_q18_large_volume, dq_functional_deps,
-#: basket_rules, text_readability, events_top_paths, orders_cohort_ltv,
-#: corpus_epoch_plan, text_source_fair_quality, orders_seasonality,
-#: events_daily_anomaly_mad, events_user_bursts, events_key_skew_profile),
-#: the oracle-upgraded set (dedup_simhash, generator_profile,
-#: multimodal_{wav,png,jpeg}_headers, multimodal_pcm_energy,
-#: multimodal_image_phash), and the genuinely rows-only stragglers
-#: (sim_pq_topk, sim_pca_project, dedup_best_quality_lsh,
-#: text_compression_ratio, multimodal_resize/decode/scene_detect).
-#: All of the above are parity-green via tools/driver_sim.py this round
-#: (full sweep: 175/175).
+#: ROUND-6 WINDOW (generated by `python tools/rotate_registry.py`, verified
+#: with `python tools/driver_sim.py <names>` before commit): the 18
+#: never-sampled oracle-backed r4/r5 additions, the oracle-UPGRADED set
+#: whose old driver rows are stale no_oracle (dedup_simhash,
+#: generator_profile, the five multimodal real-kernel pinned oracles), the
+#: two queries oracle-upgraded THIS round (text_compression_ratio via the
+#: pinned content-hash zlib table; dedup_best_quality_lsh via the measured
+#: recall-1.0 equivalence to the exact survivors SQL), the remaining
+#: genuinely rows-only stragglers (sim_pca_project, sim_pq_topk,
+#: multimodal_resize, multimodal_scene_detect — weaker rows-only driver
+#: checks, each with pytest law/recall gates), and re-verifications of
+#: round-5 greens to fill the window.  After this window every
+#: oracle-backed query in the registry has a driver row.
 _DRIVER_FIRST = [
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "text_readability",
+    "events_top_paths",
+    "events_daily_anomaly_mad",
+    "events_user_bursts",
+    "events_key_skew_profile",
+    "basket_rules",
+    "orders_cohort_ltv",
+    "orders_seasonality",
+    "text_source_fair_quality",
+    "multimodal_pcm_energy",
+    "multimodal_image_phash",
+    "multimodal_wav_headers",
+    "multimodal_png_headers",
+    "multimodal_jpeg_headers",
+    "dq_functional_deps",
+    "corpus_epoch_plan",
+    "dedup_simhash",
+    "generator_profile",
+    "sim_pca_project",
+    "multimodal_resize",
+    "multimodal_scene_detect",
+    "sim_pq_topk",
+    "text_compression_ratio",
+    "dedup_best_quality_lsh",
     "events_funnel_rates",
     "orders_pareto_share",
     "sim_centroid_drift",
@@ -1234,32 +1252,6 @@ _DRIVER_FIRST = [
     "orders_snapshot_diff",
     "orders_snapshot_rebuild",
     "dedup_incremental_survivors",
-    "events_first_touch",
-    "events_linear_attribution",
-    "events_decay_attribution",
-    "events_hourly_gapfill",
-    "events_hourly_interpolate",
-    "events_user_cms_counts",
-    "events_daily_trend",
-    "order_ship_latency",
-    "supplier_scorecard",
-    "corpus_effective_tokens",
-    "corpus_shuffle_shards",
-    "part_degree_histogram",
-    "part_triangle_census",
-    "orders_backlog_timeline",
-    "text_duplicated_spans",
-    "text_gopher_flags",
-    "text_bpe_token_estimate",
-    "dedup_best_quality",
-    "text_bigram_logprob",
-    "corpus_decontaminate",
-    "events_audience_overlap",
-    "events_heavy_hitters",
-    "corpus_temperature_mix",
-    "sim_matryoshka_topk",
-    "tpch_q4_priority_check",
-    "dedup_minhash_lsh_pairs",
 ]
 
 
@@ -1297,6 +1289,180 @@ _MARKERS = {
 def _marker_sql(lang: str) -> str:
     lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
     return f"len(list_intersect(list_distinct(toks), [{lst}]))"
+
+
+#: pinned (md5(text) -> zlib level-6 ratio) for every distinct fixture
+#: text at sf0.001 + sf0.01 — the text_compression_ratio oracle joins by
+#: CONTENT HASH so one table serves both the pytest rehearsal (sf0.001)
+#: and the driver (sf0.01).  Regenerate: tools/gen_compression_oracle.py
+_COMPRESSION_PINS = """\
+  ('001e83e051230ba31152ec65207db51a',0.495177),('00c98f9f800027e5a6a756bb009e2b1a',0.426326),('0247fe10321e7ec5d64785d8d3d4efe0',0.534799),('027b1b41f67f041b44186c75792ce7d3',0.412429),('02f4631b9f4517e0362ea17a39440ce6',0.406615),('02f8a5228686214f3badd2dfaf6d2abd',0.47139),
+  ('032dac3fcdde01e8dbce488fdb62a989',0.448198),('0341e32eb6e5b119c3aa19011a184139',0.540984),('034a8bf0171cce361aaeb8c4ddf7f386',0.666667),('0366e95be229348d8a5ba1df41424923',0.454315),('038988ada8776ea1deed07bd32c37c1e',0.501567),('03b5524ad3cb2d36a55358b1ce99f99f',0.846154),
+  ('0424191c996c58d911081a4e721273e5',0.467018),('043dd7b146ea9b9f3e94aeba6212a788',0.489614),('0492c4318daf7f72c8b19d7815d7abf9',0.429688),('04e28056c1534e57cf52afa34e7bbddd',0.605128),('05061d801cf2c8d70a0e08e826afb20c',0.431373),('05344575eac1424e162ac63a0fb1dfb8',0.580508),
+  ('05f9872f1c2204463a24887f0a68e8e6',0.496875),('0625218c77d1a8d343679e5d62c0a53d',0.761468),('065849f5507c4e0b03575b75f947e4da',0.471178),('06dc7f8279046d9433da18d44fb4bd90',0.471264),('070f4a065689e01bda71deede3780b86',0.46778),('0730100a12855acf8b8e458baa8ad13f',0.735849),
+  ('07fb8bb5b2ebfbbe07843a0abd2a58bb',0.550459),('086c47668022d9e115d009f597570f81',0.428858),('0927cbe71d2a9a9045c0248b176cfe16',0.445916),('092d06fc7dfb9cd5a5462e951582838d',0.494585),('0a20432e4c37a0f4834f9e7cc7a318cd',0.465426),('0a6403eb777e23235d0f0582180576fc',0.522388),
+  ('0b071d8d6e4a0650922496ff2348338a',0.505226),('0b1405ae13f59b68721fe2a79c91d480',0.550607),('0b3eacb141de8c539c0f9e29fe3efc0d',0.897436),('0bb22f68b246d47014bebb513036f3f2',0.457213),('0c1a03f0ba823f717cb4796bbce99046',0.494949),('0c288960d27d324a3901b76f52749144',0.556452),
+  ('0c444be6364b4ee350ee0100e369750d',0.444681),('0c542ddbd0f7b9bb6f8dedf8911b853f',0.5),('0c9591f0a029693ae97b8bdfb6855388',0.847826),('0c9b4c21ec0669b851b65ccf8851ea7f',0.594595),('0d9cb39a0ed10a7a5100b2fae3231b1b',0.567308),('0da79eac1d13e4c6430840a978356ae9',0.460591),
+  ('0e25296860f05ff24bf1fa725a76eaa3',0.495575),('0e3cacadaa58643dac0d709ed8b4b966',0.567227),('0e487c2651aa2ec6d6f2395919d94640',0.529183),('0e4e43afdf47a21473902700df52a418',0.435518),('0e8bbd5fe26837e190fc584ad175b31b',0.575221),('0e8ed2f68f91a127d9f881fad8f79368',0.542435),
+  ('0ee8fcc60c7a7b94c6537ac2af6ae6f8',0.782178),('0f0012abc2d0912be61555ed56a5d5c8',0.515625),('10eb14e63372a33fb4f5002c1389f510',0.447312),('117bf0763b561ea187ccc7f374308ec7',0.462604),('119a77f15fbb75354f7682a894075e29',0.430435),('11a429645aa49ee803bda07533893fda',0.54955),
+  ('11b2df6864ed336f91b5c295223a7521',0.52901),('11b56ebc227ffbf7159e221dc2fc2c09',0.439462),('12393d795b03963ef8a122bfd5151f2b',0.548),('125f1a04b47da02c23a6a2ffb1b4ba2d',0.487324),('1283a1c8f9078d0f63423c906cbf565d',0.485632),('12a857f4d0d8e19456e4b3fc3aea2486',0.419355),
+  ('12dec1e36cd4ae6db655a5d11ea162f9',0.481579),('12eb724f8ac1b8d200fbdf1794b23d1b',0.391137),('12f7e60b06b0e113f79eda8272f7b3da',0.712121),('1302901cb916b925b4be0dd62758fee9',0.439206),('1309387565103b8923e7b7743baf0fc3',0.527559),('131a98199249087bc7ea258d497d8440',0.476048),
+  ('1335ad91e505b85d7d0d7ee5f81f933a',0.484568),('135d321d0a8f9b5f51762e548bb145d1',0.482289),('13709815b861476567ea4c130a0cfc5b',0.481707),('13affe108032d5bf6a6b8e7c2aa1cac1',0.422311),('143ddbc1526910d67f88414eedf2fa3a',0.519531),('1452c40193bc94b59b516bed5436b351',0.658824),
+  ('14685c3fbcdfccf34b9cc208a692ddf7',0.473008),('14b31927def0151694bd65eba24df4c2',0.887097),('15068c22ac0de45577a3a4af2d21a2cc',0.423581),('159b164f5a0c8d5b414ce790a938883c',0.47851),('15c3fa37d202b0506b1eda9c8649349d',0.414343),('16bfc77bb5139dff7f548015fc6eb07b',0.495208),
+  ('1736241b8ae050a6995ccbc44383dae5',0.449309),('17a4bf1eeef85a50f41da712b949eb80',0.460705),('17ec2cacdafa800a72d2249dc8e2da6c',0.421154),('1840ddfb71d7538f34b384c1b1859cb3',0.498452),('186921f9a3bd7d5a22e8bf72e3d1ab55',0.479651),('188c5c320d88ccaca97ad2fea241e73a',0.471545),
+  ('1895adc5dd9c2ee89b0e4fe3f099bed5',0.411765),('1913968d567599aa46b48e3e0d2047f5',0.527881),('1974e1ceabd84d415d309be03b2d06c7',0.651613),('19816ca35f68046ebd2bfdf52b43487f',0.473988),('1989edcadfcce47ed9140c11f878fd25',0.615894),('1a025bb0d738c668a9d052fffee966bd',0.58216),
+  ('1a13dc632b49449df322a31072fe6729',0.427061),('1a23a826645892d1b91fa878dc9bc6ad',0.43346),('1a2b2fa5e76fb3a28b1a1c1de4dc16b9',0.467262),('1a61b25d707e78f0b4b37e9b5269c858',0.467033),('1a92fe3e6cfb0dc8f6222c19c94f76c2',1.092593),('1ac152e083fae9aaf4ce21f020e58f63',0.57265),
+  ('1ad307899befa8b00955179abb236afe',0.669118),('1b274e35c530f349c25513188b178552',0.537849),('1b8799cc00966f73e9548b7cd46946e0',0.454315),('1ba6cea35e88fbd7b328c6a6bf5f14a9',0.454054),('1bd117a22eb75bab4fc1284d16a94f92',0.415205),('1c0cd62072774046a95171d8d352533f',0.525926),
+  ('1c8eba4d61b49ce142234787823c54de',0.443231),('1d90709617daa41aa23fb4672a7d5836',0.45),('1da0ffd2692acc503f7b7e66f33ea1e8',0.451613),('1e0176c01be198e493bfd17c57d0dcd4',0.428894),('1e047ea78a406fbcc8b96c72a9893743',0.55642),('1e4d9af504d0e208a928d26fbf314d2e',0.478261),
+  ('1e58ad3951e7af7ffa1e6777e5ad447a',0.435841),('1ee57cd5f18f99945b287e16bfd66b97',0.435484),('1f08f841527bf44362c7909558ac3c8b',0.603175),('1f84ae11df45077441caef8037ab8be8',0.493789),('1f9efe0a9389a381415e4b693740c4a0',0.424074),('20428be00de618d5a069715615db58dd',0.469003),
+  ('209d87266aa1446ba9d3ef5f4262ccbb',0.442661),('20fac2ee96722962e4f2b15c477b5d65',0.672619),('21136fa8ce7204dad28be77ff255aeac',0.481383),('2157a1aa2c845dd3cc76bab6c526f3e7',0.49835),('2222009131e8859c73174eed50ff34e0',0.652632),('225363344d0203e7587d2f4a4f51a020',0.957143),
+  ('232e00280ea5defb986e3fe3f9e57450',0.455399),('23573b711bde06c320fb2bcdc6cb8b57',0.561404),('23c685a590af6d7c86acf91b9866b34a',0.409836),('23e9a013ba8100c613e21ab9c32f8030',0.515823),('248c328835aa45ec11364120c4798ef5',0.412963),('24db24c1157a0333689f0ffad5c3dfb5',0.761468),
+  ('24e7be643eaf05f487d4ae7f7c3f4e6a',0.54065),('24f0ee5185e220920220185178eafae3',0.489971),('250809e57fe44b69e7c01e1ef8565605',0.565041),('2510ce825b2a20609d6b9060b2c0302f',0.48688),('25187699354f6e441be962eb15ffbec7',0.679245),('254f2234fec577c983cc416f0316ffc4',0.493671),
+  ('25832eda7ec7cc983a0b4574bad95370',0.427966),('25af95afaeb5a53398af57b0959c5fb6',0.495356),('25c919c8c174a93809138ced735d51c4',0.457207),('25e67590d7675f0ab26aad37c23e9400',0.518367),('268dfc72c3be8078a9b79dc1244bda70',0.494048),('26be1ff0218344f8b4b270d5a2666fef',0.421252),
+  ('26ded3181f9228251f15d49a33c4f8ca',0.606635),('275a613bbdb6af6747151bb294b92076',0.454768),('276b3cbc7ddd6f4ec3f92c231f3e9c16',0.885714),('27777fbbe00d2d197bae92fda83c6b45',0.457944),('27d600319a32ea1706d2d1ac80f322d8',0.566502),('27fc136b1b427c6f93d966d97b5a10af',0.727273),
+  ('28af3a1933171e81920f00b9841cf5f0',0.734375),('292c822507e205c81ffc5aec735afe7a',0.689394),('2971a1782144871b7dbadc976d7e39ad',0.438669),('297e38b8ad4abdb0a6faf5cdc2a5d2e2',0.483516),('29bea779ffcd7d6ee775ce64c1d142e6',0.408745),('2a2458882b31d7b9dc60625e228b25c6',0.465174),
+  ('2a419f34c793220d9eac5c605f6cbd7d',0.552239),('2a65b0be7e4dc52a8e2ef628439fd0b3',0.49827),('2a753d235a89e1819a24dc06ce87f0d3',0.503597),('2a9a1d147e68978c103a4ee0813b3493',0.501742),('2b093c59298aa03a449c217a944d54e4',0.649718),('2b38fbd82087e8650eee2cf5afb0bcf5',0.525597),
+  ('2bb9368424d9dc20f4e6fc55db4f1144',0.44473),('2bcff798b7dbc1ed551d60e24cef1b59',0.970149),('2bd0eea97489b2f4b55fd425434ffbca',0.531496),('2c13bfb448fe8a89519e5503fd9ece48',0.488372),('2c154253dd749fff7d144f7abe9b9a05',0.984127),('2d02b02939486d91529c505c7ab63648',0.584906),
+  ('2dd4399e355d4705ff5c1f0f2b7127b5',0.481967),('2dd4aaeee56d2b1c4796511fd8b48589',0.840909),('2ddde31fb752844a150003ba60f163df',0.615385),('2e422c0d0c041201187c3f2693c6cac0',0.484594),('2e4c3290bf379b51c32177ac878cd344',0.428884),('2e5043525ebbb1395b7c18e0685beb07',0.42155),
+  ('2e6d1ba1299505b7048c10f41003da58',0.765766),('2ea11f64c230a3b2c24779e72cea3a51',0.470284),('2ea7a789cf7d275be4e38a3d44b185c3',0.416834),('2eb5d718e0e1cd84d68ee8445cc21865',0.672727),('2eba652bdffbf8b799120ed0d925be7c',0.631579),('2ed97b1d07b270c6420c08c65b9ca41f',0.468182),
+  ('2eea6d471d78df821f316e71c2ad934f',0.456098),('2ef9757b3bfa042bdf827ea5e7b3c79f',0.69697),('2f1d7bf563ad6387307f1aae2c662d2c',0.444685),('2f562b51617feb025bfa5d6d2e63d2f3',0.630573),('2f6f977b4db746439110b3483d0e7510',0.514377),('2fb7b23aa9fcebf775143e3865f0768e',0.550607),
+  ('2fc9bfacbf4051c239b68574943d4742',0.416357),('2fe6ef369b22a185ec6cf5186bd10d8e',0.421488),('30244b8394851e15f4797d80e6f704fd',0.828283),('303895d7ee49f353f035ecb2ca70e397',0.440909),('3041521b39ba7856270e8b386b3b6c08',0.454094),('3059f0248f36e91b0de878db01c8f32b',0.566964),
+  ('306b6195a564391fa8eba21eb8ca46b1',0.605),('309b13e326bd40f5c8350d9836d76324',0.512987),('312e623cffcea17b6132e28b79745082',0.507692),('315718bd1e5f7ba60c6f5a1c0edd82b8',0.439076),('316a632bfbe7268b88bdcc631c24efc2',0.465426),('31ae1b51a67fed41daf4a824bb730c72',0.54007),
+  ('32227a02ca3eaee8cff3a268b143c5a0',0.460358),('325be66562126aa1499f0b66767908a8',0.489418),('326458d926e419a8aae61af548a83b1c',0.423554),('32ac6649d7613543cad8ce4b392e1892',0.451193),('32c0a448faf04a12f401953fe91e5c09',0.713115),('32d55e9d3fee447554e9f9cd5237398d',0.447894),
+  ('33bffab4f340f0c85a00538353715942',0.414097),('34f7b2d7b667de22a625ff92353e49f8',0.494382),('35116c5b6476f8b85256c6a2d1ce6744',0.478261),('358072a39215a8f8e8c4149806745a1a',0.436957),('35c3494ced97ca47cb8d16c7942c6271',0.885057),('35c7569fffbe8c5f8670a185508eb398',0.494012),
+  ('361d579fc4e4807e5508e5a6f35d33ef',0.465823),('361da1910aa23807fabe4ede35f019c5',0.712),('3685895b69d4456906605e75a1c0d23d',0.522034),('368c3db65dc1d920c192537eddf62a3d',0.664336),('36b4ea7bcffc4bb666cf1aeb04881d61',0.611702),('36c97a35974ac00a8cc021d7cf5dba16',0.68595),
+  ('36eb06d8a8abf27fb261eaf199e8b233',1.018519),('3706010a76cb44c4e1f521b8e58f891c',0.507418),('374207891d40a4c7277aa960223a0100',0.460497),('376147f873c4dd7729c11cb598a0dce0',0.488636),('37abad4a4901acea80e054d1d0ac4884',0.623596),('3807c66642d2f0b398280e61a71bdcea',0.426),
+  ('390b0c0ee74de159422e05619cd8650b',0.723214),('39a11f4ff52925b415a378baa163c4e6',0.941176),('39cb9c5e37f46f4b05d588404e90892c',0.853659),('3a39690534839421324f161d28022418',0.565041),('3a3c63b1400794e33b8996b27b048c1d',0.84),('3ac7c75a72b84b8bcb0e7df0f5415aef',0.512456),
+  ('3b27f1fc0f5aeae4e9ace7e3b87259ae',0.703448),('3b62a9c3f11e61b2b70304d3a45e4f65',0.653595),('3b6579a3886ab58cc15c5a1e0305da81',1.0),('3bc86d71b5bf0e345e03882134ec8d1f',0.845238),('3bf1b38488b9b9dd08bec8e46fc9abaa',0.427466),('3bf959bb4328351c94e543f4ec639ca2',0.703125),
+  ('3c08bdb890586ad30d4083fa773bbd6e',0.5),('3c4c39b4a753bca42eb9822abeb2179d',0.416045),('3c6c7df3905a63eecf97e963436163fb',0.431683),('3c8420268ef3f6d3d574add48175e391',0.796296),('3c962fe328b629a8d692ba9de6a5b4e0',0.407749),('3d34392af68f94f56a0951d98f2e3d8f',0.451306),
+  ('3d67866759c6712154dd8a98dc5f6d21',0.463351),('3d780919957ab97a14fea07a407fce25',0.62069),('3d8c87b1e85be31c36c9259b44318164',0.44181),('3e4cf18d6b46028ec8337d98fbd6c472',0.51049),('3f44efa5edf2567f2a06b32db66fc1e6',0.758621),('3fb37a1520988a33fd26d089042b79f3',0.831579),
+  ('4036a48dc7925c92a51bb7cdc0d86fe5',0.474777),('4076673de74475477e86eb33ec3a6a26',0.666667),('40a663e46ddf6adbbf7fa6a93feeaff3',0.431579),('40be9dd3a320399d8b8f7dcde9a6d622',0.58547),('40bef878ee32784be9cff88b75d33675',0.443936),('40bf552e4268593953964597e6fdfb4f',0.553571),
+  ('40e9b10c1342b70f973af6d0d8d6eb5b',0.60181),('414d2da7cf672c75b7cf896e721fd181',0.487671),('418647750a53124b924ccab41a2a3917',0.547619),('41a8cc37259998e84f2fb0f8c68ec67f',0.548263),('41a98d01272ecd7feb835386e0e8d4a6',0.491329),('41c55cde1d191b27cdbb2dd91bd3f319',0.456057),
+  ('41d6649828e420978a4d4cfd76886f00',0.468421),('423565fbe0df95365f81be07c8b259ae',0.536585),('425276b9c1943419eba8cfd4e68dca3d',0.453237),('428e63887ebe624d3363a516019feda4',0.684615),('42bd04186f569a257e1ba1fc92f326b0',0.428571),('42ce186ac7a8c2505319b853013d6a65',0.468665),
+  ('437ff7d46288e47b8206e814ec41c783',0.437642),('441e18d67fbdac30e42522e4d5b7704b',0.506757),('443ce75821d03718909a45f5ddbf44d5',0.424628),('445d109686787abbae66f1f736b9cadd',0.569106),('4501d8251790a75d5459bb08988ff614',0.595122),('45104ab550b1c8e691e89c26f318a015',0.49),
+  ('451f203175ebe05eb47125e4116546f7',0.427957),('45693fb005dca66c525c095bf74fed18',0.520408),('4580fa4df453b1d0a49ec591302d4296',0.586022),('458fce1f69c7b343099dc33bc7a99690',0.798246),('45d460a04b60a653f448d12e683cb373',0.439716),('463c203a27bae3b1182cbccb6c442806',0.41635),
+  ('467c4527cad574e13cd4b7dbccfc4f50',0.455847),('470ad02bdd84d3656dd07db7a51fa34f',0.851852),('479ce8902e6c78921efdeb87c74fec8f',0.52518),('47a61a73b8a960bda870545634e69199',0.504886),('47d8078c74ce210794d3897f5362ff21',0.440181),('4850dddd660e404b534b011f85f97a4e',0.485437),
+  ('485ec2620d1b64cc07959c38c6138a41',0.431818),('491f93b677099dfa54847aaa1e421bb9',0.751938),('49604be791cedbcfcac7d67449f5af6b',0.442348),('496b224ef217925ede06a8ba328ba958',0.470437),('4985b9fc6da7b415f1475951a8e7e46f',0.495327),('499da2a86af84a79fdb3b8dc998eeeee',0.517123),
+  ('49fb0c5b27d69edf017acffc936d4b30',0.514599),('4acbcef105de42c2201ebc07d0009a81',0.703125),('4b27f60e7d25aecb9dac2dbceeb2ec86',0.498371),('4b2dbb839aa622331105ad4ea9c89027',0.454545),('4b9aa8dd27a657d6a585e694803ad93a',0.435897),('4bb06e4b5a003b0c56b66f5712f841cb',0.432161),
+  ('4bcd826d8ca51c9afd9c4fc44493f362',0.951613),('4bfbe5e912bde067eb80ba0a97657e41',0.630435),('4c1306e444c74ae63d952d56fd700d8b',0.477573),('4c52504e8607d36cdd9c45b31c7d8fc7',0.479381),('4ca4c860dc3a9268d5f9d0b372f6fbf9',0.824742),('4cd4b9a6c67e4edb5a692868da051c7c',0.503049),
+  ('4d35c6f6b4acdb61640b1444af5687a0',0.536765),('4e2a32960ffd5f6b7e7f9aa888a427d7',0.437363),('4e55b36c22c3ea0c95186dfb8e8dc4c4',0.472019),('4e7019308b43223a9017ac2747ffe03d',0.782178),('4e88d8921e8ce26e79445722bf21e00d',0.446701),('4feca6941417c924a3e06200d66821a8',0.609302),
+  ('4ffe0331d854938f5c68dac6d9ab9faa',0.532143),('500aefb77fac8c766998d6a7a5fb133b',0.556075),('506a775b79020d01d04781fd523c90fb',0.470024),('50d2ccf58ef0ed9de03843017c373d72',0.48913),('5189febd7f79ee496d664bb7dbb753e2',0.489796),('519509532d293d738490ca645b81487f',0.485095),
+  ('51999f1d0ad119c0c6b84680fd3d62a3',0.451389),('51a874a3dfc91e2eb21d228615b7c58f',0.42344),('51cd3b25d0024a60e2968db6199382e2',0.60101),('51ea27f86cda64e25beeda9c4a9e8d3f',0.441501),('52381bbbc4a0fa64270daecc78fb412e',0.447005),('529659ce563b9e9f0d192ca6d52ddcca',0.483051),
+  ('52b298f98ddecfe670273c2332b692c5',0.716418),('5339835e729e4ebdf840c86d2327a67b',0.737864),('5344dcd12e5df90ee955ab2ab56196a9',0.443737),('539d84fe865edbe99a6377467e676516',0.443975),('542b891fb322e936efafd54bbffbeab9',0.463542),('54ab41deddec19860b1ae9486234b92a',0.713043),
+  ('54c673a31b2d1cf0dbb0e4c5d2ec1e0d',0.469697),('54cf4165286aa4bc9dba48ba1ba280bd',0.571429),('55942f93601bc46261141f39dcf956cf',0.509375),('5595a6d245970ed30265e9eb384d27c4',0.431335),('55eeae8d05132792865687361d90f861',0.435841),('55f86bcbd9c15d20ef0f27a511c2a703',0.487603),
+  ('56f17b72b2050d12002293e5f8e80b98',0.45679),('56f751855d2940bf920ffca3a9224db7',0.575107),('5708ae6a0e1ea3187c17d5a7d7b1fbe3',0.519868),('5785304bf103e1214358c967064a943f',0.833333),('57bce3cafbd66742f8aa60401b24b31e',0.527344),('57d8816a56c69f97eff774a10e6d5ec8',0.426696),
+  ('589b092e443bfddbbf4937ad17fd4d93',0.483146),('58ab405a5fc358b4f78385fa7cdea6aa',0.612903),('58e666ce85131eeb2cf4224a336bda9e',0.410985),('5951d151b804335370625ae4d85951c1',0.515337),('598c82e6331479e2b52c58b14cd5c1a7',0.48265),('59a9325a0f2564b7e7dbadfc36934b8f',0.498433),
+  ('59eb3d9b572e4cc3a74546ce6a13e6bf',0.53252),('5a0a8cffa0cfd6671f2df367f11b0e33',0.742647),('5a10e0b2e86c872a06bf138129b05130',0.550781),('5a129bec31fec9d46d3ec73e3cd7658e',0.428571),('5a463b20bb2802f9e3597de2843de607',0.464891),('5a8b5d28c6d2f1aab4d0468be0e461ad',0.671642),
+  ('5aa2bad380203ef7e02fdc818c69f353',0.518771),('5ac36184942f877ea8ed6a7baaf9976e',0.40275),('5ad081dde0ab74acd7f56c6a5c896c83',0.78),('5b06fbf5e80835508de44be2781ee79b',0.593583),('5b4754fff1c5f3943bb0f1380984d02d',0.441758),('5b83d6065af6517d3b4dedd8b6012d87',0.707317),
+  ('5b873ffaefb4f11bcac4608113fcdc41',0.442857),('5bab7ec7025c26ef1df9b305c66e61a1',1.12766),('5bba89bde7cfbc3e65f4f1dd3974518b',0.567347),('5be999fe4af2a3606e475f3a37d471c0',0.726562),('5c241e6369ed09343f4ff98954e474c8',0.423002),('5c674b11fa9159e2ab1c897608ba8769',0.888889),
+  ('5c814dd24ad70e5ae80b7a70642747bb',0.558824),('5c82c41b5dd7bea4787f1eb5d5a1f53c',0.450116),('5c86d34161b3ad793a22edc866177286',0.420857),('5cd8ad20be926f5e858744033ac993b6',0.470109),('5ce6c3ec2452650f20f27a60c9197c52',0.595),('5cee7c3dd620791bf4f2d82a6c341f39',0.968254),
+  ('5d3bfada99d72575d326d04bfc01a31c',0.413592),('5d44b27f9efee4bf74a56f0c574cd8cb',0.553097),('5d6566f69b6cdb674863c22db8816c57',0.439914),('5d828d5c164eaa8b786e1bd47938b2e0',1.074074),('5df44692760a2c01cdcb15f8750c1fc2',0.493151),('5e34d21d94d55950491be8e144848245',0.69697),
+  ('5e387ecbf5aeb01c91455f7004d0968b',0.416968),('5e97343a4c9ce0dbfb57507f6caf915f',0.444695),('5ee292f8e43daf0dc536977ee708e79d',0.587963),('5f4489e6ae5dd64a636b2f7f9772173a',0.446121),('5f71efbbb51735b5d9bf4425e8bad9e8',0.443255),('5ff9a435e3b92e189f414454f64c3d37',0.439535),
+  ('602b2a88aca35a2e3a717b050a41a348',0.479167),('602f182e6db964dba825954fbb9c5af8',0.413043),('603346f92a070068404bcabfd9c9250e',0.777778),('603ee952dfd2c3f8878b71805454e7d2',0.630303),('608a666e8ee9c2a9b6ca0bc79eb92164',0.59799),('608e1155da009d721dab611012e1293f',1.034483),
+  ('60921bc5c6a9ba8215aff77ea05f57db',0.620915),('60c1283ae85e1e078c24206f885013a4',0.564444),('614a005b698688c03683f870661561d7',0.479876),('61716d9266bbd07df7bda3035a33badc',0.622449),('6245f3471d99d4750ae4731a4cd24f90',0.611765),('62a748689c90e7536db3abf1f0626855',0.557604),
+  ('62b28cf8a99af0d73dc8677893538f75',0.561983),('62c52047c62cd8245a8256d6b96b7f56',0.632768),('636fee0b9225d8bb187a349c8bc4ea8b',0.43021),('639e9d0f17248a62c32f6e7f4d7a5c9f',0.625731),('64111bcfb75661665e81f50b8d975353',0.910256),('641a23c8bd019fc5c4d8ff24c23c351a',0.556034),
+  ('641a8739292f3c53da75717ded4f1283',1.0),('64daeb8da80c5e2beb0e92ee34f9ec1c',0.531365),('6577dd13f05167e81d1111a05c5e0070',0.626582),('65ccce9143ee6ed96fc11b43bef71096',0.671533),('65e72c2ca788e65420843036c8aae8f1',0.741935),('65f9083547862a9d3a8b8d34a1619db4',0.711268),
+  ('661ccd77d7e02ed582d1d89bf8602d2b',0.483516),('6644304381f87f60b554704987b3da8d',0.458738),('6664639343c9adb7bd2123d9f863e77b',0.442424),('668a736fa0ab9e64f4473df309784460',0.573913),('669ca526016d859b9c8a46017c72b901',0.523622),('66ae256117f49835ebf30a3d6271ece1',0.421569),
+  ('66bbb6c57a2bbfcd62ea71feab948c4f',0.460154),('66d59ebcbcf81d74463ef7ef2f597f94',0.43222),('66d8fb8fe702a6218546ddc82d70e188',0.659864),('66eeddad2198ed96cfe3811c47327452',0.853933),('670d310682aaf7248c19173f95a2416c',0.503401),('67216a21b36a8cbbcb18e5acc64e83a7',0.418557),
+  ('6751e09739cf617baba7decfbf2a1313',0.50974),('677792dc8228456bc1ab9d2dbc96ed32',0.43379),('67bccd06db39e6ae307b08de0652579a',0.441113),('67f4bcccc4162f08f166b69115567620',0.548246),('681fb7ce4ee26e8a2711dc5c0c5d9c49',0.62069),('683688ca53b1d3284f915068a4db4a08',0.609091),
+  ('68431980e046d30b0600dc67d8b16752',0.52518),('68b501d51a226ec501454c9a5627e9a6',0.721429),('68f50749a9a74072289c9b1add3a87e1',0.452381),('68f9b3e2c0f26bd8b20d411e8d947e71',0.863636),('69591cb184ce6539431aca3c666fcde9',0.430435),('6982f4dd09ac9d10dc03d5d7925c5b57',0.419291),
+  ('69d24feaebb2a5b1ec2a4f844dd28f9f',0.429448),('6a045665a897518bc02c00efefe9c279',0.409091),('6a59f9b5bcfc2e0541a69bfb09c4426e',1.0),('6a7ed614b1c5767a20b6d605c4d103f1',0.571429),('6af07ff7509fefdf1d87c4ad26984d3f',0.671642),('6b0e4328bbf4822e33d98eda59d2b6a6',0.770115),
+  ('6b9430406f58e8329b247f83534fca14',0.436255),('6bcbd180d4a99bb76a4ce4b9c5e77d19',0.455399),('6be565d90f6ac811860e48c3f3233666',0.824176),('6c32c473ab610eb4997fb03e63cb14a3',0.454128),('6c43515c5612c99c320aa0750e8adf8e',0.681159),('6cc0988c31cbc78a24ca6ecc146e40b3',0.917808),
+  ('6cc931fe96bd95f5764f8170180ba0ae',0.466307),('6ce4c00c6b70addd6d3aa00d9ddb5761',0.967742),('6d56d5d982593a0219d246e4d9285c5a',0.431262),('6d909b1fbe97b31a89dfa6014cbaca24',0.443975),('6da49f3d155bdf2a1e47299f4aceab32',0.808511),('6e0ba5f048ba5c96a6e69d90f1f9767c',0.456674),
+  ('6e20b2dec38526a0c8d7b4ad76e99bd1',0.909091),('6eafd39c7ac7bae25e54a4fc1fecbe8d',0.501529),('6eb5147d18c646e8f247464049f08d37',0.644444),('6f8b366f08080bc453333f2f0de3cca3',0.433538),('6f938085b544df6909b057c23d20a3fe',0.520295),('6fe7a2f15399c4b877c468a2183e80d4',0.418605),
+  ('703f6d9922beedd209e1cd3f6a3545cb',0.576577),('70dc7981af2663d2cd1ef2d7eaecbd70',0.638158),('710082bd834b9998e8a6c6d566a1204c',0.651163),('710b767b655cb52a2d18735366b2512c',0.654762),('711cd7196548cd5fe367abccea856b29',0.59901),('712a965e2b2bfb39477415b81fd36291',0.559387),
+  ('7150e15366bb7973e236ca613149ebaf',0.52381),('71963b4c7c3827cf7347e3c349feb3fe',0.420619),('71cee95945cb988dcf941fa916325db6',0.481383),('71cf19e7b022cc817a798871c246582f',0.637838),('71e312f9c1e6536085b0cd850181a2d0',0.414873),('71f665e36502163f33b0b46eacff0219',0.482759),
+  ('72558384803520070745834334a200c3',0.483283),('727e0bdef3f289aff05d146dde4f1ee2',0.442308),('734d81bdaeeb9fdb5d5d07dbbd976da3',0.467213),('7434bd8333f84ac57e58faedd365fa79',0.521552),('74468c8e445820114511bfd7ed093ff9',0.530466),('7490527c15aa9536bf56e22e5407d11d',0.588832),
+  ('75a9269860ad3168297f10a2376c2980',1.016949),('7646fb5aeb99b810767942e7f5db6513',0.490196),('7670aa8a54c7cadf413179c91212e45b',0.473829),('76d639763709f6b854e93603a0f2b194',0.75),('77131627acdaf70e4a527abd807de3b8',0.432018),('7763050ecc3da0ca6c52e56f42f339ee',0.434879),
+  ('77e55b9432d613988d159263ea52ed91',0.418819),('781c3e3f6547f80966c3b1549e616d9c',0.503185),('786b65215d89b4e1be59c21123c4e036',0.413284),('78744d09bc856e14033fa5d41a18d296',0.509317),('787f2473a7a7bfa27151a906bdaad1b0',0.462687),('78a6f60933c93d8d6fd37280df4ae983',0.616915),
+  ('7948e01e294dff99387bd986cffc63b1',0.442765),('79796c12b65507e2237f33a3171b5c6c',0.464286),('79aff918c36cc94e036021260e289554',0.958904),('79e6533eb4c798085221e0566840a40d',0.56422),('7a09fffc6719293ca6d1ddd277ed58f7',0.455882),('7a2c7f5103f13740ee714743d4ea6ab7',0.413721),
+  ('7a65b287cdb0f6716e34c9e474a62552',0.630435),('7a7e34ca31a35fd5541274ad296d6187',0.501558),('7ab7b4d1825a574a7e3749e1d6f18751',0.632768),('7b7419a44319d7abe0f94263067116d6',0.816092),('7bac7111c396aa63b43d3fbdcc865ba7',0.597222),('7bc0af376945b5c6f97bdd12a6e7e281',0.689655),
+  ('7be27c92961eb29844cffb85114c5c4e',0.6),('7ca9fbf2447a2a19f94767447ccc3024',0.955224),('7cf5e21eec573b9231494353e374802e',0.542636),('7d2491d7d341b51e2ebc5263281bbba6',0.461916),('7d3ed31c5ac5a413ee7a02c144a2eff7',0.584541),('7d4eb049b682ca81fe3708f70ecf1f05',0.410112),
+  ('7d62c35c64ecfd619e90c4fead45c180',0.445813),('7d682436b1c6d507871de214fd2d7119',0.504532),('7d804871dc80911dadefa2a27123cf46',0.428843),('7da541deeae77f9bd12bde39caef0e34',0.472464),('7dbf7accf6fdf5bcfdf3281f8294aa40',0.43002),('7e131264349005429813feec1afcd010',0.419802),
+  ('7e47e5c21b8b8bd35c58e2af5365d4b7',0.491573),('7e6c2b111d6052cba1288538448031ac',0.423459),('7e73a5e91421f2d31177da14503b6a3a',0.462366),('7f1c934dceceb39ca087e858be32587f',0.489676),('7f36c877b9d659b61e1596ac6f078e68',0.426471),('7fa7802531f3d3f881f382178802e411',0.466488),
+  ('7fd3dea0e4044c42bfebaa6aedea9231',0.524528),('8012ffe261895d236508979d526a2a8f',0.558824),('8053592130fea5a0661171627003b3b0',0.437788),('8061a46e2e207ff05360c16091592477',0.50774),('8127539571c4f4250e5f931298f98974',0.87013),('8129540b95518b2966001ad18b352b26',0.515924),
+  ('82398d70ed9821eb0b17d9bfc51032f5',0.723577),('82f5324475db2a2daa011b26f4b5ad9e',0.43129),('833f54b1271edcee6ac2ce445d467b33',0.443627),('83ad633641d8427b1dd3c73e6034ab33',0.457143),('83c6ba27dffbca6df617d71a15032550',0.581281),('84007242355bb229f7fcb333a2f018c6',0.443069),
+  ('8405b4bdc313c8d74006ef7f2c501896',0.519355),('84082719b282378ed6c9a74e7fd96d3d',0.776699),('841c0dfc99bb9561dc2f562784c6ed0d',0.501672),('8459b17284c2c7e43bf83bc936b8db7f',0.55794),('849009eff0d7f95d2f9faeedcf16f831',0.481793),('84bd5f4cb1f6e3388e8619a9b635b71a',0.966667),
+  ('84e224b46bed007c8201d481c219256b',0.827957),('854af656f06b019cfa4434916afe06c3',0.583333),('85654e1ca54ffde46c903ff19ac3a93d',0.426804),('85b9bb6dd61c4de63e208eb55562e5f9',0.43295),('85be5b37211cc18324abc6c06a73db58',0.642424),('85c37d64ae597b4600821a404fea1d1d',0.64881),
+  ('85d2d7530bd267d7091d4eeeb482f4b5',0.615),('861b86391576003338b35b425749455c',0.48062),('867298813093ac2e0d85d15928c7e896',0.4637),('86e18feae1c7e8922370fc8c27a9e2bb',0.637838),('870e260af5a538f7911d273ccf7c60d4',0.695312),('87122e1bcbf1c61c0939ed90a42843be',0.619318),
+  ('8754e6fe3c95c36849a82f575d6ea9ea',0.754237),('87c5094c2ac44461e5e9219fd7718725',0.52809),('87d1104d86906f0d84f8eef7798f48dc',0.690141),('8833d35bb1973677be23f519101e4a55',0.429134),('885d9e3d8520ba5e2c6cef60ce58e413',0.403475),('889dfe339de9f287427a81c5d84edab8',0.507937),
+  ('892237217ebf8d7d311d8214810d1412',0.417625),('893a42064f40d6d2a1a6c9510ccd1127',0.459596),('896055e05652be1735c9a9d4f05bf6c9',0.466993),('898071b5c2c172384b66e1b96614c88a',0.544304),('89df4ebbf34c87c4575f8e503daab3fd',0.461717),('89e5b2777672fbe4aa803f3b86844367',0.420202),
+  ('8a04b9630e4fad47a081bb944aeeb76d',0.492754),('8a159b7d6aa67f17d47957196620e662',0.504587),('8a1ce9f566a86b947540adefd0891c0a',0.519164),('8a240e66ac890fe198f598b550eaf41f',0.897436),('8a30847c4a16f0afe2cb95eebfc39827',0.413989),('8a5272c035e6ed4b7fdefe8779811a15',0.813187),
+  ('8a98b04b347994a10ea1ab99d7efc125',0.580952),('8adbd6fed5cf36ce1fffb7d1af6f06e8',0.512121),('8b17f943049b5c7ab0434b9c2945b4e9',0.574879),('8b1c08a0e2b91cbd965169e83b0307fa',0.447307),('8b29a491e46ad21b8648d1e2b42b8501',0.656051),('8b435cee481cc0b7c539cb1319b166d2',0.707692),
+  ('8b85bd3dcba1d1b53776dbc76e14c7c4',0.564854),('8b9c7b04240f4bb8cef4d3f542de7387',0.431818),('8c1a001db105315e8fa89ccf7fd057a2',0.673469),('8c5095e724ab05ad4582c893e826207d',0.517241),('8c9c5062c7a6f088f82f0247fef5b264',0.459276),('8d08bd9c198bb2cdfd047f9403a1f4c5',0.514658),
+  ('8dcef2ae79bbe3b555cbe0d6faa9d7d5',0.639456),('8e0f388ec1a0be6685a3136c2d064d24',0.6625),('8e827e2b5ba88c6a37611f44e4b0dbfa',0.647727),('8ea8eef51fb9fb925fef9901eedfee64',0.398131),('8f25980dafc3f0faafd8ffda429318e7',0.439732),('8fce290ccbaac67cdb49fde405ae332e',0.407407),
+  ('90751ee68fbf16c5998a00aab146a5bf',0.473973),('911234dab22608a7120ca366b4143ebd',0.496933),('91198272a08295f3305ef63f51788530',0.443936),('91526011212068fea858d0b1dcaf1d6f',0.407098),('91cf36b2116fa68f32931ead9d05c13b',0.58371),('91fba76587806527d8d77c146a1bb51c',0.441926),
+  ('9244cde6280ad87964888f1297c4c6ec',0.96875),('92940f16b2be386326aff81c2d6e175c',0.430407),('92e2db928f0233fc7ad2cbc085673760',0.968254),('93d98c026b02c4999d4f2848fe494021',0.519573),('93fd6f2ddb41382f6e8164f30a3e1394',0.42623),('941954d04bb2ec319e6e84d9964db7db',0.572115),
+  ('9467326cf6ac5352d2c9bd6e773ab5c4',0.542125),('94b1a7082e947e619b631c56845c67ff',0.454082),('94c4e9fcd6f247f901477cd0b6048c76',0.727273),('94d0b708484e644e1ac55aa2023572c4',0.453515),('94d50f86c69859a4c998df222a358ec8',0.537549),('954441c830dc6324303fc7e1fb426bd3',0.92),
+  ('95ec2931903fc72aaa5d880a98666f6c',0.641892),('95feed81ee6421da71716967f4946193',0.507407),('96837b07f9fee08d3001b50c5a7f2b5e',0.689076),('97b7766a8487fdeee0aa85de4a1884b6',0.456265),('97c03d1270a7a4e803bba89d9d9af555',0.745455),('97c202ffbec7e413ad34f40f3a315d11',0.498542),
+  ('98c15d8ad10d00f5b69e51ca6454c319',0.966102),('9a02ff29747dec03efa7a11749f1cae6',0.451537),('9a1e4c7c77848b13d189980f59082a5e',0.524194),('9a2ce22deb2e917ef3bae35e1d717f33',0.55144),('9a8542c5af2571eae6e347d4b90ff3ce',0.52439),('9ab796ff9def6397ef7fad65efaaaa17',0.610811),
+  ('9b016481d98dab253b939fbc4a3b656a',0.584541),('9bf1f3066a2cdc046468a9bb766e38cb',0.577586),('9c497d6fb6798e1a0cf37c78e95af186',0.676259),('9cdb3e56dc71b8b027dbfcfc9f000e4e',0.794118),('9d28ea76301cfcdd5ac623cb1cd77f6d',0.438799),('9dab856647f71d54cc44e036bdc5da1d',0.470745),
+  ('9db62c78a10cd437f30653cca4176c53',0.566327),('9df3fb5903ad0939094da9990f93eedd',0.450106),('9eb400c7efb4ef68864ecbd0bec3c240',0.432049),('9f004cda9117796965b6c2b5a347b9b2',0.4791),('9f025fb66d84ec551f8d22ae50404ba6',0.621762),('9f09bf77a7a36beb353a0f6c1f087faf',0.423507),
+  ('9f1e172f0a8b822d04f2bfc2b1a6828f',0.477612),('a0002d4849a374d2041204cd26fadc08',0.745763),('a0150c6db64bfead1ac607eeff43bbaa',0.543147),('a03f539272cb67aadb160bd8fe601d9a',0.530364),('a104382cbad8ba469775ac0951e1df96',0.448357),('a131ac750f4345ca611ae28a0fcaae19',0.622857),
+  ('a1670c00ae88bc207a918f9312306acc',0.532143),('a173a04f39e0ddb59a48a8ccbd86accb',0.579909),('a17bf5b8058c3daeb28cdd263363cfd8',0.445521),('a1a5f0e68691822934072f5459ad4ca9',0.473538),('a242a98853f7a333c356bfc3e738c982',0.673333),('a2875cadd80198f2e6875b0b9dade7b2',0.445055),
+  ('a305f55312a9011005f02b842ea1ee22',0.49505),('a324eb80e2e070706001ccde318ec0e6',0.431818),('a325ae76c37a8a99f58d0e222671d87f',0.483871),('a3410527be9a01273989cabed066eadc',0.516224),('a3457f7a72845b3b0f885847fe46fe23',0.674074),('a36a69c73f3037c27493aba1191dfe5f',0.685897),
+  ('a37f42cc23e0990a9145bd86d51132ba',0.507092),('a3ebc5c8111a44bd4d6e9a848783336c',0.440529),('a48e6859bb76fc32977c0f500a756010',0.432258),('a4f75b9bc1e5c53613a609884c19920f',0.916667),('a53673b7dd040d8b46057d6ba0e896c7',0.444954),('a5868a40673299e67bca5befe930ef02',0.527778),
+  ('a59955576fc701fc6ee1ff475f624f4b',0.42885),('a5e09aa358d8af813927cfc1d104f53f',0.482759),('a65888bed80ec51e14cc3f7857bffbcb',0.44898),('a669193444c910f86d23aba194310741',0.424242),('a693e6048740cfd25b18c53dcefea900',0.589372),('a694cf5e2de85f8533a19509eb5b316b',0.457746),
+  ('a6adb38e4a5c77839cf8f497bf84ebdb',0.767677),('a6bbf495beba3cd2dd3aaef593168b7e',0.617978),('a7021e20f4c2a49d6ffddf70a696c2c3',0.418216),('a74b4966d046652d95d7dfae10fe7fa8',0.428008),('a74d089d0a7baeb24932613cb0fc8433',0.596244),('a7f7dd164b63814c139be3930f59b696',0.422562),
+  ('a808ec2db76b4d40ab8f02d6e0cb9a00',0.825581),('a82590a85d47d1d019f907004e096573',0.462871),('a85fd24ca620771de717dbe915a68321',0.737288),('a8e9305da336b9f5dd52144fb1ccf273',0.651613),('a9e72c5105df891e833d28f06db20645',0.444944),('aa07fd6e123a8d07f9c89e9120355b63',1.0),
+  ('aa60c46debd698a784116e9363a7ad9c',0.59633),('aa7c0f9d80e90b9cb5f42c0999996f6b',0.437624),('aa80e4261d4f5c97e8c14f2f8540f096',0.44856),('aa90816760e0faae8134f7617d5c18f8',0.439189),('aac13024bb8281a78d3210cdbc4f158d',0.43738),('aacaab998456c5e8b28cfa07033dda11',0.436652),
+  ('ab003ce113e3e3e1bf07946d09db3180',0.540636),('ab065ee905e2476f75b7faa40507a9ba',0.649682),('ab0e272a7f8760f7f5d555e3eb8bb1dc',0.51746),('abf8344e5c2a8e20c644924ab20831ea',0.560185),('ac22ed9f3b8728af3d7a7ea4a79380f6',0.490385),('ad2e5c6e601f707cd06dd29b05ea3ffe',0.696203),
+  ('ad306023215d099daa335b5da9a037a3',0.486034),('ad4b39f070ec640a85e5f01a2f658d78',0.681818),('adac82f3f295bec083a7a5ef4a37a151',0.482955),('ae379ef8cd67865ce91e16b9ba122467',0.559633),('ae6f632a3a5002dc167f380a0c96d85f',0.490741),('af0e767dcf16e6b0dee38398e3a7de6f',0.425243),
+  ('af140f3798cf76339a1224307d214bfe',1.0),('afa21d24dacba02651cbeabf7bb7587d',0.621951),('b0593e90741b202e12e1e9a3eb729f14',0.426087),('b08420b5875a2b21cec1ae2840f75335',0.707792),('b0a80966b6574a9624a98f66ecc5452e',0.436754),('b109f3a2ce238320c6c9c565627e5ab5',0.442478),
+  ('b114bd35682f9d24484460175b083e94',0.674242),('b1233bff9be38e41b27545c2b7870e12',0.564854),('b176094d049aaee53cf69cf621aeaf96',0.526119),('b1e1d1978930d351d96fcbda84814bc7',0.52349),('b2329395e874dd224a7377c79a5def41',0.43508),('b28fd03ce29a0f4ae2c7c5426c709789',0.448931),
+  ('b293d90aa79c5c765c78fc6863b1ca40',0.6),('b2a09237d76b9a341540413583915fe5',0.435547),('b2a4346a1ab4b05ca83450f4e4c4df56',0.821918),('b2ecbd3a17802f36f9cec17fc3ba2b67',0.470588),('b32e0b0d6b50ff32585aab0c78e3966c',0.69863),('b3461dca60cac29d59beffeeafbbb34d',0.555556),
+  ('b347cfe63e094105e9c01a92399b8a6b',0.432735),('b36104323b75f64705f5cb87239e4ca9',0.476804),('b36b163dff4becc50c5d874eb4249af8',0.431211),('b38d3eed23c2d27fcd35895dc41d9282',0.438596),('b3bef9e3f0b2f54636cf11d1aa425c80',0.42885),('b43928671013bae46b74705835fb5248',0.48),
+  ('b469c9d8ec09d716ba5b93f68e7b03c0',0.507645),('b4718475923c69699727b9d0805da9e6',0.543726),('b4b5b8bc392d625770372a70c32790d6',0.448687),('b4c48218d3031424a74ca6102796fdd0',0.442387),('b4e951b984294804d653507b88765aa7',0.430556),('b4f1620842df95310fedeb91342ca6b0',0.556),
+  ('b57802f3d023b9e2b6c8842e5fbbef72',0.883117),('b644a0535633d57c37a1ac8f876be7cd',0.711864),('b6c5226005bdece48e963c5fa6bb568f',0.567961),('b77ec2a2b9b4af92cfa45dbf7cf42336',0.430524),('b79570e5adae7d7361b98a8f94913cec',0.446953),('b7be6c2999cdbc1fce30d833435f2037',0.492625),
+  ('b7e72e16b5e99a30c7503bb8a1817208',0.484375),('b841ade4d170767ce5645b92079f6724',0.658683),('b89dcaa8d8aaddb48b7305de7c31dca3',0.454301),('b8b6dd906a3237cba5a9577d1f8ecddc',0.525822),('b8b9e811e7c9ce4a10bfa899d759ac3d',0.573913),('b8baf00455e4cf58d9bb1f45dda7b61f',0.455056),
+  ('b8bd1bd0854ab8b354a84e1d2cf48cf2',0.425532),('b8fd7234d6f063f992f54d10fe809235',0.434783),('b8ff7c9e80213225dcded68c0192dc26',0.469388),('b9fcc96ec36e895048dcd8c886360d48',0.446764),('ba32613915b5b1e8bc12833383c252e9',0.595092),('ba63fbfd8af9f8251356399c9a2179b1',0.516129),
+  ('ba7131be7c1843da4d01f100919194f2',0.556054),('bb34f2e1be44db72c9336046ac1889c9',0.5),('bb51bf0db4f813a40575710ffc2062d9',0.458432),('bb86cd09d5977e9dc1d6b253d8ddc65c',0.446903),('bbf90fd7b6f0a1973a6157b21519b913',0.531008),('bc3e88054a1f0edc37a66b848a551fbf',0.437653),
+  ('bc9704487d7ccf59d9b156e12e865a2a',0.697674),('bcb4ffbbccda460af3822a93f0d70127',0.585366),('bd28fff0ce0a075e5415bbb1f20f6b82',0.626506),('bd5b1b206b7ff64364b1e5c45cbb5aed',0.717949),('bd64f47cbb0e8579467a919265bbe33c',0.745614),('bd8eebcdb3d4c55dc0d9be597b6f4d5b',0.786408),
+  ('bd8fec66ac5a2835629561102cd820b5',0.496644),('bda9276080ce9f2cfcb68df489563e43',0.423625),('bdf5fb85d5d37bfaa7c8e466f7fa0a69',0.605096),('be0f27557854e6a61204362ef7469c3e',0.571429),('be50c5e82cb4111ccf3ea54ec334a4c8',0.604651),('be992c11377ef7b7f238703e0cb93476',0.517857),
+  ('bf0fa15ada8aafe7f9b9277affcd41ee',0.670659),('bf4e8cf6310dc25fc5fa3d1a1758d45d',0.6),('bf9502ccceb7e610b132a05d28a503a2',0.42094),('bf9bedf112682151c05f4637a03a518f',0.451902),('bfbb8bcb1151a00af4bc88582b58e3de',0.504065),('bfc771b40bd6c6c6519e05148eacac16',0.441758),
+  ('bfe83c9cba8150896a1b97f30a58e3b2',0.983871),('c066dc4ee25369b1f0609733ce745d44',0.541176),('c08e289529ddf6c490df38bc740c7a55',0.410394),('c0985d1be5d6d9a49bf017ab0b52aaaf',0.651899),('c0afa50f8db78830c1017890e0773826',0.532374),('c0e008b956113d3e50d2f32b1af5ea63',0.443992),
+  ('c11c978bc7808bb10787559788dcc8c2',0.487465),('c1648850c8ff2386686da689a88602b5',0.52988),('c1c49a78e9f96285c70b975c92a50a4d',0.421053),('c1c789e5e1745affb29f2c1356a8d22a',1.075472),('c1d1775b753a82f3aedfe3f089e6b767',0.566964),('c1f9122f2f1c3ff929e485fed8990550',0.578199),
+  ('c21cfd0b7516979948883c001d4b4b5d',0.463235),('c2990e4a7639b03ae883e3243303ca12',0.788235),('c2e95c71b5f2fe38c4018f6ff2fcca33',0.690476),('c2f91f3a046b962ceea5f6aca4ab9d03',0.441176),('c393a840cd2d7df3e01e1c20e00d79cf',0.607735),('c39be31d1ac82090b1965431242b68ee',0.436441),
+  ('c3ae0d812ec75dc8713cd22f5e4dbdf1',0.705357),('c3c7d17d7aaddb2d07b10e6898b12c44',0.625731),('c46ae01dbbd8072cdeeede4f0be7b098',0.467153),('c483f357566514bf186d88a094888c34',0.495146),('c4d6680bbbe75be55a9dc24b1de911cb',0.496875),('c4e9dcf93b78990bd13851570b56a8ff',0.77907),
+  ('c572335ff887187d8d024b12df5b47da',0.462312),('c5bc753b6849a2ac232867b07fb6fde3',0.522648),('c5d6e24fa434f02c846ab850ce5bdcc5',0.402439),('c5e602f8da37c595cea823679eba03c3',0.52921),('c617889fc743177182d98d1b9ec0ad22',0.439746),('c64f5a4846e9205cda9c34ee66875f5c',0.543307),
+  ('c69215351d367f76719afb77d62b5dcc',0.967742),('c6c9ce66b7c75c42cce6ad529b338299',0.643357),('c6fadc334d29260b0e9f9fc17996be11',0.675325),('c707dab8e1d798baa10800280744c745',0.524444),('c715809caa758f87fe20571f680db5db',0.451697),('c71987ac17ddc36bb6df28962a641c78',0.557018),
+  ('c7862dea80884ebc2634cb486134e38d',0.550847),('c79ef2fbe9834ed8961864e753dc67c9',0.448598),('c8631ec95bd6d13ec276875b1049679d',0.727273),('c88a768b96a39e9dd71cf394341f4b9c',0.571429),('c953d2497b21fcaf4528c2e89bf8f831',0.715447),('ca1c89d4a7bbc6e2d33a2604b457662f',0.457447),
+  ('cb0372eeaa4f31cf51b0efb0be5d6171',0.481959),('cbabf5bf28521806dc139cf983e819e5',0.498233),('cbf10771cf91cd4c24f942348ee859cb',0.75),('cc020249a75e28c97bb11e62b2ea4188',0.420408),('cc5436848a4c65a2332c552d4276dade',0.491429),('cd137f295f3705f33f212ec4dbba29b4',0.6),
+  ('cd1fe2b783d5db2e7145c0588067b23a',0.719697),('cd9378d769132eb2fe216eac6b62f502',0.50173),('cdac0eec57d5e1d46b1b98477039d262',0.6875),('cdde0b3867983b35fb2c6d3f0e0a234f',0.41791),('ce15f206abb043e916d4608e54736cca',0.417476),('ce26131b3e47b56ef458c64371d26a2e',0.451902),
+  ('ce6fa6b44de54ff13f7d77ce47086e50',0.478022),('ced2c273b0d44a04f3e6dd5e5083fdd6',0.557895),('cf11897be86f0904ef8e94a6d6f04b51',0.576355),('cf3f1cd4afb2daa6cc7c9a2e4761ba28',0.53719),('cf5046d85437c58e7e4dec9cf33c162e',0.709677),('cf74c4d8cc19087636e202af346a529a',0.442105),
+  ('cfb8711bdde5955915cc5bf362429d01',0.506329),('d0598612830eeba3b14859f95f03520c',0.656627),('d05d5216d61c70fb810f40fc5000faa6',0.577982),('d0a28570fb1729d2af9becea189a7108',0.486957),('d0abbc28d1ea893eba1025a868e0a4f3',0.764045),('d13c2948212ce78e82a2942c6ba02d6d',0.486486),
+  ('d1f5aa04d80b77c5f0e8c166916f41c0',0.427039),('d29206fa4346db3cd36e364aff608c6b',0.579439),('d29b6f90e0626bd05a1c45e0d46ef4d1',0.58371),('d2f40c8f04e31a63da739c1cfdea5262',0.692857),('d2fe03ea4428c000cf91d62313bf1e52',0.460199),('d339a96a94c93159e81bd9ab9c9fe8d8',0.888889),
+  ('d3caf37554134abaa79566200262852c',0.520134),('d3f067de81bad992281aa47980d17be7',0.697368),('d4169734f07f4197be95b4306b37d6e7',0.493671),('d43e7df32a14b4793837e3513cb6128c',0.701613),('d444004e3bb3963d7b5d29aead2b7df1',0.414048),('d4b7fa2978e31818f230fff917b9101a',0.405253),
+  ('d4cf8fd82cd22acf1387fa987907f311',0.464198),('d58c7515085eb411ac7e6f4953d46226',0.66879),('d58f18331e3247b60af6a59696abb549',0.633721),('d5f8c5cb24b23cdbf5034c28e3ed2f39',0.613757),('d60c36b9bd0b3bd006161bc6ec693778',0.45977),('d65e34c05086397bf793660add842667',0.835294),
+  ('d7562730c4338a3afae3de2bf7661723',0.441048),('d793f4ad28404a44ff4df0d05a7cb29f',0.589862),('d7e1072a7b855dd2c9638bd07b5c8580',0.638298),('d88e13b2cad6a22a2c37c1b88c02436c',0.526515),('d925fec08334e759fc8e87b95afcf1fc',0.458647),('d929f3d735801b54f5df16e56ff29317',0.664122),
+  ('d9552a5c32d53ae202f30187d03958d7',0.42766),('da01babd1cec72e56c9370e42cb07fa9',0.451681),('daa4ac2f92ce6fd581d299c4efc9e994',0.510563),('dae02d8ae2dd43bb8ab9b47b414f3b13',0.430524),('daf2df9f2ef333a881d4882b621b7796',0.785714),('db4bcce5268afe8d16c92333b34953ab',0.509025),
+  ('db937e5c444ae50e4d7e0736dec81982',0.590244),('dbc3edcd7935f9a7e1acb869901cc70b',0.70229),('dcb72fe658ebadf2984aa46ac2d44ffc',0.414433),('dcccb485b1c735f168c3232a1a6c9847',0.521739),('dd13299d27684fa77551aebcfa3c54d4',0.498498),('dd18033ecafdc618351b9366c911c43a',0.437113),
+  ('dd7384a0a4ff52e62efcc32f53632168',0.477089),('dde263eb4cef4d2321938a1ae1dd7695',0.584795),('ddf03964e541f250541c5bc1e858f2e9',0.415913),('de49fb7f1ca6265f772e5ce2cd2da025',0.810127),('de685af5669f83c3f5e553ae3545a06d',0.757576),('dfa950b3e36d124c92d871d13814b586',0.416996),
+  ('dfa9a9b132232f27c2a02f5f2806e0a4',1.017544),('dfddbec2c5d99bb97c0278256baade6d',0.566667),('e000e3396a7dcb7f11cbc9163b5e0cc7',0.426637),('e0a97c8a39497d86ddb39588df8fd584',0.504762),('e0c000bba86d10ac1a4e4f345909f48e',0.957143),('e0e0229629d4551a56933969e2591dd1',0.433761),
+  ('e1550905a6085ad7b5a1d0171ca17c14',0.425651),('e1c38b05845005f0a28b54022107c19e',0.446188),('e2308b68e0128cd3f79bb1ba454dd9e9',0.617978),('e231530a3d889b4b869b4f634e4c5c4a',0.456091),('e2694e415c243f43eb992cae8a9dfa8b',0.448598),('e27410cdd5500a6f1d109fdb47bfa992',0.537778),
+  ('e2993eb34e876291c2f43ae25d0cbb80',0.455882),('e2df88e4531620dae4305547d008dc76',0.413989),('e31a463a53641b13085bfdf357887bb7',0.954545),('e34b6d27b2caa414956d56bf4f784256',0.441805),('e354125f17aff5020c08a2ca60fc4de5',0.686131),('e36d2154da7e4e2ab21367533e21950b',0.564655),
+  ('e384b9d4debff5f6c04f8ae9fe035a81',0.472585),('e393af3e92be60b6dbca2059ed801d56',0.876543),('e3a461970ae0055f68140bda147e7711',0.461735),('e3c882df9df3a971a8d0de9d12f70fc9',0.632258),('e429a47cc04814f3382c319f0217e816',0.689394),('e4798f583d55bcb3eecc65a48251dfe4',0.480556),
+  ('e4b0c0071add0481bafbc3dd07ec8cd8',0.53211),('e4b8793362acf6af8ea7c81ef71329ef',0.437956),('e4c5ede9cada776b290f8a26418cfb0a',0.474227),('e50a985bff5a3fb54359f5183f3be1ee',0.442765),('e53f12df6155a99684592d9a2159d37e',0.48062),('e585d17b08d4994c49a30dd7adac39b3',0.488959),
+  ('e5c32cb9dbb9cfe379a425317630cfeb',0.422222),('e5e4cc0bd823146419b9133c33854543',0.427332),('e60d3fe5248e2401ab982fcf295b1e65',0.434298),('e60da32cf540116db6cf4e96775ad930',0.544715),('e6341381edb89ba079a0715cdccc326f',0.679487),('e6439004a8474d3c697c5176c5996f04',0.824176),
+  ('e692b4fe2f3a38bc96b2dcbe0dc9918e',0.461347),('e6df83b8acefadccb31d6d7085f4d2e6',0.451271),('e71c3e467345da61941d1c7ebc4caa92',0.429735),('e735a6bdb0630d5ebb73727f580b2564',0.569444),('e75e6dbb484c3553b1c98d76adb5fbbe',0.514196),('e796f7f72734f0154e4a62e56a06e5c7',0.59893),
+  ('e8043896b5b975c9e04988299ecafd2f',0.671533),('e84f9f7eda6bbbe5c5d599535a8851eb',0.470752),('e8651d1f060b0d23010d075700662f3c',0.544),('e87e90c4fefa223a3723c6b2c186ce2b',0.444934),('e89ac43ab956bc92fb238f1a6fb3cf00',0.688889),('e8aa648375e159878181594dbffbf7ce',0.75),
+  ('e8c3769dee88df59991c002476740ea6',0.43),('e90c9d832c6efbfcf018fae80623d0f1',0.584475),('e9711821e3192cb7bc60194b46ea4486',0.503401),('e98ef135289debaeb9d1eee2e784843f',0.593137),('e9d4bd599fb6d21a24f7c0fc9009258d',0.427419),('ea299eb35ba1ac2b044601503ab90654',0.446953),
+  ('ea8a35afba27ca21d1301bf4225682a6',0.5),('ea940144a645ae262c5fb03d093c9092',0.927536),('eb094b42b8baac61c3ade1e3dc9b55e7',0.611429),('eb2a9bde8e2acad08cf365599eae3ee2',0.440426),('eb6d0550a62fddab4241545ec92a9653',0.420857),('ebd0e4c4f239b72099b93e84a25a704e',0.503145),
+  ('ec1bb01b0e3ace2694a5833d22b894b0',0.725191),('ec5c3644e6c821117d7d94c5942c63bd',1.0),('ec743ea948ddee9a38877765379af328',0.477778),('ed8b075bbb7a1e69ac834e9cd7140b8e',0.433265),('ee1700e9fda5cc62a93a7b854040d43d',0.811765),('ee439b13d6982e5f65236445390ca6e0',0.521429),
+  ('ee9c12a14294225b4562318d71eb58b0',0.60101),('eebfa449b422cf336e31a4c3293f4632',0.718519),('eedba03f50b6368b04151ddc3c520e16',0.467787),('ef28a7d738f029a9531c2955ea3630e9',0.508418),('ef2abdd9b2bf3813d5504d497fed8a2d',0.441109),('ef5edee4ed0143ce2d69e7e6c9d62ed2',0.456876),
+  ('ef664ce20006588f66dd7c42a52fa8ed',0.427332),('ef69cff005a468a4a736bce07ca1017f',0.645963),('efa406bbea262137f922586390d2b96b',0.41087),('eff7abf9c6764d07405724858bb4391b',0.652439),('effc8f435cb6e4d6bd40cd8fa8b4bbf0',0.434343),('f0151ccc54abfa82869ef22616ca5d33',0.662857),
+  ('f038d01402123127a8e4cdcc0b02a206',0.459227),('f068b6f4f8317c70b8cf13ebf543ff16',0.481268),('f096ed0003b9fa2be9a01f1580465637',0.818182),('f0a94bafa3c94e64f48582689698aeae',0.520295),('f15ef5386b6149ddee890e97569ad455',0.436441),('f16a45ab0a8625f0edbcd904b7abc54b',0.630303),
+  ('f1f49e26651ff170f3d30fae38ef2ee8',0.478261),('f265b2f8fb9a77aafa60ab77ec859fdb',0.536398),('f270b5696149b29ab125f658184bde1a',0.888889),('f2ae488943b92ffd65bd8d5e36f88e6b',0.544),('f2d2874635c59e08e9d89fe4575b492b',0.421731),('f3049890fb73674a62d216c1d5f5dbe9',0.419958),
+  ('f334c5f1fb160358d6f37da4126f4d03',0.49),('f402bf47ca1c437459f40fc7df1a3f0a',0.586538),('f4aed8d60087875388883b9f66dd73bf',0.489552),('f4c37f74aeb57a6b39876ea188c1cece',0.706897),('f4d7e7de26a555910f78bd00ca9b6d45',0.661538),('f50a4a82bdd707d17e60cde57a39ae6c',0.745614),
+  ('f56afb490f9c56a84c86b1edc0577d64',0.586854),('f56dd63edc89aa1be5ef9b7d6a3c2ff9',0.729508),('f5943d1f40277480eb4de98399def2b4',0.592593),('f5b62039592ffc3ec0db383105eeaad4',0.524345),('f62ab557043d924020bc848e8468455e',0.772277),('f6539b832a7242497687cfc42596e6b3',0.787879),
+  ('f65c1f4bbe9411c2c9eb6486665e0a7f',0.768421),('f69a6c963fd7be9453517bbf54a2191d',0.646341),('f78c06d9ee8d20dc511fa60d56ccf347',0.476323),('f7c3a56a42c242b766307aeba2035b60',0.842697),('f7c3e79e6ebeb5f2bdb813336ea6ef58',0.602484),('f7fd298439ab6d3f406baf763a2cf08a',0.741071),
+  ('f8160e8cc003d51307c00f191f44f03f',0.476064),('f84a9ab069c459f3d94aeeecedb3ab07',0.437908),('f8883de0294d3d69d25bb999837bc4cc',0.462963),('f8b13e935199522e74e5368a7eb92b44',0.4294),('f8c3b833fc2507fca9ab1908db8c4742',0.790476),('f91449a310ec1da0b1cc908c49799767',0.53112),
+  ('f940b84879d913bea47fdba46e60c621',0.947368),('f9bd7d18af25350c77089a67b8f5ecd8',0.496894),('f9fc0002bae99e353c999ba0efd0c27a',0.448936),('fa908abd90941f58815f7aea1bfcfc52',0.494465),('fad0d8bc3b07fc87fca050158b43ec97',0.490305),('fafe058b71b3c907ad2252440157039a',0.591837),
+  ('fb40587924e6be15a0d877957d96384e',0.538462),('fb6993bea110c5a9944407b1eb4ae574',0.456825),('fb974c48a0605c6e2990176f2c38fb5a',0.820513),('fbf97e80dd63c5d888a94538832a292f',0.552743),('fc8b57c9912fc18389ba32b475f4d1cb',0.536398),('fc9b0f013fe84ac57c06a4a809e90aea',0.485207),
+  ('fcb7199f399da2f5312e1ff0d1a9e95e',0.424547),('fd6e0398a78b69f15b972ccfcba4436f',0.504823),('fd6e1a75286b712ad9c72c9a80853334',0.517375),('fd72ca1c548ed73c28b8c88080b127e5',0.417969),('fd9306afa7e4993c42f36a51259fe5a5',0.589286),('fdaa009bc616e9596ce06f85a6dfba32',0.398058),
+  ('fdaa6927ab46e109759758018e4fda22',0.483204),('fe01bc0506b1d9de65e2ac75baa0409b',0.416185),('fe4c620163e759c5a48821cfd6038500',0.678082),('fe4f74e448af5cc9f34880afb9c4f701',0.415094),('fe67717ac1835080ca7aa05b03555bd6',0.511327),('fe91ccb7515922222f641da0686ceba1',0.462963),
+  ('fea6f6c9acfcb9a302a90ebcc3a89b76',0.434679),('fed058a98f54e44297505d61501b50fa',0.488571),('ff62af28a2aeec9a963f175e8f1e468b',0.487261),('ff6dd7c1b82971b61f5b304013d773d1',0.472727),('ff80dbe8390d7e37df6fe2a2d8a7b20f',0.774194),('ff8797b4a89201a47967ba05d482074f',0.508143),
+  ('ff96bcb12a7e07d2447f21e5fdf8c186',0.536965),('ffbac52eac0c51859a8625e695d3fcfa',0.470255),('ffd40b3a9a5eb087263b42bfd57fc1c6',0.448113),('ffe1dd53c072306f50b4a038885f6a13',0.42243)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4757,6 +4923,33 @@ WITH RECURSIVE sh AS (
 SELECT doc_id, cluster_id, quality_score,
        CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_survivor
 FROM ranked ORDER BY doc_id
+"""
+    # dedup_best_quality_lsh: identical contract to dedup_best_quality.
+    # At the pinned minhash band layout (32 hashes x 8 bands, threshold
+    # 0.2) LSH pair recall is measured 1.0 at sf0.001 AND sf0.01 — the
+    # byte-equal-pairs argument that oracle-backed dedup_minhash_lsh_pairs
+    # in round 5 — so clusters and the max_by survivor election coincide
+    # with the exact kernel's.  Re-verify recall before changing the
+    # threshold or band layout.
+    o["dedup_best_quality_lsh"] = o["dedup_best_quality"]
+    # text_compression_ratio: zlib is not SQL-expressible, but the ratio
+    # is a pure deterministic function of the TEXT BYTES (level 6, 6-dp
+    # Python round-half-even — the exact kernel the pandas_udf runs), so
+    # the oracle pins (md5(text) -> ratio) for every distinct fixture text
+    # and joins by CONTENT HASH — keyed by text, not doc_id, because
+    # sf0.001 and sf0.01 assign different texts to the same ids.
+    # char_count is recomputed in SQL; only the opaque kernel value is
+    # pinned.  Same determinism argument as the multimodal pinned oracles;
+    # regenerate with tools/gen_compression_oracle.py if fixtures change.
+    o["text_compression_ratio"] = f"""
+WITH pinned(h, ratio) AS (VALUES
+{_COMPRESSION_PINS}
+)
+SELECT d.doc_id,
+       length(d.text)::INTEGER AS char_count,
+       CAST(p.ratio AS DOUBLE) AS compression_ratio
+FROM documents d LEFT JOIN pinned p ON md5(d.text) = p.h
+ORDER BY d.doc_id
 """
     o["text_bigram_logprob"] = f"""
 WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
