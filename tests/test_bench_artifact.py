@@ -1,0 +1,50 @@
+"""Lockstep gate between the committed full-suite bench artifact and the
+query registry (round-5 verdict #3): the newest ``BENCH_FULL_r*.json``
+must cover every registered query except the documented O(n^2) exact
+anchors, so the artifact can never silently lag behind new operators.
+Adding a query therefore requires re-running ``BENCH_FULL=1 python
+bench.py`` and committing the refreshed artifact — that is the point.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import bench
+import __spark_entry__ as entry_mod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _newest_full_artifact() -> str:
+    paths = glob.glob(os.path.join(REPO, "BENCH_FULL_r*.json"))
+    assert paths, "no BENCH_FULL_r*.json committed"
+    return max(paths, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+
+
+def test_full_bench_artifact_covers_registry():
+    path = _newest_full_artifact()
+    with open(path) as f:
+        artifact = json.load(f)
+    benched = set(artifact["queries"])
+    expected = set(entry_mod.queries()) - bench.FULL_EXCLUDE
+    missing = expected - benched
+    assert not missing, (
+        f"{os.path.basename(path)} lags the registry: {sorted(missing)} "
+        "— rerun BENCH_FULL=1 python bench.py and commit the artifact"
+    )
+    stale = benched - expected
+    assert not stale, (
+        f"{os.path.basename(path)} benches unregistered queries: {sorted(stale)}"
+    )
+
+
+def test_full_exclude_is_documented_anchor_set():
+    """Every excluded query must still exist in the registry (they are
+    oracle anchors, not dead names) and stay a small, deliberate list."""
+    qs = set(entry_mod.queries())
+    assert bench.FULL_EXCLUDE <= qs
+    assert len(bench.FULL_EXCLUDE) <= 5

@@ -446,3 +446,124 @@ def test_streaming_heavy_hitters_rank_agreement(spark, workdir):
                 lb_a = summaries[(a.shard, ua)]
                 lb_b = summaries[(b.shard, ub)]
                 assert lb_a > lb_b, f"rank flip: {ua}({lb_a}) vs {ub}({lb_b})"
+
+
+def test_full_section_31_lifecycle(spark, workdir):
+    """ONE test walking every step of the reference's §3.1 streaming
+    lifecycle (SURVEY.md: produce → consume → aggregate → flush decision →
+    finalize+persist → commit/effectively-once → shutdown drain), on the
+    JSONL wire transport that stands in for the sandbox-less Kafka broker.
+
+    Steps and their reference anchors:
+      1 produce    generator events serialized with the SAME to_json shape
+                   as the Kafka sink (kafka_publisher.py:71-80)
+      2 consume    wire parse + bad-record drop (kafka_consumer.py:71-107)
+      3 aggregate  shared hourly operator (aggregation.py:46-67)
+      4 flush      availableNow drain = flush_all (aggregation_service.py:138-186)
+      5 persist    keyed multi-row VALUES upsert in one committed
+                   transaction (postgres_repository.py:59-98)
+      6 commit     replay from a fresh checkpoint rebuilds IDENTICAL
+                   per-key state through ON CONFLICT DO UPDATE
+                   (upsert_aggregation.sql:12-19) — at-least-once made
+                   effectively-once
+      7 shutdown   drained query inactive; A11 introspection reports the
+                   final batch (aggregation_service.py:188-209)
+    """
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.streaming.pipeline import (
+        jdbc_upsert_sink,
+        pipeline_status,
+        start_pipeline,
+    )
+
+    # -- 1 produce: 300 generated events -> wire JSON lines ---------------
+    events = generate_events(spark, 300, num_users=8, events_per_second=2.0)
+    wire = [
+        r.value
+        for r in events.select(
+            F.to_json(F.struct(*[F.col(c) for c in events.columns])).alias(
+                "value"
+            )
+        ).collect()
+    ]
+    # junk on the wire: the consumer must drop, not fail (step 2 contract)
+    wire += ["{ not json", json.dumps({"user_id": "u", "event_type": None})]
+    _write_jsonl(f"{workdir}/in/part-0.jsonl", wire)
+
+    # -- 5's Postgres stand-in: DB-API conn applying real upsert semantics
+    class UpsertConn:
+        """Accumulates keyed state exactly as ON CONFLICT DO UPDATE would:
+        last write per (window_start, event_type) wins."""
+
+        def __init__(self, store):
+            self.store = store  # dict key -> 8-tuple
+            self.committed = 0
+            self.pending = []
+
+        def cursor(self):
+            conn = self
+
+            class Cur:
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *a):
+                    return False
+
+                def execute(self, sql, params):
+                    assert "ON CONFLICT" in sql and "DO UPDATE" in sql
+                    n = sql.count("(%s")
+                    assert len(params) == n * 8
+                    conn.pending.extend(
+                        tuple(params[i * 8 : (i + 1) * 8]) for i in range(n)
+                    )
+
+            return Cur()
+
+        def commit(self):
+            for row in self.pending:  # (window_start, window_end, type, ...)
+                self.store[(row[0], row[2])] = row
+            self.pending = []
+            self.committed += 1
+
+        def rollback(self):
+            self.pending = []
+
+        def close(self):
+            pass
+
+    # -- 2+3+4+5: consume -> aggregate -> drain-flush -> upsert -----------
+    store1: dict = {}
+    q = start_pipeline(
+        read_event_stream_json(spark, f"{workdir}/in"),
+        jdbc_upsert_sink("hourly_aggregations", lambda: UpsertConn(store1)),
+        f"{workdir}/ckpt1",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    # -- 7 shutdown + A11 introspection -----------------------------------
+    assert not q.isActive
+    status = pipeline_status(q)
+    assert status["is_active"] is False
+    assert status["batch_id"] is not None
+    assert (status["num_input_rows"] or 0) >= 0
+
+    # the persisted state covers every generated event exactly once
+    assert len(store1) > 0
+    total_events = sum(row[3] for row in store1.values())
+    assert total_events == 300  # junk dropped, nothing double-counted
+    # distinct-user counts are bounded by the generator's user pool
+    assert all(row[4] <= 8 for row in store1.values())
+
+    # -- 6 commit contract: full replay from a fresh checkpoint ------------
+    store2: dict = {}
+    q2 = start_pipeline(
+        read_event_stream_json(spark, f"{workdir}/in"),
+        jdbc_upsert_sink("hourly_aggregations", lambda: UpsertConn(store2)),
+        f"{workdir}/ckpt2",
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert store2 == store1  # idempotent rebuild == effectively-once
