@@ -37,6 +37,7 @@ from data_pipeline_zeal_spark.operators import (
     hourly,
     multimodal,
     relational,
+    retrieval,
     similarity,
     text,
 )
@@ -673,6 +674,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_compression_ratio"] = lambda s, d: text.compression_ratio(
         load_table(s, d, "documents")
     )
+    # --- [EXT] sparse retrieval stack (BM25 + graded evaluation) ---
+    def _bm25(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        return retrieval.bm25_search(docs, retrieval.corpus_queries(docs), k=10)
+
+    q["text_bm25_topk"] = _bm25
+
+    def _retrieval_quality(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        run = retrieval.bm25_search(docs, retrieval.corpus_queries(docs), k=10)
+        return retrieval.retrieval_metrics(
+            run, retrieval.lang_source_qrels(docs), k=10
+        )
+
+    q["retrieval_quality"] = _retrieval_quality
+    # per-pair containment decontamination (GPT-3-style): catches eval text
+    # EMBEDDED in larger documents, which Jaccard under-scores
+    q["corpus_containment"] = lambda s, d: corpus.ngram_containment(
+        load_table(s, d, "documents"), n=8, benchmark_mod=7, threshold=0.2
+    )
+
     q["orders_grouping_sets"] = lambda s, d: relational.priority_year_grouping_sets(
         load_table(s, d, "orders")
     )
@@ -4950,6 +4972,108 @@ SELECT d.doc_id,
        CAST(p.ratio AS DOUBLE) AS compression_ratio
 FROM documents d LEFT JOIN pinned p ON md5(d.text) = p.h
 ORDER BY d.doc_id
+"""
+    # BM25 (Lucene idf form) with corpus-derived queries (doc_id % 31 == 0,
+    # DISTINCT-token query terms — set semantics, order-free on purpose so
+    # list_distinct ordering differences can't matter), self excluded,
+    # scores rounded to 6 dp BEFORE the rank window.
+    _bm25_ranked = f"""
+toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+tf AS (SELECT doc_id, tok AS token, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(t)) AS avgdl FROM toks),
+dfq AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qt AS (SELECT DISTINCT doc_id AS query_id, unnest(list_distinct(t)) AS token
+       FROM toks WHERE doc_id % 31 = 0),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * p.tf * 2.2
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 6)
+           AS score
+  FROM tf p
+  JOIN dl l USING (doc_id)
+  JOIN dfq d USING (token)
+  JOIN qt q USING (token)
+  CROSS JOIN stats s
+  WHERE p.doc_id <> q.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)"""
+    o["text_bm25_topk"] = f"""
+WITH {_bm25_ranked}
+SELECT query_id, doc_id, score, rank::INTEGER AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+    # graded retrieval metrics over the BM25 run: qrels rel 2 = same
+    # (lang, source) as the query doc, rel 1 = same lang, self excluded;
+    # linear-gain NDCG with log2 discount; zero denominators pinned to 0.0
+    # on BOTH engines (cross-engine x/0 differs).
+    o["retrieval_quality"] = f"""
+WITH {_bm25_ranked},
+qrels AS (
+  SELECT q.doc_id AS query_id, c.doc_id,
+         CASE WHEN c.source = q.source THEN 2 ELSE 1 END AS rel
+  FROM documents c
+  JOIN documents q ON c.lang = q.lang
+  WHERE q.doc_id % 31 = 0 AND c.doc_id <> q.doc_id),
+hits AS (
+  SELECT r.query_id, r.rank, coalesce(qr.rel, 0)::DOUBLE AS rel
+  FROM ranked r
+  LEFT JOIN qrels qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+  WHERE r.rank <= 10),
+perq AS (
+  SELECT query_id,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits,
+         sum(rel / (ln(rank + 1.0) / ln(2.0))) AS dcg
+  FROM hits GROUP BY 1),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels WHERE rel > 0 GROUP BY 1),
+ideal AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id ASC) AS ipos
+  FROM qrels WHERE rel > 0),
+idcg AS (
+  SELECT query_id, sum(rel::DOUBLE / (ln(ipos + 1.0) / ln(2.0))) AS idcg
+  FROM ideal WHERE ipos <= 10 GROUP BY 1)
+SELECT p.query_id,
+       coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+       round(CASE WHEN p.first_rel IS NOT NULL
+                  THEN 1.0 / p.first_rel ELSE 0.0 END, 6) AS mrr,
+       round(p.n_hits / 10.0, 6) AS precision_at_k,
+       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+                  THEN p.n_hits::DOUBLE / n.n_rel ELSE 0.0 END, 6)
+         AS recall_at_k,
+       round(CASE WHEN coalesce(i.idcg, 0) > 0
+                  THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg_at_k
+FROM perq p
+LEFT JOIN nrel n USING (query_id)
+LEFT JOIN idcg i USING (query_id)
+ORDER BY p.query_id
+"""
+    # per-pair 8-gram containment |train ∩ bench| / |bench| (strict
+    # n-grams, no short-doc fallback — mirrors _distinct_ngrams)
+    o["corpus_containment"] = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+grams AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
+         i -> array_to_string(t[i:i+7], ' '))) AS gs
+  FROM toks),
+tr AS (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 7 <> 0),
+be AS (SELECT doc_id AS bench_id, unnest(gs) AS gram FROM grams
+       WHERE doc_id % 7 = 0),
+bs AS (SELECT bench_id, count(*)::BIGINT AS n FROM be GROUP BY 1),
+sh AS (SELECT t.doc_id, b.bench_id, count(*) AS n_shared
+       FROM tr t JOIN be b USING (gram) GROUP BY 1, 2)
+SELECT s.doc_id, s.bench_id,
+       round(s.n_shared::DOUBLE / bs.n, 6) AS containment
+FROM sh s JOIN bs USING (bench_id)
+WHERE round(s.n_shared::DOUBLE / bs.n, 6) >= 0.2
+ORDER BY doc_id, bench_id
 """
     o["text_bigram_logprob"] = f"""
 WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),

@@ -248,6 +248,59 @@ def ngram_contamination(
     )
 
 
+def ngram_containment(
+    documents: DataFrame,
+    n: int = 8,
+    benchmark_mod: int = 7,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-pair n-gram CONTAINMENT of each benchmark document inside each
+    training document: |grams(train) ∩ grams(bench)| / |grams(bench)|.
+
+    The decontamination score the binary shared-gram check
+    (:func:`ngram_contamination`) cannot express: a short eval question
+    embedded verbatim in a long web page has Jaccard ≈ 0 (the big page's
+    gram set swamps the union) but containment ≈ 1 — which is why
+    production decontamination (GPT-3 appendix C-style) thresholds
+    containment, not Jaccard.  Returns (doc_id, bench_id, containment)
+    for pairs at or above ``threshold``.
+
+    SCALE: pair generation is a posting join on the gram — only pairs
+    that actually share a gram materialize, and the benchmark side
+    (eval suites; tiny) is broadcast, so the corpus grams stream through
+    one broadcast-hash join and a (doc, bench)-keyed count.  Grams are
+    deduped per document before the join; the denominator frame is
+    #bench-docs rows."""
+    grams = with_min_parallelism(documents).select(
+        "doc_id", F.explode(_distinct_ngrams(tokens("text"), n)).alias("gram")
+    )
+    is_bench = F.col("doc_id") % benchmark_mod == 0
+    bench = grams.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    bench_size = bench.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_bench_grams")
+    )
+    shared = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(bench_size), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.round(F.col("n_shared") / F.col("n_bench_grams"), 6).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("doc_id", "bench_id")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.4,

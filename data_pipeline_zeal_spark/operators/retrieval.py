@@ -1,0 +1,224 @@
+"""[EXT] Sparse retrieval over the ``documents`` table: BM25 ranking and
+graded retrieval-quality metrics (MRR / precision / recall / NDCG).
+
+The retrieval side of a training-data pipeline: BM25 is the standard
+lexical ranker for sourcing candidate documents (and the baseline any
+embedding retriever is judged against), and the metrics operator turns a
+(run, qrels) pair into the evaluation row a retrieval experiment loop
+needs.  The reference has no retrieval surface; this extends the text
+stack (`text.doc_similarity_topk`'s posting-join shape) with the
+query-scoring form.
+
+SCALE: postings (doc, token, tf) ride ONE doc-tokenize shuffle; document
+frequencies are one token-keyed aggregate; the query-term set is tiny by
+construction (queries x distinct terms) and BROADCAST into the posting
+join, so the corpus never moves twice and nothing shuffles on a skewed
+key (token df prune bounds hub tokens like stop-words when the corpus
+grows — exposed as ``max_df_ratio``).  Scores round to 6 dp BEFORE the
+per-query top-k window so ranks tie-break identically cross-engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokens
+from ..io import with_min_parallelism
+
+
+def corpus_queries(documents: DataFrame, query_mod: int = 31) -> DataFrame:
+    """Deterministic query set derived from the corpus itself: every
+    document with ``doc_id % query_mod == 0`` becomes a query whose terms
+    are its DISTINCT tokens (set semantics — order-free, so the DuckDB
+    oracle can mirror it without relying on list_distinct ordering).
+    Returns (query_id, token) rows."""
+    return (
+        documents.filter(F.col("doc_id") % query_mod == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(tokens("text"))).alias("token"),
+        )
+    )
+
+
+def bm25_search(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float = 1.0,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """BM25 top-``k`` documents per query (Robertson/Sparck Jones; the
+    Lucene ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf form, always
+    positive).  ``queries`` is a (query_id, token) frame — see
+    :func:`corpus_queries` for the deterministic fixture derivation.
+
+    score(q, d) = sum over distinct q terms of
+        idf(t) * tf(t,d) * (k1 + 1) / (tf(t,d) + k1 * (1 - b + b * |d|/avgdl))
+
+    ``exclude_self`` drops the candidate whose doc_id equals the
+    query_id (the corpus-derived query would otherwise trivially rank
+    itself first).  ``max_df_ratio`` < 1 prunes hub tokens from the
+    posting join — the same sum(df²) control as
+    :func:`text.doc_similarity_topk`; the default keeps exact semantics
+    for oracle parity at fixture scale."""
+    docs = with_min_parallelism(documents)
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclen = docs.select(
+        "doc_id", F.size(tokens("text")).cast("double").alias("dl")
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(tokens("text"))).alias("avgdl"),
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select("query_id", "token").distinct()
+    postings = tf.join(doclen, "doc_id").join(df_, "token").join(
+        F.broadcast(stats)
+    )
+    if max_df_ratio < 1.0:
+        postings = postings.filter(
+            F.col("df") <= max_df_ratio * F.col("n_docs")
+        )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        postings.join(F.broadcast(qterms), "token")
+        .filter(
+            F.col("doc_id") != F.col("query_id") if exclude_self else F.lit(True)
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (k1 + 1.0) / denom), 6
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def retrieval_metrics(
+    run: DataFrame, qrels: DataFrame, k: int = 10
+) -> DataFrame:
+    """Graded retrieval evaluation: one row per query with reciprocal
+    rank, precision@k, recall@k, and NDCG@k (linear gain,
+    ``rel / log2(rank + 1)`` discount).
+
+    ``run``: (query_id, doc_id, rank) — ranks 1-based, already top-k'd.
+    ``qrels``: (query_id, doc_id, rel) with rel > 0 for relevant docs.
+
+    Every aggregate is per-query over a bounded frame (k run rows and the
+    query's qrels), so the whole evaluation is two uniform query-keyed
+    shuffles regardless of corpus size.  Zero-denominator cases pin
+    explicitly to 0.0 (queries with no relevant docs, empty ideal DCG) —
+    cross-engine x/0 semantics differ, so never rely on them."""
+    log2 = math.log(2.0)
+    hits = (
+        run.filter(F.col("rank") <= k)
+        .join(qrels.filter(F.col("rel") > 0), ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            F.coalesce("rel", F.lit(0)).cast("double").alias("rel"),
+        )
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("first_rel"),
+        F.sum((F.col("rel") > 0).cast("int")).alias("n_hits"),
+        F.sum(
+            F.col("rel") / (F.log(F.col("rank") + 1.0) / F.lit(log2))
+        ).alias("dcg"),
+    )
+    n_rel = qrels.filter(F.col("rel") > 0).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    # ideal DCG: the query's qrels sorted by rel desc, best k positions
+    iw = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    idcg = (
+        qrels.filter(F.col("rel") > 0)
+        .withColumn("ipos", F.row_number().over(iw))
+        .filter(F.col("ipos") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.col("rel").cast("double")
+                / (F.log(F.col("ipos") + 1.0) / F.lit(log2))
+            ).alias("idcg")
+        )
+    )
+    zero = F.lit(0.0)
+    return (
+        per_q.join(n_rel, "query_id", "left")
+        .join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            F.round(
+                F.when(
+                    F.col("first_rel").isNotNull(), 1.0 / F.col("first_rel")
+                ).otherwise(zero),
+                6,
+            ).alias("mrr"),
+            F.round(F.col("n_hits") / float(k), 6).alias("precision_at_k"),
+            F.round(
+                F.when(
+                    F.coalesce("n_rel", F.lit(0)) > 0,
+                    F.col("n_hits") / F.col("n_rel"),
+                ).otherwise(zero),
+                6,
+            ).alias("recall_at_k"),
+            F.round(
+                F.when(
+                    F.coalesce("idcg", zero) > 0, F.col("dcg") / F.col("idcg")
+                ).otherwise(zero),
+                6,
+            ).alias("ndcg_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def lang_source_qrels(documents: DataFrame, query_mod: int = 31) -> DataFrame:
+    """Deterministic graded relevance for the corpus-derived query set:
+    rel 2 when the candidate shares the query document's (lang, source),
+    rel 1 when it shares only the lang, self excluded.  A topical-cluster
+    stand-in that makes the metrics operator oracle-checkable on the
+    fixture; production callers pass real judgements."""
+    q = documents.filter(F.col("doc_id") % query_mod == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("lang").alias("q_lang"),
+        F.col("source").alias("q_source"),
+    )
+    cand = documents.select("doc_id", "lang", "source")
+    # equi-join on the lang key (hash join, no theta); self drops after
+    return (
+        cand.join(F.broadcast(q), cand["lang"] == q["q_lang"])
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("source") == F.col("q_source"), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("rel"),
+        )
+    )

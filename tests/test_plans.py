@@ -224,6 +224,9 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         "text_source_fair_quality": 1,  # same 1-row total broadcast
         "text_bigram_logprob": 1,  # 1-row vocabulary-size broadcast
         "text_tfidf_top_terms": 1,
+        # 1-row (n_docs, avgdl) corpus-stats broadcast on the BM25 postings
+        "text_bm25_topk": 1,
+        "retrieval_quality": 1,  # same run subplan
         # (text_doc_similarity's 1-row n_docs crossJoin sits behind the
         # postings localCheckpoint, so the registered plan carries none)
         "tpch_q11_important_parts": 1,
