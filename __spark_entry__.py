@@ -689,6 +689,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["retrieval_quality"] = _retrieval_quality
+
+    def _hard_negatives(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        run = retrieval.bm25_search(docs, retrieval.corpus_queries(docs), k=10)
+        return retrieval.hard_negatives(
+            run, retrieval.lang_source_qrels(docs), k=10, per_query=5
+        )
+
+    # contrastive-training negative mining: top-ranked-but-irrelevant
+    q["retrieval_hard_negatives"] = _hard_negatives
+
+    def _bcubed_norm(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        pred = text.normalize_text(docs).select(
+            "doc_id", F.md5("norm_text").alias("cluster_id")
+        )
+        # auto: exact at the driver's sf0.01 oracle scale (hash parity),
+        # LSH candidates beyond the row flip (recall 1.0 at the pinned
+        # layout -> identical clusters; the semdedup_survivors precedent)
+        clusters = dedup.duplicate_clusters(docs, threshold=0.2, method="auto")
+        truth = (
+            docs.select("doc_id")
+            .join(clusters, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", F.col("doc_id"))
+                .cast("long")
+                .alias("cluster_id"),
+            )
+        )
+        return dedup.bcubed(pred, truth)
+
+    # how much of the exact near-dup clustering the CHEAP normalized-hash
+    # tier recovers (B-cubed: precision ~1 expected — normalization never
+    # over-merges here — recall < 1 measures what only Jaccard catches)
+    q["dedup_bcubed_norm_vs_jaccard"] = _bcubed_norm
     # per-pair containment decontamination (GPT-3-style): catches eval text
     # EMBEDDED in larger documents, which Jaccard under-scores
     q["corpus_containment"] = lambda s, d: corpus.ngram_containment(
@@ -5054,6 +5090,78 @@ FROM perq p
 LEFT JOIN nrel n USING (query_id)
 LEFT JOIN idcg i USING (query_id)
 ORDER BY p.query_id
+"""
+    # hard negatives: the top-10 BM25 results minus the relevant set,
+    # re-ranked densely per query (NOT EXISTS = Spark's left_anti)
+    o["retrieval_hard_negatives"] = f"""
+WITH {_bm25_ranked},
+qrels AS (
+  SELECT q.doc_id AS query_id, c.doc_id
+  FROM documents c
+  JOIN documents q ON c.lang = q.lang
+  WHERE q.doc_id % 31 = 0 AND c.doc_id <> q.doc_id),
+neg AS (
+  SELECT r.query_id, r.doc_id, r.rank::INTEGER AS rank
+  FROM ranked r
+  WHERE r.rank <= 10
+    AND NOT EXISTS (SELECT 1 FROM qrels q
+                    WHERE q.query_id = r.query_id AND q.doc_id = r.doc_id)),
+nr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rank ASC, doc_id ASC) AS neg_rank
+  FROM neg)
+SELECT query_id, doc_id, rank, neg_rank::INTEGER AS neg_rank
+FROM nr WHERE neg_rank <= 5 ORDER BY query_id, neg_rank
+"""
+    # B-cubed of the cheap normalized-hash dedup tier against the exact
+    # Jaccard clustering (both SQL-expressible; singletons label as
+    # themselves on both sides)
+    o["dedup_bcubed_norm_vs_jaccard"] = f"""
+WITH RECURSIVE nrm AS (
+  SELECT doc_id, {norm_expr} AS norm_text FROM documents
+), pred AS (
+  SELECT doc_id AS id, md5(norm_text) AS pc FROM nrm
+), sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+        / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0), 6) >= 0.2
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+), clus AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+), truth AS (
+  SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS tc
+  FROM documents d LEFT JOIN clus c USING (doc_id)
+), bth AS (
+  SELECT p.id, p.pc, t.tc FROM pred p JOIN truth t USING (id)
+), inter AS (
+  SELECT pc, tc, count(*) AS n_int FROM bth GROUP BY 1, 2
+), ps AS (SELECT pc, count(*) AS n_p FROM bth GROUP BY 1
+), ts AS (SELECT tc, count(*) AS n_t FROM bth GROUP BY 1
+), per AS (
+  SELECT b.id, i.n_int::DOUBLE / ps.n_p AS prec,
+         i.n_int::DOUBLE / ts.n_t AS rec
+  FROM bth b JOIN inter i USING (pc, tc) JOIN ps USING (pc) JOIN ts USING (tc)
+), agg AS (
+  SELECT count(*)::BIGINT AS n_elements,
+         avg(prec) AS p_raw, avg(rec) AS r_raw
+  FROM per)
+SELECT n_elements,
+       round(p_raw, 6) AS bcubed_precision,
+       round(r_raw, 6) AS bcubed_recall,
+       round(CASE WHEN p_raw + r_raw > 0
+                  THEN 2 * p_raw * r_raw / (p_raw + r_raw)
+                  ELSE 0.0 END, 6) AS bcubed_f1
+FROM agg
 """
     # per-pair 8-gram containment |train ∩ bench| / |bench| (strict
     # n-grams, no short-doc fallback — mirrors _distinct_ngrams)

@@ -904,6 +904,60 @@ def dup_rate_by_source(documents: DataFrame) -> DataFrame:
     )
 
 
+def bcubed(
+    predicted: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "cluster_id",
+    truth_col: str = "cluster_id",
+) -> DataFrame:
+    """B-cubed extrinsic clustering evaluation (Bagga & Baldwin '98 —
+    the standard dedup/coreference clustering metric): per element,
+    precision = |pred-cluster ∩ true-cluster| / |pred-cluster| and
+    recall = the same intersection over the true cluster; returns ONE row
+    with the macro averages and F1.  Unlike pair-counting Rand/F-measure,
+    B-cubed weights every element, so giant clusters can't drown mistakes on
+    small ones — the property that matters when evaluating a cheap dedup
+    tier (normalized-hash groups) against the full near-dup clustering.
+
+    SCALE: intersection sizes come from one (pred, truth)-pair keyed
+    aggregate over the element join — no pair enumeration, cost is
+    O(elements) rows through three uniform-key shuffles; cluster sizes
+    are two more key aggregates, broadcast back by cluster id."""
+    p = predicted.select(
+        F.col(id_col).alias("id"), F.col(pred_col).alias("pc")
+    )
+    t = truth.select(F.col(id_col).alias("id"), F.col(truth_col).alias("tc"))
+    both = p.join(t, "id")
+    inter = both.groupBy("pc", "tc").agg(F.count(F.lit(1)).alias("n_int"))
+    psize = both.groupBy("pc").agg(F.count(F.lit(1)).alias("n_p"))
+    tsize = both.groupBy("tc").agg(F.count(F.lit(1)).alias("n_t"))
+    per_el = (
+        both.join(inter, ["pc", "tc"])
+        .join(psize, "pc")
+        .join(tsize, "tc")
+        .select(
+            (F.col("n_int") / F.col("n_p")).alias("prec"),
+            (F.col("n_int") / F.col("n_t")).alias("rec"),
+        )
+    )
+    agg = per_el.agg(
+        F.count(F.lit(1)).cast("long").alias("n_elements"),
+        F.avg("prec").alias("p_raw"),
+        F.avg("rec").alias("r_raw"),
+    )
+    f1 = F.when(
+        (F.col("p_raw") + F.col("r_raw")) > 0,
+        2.0 * F.col("p_raw") * F.col("r_raw") / (F.col("p_raw") + F.col("r_raw")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_elements",
+        F.round("p_raw", 6).alias("bcubed_precision"),
+        F.round("r_raw", 6).alias("bcubed_recall"),
+        F.round(f1, 6).alias("bcubed_f1"),
+    )
+
+
 def best_quality_survivors(
     documents: DataFrame,
     threshold: float = 0.2,

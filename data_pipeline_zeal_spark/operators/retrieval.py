@@ -198,6 +198,36 @@ def retrieval_metrics(
     )
 
 
+def hard_negatives(
+    run: DataFrame, qrels: DataFrame, k: int = 10, per_query: int = 5
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: the
+    top-ranked retrieval results that are NOT relevant — lexically close
+    (BM25 ranked them high) yet wrong, exactly the negatives that teach a
+    bi-encoder the decision boundary random negatives never touch.
+
+    ``run``: (query_id, doc_id, rank); ``qrels``: (query_id, doc_id, rel).
+    Returns the ``per_query`` best-ranked non-relevant docs per query with
+    a dense ``neg_rank``.  An anti-join against rel > 0 plus one bounded
+    per-query window — composes directly on :func:`bm25_search` output,
+    and at scale inherits its shapes (everything keys on query_id)."""
+    neg = (
+        run.filter(F.col("rank") <= k)
+        .join(
+            qrels.filter(F.col("rel") > 0).select("query_id", "doc_id"),
+            ["query_id", "doc_id"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"), F.asc("doc_id"))
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= per_query)
+        .select("query_id", "doc_id", "rank", "neg_rank")
+        .orderBy("query_id", "neg_rank")
+    )
+
+
 def lang_source_qrels(documents: DataFrame, query_mod: int = 31) -> DataFrame:
     """Deterministic graded relevance for the corpus-derived query set:
     rel 2 when the candidate shares the query document's (lang, source),

@@ -227,6 +227,11 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         # 1-row (n_docs, avgdl) corpus-stats broadcast on the BM25 postings
         "text_bm25_topk": 1,
         "retrieval_quality": 1,  # same run subplan
+        "retrieval_hard_negatives": 1,  # same run subplan
+        # (dedup_bcubed_norm_vs_jaccard's exact clustering kernel sits
+        # behind connected_components' eager localCheckpoint, so its
+        # registered plan carries no nested loop — auto flips the
+        # candidate kernel to LSH at scale, the semdedup pattern)
         # (text_doc_similarity's 1-row n_docs crossJoin sits behind the
         # postings localCheckpoint, so the registered plan carries none)
         "tpch_q11_important_parts": 1,

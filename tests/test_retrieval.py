@@ -126,3 +126,46 @@ def test_qrels_join_is_equi(spark):
     simple = plans.explain_mode(df, "simple")
     assert "BroadcastNestedLoopJoin" not in simple
     assert "CartesianProduct" not in simple
+
+
+def test_hard_negatives_closed_form(spark):
+    """Relevant docs are excluded; the rest re-rank densely by run rank."""
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4)],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 2), (1, 12, 1)], "query_id long, doc_id long, rel int"
+    )
+    rows = retrieval.hard_negatives(run, qrels, k=10, per_query=5).collect()
+    assert [(r.doc_id, r.rank, r.neg_rank) for r in rows] == [
+        (11, 2, 1),
+        (13, 4, 2),
+    ]
+
+
+def test_bcubed_identity_and_split(spark):
+    """Identical clusterings score 1.0 everywhere; splitting one true
+    cluster of 4 into two predicted pairs keeps precision 1 and drops
+    per-element recall to 0.5 for those elements."""
+    from data_pipeline_zeal_spark.operators import dedup
+
+    truth = spark.createDataFrame(
+        [(i, 0) for i in range(4)] + [(9, 9)], "doc_id long, cluster_id long"
+    )
+    [ident] = dedup.bcubed(truth, truth).collect()
+    assert (
+        ident.bcubed_precision,
+        ident.bcubed_recall,
+        ident.bcubed_f1,
+    ) == (1.0, 1.0, 1.0)
+
+    pred = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 2), (9, 9)], "doc_id long, cluster_id long"
+    )
+    [split] = dedup.bcubed(pred, truth).collect()
+    assert split.n_elements == 5
+    assert split.bcubed_precision == 1.0
+    # four elements at recall 2/4, the singleton at 1 -> (4*0.5 + 1)/5
+    assert split.bcubed_recall == 0.6
+    assert split.bcubed_f1 == round(2 * 1.0 * 0.6 / 1.6, 6)
