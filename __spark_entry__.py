@@ -1256,9 +1256,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: recall-1.0 equivalence to the exact survivors SQL), the remaining
 #: genuinely rows-only stragglers (sim_pca_project, sim_pq_topk,
 #: multimodal_resize, multimodal_scene_detect — weaker rows-only driver
-#: checks, each with pytest law/recall gates), and re-verifications of
-#: round-5 greens to fill the window.  After this window every
-#: oracle-backed query in the registry has a driver row.
+#: checks, each with pytest law/recall gates), the five round-6 additions
+#: (text_bm25_topk, retrieval_quality, retrieval_hard_negatives,
+#: corpus_containment, dedup_bcubed_norm_vs_jaccard — each driver_sim
+#: green at sf0.01 the day it was added), and re-verifications of round-5
+#: greens to fill the window.  After this window every oracle-backed
+#: query in the registry has a driver row.
 _DRIVER_FIRST = [
     "tpch_q10_returned_items",
     "tpch_q18_large_volume",
@@ -1305,11 +1308,11 @@ _DRIVER_FIRST = [
     "events_hour_uniformity",
     "events_profile_drift",
     "hourly_agg_incremental",
-    "asof_error_nearest_click_30m",
-    "events_scd2_pit_join",
-    "orders_snapshot_diff",
-    "orders_snapshot_rebuild",
-    "dedup_incremental_survivors",
+    "text_bm25_topk",
+    "retrieval_quality",
+    "retrieval_hard_negatives",
+    "corpus_containment",
+    "dedup_bcubed_norm_vs_jaccard",
 ]
 
 
