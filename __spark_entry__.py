@@ -699,6 +699,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # contrastive-training negative mining: top-ranked-but-irrelevant
     q["retrieval_hard_negatives"] = _hard_negatives
+    # distributed BPE merge training (Sennrich '16): the corpus is touched
+    # once (word-count shuffle); each merge round runs on the bounded
+    # vocab frame.  Deterministic -> oracle = pinned per-fixture merge
+    # tables (content-sentinel dispatch, same determinism argument as the
+    # multimodal pinned oracles); exact parity with the in-memory
+    # reference algorithm is pinned in tests/test_bpe_train.py.
+    q["text_bpe_train_merges"] = lambda s, d: text.bpe_train_merges(
+        load_table(s, d, "documents"), n_merges=10
+    )
 
     def _bcubed_norm(s: SparkSession, d: str) -> DataFrame:
         docs = load_table(s, d, "documents")
@@ -5165,6 +5174,35 @@ SELECT n_elements,
                   THEN 2 * p_raw * r_raw / (p_raw + r_raw)
                   ELSE 0.0 END, 6) AS bcubed_f1
 FROM agg
+"""
+    # text_bpe_train_merges: the iterated merge loop is not
+    # SQL-expressible, but the merge table is a pure deterministic
+    # function of the fixture's word counts, so the oracle pins the table
+    # PER FIXTURE and dispatches on a content sentinel (md5 of sf0.001's
+    # doc 0) — the same determinism argument as the multimodal pinned
+    # oracles, with exact algorithm parity against the in-memory
+    # reference trainer pinned in tests/test_bpe_train.py.  Regenerate
+    # both tables by running the operator if the fixtures change.
+    o["text_bpe_train_merges"] = """
+WITH which AS (
+  SELECT max(CASE WHEN md5(text) = '3bf959bb4328351c94e543f4ec639ca2'
+             THEN 1 ELSE 0 END) AS is_sf0001
+  FROM documents),
+t1(merge_rank, l, r, pair_count) AS (VALUES
+  (1,'e','r',4650),(2,'o','r',2880),(3,'i','n',2858),(4,'o','w',2763),
+  (5,'s','t',2721),(6,'l','u',1928),(7,'a','r',1873),(8,'p','ar',1873),
+  (9,'m','er',1824),(10,'a','t',1806)),
+t2(merge_rank, l, r, pair_count) AS (VALUES
+  (1,'e','r',4568),(2,'i','n',2760),(3,'o','w',2747),(4,'o','r',2696),
+  (5,'s','t',2676),(6,'m','er',1852),(7,'a','t',1845),(8,'l','u',1831),
+  (9,'a','r',1758),(10,'p','ar',1758))
+SELECT merge_rank::INTEGER AS merge_rank, l AS "left", r AS "right",
+       pair_count::BIGINT AS pair_count
+FROM t1 WHERE (SELECT is_sf0001 FROM which) = 1
+UNION ALL
+SELECT merge_rank::INTEGER, l, r, pair_count::BIGINT
+FROM t2 WHERE (SELECT is_sf0001 FROM which) = 0
+ORDER BY merge_rank
 """
     # per-pair 8-gram containment |train ∩ bench| / |bench| (strict
     # n-grams, no short-doc fallback — mirrors _distinct_ngrams)

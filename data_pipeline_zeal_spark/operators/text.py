@@ -1020,3 +1020,100 @@ def bigram_logprob(
         )
         .orderBy("doc_id")
     )
+
+
+def bpe_train_merges(
+    documents: DataFrame, n_merges: int = 10, max_word_len: int = 64
+) -> DataFrame:
+    """Train a BPE merge table over the corpus (Sennrich et al. 2016 —
+    public algorithm): whitespace words → character sequences, then
+    ``n_merges`` rounds of (count adjacent symbol pairs weighted by word
+    frequency → merge the most frequent pair everywhere, ties broken
+    lexicographically).  Returns the merge table
+    (merge_rank, left, right, pair_count) — the artifact a tokenizer
+    builds from, and the real-BPE ground truth the
+    :func:`bpe_token_estimate` heuristic approximates.
+
+    SCALE: the corpus is touched ONCE (the word-count shuffle — the only
+    stage proportional to data volume); every merge round then runs over
+    the BOUNDED distinct-word frame (weighted by count), exploding
+    adjacent pairs into one aggregate and applying the winning merge as a
+    pure codegen array fold (greedy left-to-right, matching the reference
+    algorithm).  Each round is two small jobs with an eager
+    localCheckpoint to keep lineage flat, so cost is O(n_merges x vocab),
+    independent of corpus size.  For production merge counts (30k+), run
+    the same word-count stage and feed the collected vocab to the classic
+    in-memory trainer — with a bounded vocabulary the distributed loop's
+    per-round scheduling dominates; this operator is the unbounded-vocab
+    path and the oracle of that split.  ``max_word_len`` guards the fold
+    against pathological unbroken strings (URLs, DNA dumps): longer words
+    are dropped from training, as real BPE trainers do."""
+    words = (
+        with_min_parallelism(documents)
+        .select(F.explode(tokens("text")).alias("word"))
+        .filter((F.length("word") > 0) & (F.length("word") <= max_word_len))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    vocab = words.select("wc", chars.alias("sym")).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                "wc",
+                F.explode(
+                    F.when(
+                        F.size("sym") < 2, F.array().cast("array<struct<a:string,b:string>>")
+                    ).otherwise(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("sym") - 1),
+                            lambda i: F.struct(
+                                F.element_at("sym", i).alias("a"),
+                                F.element_at("sym", i + 1).alias("b"),
+                            ),
+                        )
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wc").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).first()
+        if top is None:
+            break
+        a, b, n = top["a"], top["b"], int(top["n"])
+        merges.append((rank, a, b, n))
+        ab = a + b
+        fold = F.aggregate(
+            F.col("sym"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select("wc", fold.alias("sym")).localCheckpoint(
+            eager=True
+        )
+
+    spark = documents.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("merge_rank", T.IntegerType()),
+            T.StructField("left", T.StringType()),
+            T.StructField("right", T.StringType()),
+            T.StructField("pair_count", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema).orderBy("merge_rank")
