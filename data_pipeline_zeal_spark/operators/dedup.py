@@ -617,21 +617,18 @@ def embedding_near_dup_pairs(
         )
 
     # Banded sign-LSH: only (vec_id, band, bucket) flows through the bucket
-    # exchange; vectors re-attach for the (much smaller) verification join —
-    # same slim-exchange shape as minhash_lsh_pairs.  All band buckets come
-    # from ONE BLAS matmul per Arrow batch (lsh_band_buckets_udf) — the
-    # unrolled expression-tree form spent multiples of the scan time
-    # compiling bands*planes aggregate expressions in codegen.  Both the
-    # vector frame (3 consumers: bucketing + two verify sides) and the
-    # banded frame (both sides of the self-join) are persisted — the same
-    # compute-once hygiene as minhash_lsh_pairs; without it the Arrow
-    # kernel and the source scan re-run per consumer.
+    # exchange; vectors re-attach for the (much smaller) verification join.
+    # Candidate generation reads the RAW vectors (bucket signs are
+    # scale-invariant), so it never waits on — or re-runs — the normalized
+    # frame below.
     from pyspark import StorageLevel
 
+    cand = lsh_candidate_pairs(e, bands, planes_per_band, dim, orthogonal)
     # Pre-normalize ONCE per vector (map-only): pair verification is then a
     # single dot product instead of dot + two norms — 3x less per-pair
     # arithmetic on the candidate set, which dominates at low-selectivity
     # band layouts.  Zero vectors stay unnormalized (dot 0 == cosine 0).
+    # Persisted: the two verification sides are its only consumers.
     nrm = norm(F.col("v"))
     e = e.select(
         "vec_id",
@@ -639,12 +636,11 @@ def embedding_near_dup_pairs(
         .otherwise(F.transform("v", lambda x: x / nrm))
         .alias("v"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = lsh_candidate_pairs(e, bands, planes_per_band, dim, orthogonal)
     return _verify_one(cand, e, threshold)
 
 
 def lsh_candidate_pairs(
-    normalized: DataFrame,
+    vectors: DataFrame,
     bands: int,
     planes_per_band: int,
     dim: int = 64,
@@ -654,7 +650,8 @@ def lsh_candidate_pairs(
     pre-verification stage of :func:`embedding_near_dup_pairs`, exposed
     separately so its VOLUME is testable: `tests/test_ann_dedup.py` pins
     candidate count < 10 % of all pairs at the solver's layout (the
-    round-5 verdict's bound).  ``normalized`` is a (vec_id, v) frame.
+    round-5 verdict's bound).  ``vectors`` is a (vec_id, v) frame —
+    normalization is NOT required (bucket signs are scale-invariant).
 
     Shape: ONE shuffle.  The slim (vec_id, band, bucket) rows (emitted
     pre-exploded by :func:`similarity.lsh_banded_rows`) hash-aggregate
@@ -666,7 +663,7 @@ def lsh_candidate_pairs(
     short-band layouts keep buckets small by construction."""
     from .similarity import lsh_banded_rows
 
-    banded = lsh_banded_rows(normalized, dim, bands, planes_per_band, orthogonal)
+    banded = lsh_banded_rows(vectors, dim, bands, planes_per_band, orthogonal)
     members = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
