@@ -740,6 +740,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), n=8, benchmark_mod=7, threshold=0.2
     )
 
+    def _versioned_time_travel(s: SparkSession, d: str) -> DataFrame:
+        """Commit-log table format end-to-end: v1 = overwrite with the
+        pre-cutoff orders, v2 = append the rest; read BOTH versions back
+        via log replay and aggregate.  Proves atomic commits + time
+        travel through the driver gate (the oracle recomputes the same
+        aggregates straight from the source table)."""
+        import tempfile
+
+        from data_pipeline_zeal_spark.sources import versioned as V
+
+        orders = load_table(s, d, "orders")
+        cut = F.lit("1995-06-01 00:00:00").cast("timestamp")
+        t = tempfile.mkdtemp(prefix="versioned_tbl_")
+        V.commit_write(
+            orders.filter(F.col("o_orderdate") < cut), t, mode="overwrite"
+        )
+        V.commit_write(
+            orders.filter(F.col("o_orderdate") >= cut), t, mode="append"
+        )
+        cents = F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        snaps = [
+            V.read_version(s, t, v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                cents.alias("total_cents"),
+            )
+            for v in (1, 2)
+        ]
+        return snaps[0].unionByName(snaps[1]).orderBy("version")
+
+    q["versioned_time_travel"] = _versioned_time_travel
+
     q["orders_grouping_sets"] = lambda s, d: relational.priority_year_grouping_sets(
         load_table(s, d, "orders")
     )
@@ -5203,6 +5237,24 @@ UNION ALL
 SELECT merge_rank::INTEGER, l, r, pair_count::BIGINT
 FROM t2 WHERE (SELECT is_sf0001 FROM which) = 0
 ORDER BY merge_rank
+"""
+    # versioned_time_travel: version 1 is the pre-cutoff overwrite,
+    # version 2 appends the rest — so the snapshots must equal the
+    # filtered / full aggregates of the source table (integer-cent
+    # quantization per the cross-engine float rule)
+    o["versioned_time_travel"] = """
+WITH agg AS (
+  SELECT 1 AS version,
+         count(*)::BIGINT AS n_rows,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+           AS total_cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-01'
+  UNION ALL
+  SELECT 2,
+         count(*)::BIGINT,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+  FROM orders)
+SELECT version, n_rows, total_cents FROM agg ORDER BY version
 """
     # per-pair 8-gram containment |train ∩ bench| / |bench| (strict
     # n-grams, no short-doc fallback — mirrors _distinct_ngrams)

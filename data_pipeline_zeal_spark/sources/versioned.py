@@ -1,0 +1,165 @@
+"""[EXT] Versioned parquet tables with an atomic commit log — the
+exactly-once BATCH sink the plain directory sink cannot be.
+
+A minimal transaction-log table format (the public Delta-Lake/_delta_log
+protocol shape, reimplemented from scratch for a filesystem):
+
+```
+<table>/
+  _log/00000000000001.json   one JSON doc per commit (see below)
+  data/v1-<nonce>/part-*.parquet   one staging dir per commit
+```
+
+Protocol:
+
+* **Write**: data files land in a fresh uniquely-named directory under
+  ``data/`` — invisible to readers until referenced by a committed log
+  entry.  The commit is the ATOMIC creation of the next numbered
+  ``_log/<version>.json`` (``O_CREAT | O_EXCL``): two concurrent writers
+  racing for the same version — one wins, the loser retries at the next
+  number (optimistic concurrency).  A crash before commit leaves only an
+  orphaned staging dir that no reader ever sees; ``vacuum`` removes it.
+* **Read**: replay the log up to the requested version — ``overwrite``
+  resets the live file-set, ``append`` extends it — then read exactly
+  those directories.  ``version=None`` reads latest; any earlier version
+  is time travel over unchanged immutable files.
+* **Idempotent retries**: a commit may carry a ``txn`` id; committing
+  the same id again is a silent no-op, so an at-least-once orchestrator
+  retrying a crashed-AFTER-commit job cannot double-append (the same
+  write-then-commit ordering contract as the streaming upsert sink).
+
+On object stores swap the ``O_EXCL`` create for a conditional put /
+atomic rename; the rest of the protocol is storage-agnostic.  The log is
+tiny (one JSON doc per commit) and replay is a driver-side listing —
+data files never move after their one write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+def _log_path(table: str) -> str:
+    return os.path.join(table, _LOG_DIR)
+
+
+def _entry_name(version: int) -> str:
+    return f"{version:014d}.json"
+
+
+def _list_versions(table: str) -> list[int]:
+    log = _log_path(table)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for name in os.listdir(log):
+        if name.endswith(".json"):
+            try:
+                out.append(int(name[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_entry(table: str, version: int) -> dict:
+    with open(os.path.join(_log_path(table), _entry_name(version))) as f:
+        return json.load(f)
+
+
+def commit_write(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    txn: str | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Write ``df`` into the table as one atomic commit; returns the
+    committed version.  ``mode`` is ``append`` or ``overwrite``.  With
+    ``txn`` set, a commit whose id already appears in the log is skipped
+    (idempotent retry) and the existing version is returned."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    os.makedirs(_log_path(table), exist_ok=True)
+    if txn is not None:
+        for v in _list_versions(table):
+            if _read_entry(table, v).get("txn") == txn:
+                return v
+    staging = f"v{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(table, _DATA_DIR, staging)
+    df.write.mode("error").parquet(data_dir)
+    entry = {"action": mode, "dirs": [f"{_DATA_DIR}/{staging}"]}
+    if txn is not None:
+        entry["txn"] = txn
+    payload = json.dumps(entry, sort_keys=True).encode()
+    for _ in range(max_retries):
+        version = (_list_versions(table) or [0])[-1] + 1
+        target = os.path.join(_log_path(table), _entry_name(version))
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race — retry at the next version
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        return version
+    raise RuntimeError(f"could not commit to {table} after {max_retries} races")
+
+
+def live_dirs(table: str, version: int | None = None) -> list[str]:
+    """The data directories visible at ``version`` (default: latest),
+    by log replay.  Raises if the table has no commits or the requested
+    version does not exist."""
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no commits in {table}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    live: list[str] = []
+    for v in versions:
+        if v > version:
+            break
+        entry = _read_entry(table, v)
+        if entry["action"] == "overwrite":
+            live = list(entry["dirs"])
+        else:
+            live.extend(entry["dirs"])
+    return [os.path.join(table, d) for d in live]
+
+
+def read_version(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read of the table at ``version`` (latest by default)."""
+    return spark.read.parquet(*live_dirs(table, version))
+
+
+def vacuum(table: str) -> list[str]:
+    """Remove data directories referenced by NO committed version —
+    leftovers of writes that crashed before their commit.  Time travel
+    stays intact: every dir referenced by ANY commit is kept.  Returns
+    the removed paths."""
+    import shutil
+
+    referenced: set[str] = set()
+    for v in _list_versions(table):
+        referenced.update(_read_entry(table, v)["dirs"])
+    data_root = os.path.join(table, _DATA_DIR)
+    removed = []
+    if os.path.isdir(data_root):
+        for name in sorted(os.listdir(data_root)):
+            rel = f"{_DATA_DIR}/{name}"
+            if rel not in referenced:
+                path = os.path.join(data_root, name)
+                shutil.rmtree(path)
+                removed.append(path)
+    return removed
