@@ -774,6 +774,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["versioned_time_travel"] = _versioned_time_travel
 
+    def _versioned_merge(s: SparkSession, d: str) -> DataFrame:
+        """MERGE INTO a versioned table: v1 = the keyed latest-state
+        snapshot of pre-cutoff events, then merge_upsert the post-cutoff
+        events as one atomic overwrite version.  The final snapshot must
+        equal the plain CDC merge of the two halves (shared oracle with
+        events_cdc_merge) — proving the table format preserves the CDC
+        kernel's semantics through commit/replay."""
+        import tempfile
+
+        from data_pipeline_zeal_spark.sources import versioned as V
+
+        ev = load_table(s, d, "events")
+        cut = F.lit("2024-01-24 00:00:00").cast("timestamp")
+        pre, post = ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
+        keys = ["user_id", "event_type"]
+        # keyed latest-state snapshot of the pre-cutoff half (merge with
+        # an empty delta = dedup-to-latest through the same CDC kernel)
+        base_state = cdc.merge_latest(
+            pre, pre.limit(0), keys=keys, order_col="ts", tiebreak="event_id"
+        )
+        t = tempfile.mkdtemp(prefix="versioned_merge_")
+        V.commit_write(base_state, t, mode="overwrite")
+        V.merge_upsert(
+            s, t, post, keys=keys, order_col="ts", tiebreak="event_id"
+        )
+        return (
+            V.read_version(s, t)
+            .select(
+                "user_id",
+                "event_type",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.round("value", 3).alias("last_value"),
+            )
+            .orderBy("user_id", "event_type")
+        )
+
+    q["versioned_merge_upsert"] = _versioned_merge
+
     q["orders_grouping_sets"] = lambda s, d: relational.priority_year_grouping_sets(
         load_table(s, d, "orders")
     )
@@ -5238,6 +5277,10 @@ SELECT merge_rank::INTEGER, l, r, pair_count::BIGINT
 FROM t2 WHERE (SELECT is_sf0001 FROM which) = 0
 ORDER BY merge_rank
 """
+    # versioned_merge_upsert: MERGE INTO the versioned table must equal
+    # the plain CDC latest-wins merge of the two halves — identical
+    # contract, identical oracle
+    o["versioned_merge_upsert"] = o["events_cdc_merge"]
     # versioned_time_travel: version 1 is the pre-cutoff overwrite,
     # version 2 appends the rest — so the snapshots must equal the
     # filtered / full aggregates of the source table (integer-cent

@@ -143,6 +143,50 @@ def read_version(
     return spark.read.parquet(*live_dirs(table, version))
 
 
+def merge_upsert(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+    txn: str | None = None,
+) -> int:
+    """MERGE INTO the versioned table: read the latest snapshot, apply a
+    latest-wins keyed upsert (:func:`..operators.cdc.merge_latest` — the
+    shared CDC kernel), and commit the merged state as ONE atomic
+    overwrite version.  Readers see either the old snapshot or the fully
+    merged one, never a partial state; with ``txn``, orchestrator
+    retries are idempotent.  An empty table bootstraps from the updates
+    alone (MERGE's WHEN NOT MATCHED INSERT degenerate case)."""
+    from ..operators.cdc import merge_latest
+
+    try:
+        base = read_version(spark, table)
+    except FileNotFoundError:
+        merged = updates
+    else:
+        merged = merge_latest(base, updates, keys, order_col, tiebreak)
+    return commit_write(merged, table, mode="overwrite", txn=txn)
+
+
+def versioned_sink(table: str, query_name: str = "stream"):
+    """Exactly-once streaming sink: a ``foreachBatch`` function that
+    appends each micro-batch as one atomic commit carrying
+    ``txn = "<query_name>-<batch_id>"``.  Structured Streaming replays a
+    micro-batch after a crash between sink success and checkpoint
+    advance; the txn dedup makes the replay a no-op — the same
+    write-then-commit contract as the JDBC upsert sink, without needing
+    keyed idempotence from the data itself."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        commit_write(
+            batch, table, mode="append", txn=f"{query_name}-{batch_id}"
+        )
+
+    return _sink
+
+
 def vacuum(table: str) -> list[str]:
     """Remove data directories referenced by NO committed version —
     leftovers of writes that crashed before their commit.  Time travel

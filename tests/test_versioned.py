@@ -71,3 +71,57 @@ def test_read_errors(spark, tmp_path):
     V.commit_write(_df(spark, 0, 3), t, mode="overwrite")
     with pytest.raises(ValueError):
         V.live_dirs(t, version=9)
+
+
+def test_merge_upsert_is_atomic_merge_into(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k long, ver long, payload string"
+    )
+    V.commit_write(base, t, mode="overwrite")
+    updates = spark.createDataFrame(
+        [(2, 20, "b2"), (3, 5, "c")], "k long, ver long, payload string"
+    )
+    v = V.merge_upsert(spark, t, updates, keys=["k"], order_col="ver")
+    assert v == 2
+    got = {r.k: (r.ver, r.payload) for r in V.read_version(spark, t).collect()}
+    assert got == {1: (10, "a"), 2: (20, "b2"), 3: (5, "c")}
+    # pre-merge snapshot still readable (time travel across MERGE)
+    assert V.read_version(spark, t, 1).count() == 2
+    # bootstrap: merge into an empty table inserts everything
+    t2 = str(tmp_path / "tbl2")
+    V.merge_upsert(spark, t2, updates, keys=["k"], order_col="ver")
+    assert V.read_version(spark, t2).count() == 2
+
+
+def test_versioned_sink_exactly_once_replay(spark, tmp_path):
+    """Replaying a micro-batch (Structured Streaming's crash contract)
+    must not double-append: txn = query-batch_id dedups."""
+    t = str(tmp_path / "tbl")
+    sink = V.versioned_sink(t, query_name="q1")
+    b0 = _df(spark, 0, 5)
+    b1 = _df(spark, 5, 8)
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay after crash-before-checkpoint
+    assert V.read_version(spark, t).count() == 8
+    assert len(V.live_dirs(t)) == 2  # two commits, not three
+
+
+def test_versioned_sink_end_to_end_stream(spark, tmp_path):
+    """availableNow drain through the versioned sink: committed rows equal
+    the input exactly (exactly-once through a real streaming query)."""
+    src = str(tmp_path / "in")
+    _df(spark, 0, 20).coalesce(1).write.parquet(src)
+    t = str(tmp_path / "tbl")
+    q = (
+        spark.readStream.schema("id long, v long")
+        .parquet(src)
+        .writeStream.foreachBatch(V.versioned_sink(t, "drain"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.id for r in V.read_version(spark, t).collect())
+    assert got == list(range(20))
