@@ -813,6 +813,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["versioned_merge_upsert"] = _versioned_merge
 
+    def _versioned_change_feed(s: SparkSession, d: str) -> DataFrame:
+        """Change feed between two committed versions must equal the plain
+        snapshot diff of the same two frames (shared oracle with
+        orders_snapshot_diff) — CDC consumers can read the table format
+        directly."""
+        import tempfile
+
+        from data_pipeline_zeal_spark.sources import versioned as V
+
+        base = load_table(s, d, "orders").select("o_orderkey", "o_orderstatus")
+        old = base.filter(F.col("o_orderkey") % 5 != 0)
+        new = base.filter(F.col("o_orderkey") % 7 != 0).select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+        t = tempfile.mkdtemp(prefix="versioned_feed_")
+        V.commit_write(old, t, mode="overwrite")
+        V.commit_write(new, t, mode="overwrite")
+        return (
+            V.change_feed(s, t, 1, 2, keys=["o_orderkey"])
+            .select(
+                "o_orderkey",
+                "change",
+                F.col("old_values.o_orderstatus").alias("old_status"),
+                F.col("new_values.o_orderstatus").alias("new_status"),
+            )
+            .orderBy("o_orderkey")
+        )
+
+    q["versioned_change_feed"] = _versioned_change_feed
+
     q["orders_grouping_sets"] = lambda s, d: relational.priority_year_grouping_sets(
         load_table(s, d, "orders")
     )
@@ -5277,6 +5310,9 @@ SELECT merge_rank::INTEGER, l, r, pair_count::BIGINT
 FROM t2 WHERE (SELECT is_sf0001 FROM which) = 0
 ORDER BY merge_rank
 """
+    # versioned_change_feed: the keyed diff of two committed versions is
+    # the same contract as the plain snapshot diff — identical oracle
+    o["versioned_change_feed"] = o["orders_snapshot_diff"]
     # versioned_merge_upsert: MERGE INTO the versioned table must equal
     # the plain CDC latest-wins merge of the two halves — identical
     # contract, identical oracle

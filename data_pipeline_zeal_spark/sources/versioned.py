@@ -137,10 +137,50 @@ def live_dirs(table: str, version: int | None = None) -> list[str]:
 
 
 def read_version(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
-    """Snapshot read of the table at ``version`` (latest by default)."""
-    return spark.read.parquet(*live_dirs(table, version))
+    """Snapshot read of the table at ``version`` (latest by default).
+    ``merge_schema=True`` unions the schemas of every live directory —
+    the schema-evolution read for tables whose appends added columns
+    over time (older commits surface new columns as NULL)."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*live_dirs(table, version))
+
+
+def change_feed(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int,
+    keys: list[str],
+) -> DataFrame:
+    """Keyed change feed between two committed versions: insert / update /
+    delete rows with old/new values — :func:`..operators.cdc.table_diff`
+    over two snapshot reads, so downstream CDC consumers (SCD2 history,
+    incremental rollups) work off the table format directly.  Cost is the
+    diff's one full-outer key join; both snapshots read only their live
+    directories."""
+    from ..operators.cdc import table_diff
+
+    return table_diff(
+        read_version(spark, table, from_version),
+        read_version(spark, table, to_version),
+        keys=keys,
+    )
+
+
+def compact(spark: SparkSession, table: str, txn: str | None = None) -> int:
+    """OPTIMIZE: rewrite the CURRENT snapshot as one fresh commit (new
+    compacted files, one atomic overwrite) — readers never see a partial
+    rewrite, historical versions stay readable over their original
+    files, and ``vacuum`` still only ever removes uncommitted orphans."""
+    snap = read_version(spark, table)
+    return commit_write(snap, table, mode="overwrite", txn=txn)
 
 
 def merge_upsert(

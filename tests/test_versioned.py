@@ -125,3 +125,45 @@ def test_versioned_sink_end_to_end_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.id for r in V.read_version(spark, t).collect())
     assert got == list(range(20))
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 3), t, mode="overwrite")
+    evolved = spark.range(3, 5).selectExpr("id", "id * 2 AS v", "'x' AS tag")
+    V.commit_write(evolved, t, mode="append")
+    got = V.read_version(spark, t, merge_schema=True)
+    assert set(got.columns) == {"id", "v", "tag"}
+    by_id = {r.id: r.tag for r in got.collect()}
+    assert by_id[0] is None and by_id[4] == "x"
+
+
+def test_change_feed_between_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        t,
+        mode="overwrite",
+    )
+    V.commit_write(
+        spark.createDataFrame([(2, "b2"), (3, "c")], "k long, s string"),
+        t,
+        mode="overwrite",
+    )
+    feed = {r.k: r.change for r in V.change_feed(spark, t, 1, 2, ["k"]).collect()}
+    assert feed == {1: "delete", 2: "update", 3: "insert"}
+
+
+def test_compact_preserves_state_and_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 12, 3):  # four small appends -> four data dirs
+        V.commit_write(_df(spark, lo, lo + 3), t, mode="append")
+    assert len(V.live_dirs(t)) == 4
+    v = V.compact(spark, t)
+    assert v == 5
+    assert len(V.live_dirs(t)) == 1  # one rewritten dir
+    assert sorted(r.id for r in V.read_version(spark, t).collect()) == list(range(12))
+    # history before the compaction still reads
+    assert V.read_version(spark, t, 2).count() == 6
+    # vacuum removes nothing: every dir is referenced by some version
+    assert V.vacuum(t) == []
