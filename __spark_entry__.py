@@ -1371,12 +1371,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: recall-1.0 equivalence to the exact survivors SQL), the remaining
 #: genuinely rows-only stragglers (sim_pca_project, sim_pq_topk,
 #: multimodal_resize, multimodal_scene_detect — weaker rows-only driver
-#: checks, each with pytest law/recall gates), the five round-6 additions
+#: checks, each with pytest law/recall gates), the nine round-6 additions
 #: (text_bm25_topk, retrieval_quality, retrieval_hard_negatives,
-#: corpus_containment, dedup_bcubed_norm_vs_jaccard — each driver_sim
-#: green at sf0.01 the day it was added), and re-verifications of round-5
-#: greens to fill the window.  After this window every oracle-backed
-#: query in the registry has a driver row.
+#: corpus_containment, dedup_bcubed_norm_vs_jaccard,
+#: text_bpe_train_merges, versioned_time_travel, versioned_merge_upsert,
+#: versioned_change_feed — each driver_sim green at sf0.01 the day it was
+#: added), and re-verifications of round-5 greens to fill the window.
+#: After this window every oracle-backed query in the registry has a
+#: driver row.
 _DRIVER_FIRST = [
     "tpch_q10_returned_items",
     "tpch_q18_large_volume",
@@ -1419,10 +1421,10 @@ _DRIVER_FIRST = [
     "part_supplier_hhi",
     "events_stickiness_28d",
     "events_gap_distribution",
-    "events_markov_steady",
-    "events_hour_uniformity",
-    "events_profile_drift",
-    "hourly_agg_incremental",
+    "text_bpe_train_merges",
+    "versioned_time_travel",
+    "versioned_merge_upsert",
+    "versioned_change_feed",
     "text_bm25_topk",
     "retrieval_quality",
     "retrieval_hard_negatives",
