@@ -173,6 +173,17 @@ HEADLINE = [
     "events_daily_anomaly_mad",
     "events_user_bursts",
     "events_key_skew_profile",
+    # round-6 additions
+    "dedup_embedding_near_lsh",
+    "text_bm25_topk",
+    "retrieval_quality",
+    "retrieval_hard_negatives",
+    "corpus_containment",
+    "dedup_bcubed_norm_vs_jaccard",
+    "text_bpe_train_merges",
+    "versioned_time_travel",
+    "versioned_merge_upsert",
+    "versioned_change_feed",
 ]
 
 
