@@ -68,6 +68,12 @@ def bm25_search(
     :func:`text.doc_similarity_topk`; the default keeps exact semantics
     for oracle parity at fixture scale."""
     docs = with_min_parallelism(documents)
+    # NOT checkpointed: df-counting and the posting join both consume tf,
+    # but re-tokenizing is cheaper than materializing + re-reading the
+    # checkpoint (measured at sf0.1: 6.7 s lazy vs 8.9 s checkpointed) —
+    # the opposite trade from doc_similarity_topk, whose postings carry
+    # normalized weights behind a window and are genuinely expensive to
+    # recompute
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
