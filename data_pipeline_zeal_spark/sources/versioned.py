@@ -94,7 +94,15 @@ def commit_write(
     staging = f"v{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table, _DATA_DIR, staging)
     df.write.mode("error").parquet(data_dir)
-    entry = {"action": mode, "dirs": [f"{_DATA_DIR}/{staging}"]}
+    # footer-only count of the files just written (no data scan): recorded
+    # in the commit so metadata-only queries (stats/row counts) never
+    # touch data files — the lakehouse aggregate-pushdown shortcut
+    n_rows = df.sparkSession.read.parquet(data_dir).count()
+    entry = {
+        "action": mode,
+        "dirs": [f"{_DATA_DIR}/{staging}"],
+        "n_rows": n_rows,
+    }
     if txn is not None:
         entry["txn"] = txn
     payload = json.dumps(entry, sort_keys=True).encode()
@@ -225,6 +233,34 @@ def versioned_sink(table: str, query_name: str = "stream"):
         )
 
     return _sink
+
+
+def table_stats(table: str) -> list[dict]:
+    """Metadata-only per-version statistics from log replay — no data
+    file is ever opened: each row reports the commit's action, its own
+    row count, and the cumulative snapshot row count at that version.
+    Commits from before stats were recorded surface ``None`` counts
+    (and poison the cumulative count downstream of them) rather than
+    guessing."""
+    out: list[dict] = []
+    live: dict[int, int | None] = {}  # commit version -> its row count
+    for v in _list_versions(table):
+        entry = _read_entry(table, v)
+        n = entry.get("n_rows")
+        if entry["action"] == "overwrite":
+            live = {}
+        live[v] = n
+        counts = list(live.values())
+        total = None if any(c is None for c in counts) else sum(counts)
+        out.append(
+            {
+                "version": v,
+                "action": entry["action"],
+                "commit_rows": n,
+                "snapshot_rows": total,
+            }
+        )
+    return out
 
 
 def vacuum(table: str) -> list[str]:

@@ -167,3 +167,29 @@ def test_compact_preserves_state_and_history(spark, tmp_path):
     assert V.read_version(spark, t, 2).count() == 6
     # vacuum removes nothing: every dir is referenced by some version
     assert V.vacuum(t) == []
+
+
+def test_table_stats_metadata_only(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 10), t, mode="overwrite")
+    V.commit_write(_df(spark, 10, 13), t, mode="append")
+    V.commit_write(_df(spark, 0, 2), t, mode="overwrite")
+    stats = V.table_stats(t)
+    assert [(s["version"], s["action"], s["commit_rows"], s["snapshot_rows"])
+            for s in stats] == [
+        (1, "overwrite", 10, 10),
+        (2, "append", 3, 13),
+        (3, "overwrite", 2, 2),
+    ]
+    # the log-derived counts agree with actual snapshot reads
+    for s in stats:
+        assert V.read_version(spark, t, s["version"]).count() == s["snapshot_rows"]
+    # a pre-stats commit (no n_rows recorded) degrades to None, not a guess
+    import json, os
+    path = os.path.join(t, "_log", V._entry_name(2))
+    entry = json.load(open(path))
+    del entry["n_rows"]
+    json.dump(entry, open(path, "w"))
+    stats = V.table_stats(t)
+    assert stats[1]["commit_rows"] is None and stats[1]["snapshot_rows"] is None
+    assert stats[2]["snapshot_rows"] == 2  # overwrite resets the poison
