@@ -409,7 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # join.  The band layout is SOLVED from the threshold via the s-curve
     # collision probability (similarity.derive_band_layout: recall >= 0.85
     # at the threshold, background candidate volume < ~9 % of pairs —
-    # threshold 0.4 solves to 755 orthogonal bands x 13 planes; the old
+    # threshold 0.4 solves to 754 orthogonal bands x 13 planes; the old
     # fixed 8x3 admitted ~65 % of ALL pairs to the verify stage).
     # Rows-only (bucket membership isn't SQL-expressible); recall and the
     # candidate budget are pinned by tests/test_ann_dedup.py.
@@ -740,12 +740,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), n=8, benchmark_mod=7, threshold=0.2
     )
 
+    def _eager(df: DataFrame) -> DataFrame:
+        """Materialize a (small) result so its temp-table inputs can be
+        deleted before returning — the versioned_* queries write scratch
+        tables under /tmp and must not leak them across bench/driver
+        invocations (the returned frame is lazily consumed AFTER the
+        query function returns, so cleanup requires eager collection)."""
+        return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
     def _versioned_time_travel(s: SparkSession, d: str) -> DataFrame:
         """Commit-log table format end-to-end: v1 = overwrite with the
         pre-cutoff orders, v2 = append the rest; read BOTH versions back
         via log replay and aggregate.  Proves atomic commits + time
         travel through the driver gate (the oracle recomputes the same
         aggregates straight from the source table)."""
+        import shutil
         import tempfile
 
         from data_pipeline_zeal_spark.sources import versioned as V
@@ -753,24 +762,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         orders = load_table(s, d, "orders")
         cut = F.lit("1995-06-01 00:00:00").cast("timestamp")
         t = tempfile.mkdtemp(prefix="versioned_tbl_")
-        V.commit_write(
-            orders.filter(F.col("o_orderdate") < cut), t, mode="overwrite"
-        )
-        V.commit_write(
-            orders.filter(F.col("o_orderdate") >= cut), t, mode="append"
-        )
-        cents = F.sum(
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-        )
-        snaps = [
-            V.read_version(s, t, v).agg(
-                F.lit(v).alias("version"),
-                F.count(F.lit(1)).alias("n_rows"),
-                cents.alias("total_cents"),
+        try:
+            V.commit_write(
+                orders.filter(F.col("o_orderdate") < cut), t, mode="overwrite"
             )
-            for v in (1, 2)
-        ]
-        return snaps[0].unionByName(snaps[1]).orderBy("version")
+            V.commit_write(
+                orders.filter(F.col("o_orderdate") >= cut), t, mode="append"
+            )
+            cents = F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            snaps = [
+                V.read_version(s, t, v).agg(
+                    F.lit(v).alias("version"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    cents.alias("total_cents"),
+                )
+                for v in (1, 2)
+            ]
+            return _eager(snaps[0].unionByName(snaps[1]).orderBy("version"))
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
 
     q["versioned_time_travel"] = _versioned_time_travel
 
@@ -794,22 +806,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         base_state = cdc.merge_latest(
             pre, pre.limit(0), keys=keys, order_col="ts", tiebreak="event_id"
         )
+        import shutil
+
         t = tempfile.mkdtemp(prefix="versioned_merge_")
-        V.commit_write(base_state, t, mode="overwrite")
-        V.merge_upsert(
-            s, t, post, keys=keys, order_col="ts", tiebreak="event_id"
-        )
-        return (
-            V.read_version(s, t)
-            .select(
-                "user_id",
-                "event_type",
-                F.col("event_id").alias("last_event_id"),
-                F.col("ts").alias("last_ts"),
-                F.round("value", 3).alias("last_value"),
+        try:
+            V.commit_write(base_state, t, mode="overwrite")
+            V.merge_upsert(
+                s, t, post, keys=keys, order_col="ts", tiebreak="event_id"
             )
-            .orderBy("user_id", "event_type")
-        )
+            return _eager(
+                V.read_version(s, t)
+                .select(
+                    "user_id",
+                    "event_type",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("ts").alias("last_ts"),
+                    F.round("value", 3).alias("last_value"),
+                )
+                .orderBy("user_id", "event_type")
+            )
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
 
     q["versioned_merge_upsert"] = _versioned_merge
 
@@ -830,19 +847,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.col("o_orderstatus"))
             .alias("o_orderstatus"),
         )
+        import shutil
+
         t = tempfile.mkdtemp(prefix="versioned_feed_")
-        V.commit_write(old, t, mode="overwrite")
-        V.commit_write(new, t, mode="overwrite")
-        return (
-            V.change_feed(s, t, 1, 2, keys=["o_orderkey"])
-            .select(
-                "o_orderkey",
-                "change",
-                F.col("old_values.o_orderstatus").alias("old_status"),
-                F.col("new_values.o_orderstatus").alias("new_status"),
+        try:
+            V.commit_write(old, t, mode="overwrite")
+            V.commit_write(new, t, mode="overwrite")
+            return _eager(
+                V.change_feed(s, t, 1, 2, keys=["o_orderkey"])
+                .select(
+                    "o_orderkey",
+                    "change",
+                    F.col("old_values.o_orderstatus").alias("old_status"),
+                    F.col("new_values.o_orderstatus").alias("new_status"),
+                )
+                .orderBy("o_orderkey")
             )
-            .orderBy("o_orderkey")
-        )
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
 
     q["versioned_change_feed"] = _versioned_change_feed
 

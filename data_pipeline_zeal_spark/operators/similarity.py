@@ -183,7 +183,7 @@ def derive_band_layout(
     rate.  Returns (bands, planes_per_band, predicted_bg_rate).
 
     The prediction is for INDEPENDENT planes; the orthogonalized family
-    actually used by :func:`lsh_band_buckets_udf` (``orthogonal=True``)
+    actually used by :func:`lsh_banded_rows` (``orthogonal=True``)
     measures slightly BETTER (fixture sf0.1: predicted 8.8 % background
     -> 8.3 % measured at threshold 0.4), so the budget is conservative.
     """
@@ -216,57 +216,23 @@ def derive_band_layout(
     return min(feasible, key=lambda f: f[2])
 
 
-def lsh_band_buckets_udf(
-    dim: int, bands: int, planes_per_band: int, orthogonal: bool = False
-):
-    """All band buckets in ONE Arrow-batched kernel: stack the
-    ``bands * planes_per_band`` hyperplanes into a matrix and compute every
-    projection as a single BLAS matmul per batch, then pack sign bits into
-    per-band bucket ids.  Returns a ``pandas_udf`` mapping the embedding
-    array column to ``array<int>`` of length ``bands``.
-
-    Bit-identical to ``lsh_bucket_expr(v, dim, planes_per_band,
-    plane_offset=b * planes_per_band)`` for each band b (same
-    :func:`_hyperplane` family, same sign convention) — pinned by
-    ``tests/test_ann_dedup.py``.  Exists because the expression-tree form
-    unrolls ``bands * planes_per_band`` aggregates over ``dim``-element
-    literal arrays: at 4x6 planes the plan spends multiples of the actual
-    scan time in codegen compilation — the same trap the PQ encoder avoids
-    the same way (BLAS per Arrow batch, constants in the closure).
+@_functools.lru_cache(maxsize=32)
+def _band_planes(dim: int, bands: int, planes_per_band: int, orthogonal: bool):
+    """The (bands*planes_per_band, dim) hyperplane matrix for the banded
+    bucket kernel (:func:`lsh_banded_rows`), from the same
+    :func:`_hyperplane` family as :func:`lsh_bucket_expr`.
 
     ``orthogonal=True`` QR-orthonormalizes each band's planes (Super-Bit
     LSH, Ji et al., NIPS 2012 — public algorithm): within-band sign bits
     become negatively correlated, which concentrates the per-band
     collision probability and measurably cuts the background candidate
     rate at equal recall (fixture sf0.1, threshold 0.4: 14.6 % -> 10.3 %
-    of all pairs at 476x12).  Default False preserves bit-parity with
-    :func:`lsh_bucket_expr` (pinned by tests)."""
-    import numpy as np
+    of all pairs at 476x12).
 
-    planes = _band_planes(dim, bands, planes_per_band, orthogonal)
-    weights = (1 << np.arange(planes_per_band, dtype=np.int64))  # per-band bits
-
-    @F.pandas_udf("array<int>")
-    def buckets(col: pd.Series) -> pd.Series:
-        if not len(col):
-            return pd.Series([], dtype=object)
-        mat = np.array(col.tolist(), dtype=np.float64)  # (n, dim)
-        signs = (mat @ planes.T) >= 0  # (n, total)
-        per_band = signs.reshape(len(mat), bands, planes_per_band)
-        ids = (per_band * weights).sum(axis=2).astype(np.int32)  # (n, bands)
-        return pd.Series(list(ids))
-
-    return buckets
-
-
-@_functools.lru_cache(maxsize=32)
-def _band_planes(dim: int, bands: int, planes_per_band: int, orthogonal: bool):
-    """The (bands*planes_per_band, dim) hyperplane matrix shared by the
-    banded bucket kernels; see :func:`lsh_band_buckets_udf` for the
-    orthogonalization rationale.  Cached: solver layouts for low
-    thresholds reach ~10k planes, and the pure-Python hash generation
-    costs ~0.8 s per construction — paid once per layout, not per query.
-    Callers must treat the returned array as immutable."""
+    Cached: solver layouts for low thresholds reach ~10k planes, and the
+    pure-Python hash generation costs ~0.8 s per construction — paid once
+    per layout, not per query.  Callers must treat the returned array as
+    immutable."""
     import numpy as np
 
     total = bands * planes_per_band

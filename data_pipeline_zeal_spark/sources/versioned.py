@@ -14,11 +14,14 @@ Protocol:
 
 * **Write**: data files land in a fresh uniquely-named directory under
   ``data/`` — invisible to readers until referenced by a committed log
-  entry.  The commit is the ATOMIC creation of the next numbered
-  ``_log/<version>.json`` (``O_CREAT | O_EXCL``): two concurrent writers
-  racing for the same version — one wins, the loser retries at the next
-  number (optimistic concurrency).  A crash before commit leaves only an
-  orphaned staging dir that no reader ever sees; ``vacuum`` removes it.
+  entry.  The commit payload is fully staged (temp file + fsync) and then
+  PUBLISHED as the next numbered ``_log/<version>.json`` with an atomic
+  hard link — readers see either no entry or a complete one, never a
+  torn write.  Two concurrent writers racing for the same version: one
+  wins the link, the loser retries at the next number (optimistic
+  concurrency).  A crash before commit leaves only an orphaned staging
+  dir that no reader ever sees; ``vacuum`` removes it after a retention
+  window.
 * **Read**: replay the log up to the requested version — ``overwrite``
   resets the live file-set, ``append`` extends it — then read exactly
   those directories.  ``version=None`` reads latest; any earlier version
@@ -28,7 +31,7 @@ Protocol:
   retrying a crashed-AFTER-commit job cannot double-append (the same
   write-then-commit ordering contract as the streaming upsert sink).
 
-On object stores swap the ``O_EXCL`` create for a conditional put /
+On object stores swap the hard-link publish for a conditional put /
 atomic rename; the rest of the protocol is storage-agnostic.  The log is
 tiny (one JSON doc per commit) and replay is a driver-side listing —
 data files never move after their one write.
@@ -87,10 +90,18 @@ def commit_write(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode: {mode!r}")
     os.makedirs(_log_path(table), exist_ok=True)
-    if txn is not None:
+
+    def _txn_already_committed() -> int | None:
+        if txn is None:
+            return None
         for v in _list_versions(table):
             if _read_entry(table, v).get("txn") == txn:
                 return v
+        return None
+
+    existing = _txn_already_committed()
+    if existing is not None:
+        return existing
     staging = f"v{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table, _DATA_DIR, staging)
     df.write.mode("error").parquet(data_dir)
@@ -106,18 +117,31 @@ def commit_write(
     if txn is not None:
         entry["txn"] = txn
     payload = json.dumps(entry, sort_keys=True).encode()
-    for _ in range(max_retries):
-        version = (_list_versions(table) or [0])[-1] + 1
-        target = os.path.join(_log_path(table), _entry_name(version))
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            continue  # lost the race — retry at the next version
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        return version
+    # Stage the FULL payload first (temp name + fsync), then publish with
+    # an atomic hard link: readers either see no entry or a complete one.
+    # A bare O_EXCL-create-then-write has a crash window where a 0-byte
+    # <version>.json exists and every reader chokes on it forever.
+    tmp = os.path.join(_log_path(table), f".tmp-{uuid.uuid4().hex[:12]}")
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        for _ in range(max_retries):
+            version = (_list_versions(table) or [0])[-1] + 1
+            target = os.path.join(_log_path(table), _entry_name(version))
+            try:
+                os.link(tmp, target)  # atomic; fails if the slot is taken
+            except FileExistsError:
+                # lost the race — a concurrent retry of the SAME txn may
+                # have won it, so re-check before claiming a new version
+                existing = _txn_already_committed()
+                if existing is not None:
+                    return existing
+                continue
+            return version
+    finally:
+        os.unlink(tmp)
     raise RuntimeError(f"could not commit to {table} after {max_retries} races")
 
 
@@ -263,13 +287,19 @@ def table_stats(table: str) -> list[dict]:
     return out
 
 
-def vacuum(table: str) -> list[str]:
+def vacuum(table: str, retention_seconds: float = 6 * 3600) -> list[str]:
     """Remove data directories referenced by NO committed version —
-    leftovers of writes that crashed before their commit.  Time travel
-    stays intact: every dir referenced by ANY commit is kept.  Returns
-    the removed paths."""
+    leftovers of writes that crashed before their commit — plus orphaned
+    log staging files.  Time travel stays intact: every dir referenced by
+    ANY commit is kept.  Only artifacts older than ``retention_seconds``
+    are removed (Delta-style retention): an unreferenced dir younger than
+    that may belong to a LIVE writer between its data write and its log
+    commit, and deleting it would corrupt the commit it is about to make.
+    Returns the removed paths."""
     import shutil
+    import time
 
+    cutoff = time.time() - retention_seconds
     referenced: set[str] = set()
     for v in _list_versions(table):
         referenced.update(_read_entry(table, v)["dirs"])
@@ -278,8 +308,16 @@ def vacuum(table: str) -> list[str]:
     if os.path.isdir(data_root):
         for name in sorted(os.listdir(data_root)):
             rel = f"{_DATA_DIR}/{name}"
-            if rel not in referenced:
-                path = os.path.join(data_root, name)
+            path = os.path.join(data_root, name)
+            if rel not in referenced and os.path.getmtime(path) < cutoff:
                 shutil.rmtree(path)
                 removed.append(path)
+    log_root = _log_path(table)
+    if os.path.isdir(log_root):
+        for name in sorted(os.listdir(log_root)):
+            if name.startswith(".tmp-"):
+                path = os.path.join(log_root, name)
+                if os.path.getmtime(path) < cutoff:
+                    os.unlink(path)
+                    removed.append(path)
     return removed

@@ -453,3 +453,35 @@ def test_star_cc_matches_propagation(spark):
         )
         star = labels(dedup.connected_components_star, edges)
         assert uf == prop == star
+
+
+def test_lsh_candidate_pairs_survives_hot_duplicate_bucket(spark):
+    """A duplicate-heavy cluster (many copies of one vector) lands in the
+    same bucket of EVERY band; the hybrid expansion must route such
+    buckets through the distributed self-join instead of materializing
+    C(k,2) structs inside one row — and still return the right pairs."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    rng = [float(x) for x in np.cos(np.arange(64))]
+    dup = [(i, rng) for i in range(40)]  # identical vectors -> one bucket
+    other = [(100 + i, [float((i * 7 + j) % 13 - 6) for j in range(64)])
+             for i in range(10)]
+    emb = spark.createDataFrame(dup + other, "vec_id long, v array<double>")
+    want = {(a, b) for a in range(40) for b in range(40) if a < b}
+    # cap of 8 forces the 40-member duplicate bucket down the distributed
+    # self-join path; background buckets stay inline
+    capped = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.lsh_candidate_pairs(
+            emb, 8, 6, max_inline_bucket=8
+        ).collect()
+    }
+    assert want <= capped
+    # and the default cap (inline path) produces the identical pair set
+    inline = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.lsh_candidate_pairs(emb, 8, 6).collect()
+    }
+    assert capped == inline

@@ -44,11 +44,58 @@ def test_crashed_write_is_invisible_and_vacuumed(spark, tmp_path):
     orphan = os.path.join(t, "data", "vdeadbeef0000")
     _df(spark, 90, 95).write.parquet(orphan)
     assert V.read_version(spark, t).count() == 5  # reader never sees it
-    removed = V.vacuum(t)
+    # retention guard: a YOUNG unreferenced dir may belong to a live
+    # writer between data write and log commit — vacuum must keep it
+    assert V.vacuum(t) == []
+    assert os.path.exists(orphan)
+    removed = V.vacuum(t, retention_seconds=0)
     assert removed == [orphan]
     assert not os.path.exists(orphan)
     # vacuum keeps every dir any committed version references
     assert V.read_version(spark, t, 1).count() == 5
+
+
+def test_commit_entry_is_never_torn(spark, tmp_path):
+    """The published log entry must be complete at the instant it appears
+    (staged + hard-linked): every committed entry parses, and no .tmp
+    staging files survive a successful commit."""
+    import json
+
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 3), t, mode="overwrite")
+    V.commit_write(_df(spark, 3, 5), t, mode="append")
+    log = os.path.join(t, "_log")
+    names = sorted(os.listdir(log))
+    assert names == [V._entry_name(1), V._entry_name(2)]  # no .tmp leftovers
+    for n in names:
+        entry = json.load(open(os.path.join(log, n)))
+        assert entry["action"] in ("append", "overwrite") and entry["dirs"]
+
+
+def test_txn_recheck_after_lost_race(spark, tmp_path, monkeypatch):
+    """A writer that loses the version race to a commit carrying the SAME
+    txn id must return that version instead of double-appending."""
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 5), t, mode="overwrite")
+
+    real_link = os.link
+    committed = {}
+
+    def racing_link(src, dst):
+        # first publish attempt: another retry of the SAME txn wins the
+        # slot just before us (guard keeps the nested commit unpatched)
+        if "v" not in committed:
+            committed["v"] = None
+            committed["v"] = V.commit_write(
+                _df(spark, 5, 8), t, mode="append", txn="job-7"
+            )
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", racing_link)
+    v = V.commit_write(_df(spark, 5, 8), t, mode="append", txn="job-7")
+    monkeypatch.undo()
+    assert v == committed["v"]  # adopted the winner, no second commit
+    assert V.read_version(spark, t).count() == 8
 
 
 def test_version_race_retries_to_next_number(spark, tmp_path):
