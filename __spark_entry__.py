@@ -1366,6 +1366,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_epoch_plan"] = lambda s, d: corpus.epoch_plan(
         load_table(s, d, "documents"), target_tokens=1_000_000
     )
+    # CCNet perplexity tertiles over the corpus-trained bigram LM.  The
+    # default EXACT percentile cutoffs are the oracle anchor (same role
+    # as price_quantiles); 100 TB callers pass precomputed cutoffs.
+    q["corpus_perplexity_filter"] = lambda s, d: corpus.perplexity_filter(
+        load_table(s, d, "documents"), alpha=0.5
+    )
+    # DSIR hashed-unigram importance weights toward the lang='en' slice
+    # as the stand-in target distribution (deterministic on the fixture).
+    q["corpus_dsir_weights"] = lambda s, d: corpus.dsir_weights(
+        load_table(s, d, "documents"), target_col="lang",
+        target_value="en", dim=128, alpha=0.5
+    )
+
+    def _dq_k_anon(s: SparkSession, d: str) -> DataFrame:
+        from data_pipeline_zeal_spark.operators import quality as dq
+
+        return dq.k_anonymity(
+            load_table(s, d, "customer"),
+            ["c_nationkey", "c_mktsegment"],
+            k=10,
+        )
+
+    q["dq_k_anonymity"] = _dq_k_anon
+
+    def _dq_l_div(s: SparkSession, d: str) -> DataFrame:
+        from data_pipeline_zeal_spark.operators import quality as dq
+
+        return dq.l_diversity(
+            load_table(s, d, "customer"),
+            ["c_nationkey", "c_mktsegment"],
+            sensitive_col="c_acctbal",
+            l=5,
+        )
+
+    q["dq_l_diversity"] = _dq_l_div
 
     # The driver verifies the FIRST 50 entries of this dict in insertion
     # order.  Rounds 1-3 established green evidence for the 50 queries that
@@ -1398,9 +1433,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: corpus_containment, dedup_bcubed_norm_vs_jaccard,
 #: text_bpe_train_merges, versioned_time_travel, versioned_merge_upsert,
 #: versioned_change_feed — each driver_sim green at sf0.01 the day it was
-#: added), and re-verifications of round-5 greens to fill the window.
-#: After this window every oracle-backed query in the registry has a
-#: driver row.
+#: added), the three late-round-6 additions (corpus_perplexity_filter,
+#: corpus_dsir_weights, dq_k_anonymity — driver_sim green at sf0.01 the
+#: day they were added; they displaced three re-verification fillers
+#: whose r5 rows are already green: orders_priority_anova,
+#: events_stickiness_28d, events_gap_distribution), and re-verifications
+#: of round-5 greens to fill the window.  After this window every
+#: oracle-backed query in the registry has a driver row.
 _DRIVER_FIRST = [
     "tpch_q10_returned_items",
     "tpch_q18_large_volume",
@@ -1439,10 +1478,10 @@ _DRIVER_FIRST = [
     "text_zipf_fit",
     "dedup_rate_by_source",
     "corpus_split_leakage",
-    "orders_priority_anova",
     "part_supplier_hhi",
-    "events_stickiness_28d",
-    "events_gap_distribution",
+    "corpus_perplexity_filter",
+    "corpus_dsir_weights",
+    "dq_k_anonymity",
     "text_bpe_train_merges",
     "versioned_time_travel",
     "versioned_merge_upsert",
@@ -5453,6 +5492,77 @@ SELECT source, available_tokens,
                   ELSE 0.0 END, 4) AS epochs
 FROM p CROSS JOIN z
 ORDER BY source
+"""
+    o["corpus_perplexity_filter"] = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+bi AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+  WHERE len(toks) >= 2),
+uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bi GROUP BY 1, 2),
+scored AS (
+  SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(-log2((big.c12 + 0.5) / (uni.c1 + 0.5 * vv.v))), 6)
+           AS bits_per_bigram
+  FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab vv
+  GROUP BY bi.doc_id),
+cuts AS (
+  SELECT quantile_cont(bits_per_bigram, [1.0 / 3.0, 2.0 / 3.0]) AS q
+  FROM scored)
+SELECT doc_id, n_bigrams, bits_per_bigram,
+       CASE WHEN bits_per_bigram <= q[1] THEN 'head'
+            WHEN bits_per_bigram <= q[2] THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       CAST(bits_per_bigram <= q[2] AS INT) AS kept
+FROM scored CROSS JOIN cuts
+ORDER BY doc_id
+"""
+    o["corpus_dsir_weights"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS is_tgt, unnest({_TOK}) AS token
+  FROM documents),
+b AS (
+  SELECT doc_id, is_tgt,
+         CAST(CAST(('0x' || substr(md5(token), 1, 4)) AS INTEGER) % 128
+              AS INT) AS bucket
+  FROM tok),
+docb AS (
+  SELECT doc_id, bucket, count(*) AS c, max(is_tgt) AS is_tgt
+  FROM b GROUP BY 1, 2),
+raw AS (SELECT bucket, sum(c) AS c_raw FROM docb GROUP BY 1),
+tgt AS (SELECT bucket, sum(c) AS c_tgt FROM docb WHERE is_tgt GROUP BY 1),
+model AS (
+  SELECT raw.bucket, c_raw, coalesce(c_tgt, 0) AS c_tgt
+  FROM raw LEFT JOIN tgt USING (bucket)),
+tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM model),
+lr AS (
+  SELECT bucket,
+         ln((c_tgt + 0.5) / (t_tgt + 0.5 * 128))
+           - ln((c_raw + 0.5) / (t_raw + 0.5 * 128)) AS log_ratio
+  FROM model CROSS JOIN tot)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(sum(c * log_ratio), 6) AS log_weight
+FROM docb JOIN lr USING (bucket)
+GROUP BY doc_id ORDER BY doc_id
+"""
+    o["dq_k_anonymity"] = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(*) < 10 AS INT) AS violates
+FROM customer GROUP BY 1, 2
+ORDER BY c_nationkey, c_mktsegment
+"""
+    o["dq_l_diversity"] = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS distinct_sensitive,
+       CAST(count(DISTINCT c_acctbal) < 5 AS INT) AS violates
+FROM customer GROUP BY 1, 2
+ORDER BY c_nationkey, c_mktsegment
 """
     o["corpus_temperature_mix"] = """
 WITH counts AS (

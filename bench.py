@@ -184,6 +184,10 @@ HEADLINE = [
     "versioned_time_travel",
     "versioned_merge_upsert",
     "versioned_change_feed",
+    "corpus_perplexity_filter",
+    "corpus_dsir_weights",
+    "dq_k_anonymity",
+    "dq_l_diversity",
 ]
 
 

@@ -763,3 +763,146 @@ def temperature_mixture(
         )
         .orderBy(by)
     )
+
+
+def perplexity_filter(
+    documents: DataFrame,
+    alpha: float = 0.5,
+    cutpoints: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    cutoffs: tuple[float, float] | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public): score
+    every document with the corpus-trained bigram LM
+    (:func:`text.bigram_logprob`), split the score distribution at the
+    ``cutpoints`` quantiles, and label documents ``head`` / ``middle`` /
+    ``tail`` — the standard LM-quality gate that keeps the most-fluent
+    buckets (``kept`` = not tail) for pretraining.
+
+    Returns (doc_id, n_bigrams, bits_per_bigram, ppl_bucket, kept).
+    Documents with fewer than two tokens carry no bigram and drop out
+    (the scorer's contract).
+
+    SCALE: the scoring side is :func:`text.bigram_logprob`'s shape
+    (Zipf-bounded count joins).  The default quantile computation is the
+    EXACT ``percentile`` aggregate — the oracle anchor, same role as
+    ``price_quantiles`` — which buffers the per-doc score column; at
+    100 TB pass precomputed ``cutoffs`` (from a held-out sample or the GK
+    sketch in ``operators.sketch``) and the whole filter is map-only
+    after scoring.  Cutoffs attach as a 1-row broadcast either way."""
+    from . import text
+
+    scored = text.bigram_logprob(documents, alpha=alpha)
+    if cutoffs is None:
+        # the score frame feeds BOTH the percentile aggregate and the
+        # bucket projection — checkpoint the (#docs)-row table once so
+        # the bigram-LM training subplan doesn't execute twice
+        scored = scored.localCheckpoint(eager=True)
+        cuts = scored.agg(
+            F.percentile(
+                "bits_per_bigram",
+                F.array(F.lit(cutpoints[0]), F.lit(cutpoints[1])),
+            ).alias("q")
+        ).select(
+            F.col("q")[0].alias("c_head"), F.col("q")[1].alias("c_middle")
+        )
+        scored = scored.join(F.broadcast(cuts))
+    else:
+        scored = scored.withColumn(
+            "c_head", F.lit(float(cutoffs[0]))
+        ).withColumn("c_middle", F.lit(float(cutoffs[1])))
+    bits = F.col("bits_per_bigram")
+    bucket = (
+        F.when(bits <= F.col("c_head"), F.lit("head"))
+        .when(bits <= F.col("c_middle"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            "bits_per_bigram",
+            bucket.alias("ppl_bucket"),
+            (bits <= F.col("c_middle")).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "en",
+    dim: int = 128,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
+    public): log importance weight per document under hashed-unigram
+    bag-of-words models of a TARGET distribution (here the rows whose
+    ``target_col`` equals ``target_value``; production callers filter by a
+    curated exemplar set) versus the RAW corpus:
+
+        log w(x) = sum_f c_f(x) * [log p_tgt(f) - log p_raw(f)]
+
+    with add-``alpha`` smoothing over the ``dim`` hashed feature buckets.
+    High-weight documents look like the target; feed the weights to
+    :func:`weighted_sample` to realize the resampled corpus.  Returns
+    (doc_id, n_tokens, log_weight) — zero-token docs drop out.
+
+    SCALE: one tokenize+hash explode into a map-side-combined
+    (doc_id, bucket) count — the only corpus-sized shuffle; both bucket
+    models aggregate to ``dim`` rows and attach as broadcasts, so the
+    per-doc weight is a broadcast join + one aggregate.  Buckets use the
+    portable md5-prefix hash (:func:`hash_bucket` trick), making the
+    whole pipeline plain SQL and oracle-checkable."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long"),
+        F.lit(dim),
+    ).cast("int")
+    tok = (
+        with_min_parallelism(documents)
+        .select(
+            "doc_id",
+            (F.col(target_col) == target_value).alias("is_tgt"),
+            F.explode(tokens("text")).alias("token"),
+        )
+        .select("doc_id", "is_tgt", bucket.alias("bucket"))
+    )
+    docb = tok.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c"),
+        # per-doc constant; max is a no-op carry that avoids a re-join
+        F.max("is_tgt").alias("is_tgt"),
+    )
+    raw = docb.groupBy("bucket").agg(F.sum("c").alias("c_raw"))
+    tgt = (
+        docb.filter("is_tgt")
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("c_tgt"))
+    )
+    model = (
+        raw.join(tgt, "bucket", "left")
+        .withColumn("c_tgt", F.coalesce("c_tgt", F.lit(0)))
+    )
+    totals = model.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    lr = F.log(
+        (F.col("c_tgt") + F.lit(alpha))
+        / (F.col("t_tgt") + F.lit(alpha * dim))
+    ) - F.log(
+        (F.col("c_raw") + F.lit(alpha))
+        / (F.col("t_raw") + F.lit(alpha * dim))
+    )
+    bucket_lr = model.join(F.broadcast(totals)).select(
+        "bucket", lr.alias("log_ratio")
+    )
+    return (
+        docb.join(F.broadcast(bucket_lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("log_ratio")), 6).alias(
+                "log_weight"
+            ),
+        )
+        .orderBy("doc_id")
+    )

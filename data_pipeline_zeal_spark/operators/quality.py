@@ -299,3 +299,73 @@ def profile_drift(
         "max_after",
         drifted.cast("int").alias("drifted"),
     ).orderBy("col_name")
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002, public): group the frame by its
+    quasi-identifier columns and report every equivalence class with its
+    size and whether it violates the ``k`` floor — a class smaller than
+    ``k`` means those rows are re-identifiable by the quasi-identifier
+    combination alone.  The release gate a training corpus carrying user
+    attributes runs before export; pair with ``text.scrub_pii`` (which
+    handles direct identifiers inside free text).
+
+    Returns one row per class: (*quasi_cols, group_size, violates).
+    NULL quasi-values form their own class (SQL GROUP BY semantics) —
+    they are still a joinable signature for an attacker.
+
+    SCALE: ONE map-side-combined groupBy on the quasi-identifier tuple —
+    the same shape as any distinct-count; output cardinality is the
+    number of classes, bounded by the quasi space, not the row count."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity needs at least one quasi column")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            *quasi_cols,
+            "group_size",
+            (F.col("group_size") < k).cast("int").alias("violates"),
+        )
+        .orderBy(*quasi_cols)
+    )
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2006, public):
+    the follow-on gate to :func:`k_anonymity` — a class can satisfy the
+    ``k`` size floor yet still leak if every member shares ONE sensitive
+    value (the homogeneity attack), so each equivalence class over the
+    quasi-identifiers must also contain at least ``l`` distinct values of
+    ``sensitive_col``.
+
+    Returns one row per class: (*quasi_cols, group_size,
+    distinct_sensitive, violates).  NULL sensitive values do not count
+    toward diversity (SQL ``COUNT(DISTINCT)`` skips NULL in both engines
+    — a class of all-NULL sensitives reveals exactly that and violates).
+
+    SCALE: still ONE shuffle — ``count(DISTINCT)`` alongside ``count(*)``
+    in the same groupBy expands to Spark's two-phase distinct aggregate
+    keyed on (quasi, sensitive) then (quasi): partial-aggregated
+    map-side, never wider than the class count times the per-class
+    sensitive cardinality."""
+    if not quasi_cols:
+        raise ValueError("l_diversity needs at least one quasi column")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct(sensitive_col).alias("distinct_sensitive"),
+        )
+        .select(
+            *quasi_cols,
+            "group_size",
+            "distinct_sensitive",
+            (F.col("distinct_sensitive") < l).cast("int").alias("violates"),
+        )
+        .orderBy(*quasi_cols)
+    )

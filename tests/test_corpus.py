@@ -255,3 +255,48 @@ def test_compression_ratio_signal(spark):
     # determinism: identical on rerun
     again = {r.doc_id: r.compression_ratio for r in textops.compression_ratio(df).collect()}
     assert got == again
+
+
+def test_perplexity_filter_tertiles_and_cutoff_path(spark):
+    """Tertile buckets cover ~1/3 of scored docs each, kept == not-tail,
+    and the explicit-cutoffs scale path reproduces the exact-percentile
+    default bit-for-bit when handed the same cutoffs."""
+    out = corpus.perplexity_filter(_docs(spark), alpha=0.5).collect()
+    n = len(out)
+    assert n > 0
+    by_bucket = Counter(r.ppl_bucket for r in out)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    for share in by_bucket.values():
+        assert abs(share / n - 1 / 3) < 0.1  # ties can shift boundaries
+    for r in out:
+        assert r.kept == (0 if r.ppl_bucket == "tail" else 1)
+    # recover the cutoffs the default run used and replay via the
+    # map-only path production would take at 100 TB
+    c_head = max(r.bits_per_bigram for r in out if r.ppl_bucket == "head")
+    c_mid = max(r.bits_per_bigram for r in out if r.ppl_bucket == "middle")
+    replay = corpus.perplexity_filter(
+        _docs(spark), alpha=0.5, cutoffs=(c_head, c_mid)
+    ).collect()
+    assert {(r.doc_id, r.ppl_bucket) for r in replay} >= {
+        (r.doc_id, r.ppl_bucket) for r in out
+    }
+
+
+def test_dsir_weights_favor_target_slice(spark):
+    """DSIR's defining property: documents FROM the target slice score a
+    higher mean log-weight than the rest (the hashed-unigram models are
+    trained on exactly that contrast); weights are finite and the op is
+    deterministic."""
+    docs = _docs(spark)
+    w = corpus.dsir_weights(docs, target_col="lang", target_value="en")
+    joined = {
+        r.doc_id: (r.log_weight, r.lang)
+        for r in w.join(docs.select("doc_id", "lang"), "doc_id").collect()
+    }
+    tgt = [lw for lw, lang in joined.values() if lang == "en"]
+    rest = [lw for lw, lang in joined.values() if lang != "en"]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    again = {r.doc_id: r.log_weight for r in corpus.dsir_weights(
+        docs, target_col="lang", target_value="en").collect()}
+    assert {k: v[0] for k, v in joined.items()} == again

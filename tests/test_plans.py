@@ -223,6 +223,11 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         "text_unigram_logprob": 1,
         "text_source_fair_quality": 1,  # same 1-row total broadcast
         "text_bigram_logprob": 1,  # 1-row vocabulary-size broadcast
+        # 1-row tertile-cutoff broadcast (the bigram-LM vocab broadcast
+        # sits behind the score-frame localCheckpoint)
+        "corpus_perplexity_filter": 1,
+        # 1-row (t_raw, t_tgt) smoothing-totals broadcast
+        "corpus_dsir_weights": 1,
         "text_tfidf_top_terms": 1,
         # 1-row (n_docs, avgdl) corpus-stats broadcast on the BM25 postings
         "text_bm25_topk": 1,

@@ -300,3 +300,56 @@ def test_functional_dependency_check(spark):
         spark.createDataFrame([], "k string, v int"), ["k"], "v"
     ).collect()[0]
     assert (empty.n_checked, empty.n_violations) == (0, 0)
+
+
+def test_k_anonymity_classes(spark):
+    """Class sizes and the k floor on a closed-form frame; NULL quasi
+    values form their own (attackable) class; empty quasi list raises."""
+    import pytest
+
+    from data_pipeline_zeal_spark.operators import quality as dq
+
+    df = spark.createDataFrame(
+        [("us", "a"), ("us", "a"), ("us", "a"), ("us", "b"),
+         ("de", "a"), (None, "a")],
+        "country string, segment string",
+    )
+    rows = {
+        (r.country, r.segment): (r.group_size, r.violates)
+        for r in dq.k_anonymity(df, ["country", "segment"], k=2).collect()
+    }
+    assert rows[("us", "a")] == (3, 0)
+    assert rows[("us", "b")] == (1, 1)
+    assert rows[("de", "a")] == (1, 1)
+    assert rows[(None, "a")] == (1, 1)  # NULL is a joinable signature
+    with pytest.raises(ValueError):
+        dq.k_anonymity(df, [], k=2)
+
+
+def test_l_diversity_homogeneity_attack(spark):
+    """A class can pass the k floor yet violate l-diversity when every
+    member shares one sensitive value; NULL sensitives don't count as
+    diversity; empty quasi list raises."""
+    import pytest
+
+    from data_pipeline_zeal_spark.operators import quality as dq
+
+    df = spark.createDataFrame(
+        [
+            ("us", "flu"), ("us", "flu"), ("us", "flu"),  # homogeneous
+            ("de", "flu"), ("de", "cold"),                # diverse
+            ("fr", None), ("fr", None),                   # all-NULL
+        ],
+        "country string, diagnosis string",
+    )
+    rows = {
+        r.country: (r.group_size, r.distinct_sensitive, r.violates)
+        for r in dq.l_diversity(
+            df, ["country"], "diagnosis", l=2
+        ).collect()
+    }
+    assert rows["us"] == (3, 1, 1)  # k=3 but homogeneous: the attack
+    assert rows["de"] == (2, 2, 0)
+    assert rows["fr"] == (2, 0, 1)  # NULLs carry no diversity
+    with pytest.raises(ValueError):
+        dq.l_diversity(df, [], "diagnosis", l=2)
