@@ -1439,7 +1439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: whose r5 rows are already green: orders_priority_anova,
 #: events_stickiness_28d, events_gap_distribution), and re-verifications
 #: of round-5 greens to fill the window.  After this window every
-#: oracle-backed query in the registry has a driver row.
+#: oracle-backed query in the registry has a driver row EXCEPT
+#: dq_l_diversity (landed after the window froze; driver_sim green at
+#: sf0.01 — first candidate for the round-7 rotation).
 _DRIVER_FIRST = [
     "tpch_q10_returned_items",
     "tpch_q18_large_volume",
