@@ -1437,11 +1437,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: corpus_dsir_weights, dq_k_anonymity — driver_sim green at sf0.01 the
 #: day they were added; they displaced three re-verification fillers
 #: whose r5 rows are already green: orders_priority_anova,
-#: events_stickiness_28d, events_gap_distribution), and re-verifications
-#: of round-5 greens to fill the window.  After this window every
-#: oracle-backed query in the registry has a driver row EXCEPT
-#: dq_l_diversity (landed after the window froze; driver_sim green at
-#: sf0.01 — first candidate for the round-7 rotation).
+#: events_stickiness_28d, events_gap_distribution; dq_l_diversity later
+#: displaced part_supplier_hhi, whose r5 row is green and which was
+#: re-verified via driver_sim this round), and re-verifications of
+#: round-5 greens to fill the window.  After this window every
+#: oracle-backed query in the registry has a driver row.
 _DRIVER_FIRST = [
     "tpch_q10_returned_items",
     "tpch_q18_large_volume",
@@ -1480,10 +1480,10 @@ _DRIVER_FIRST = [
     "text_zipf_fit",
     "dedup_rate_by_source",
     "corpus_split_leakage",
-    "part_supplier_hhi",
     "corpus_perplexity_filter",
     "corpus_dsir_weights",
     "dq_k_anonymity",
+    "dq_l_diversity",
     "text_bpe_train_merges",
     "versioned_time_travel",
     "versioned_merge_upsert",
