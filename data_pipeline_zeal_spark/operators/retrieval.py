@@ -258,3 +258,51 @@ def lang_source_qrels(documents: DataFrame, query_mod: int = 31) -> DataFrame:
             .alias("rel"),
         )
     )
+
+
+def retrieval_pipeline(
+    documents: DataFrame,
+    k: int = 10,
+    per_query: int = 5,
+    query_mod: int = 31,
+) -> DataFrame:
+    """The production retrieval-experiment shape: ONE BM25 run feeding
+    both the evaluation metrics and the hard-negative miner in a single
+    plan — run → metrics → negatives without re-running the posting join
+    per consumer (round-6 verdict #6: the three standalone registry
+    queries each pay their own BM25 run because the driver contract is
+    per-query; this operator is the amortized composition a real
+    experiment loop runs).
+
+    The top-k run frame (queries x k rows — tiny) is persisted so the
+    two consumers share one materialization of the posting join; qrels
+    are a cheap broadcast join built once.  Output: one row per query —
+    the full metrics row plus the mined negative doc ids as an ordered
+    CSV column (the driver canonicalizer takes scalars only).
+    """
+    from pyspark import StorageLevel
+
+    run = bm25_search(documents, corpus_queries(documents, query_mod), k=k)
+    run = run.persist(StorageLevel.MEMORY_AND_DISK)
+    qrels = lang_source_qrels(documents, query_mod)
+    metrics = retrieval_metrics(run, qrels, k=k)
+    negs = hard_negatives(run, qrels, k=k, per_query=per_query)
+    neg_csv = (
+        negs.groupBy("query_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("neg_rank", "doc_id"))
+                    ),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+            ).alias("hard_neg_csv")
+        )
+    )
+    return (
+        metrics.join(neg_csv, "query_id", "left")
+        .withColumn("hard_neg_csv", F.coalesce("hard_neg_csv", F.lit("")))
+        .orderBy("query_id")
+    )

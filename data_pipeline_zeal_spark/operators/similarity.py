@@ -250,7 +250,28 @@ def _band_planes(dim: int, bands: int, planes_per_band: int, orthogonal: bool):
             q, _ = np.linalg.qr(per_band_planes[b].T)  # (dim, r) orthonormal
             per_band_planes[b] = q.T
         planes = per_band_planes.reshape(total, dim)
+    planes.setflags(write=False)  # shared via lru_cache AND broadcast: freeze
     return planes
+
+
+# Spark broadcasts of the plane matrix, keyed by (SparkContext id, layout).
+# At solver layouts the matrix is ~5 MB; broadcasting it fresh per
+# lsh_banded_rows call (round-6 advice) accumulated never-destroyed
+# broadcast blocks on the driver and executors across a long session.
+# One broadcast per layout per context is the steady state; entries for a
+# stopped context are dropped lazily on the next lookup.
+_PLANES_BC: dict[tuple, object] = {}
+
+
+def _band_planes_broadcast(sc, dim, bands, planes_per_band, orthogonal):
+    key = (id(sc), dim, bands, planes_per_band, orthogonal)
+    bc = _PLANES_BC.get(key)
+    if bc is None:
+        for stale in [k for k in _PLANES_BC if k[0] != id(sc)]:
+            _PLANES_BC.pop(stale, None)
+        bc = sc.broadcast(_band_planes(dim, bands, planes_per_band, orthogonal))
+        _PLANES_BC[key] = bc
+    return bc
 
 
 def lsh_banded_rows(
@@ -274,11 +295,13 @@ def lsh_banded_rows(
     The plane matrix rides a Spark BROADCAST, not the task closure: at
     solver layouts it is ~5 MB, and closure capture re-pickles it into
     every task (32 tasks x 5 MB per stage locally; per-task network cost
-    on a cluster)."""
+    on a cluster).  The broadcast is cached per (context, layout) —
+    repeated dedup calls in a long-lived session reuse one block instead
+    of accumulating orphaned broadcasts (round-6 advice)."""
     import numpy as np
 
-    planes_bc = vectors.sparkSession.sparkContext.broadcast(
-        _band_planes(dim, bands, planes_per_band, orthogonal)
+    planes_bc = _band_planes_broadcast(
+        vectors.sparkSession.sparkContext, dim, bands, planes_per_band, orthogonal
     )
     weights = (1 << np.arange(planes_per_band, dtype=np.int64))
     band_idx = np.arange(bands, dtype=np.int32)
@@ -450,6 +473,66 @@ def cell_assign_expr(vec_col, centroids: list[list[float]]):
         ]
     )
     return (-F.array_max(scored)["negcell"]).cast("int")
+
+
+def cell_assign_rows(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    nassign: int = 1,
+) -> DataFrame:
+    """Slim (vec_id, cell) rows assigning every vector to its ``nassign``
+    nearest k-means cells by cosine — the blocking exchange input for
+    cell-blocked near-dup candidate generation (SemDeDup, Abbas et al.
+    2023, arXiv:2303.09540: dedup within k-means clusters only).
+
+    Multi-assignment (``nassign > 1``) is the pair-generation analog of
+    IVF's ``nprobe``: a near-dup pair split by a cell boundary still
+    co-occurs in some cell when each side carries its top-``nassign``
+    cells, at the cost of ``nassign``x blocking rows.  One ``mapInPandas``
+    numpy kernel does the (n, dim) x (dim, k) matmul and the top-a
+    argpartition per Arrow batch; the centroid matrix rides a cached
+    Spark broadcast (tiny: k x dim doubles).  Assignment by raw dot
+    against unit centroids — per-row scaling by 1/|v| cannot change the
+    per-row ranking, so vectors need not be normalized."""
+    import hashlib
+
+    import numpy as np
+
+    sc = vectors.sparkSession.sparkContext
+    arr = np.array(centroids, dtype=np.float64)
+    # same per-(context, payload) broadcast reuse as the LSH plane matrix
+    key = (id(sc), "cells", hashlib.md5(arr.tobytes()).hexdigest())
+    cents_bc = _PLANES_BC.get(key)
+    if cents_bc is None:
+        arr.setflags(write=False)
+        cents_bc = sc.broadcast(arr)
+        _PLANES_BC[key] = cents_bc
+    a = min(nassign, len(centroids))
+
+    def emit(batches):
+        C = cents_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)  # (n, dim)
+            S = mat @ C.T  # (n, k)
+            if a == 1:
+                top = S.argmax(axis=1)[:, None]
+            else:
+                part = np.argpartition(-S, a - 1, axis=1)[:, :a]
+                # stable cell ids (sorted within the top-a set): the
+                # DOWNSTREAM grouping is set-membership, order-free, but
+                # determinism keeps pinned-constant oracles exact
+                part.sort(axis=1)
+                top = part
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), a),
+                    "cell": top.ravel().astype(np.int32),
+                }
+            )
+
+    return vectors.select("vec_id", "v").mapInPandas(emit, "vec_id long, cell int")
 
 
 def ivf_topk(

@@ -56,3 +56,37 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+#: Streaming state-store profile for stateful production jobs (funnel,
+#: heavy hitters, latest-state CDC): the RocksDB provider keeps per-key
+#: state OFF-HEAP and checkpoints incrementally (changelog files instead
+#: of full snapshots), so state scales with distinct ACTIVE keys rather
+#: than executor heap — the provider `streaming/cdc.py` and
+#: `streaming/funnel.py` size their state bounds against, and the one a
+#: 100 TB deployment runs.  These are RUNTIME SQL confs: apply via
+#: ``streaming_profile()`` at session build, or ``spark.conf.set`` on a
+#: live session before ``start()`` (each streaming query binds its
+#: provider at start and keeps it for the checkpoint's lifetime).
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    # incremental checkpoints: upload changelogs per batch, compact in
+    # the background — bounds both commit latency and snapshot I/O
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
+def streaming_profile(
+    app_name: str = "data-pipeline-zeal-spark-streaming",
+    **kwargs,
+) -> SparkSession:
+    """:func:`get_spark` with the RocksDB state-store profile applied —
+    the session factory for stateful streaming deployments."""
+    extra = dict(ROCKSDB_STATE_CONF)
+    extra.update(kwargs.pop("extra_conf", None) or {})
+    return get_spark(app_name=app_name, extra_conf=extra, **kwargs)

@@ -30,6 +30,16 @@ Protocol:
   the same id again is a silent no-op, so an at-least-once orchestrator
   retrying a crashed-AFTER-commit job cannot double-append (the same
   write-then-commit ordering contract as the streaming upsert sink).
+  The id re-check runs AFTER the slow data write, inside the publish
+  loop — a concurrent retry of the same txn that commits while this
+  writer is still staging data is caught before this writer claims a
+  version, not only when the two race for the same version number.
+* **Data skipping**: each commit records per-column min/max over its
+  own files (one aggregate job at write time); predicate reads replay
+  the log and open only directories whose recorded range can match —
+  the format's analog of the reference's B-tree indexes
+  (``migrations/001_initial_schema.sql:16-23``) and of the z-order +
+  parquet-footer pruning path for plain directories.
 
 On object stores swap the hard-link publish for a conditional put /
 atomic rename; the rest of the protocol is storage-agnostic.  The log is
@@ -76,6 +86,50 @@ def _read_entry(table: str, version: int) -> dict:
         return json.load(f)
 
 
+# Column types whose min/max are JSON-representable and totally ordered —
+# the only ones worth recording for data skipping.  Dates/timestamps are
+# stored as ISO strings (lexicographic order == chronological order, so
+# string comparison prunes correctly); arrays/structs/binary are skipped.
+_STAT_NUMERIC = ("byte", "short", "int", "bigint", "float", "double")
+
+
+def _staged_stats(spark: SparkSession, data_dir: str):
+    """One aggregate job over a freshly staged directory: row count plus
+    per-column [min, max] for every numeric / string / date / timestamp
+    column.  Min/max ignore NULLs (an all-NULL column records ``None``
+    bounds and is never pruned on)."""
+    from pyspark.sql import functions as F
+
+    staged = spark.read.parquet(data_dir)
+    stat_cols = []
+    iso = []  # columns serialized via ISO strings
+    for f in staged.schema.fields:
+        t = f.dataType.simpleString()
+        if t in _STAT_NUMERIC or t == "string":
+            stat_cols.append(f.name)
+        elif t in ("date", "timestamp", "timestamp_ntz"):
+            stat_cols.append(f.name)
+            iso.append(f.name)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    row = staged.agg(*aggs).collect()[0]
+
+    def _ser(c, v):
+        if v is None:
+            return None
+        # str() of date/datetime is the ISO form ("2024-01-05",
+        # "2024-01-05 03:00:00") — lexicographic == chronological
+        return str(v) if c in iso else v
+
+    stats = {
+        c: [_ser(c, row[f"__min_{c}"]), _ser(c, row[f"__max_{c}"])]
+        for c in stat_cols
+    }
+    return row["__n"], stats
+
+
 def commit_write(
     df: DataFrame,
     table: str,
@@ -105,14 +159,18 @@ def commit_write(
     staging = f"v{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table, _DATA_DIR, staging)
     df.write.mode("error").parquet(data_dir)
-    # footer-only count of the files just written (no data scan): recorded
-    # in the commit so metadata-only queries (stats/row counts) never
-    # touch data files — the lakehouse aggregate-pushdown shortcut
-    n_rows = df.sparkSession.read.parquet(data_dir).count()
+    # ONE aggregate job over the files just written computes the commit's
+    # row count AND per-column min/max together.  This is a real Spark
+    # job (plain count() is too — parquet footer-only counting needs the
+    # v2 scan + aggregate pushdown, which Spark does not use by default),
+    # but it is paid once at write time so that table_stats() and
+    # predicate pruning (read_where) stay metadata-only forever after.
+    n_rows, stats = _staged_stats(df.sparkSession, data_dir)
     entry = {
         "action": mode,
         "dirs": [f"{_DATA_DIR}/{staging}"],
         "n_rows": n_rows,
+        "stats": stats,
     }
     if txn is not None:
         entry["txn"] = txn
@@ -129,16 +187,23 @@ def commit_write(
     try:
         for _ in range(max_retries):
             version = (_list_versions(table) or [0])[-1] + 1
+            # Re-check idempotence on EVERY publish attempt, not only
+            # after a same-slot collision: a concurrent retry of this txn
+            # that committed while we were staging data sits at an
+            # earlier version, and linking a fresh slot without looking
+            # would double-append.  Order matters — the check runs after
+            # the version listing, so a same-txn commit that lands
+            # between this check and our link necessarily targets the
+            # same next slot, collides, and sends us back around the
+            # loop to observe it.
+            existing = _txn_already_committed()
+            if existing is not None:
+                return existing
             target = os.path.join(_log_path(table), _entry_name(version))
             try:
                 os.link(tmp, target)  # atomic; fails if the slot is taken
             except FileExistsError:
-                # lost the race — a concurrent retry of the SAME txn may
-                # have won it, so re-check before claiming a new version
-                existing = _txn_already_committed()
-                if existing is not None:
-                    return existing
-                continue
+                continue  # lost the race; loop re-checks txn then retries
             return version
     finally:
         os.unlink(tmp)
@@ -182,6 +247,101 @@ def read_version(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*live_dirs(table, version))
+
+
+def _predicate_may_match(bounds, op: str, value) -> bool:
+    """Can a directory whose column spans ``bounds = [lo, hi]`` contain a
+    row satisfying ``col <op> value``?  Conservative: unknown bounds
+    (missing stats, all-NULL column, pre-stats commits) always match.
+    Date/timestamp bounds are ISO strings; pass the literal in the same
+    form (lexicographic order is chronological there)."""
+    if bounds is None:
+        return True
+    lo, hi = bounds
+    if lo is None or hi is None:
+        return True
+    if op == "=":
+        return lo <= value <= hi
+    if op == "<":
+        return lo < value
+    if op == "<=":
+        return lo <= value
+    if op == ">":
+        return hi > value
+    if op == ">=":
+        return hi >= value
+    raise ValueError(f"unknown predicate op: {op!r}")
+
+
+def pruned_dirs(
+    table: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """Split the live directories at ``version`` into (kept, skipped)
+    under a conjunction of simple predicates ``(col, op, literal)`` with
+    op in ``= < <= > >=`` — metadata-only log replay, no file opened.
+    A directory is skipped only when its recorded min/max PROVE no row
+    can match; directories without stats for a referenced column are
+    always kept (correctness over pruning)."""
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no commits in {table}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    live: dict[str, dict] = {}  # rel dir -> its commit's stats payload
+    for v in versions:
+        if v > version:
+            break
+        entry = _read_entry(table, v)
+        if entry["action"] == "overwrite":
+            live = {}
+        stats = entry.get("stats", {})
+        for d in entry["dirs"]:
+            live[d] = stats
+    kept, skipped = [], []
+    for d, stats in live.items():
+        ok = all(
+            _predicate_may_match(stats.get(col), op, value)
+            for col, op, value in predicates
+        )
+        (kept if ok else skipped).append(os.path.join(table, d))
+    return kept, skipped
+
+
+def read_where(
+    spark: SparkSession,
+    table: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Predicate read with data skipping: prune directories against the
+    commit-log min/max stats (:func:`pruned_dirs`), then apply the SAME
+    predicates as a real filter over the surviving files — pruning is an
+    I/O optimization, never a semantic change.  At 100 TB this is the
+    difference between opening every file of every commit and opening
+    only the commits whose range overlaps the query; within the kept
+    directories the ordinary parquet footer min/max pruning still
+    applies row-group by row-group."""
+    from pyspark.sql import functions as F
+
+    kept, _ = pruned_dirs(table, predicates, version)
+    if not kept:
+        # provably empty: an empty frame with the table's schema
+        return read_version(spark, table, version).limit(0).filter(F.lit(False))
+    df = spark.read.parquet(*kept)
+    _OPS = {
+        "=": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+    }
+    for col, op, value in predicates:
+        df = df.filter(_OPS[op](F.col(col), F.lit(value)))
+    return df
 
 
 def change_feed(

@@ -45,7 +45,9 @@ _ROWS_ONLY = sorted(set(_QUERIES) - set(_ORACLES))
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_queries_execute_with_stable_schema(spark, name):
-    """The 13 rows-only queries have no oracle, so the driver only smoke-
+    """The remaining rows-only queries (the payload-stubbed multimodal
+    decode set — everything else is oracle-backed, incl. the round-7
+    pinned-constant estimator oracles) have no oracle, so the driver only smoke-
     runs them — rehearse that here: they must execute on the fixture dir,
     return a deterministic row count across two runs, and keep a non-empty
     schema."""

@@ -240,3 +240,114 @@ def test_table_stats_metadata_only(spark, tmp_path):
     stats = V.table_stats(t)
     assert stats[1]["commit_rows"] is None and stats[1]["snapshot_rows"] is None
     assert stats[2]["snapshot_rows"] == 2  # overwrite resets the poison
+
+
+def test_txn_recheck_before_fresh_slot_link(spark, tmp_path, monkeypatch):
+    """The zombie-orchestrator race (round-6 advice, medium): a concurrent
+    retry of the SAME txn commits while this writer is still staging data
+    — at an EARLIER version, so no link collision ever happens.  The
+    pre-link idempotence re-check must adopt that commit instead of
+    linking a fresh slot and double-appending."""
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 5), t, mode="overwrite")
+
+    orig = V._list_versions
+    state = {"calls": 0, "inner": None}
+
+    def hooked(table_):
+        state["calls"] += 1
+        # call 1: the pre-staging idempotence check (txn absent).
+        # call 2: the publish loop's version listing — by now our data is
+        # staged; fire the concurrent same-txn retry to completion first.
+        if state["calls"] == 2:
+            state["inner"] = V.commit_write(
+                _df(spark, 5, 8), t, mode="append", txn="job-9"
+            )
+        return orig(table_)
+
+    monkeypatch.setattr(V, "_list_versions", hooked)
+    v = V.commit_write(_df(spark, 5, 8), t, mode="append", txn="job-9")
+    monkeypatch.undo()
+    assert state["inner"] == 2
+    assert v == 2  # adopted, not double-appended at version 3
+    assert V._list_versions(t) == [1, 2]
+    assert V.read_version(spark, t).count() == 8
+
+
+def test_commit_stats_recorded_and_pruning(spark, tmp_path):
+    """Each commit records per-column min/max; pruned_dirs skips exactly
+    the directories whose range provably cannot match."""
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 10), t, mode="overwrite")     # id 0..9
+    V.commit_write(_df(spark, 100, 110), t, mode="append")     # id 100..109
+    V.commit_write(_df(spark, 200, 210), t, mode="append")     # id 200..209
+    entry = V._read_entry(t, 2)
+    assert entry["stats"]["id"] == [100, 109]
+    assert entry["stats"]["v"] == [200, 218]
+    kept, skipped = V.pruned_dirs(t, [("id", ">=", 150)])
+    assert len(kept) == 1 and len(skipped) == 2
+    kept, skipped = V.pruned_dirs(t, [("id", "=", 105)])
+    assert len(kept) == 1 and len(skipped) == 2
+    kept, skipped = V.pruned_dirs(t, [("id", "<", 5), ("v", "<=", 4)])
+    assert len(kept) == 1 and len(skipped) == 2
+    # unsatisfiable conjunction: everything pruned
+    kept, skipped = V.pruned_dirs(t, [("id", ">", 300)])
+    assert kept == [] and len(skipped) == 3
+    # time travel + pruning compose
+    kept, skipped = V.pruned_dirs(t, [("id", ">=", 150)], version=2)
+    assert kept == [] and len(skipped) == 2
+
+
+def test_read_where_opens_only_matching_dirs(spark, tmp_path):
+    """The filtered read must (a) return exactly the rows a full-scan
+    filter returns and (b) list only the surviving directories in its
+    scan — same style as the z-order skip test."""
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 10), t, mode="overwrite")
+    V.commit_write(_df(spark, 100, 110), t, mode="append")
+    V.commit_write(_df(spark, 200, 210), t, mode="append")
+    df = V.read_where(spark, t, [("id", ">=", 200)])
+    assert sorted(r.id for r in df.collect()) == list(range(200, 210))
+    # the scan's input files live only in the one kept directory
+    files = df.inputFiles()
+    kept, _ = V.pruned_dirs(t, [("id", ">=", 200)])
+    assert files and all(any(f.find(k.split("/")[-1]) >= 0 for k in kept) for f in files)
+    # pruning is conservative, never lossy: boundary predicate keeps all
+    assert V.read_where(spark, t, [("id", ">=", 0)]).count() == 30
+    # provably-empty fast path still carries the schema
+    empty = V.read_where(spark, t, [("id", ">", 10_000)])
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+
+
+def test_pre_stats_commit_never_pruned(spark, tmp_path):
+    """Commits written before stats existed (no 'stats' key) must always
+    be kept — pruning degrades to a plain filtered scan, never drops."""
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 10), t, mode="overwrite")
+    path = os.path.join(t, "_log", V._entry_name(1))
+    entry = json.load(open(path))
+    del entry["stats"]
+    json.dump(entry, open(path, "w"))
+    kept, skipped = V.pruned_dirs(t, [("id", ">", 10_000)])
+    assert len(kept) == 1 and skipped == []
+    assert V.read_where(spark, t, [("id", "<", 3)]).count() == 3
+
+
+def test_stats_date_and_string_columns(spark, tmp_path):
+    """Date bounds serialize as ISO strings (lexicographic ==
+    chronological) and prune string-typed predicates correctly."""
+    t = str(tmp_path / "tbl")
+    a = spark.sql("SELECT id, DATE'1995-01-01' + make_interval(0,0,0,CAST(id AS INT)) AS d, "
+                  "concat('k', lpad(CAST(id AS STRING), 3, '0')) AS s FROM range(0, 5)")
+    b = spark.sql("SELECT id, DATE'1997-06-01' + make_interval(0,0,0,CAST(id AS INT)) AS d, "
+                  "concat('m', lpad(CAST(id AS STRING), 3, '0')) AS s FROM range(5, 9)")
+    V.commit_write(a, t, mode="overwrite")
+    V.commit_write(b, t, mode="append")
+    e1, e2 = V._read_entry(t, 1), V._read_entry(t, 2)
+    assert e1["stats"]["d"] == ["1995-01-01", "1995-01-05"]
+    assert e2["stats"]["s"] == ["m005", "m008"]
+    kept, skipped = V.pruned_dirs(t, [("d", ">=", "1997-01-01")])
+    assert len(kept) == 1 and len(skipped) == 1
+    assert V.read_where(spark, t, [("d", ">=", "1997-01-01")]).count() == 4
+    kept, skipped = V.pruned_dirs(t, [("s", "<", "k999")])
+    assert len(kept) == 1 and len(skipped) == 1

@@ -34,9 +34,12 @@ def main() -> None:
     oracle = set(entry.oracle_sql().keys())
 
     last: dict[str, dict] = {}
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
         for k, v in json.load(open(path)).items():
             last[k] = v
+            last_round[k] = rnd
 
     def green(v: dict) -> bool:
         if v.get("err") == "no_oracle":  # rows-only by design: counts as done
@@ -53,7 +56,10 @@ def main() -> None:
             prio = 2
         else:
             prio = 4
-        return (prio, qk.index(name))
+        # greens re-verify STALEST first (oldest driver row): a query whose
+        # kernel changed three rounds after its green row is the weakest
+        # evidence in the green pool (round-6 verdict directive #4)
+        return (prio, last_round.get(name, 0), qk.index(name))
 
     ordered = sorted(qk, key=rank)
     window = ordered[:50]
