@@ -188,6 +188,10 @@ HEADLINE = [
     "corpus_dsir_weights",
     "dq_k_anonymity",
     "dq_l_diversity",
+    # round-7 additions
+    "dedup_embedding_near_cells",
+    "retrieval_pipeline",
+    "versioned_stats_skipping",
 ]
 
 

@@ -96,8 +96,13 @@ _STAT_NUMERIC = ("byte", "short", "int", "bigint", "float", "double")
 def _staged_stats(spark: SparkSession, data_dir: str):
     """One aggregate job over a freshly staged directory: row count plus
     per-column [min, max] for every numeric / string / date / timestamp
-    column.  Min/max ignore NULLs (an all-NULL column records ``None``
-    bounds and is never pruned on)."""
+    column — at PER-FILE granularity (grouped on ``input_file_name``),
+    rolled up to the directory bounds in the driver.  Min/max ignore
+    NULLs (an all-NULL column records ``None`` bounds and is never pruned
+    on).  Returns ``(n_rows, dir_stats, file_stats)`` where file_stats
+    maps each parquet basename to its own bounds — the Delta-style
+    add-file statistics that let predicate reads skip individual files
+    inside a large commit, not just whole commits."""
     from pyspark.sql import functions as F
 
     staged = spark.read.parquet(data_dir)
@@ -114,7 +119,11 @@ def _staged_stats(spark: SparkSession, data_dir: str):
     for c in stat_cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
-    row = staged.agg(*aggs).collect()[0]
+    rows = (
+        staged.groupBy(F.input_file_name().alias("__file"))
+        .agg(*aggs)
+        .collect()
+    )
 
     def _ser(c, v):
         if v is None:
@@ -123,11 +132,23 @@ def _staged_stats(spark: SparkSession, data_dir: str):
         # "2024-01-05 03:00:00") — lexicographic == chronological
         return str(v) if c in iso else v
 
-    stats = {
-        c: [_ser(c, row[f"__min_{c}"]), _ser(c, row[f"__max_{c}"])]
-        for c in stat_cols
-    }
-    return row["__n"], stats
+    n_rows = 0
+    file_stats: dict[str, dict] = {}
+    dir_stats: dict[str, list] = {c: [None, None] for c in stat_cols}
+    for row in rows:
+        n_rows += row["__n"]
+        base = row["__file"].rstrip("/").rsplit("/", 1)[-1]
+        per_file = {}
+        for c in stat_cols:
+            lo, hi = _ser(c, row[f"__min_{c}"]), _ser(c, row[f"__max_{c}"])
+            per_file[c] = [lo, hi]
+            d = dir_stats[c]
+            if lo is not None and (d[0] is None or lo < d[0]):
+                d[0] = lo
+            if hi is not None and (d[1] is None or hi > d[1]):
+                d[1] = hi
+        file_stats[base] = per_file
+    return n_rows, dir_stats, file_stats
 
 
 def commit_write(
@@ -165,12 +186,13 @@ def commit_write(
     # v2 scan + aggregate pushdown, which Spark does not use by default),
     # but it is paid once at write time so that table_stats() and
     # predicate pruning (read_where) stay metadata-only forever after.
-    n_rows, stats = _staged_stats(df.sparkSession, data_dir)
+    n_rows, stats, file_stats = _staged_stats(df.sparkSession, data_dir)
     entry = {
         "action": mode,
         "dirs": [f"{_DATA_DIR}/{staging}"],
         "n_rows": n_rows,
         "stats": stats,
+        "file_stats": file_stats,
     }
     if txn is not None:
         entry["txn"] = txn
@@ -273,6 +295,32 @@ def _predicate_may_match(bounds, op: str, value) -> bool:
     raise ValueError(f"unknown predicate op: {op!r}")
 
 
+def _live_stats(table: str, version: int | None) -> dict[str, dict]:
+    """Log replay to ``version``: rel data dir -> its commit's stats
+    payloads (``{"stats": dir bounds, "file_stats": per-file bounds}``,
+    either possibly missing on pre-stats commits)."""
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no commits in {table}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    live: dict[str, dict] = {}
+    for v in versions:
+        if v > version:
+            break
+        entry = _read_entry(table, v)
+        if entry["action"] == "overwrite":
+            live = {}
+        for d in entry["dirs"]:
+            live[d] = {
+                "stats": entry.get("stats", {}),
+                "file_stats": entry.get("file_stats"),
+            }
+    return live
+
+
 def pruned_dirs(
     table: str,
     predicates: list[tuple],
@@ -284,31 +332,56 @@ def pruned_dirs(
     A directory is skipped only when its recorded min/max PROVE no row
     can match; directories without stats for a referenced column are
     always kept (correctness over pruning)."""
-    versions = _list_versions(table)
-    if not versions:
-        raise FileNotFoundError(f"no commits in {table}")
-    if version is None:
-        version = versions[-1]
-    elif version not in versions:
-        raise ValueError(f"version {version} not in {versions}")
-    live: dict[str, dict] = {}  # rel dir -> its commit's stats payload
-    for v in versions:
-        if v > version:
-            break
-        entry = _read_entry(table, v)
-        if entry["action"] == "overwrite":
-            live = {}
-        stats = entry.get("stats", {})
-        for d in entry["dirs"]:
-            live[d] = stats
     kept, skipped = [], []
-    for d, stats in live.items():
+    for d, payload in _live_stats(table, version).items():
+        stats = payload["stats"]
         ok = all(
             _predicate_may_match(stats.get(col), op, value)
             for col, op, value in predicates
         )
         (kept if ok else skipped).append(os.path.join(table, d))
     return kept, skipped
+
+
+def pruned_paths(
+    table: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> tuple[list[str], int, int]:
+    """File-granular pruning: the parquet paths a predicate read must
+    open, plus (files kept, files skipped) counts.  Two metadata tiers,
+    both from log replay alone: directory bounds drop whole commits,
+    then the per-file add-stats (``file_stats``) drop individual files
+    inside surviving commits — a compacted-but-unsorted commit with 32
+    files keeps only the files whose own range can match.  Directories
+    from pre-stats commits contribute themselves wholesale (conservative:
+    the reader scans them)."""
+    paths: list[str] = []
+    n_kept = n_skipped = 0
+    for d, payload in _live_stats(table, version).items():
+        stats = payload["stats"]
+        if not all(
+            _predicate_may_match(stats.get(col), op, value)
+            for col, op, value in predicates
+        ):
+            fs = payload["file_stats"]
+            n_skipped += len(fs) if fs else 1
+            continue
+        fs = payload["file_stats"]
+        if not fs:  # pre-stats commit: whole directory, unknown file count
+            paths.append(os.path.join(table, d))
+            n_kept += 1
+            continue
+        for base, bounds in sorted(fs.items()):
+            if all(
+                _predicate_may_match(bounds.get(col), op, value)
+                for col, op, value in predicates
+            ):
+                paths.append(os.path.join(table, d, base))
+                n_kept += 1
+            else:
+                n_skipped += 1
+    return paths, n_kept, n_skipped
 
 
 def read_where(
@@ -327,7 +400,7 @@ def read_where(
     applies row-group by row-group."""
     from pyspark.sql import functions as F
 
-    kept, _ = pruned_dirs(table, predicates, version)
+    kept, _, _ = pruned_paths(table, predicates, version)
     if not kept:
         # provably empty: an empty frame with the table's schema
         return read_version(spark, table, version).limit(0).filter(F.lit(False))
@@ -366,12 +439,43 @@ def change_feed(
     )
 
 
-def compact(spark: SparkSession, table: str, txn: str | None = None) -> int:
+def compact(
+    spark: SparkSession,
+    table: str,
+    txn: str | None = None,
+    cluster_by: list[str] | None = None,
+    zorder: bool = False,
+    num_files: int = 32,
+) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot as one fresh commit (new
     compacted files, one atomic overwrite) — readers never see a partial
     rewrite, historical versions stay readable over their original
-    files, and ``vacuum`` still only ever removes uncommitted orphans."""
+    files, and ``vacuum`` still only ever removes uncommitted orphans.
+
+    ``cluster_by`` is OPTIMIZE's clustering form: range-partition + sort
+    the snapshot on those columns (``zorder=True`` sorts on the Morton
+    key instead — bounded ranges on EVERY cluster column, the
+    multi-predicate layout; reuses :func:`..functions.zorder.zorder_key`).
+    Because commit stats are recorded per file, clustering directly
+    tightens each new file's recorded bounds, so the NEXT predicate read
+    (:func:`read_where`) skips at file granularity — the same
+    write-once/skip-forever contract as Delta's OPTIMIZE ZORDER BY, one
+    range exchange per rewrite."""
     snap = read_version(spark, table)
+    if cluster_by:
+        if zorder:
+            from ..functions.zorder import zorder_key
+
+            snap = (
+                snap.withColumn("__zkey", zorder_key(snap, cluster_by))
+                .repartitionByRange(num_files, "__zkey")
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        else:
+            snap = snap.repartitionByRange(
+                num_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
     return commit_write(snap, table, mode="overwrite", txn=txn)
 
 

@@ -351,3 +351,73 @@ def test_stats_date_and_string_columns(spark, tmp_path):
     assert V.read_where(spark, t, [("d", ">=", "1997-01-01")]).count() == 4
     kept, skipped = V.pruned_dirs(t, [("s", "<", "k999")])
     assert len(kept) == 1 and len(skipped) == 1
+
+
+def test_per_file_stats_and_file_level_pruning(spark, tmp_path):
+    """A single commit whose files carry disjoint ranges (clustered
+    write) must prune at FILE granularity: the predicate read opens only
+    the files whose own bounds can match, not every file of the kept
+    commit."""
+    t = str(tmp_path / "tbl")
+    # 4 files, range-partitioned on id -> disjoint per-file id ranges
+    df = (
+        _df(spark, 0, 400)
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    V.commit_write(df, t, mode="overwrite")
+    entry = V._read_entry(t, 1)
+    assert len(entry["file_stats"]) == 4
+    spans = sorted(b["id"] for b in entry["file_stats"].values())
+    assert spans[0][0] == 0 and spans[-1][1] == 399
+    # dir-level bounds are the rollup of the file bounds
+    assert entry["stats"]["id"] == [0, 399]
+    paths, n_kept, n_skipped = V.pruned_paths(t, [("id", ">=", 350)])
+    assert n_kept == 1 and n_skipped == 3
+    assert all(p.endswith(".parquet") for p in paths)
+    got = V.read_where(spark, t, [("id", ">=", 350)])
+    assert sorted(r.id for r in got.collect()) == list(range(350, 400))
+    # the scan's input files are exactly the kept paths
+    assert sorted(got.inputFiles())[0].endswith(paths[0].split("/")[-1])
+
+
+def test_compact_cluster_by_tightens_skipping(spark, tmp_path):
+    """OPTIMIZE with clustering: after interleaved appends (every file
+    spans the full id range — nothing file-prunable), compacting with
+    cluster_by must yield per-file disjoint bounds so the same predicate
+    suddenly skips most files."""
+    t = str(tmp_path / "tbl")
+    # two appends, each shuffled across the id range -> useless bounds
+    a = _df(spark, 0, 400).filter("id % 2 = 0").repartition(4)
+    b = _df(spark, 0, 400).filter("id % 2 = 1").repartition(4)
+    V.commit_write(a, t, mode="overwrite")
+    V.commit_write(b, t, mode="append")
+    pred = [("id", ">=", 390)]
+    _, kept_before, _ = V.pruned_paths(t, pred)
+    assert kept_before == 8  # every file spans the range: nothing skips
+    v = V.compact(spark, t, cluster_by=["id"], num_files=8)
+    paths, kept_after, skipped_after = V.pruned_paths(t, pred, version=v)
+    assert kept_after == 1 and skipped_after == 7
+    assert sorted(
+        r.id for r in V.read_where(spark, t, pred).collect()
+    ) == list(range(390, 400))
+    # history before the compaction still reads in full
+    assert V.read_version(spark, t, 2).count() == 400
+
+
+def test_compact_zorder_multi_predicate_skipping(spark, tmp_path):
+    """Z-order compaction bounds BOTH cluster columns per file, so a
+    predicate on the second column alone still skips files (a plain
+    lexicographic sort only bounds the leading column tightly)."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 1024).selectExpr(
+        "id", "id % 32 AS x", "CAST(id / 32 AS BIGINT) AS y"
+    )
+    V.commit_write(df, t, mode="overwrite")
+    v = V.compact(spark, t, cluster_by=["x", "y"], zorder=True, num_files=16)
+    _, kept_x, skip_x = V.pruned_paths(t, [("x", ">=", 30)], version=v)
+    _, kept_y, skip_y = V.pruned_paths(t, [("y", ">=", 30)], version=v)
+    assert skip_x > 0 and skip_y > 0, (kept_x, skip_x, kept_y, skip_y)
+    got = V.read_where(spark, t, [("x", ">=", 30), ("y", ">=", 30)])
+    want = df.filter("x >= 30 AND y >= 30").count()
+    assert got.count() == want
