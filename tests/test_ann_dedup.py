@@ -559,3 +559,21 @@ def test_semantic_dedup_cells_wiring(spark):
         for s in (0, 1)
     }
     assert len(cells) == len(exact)
+
+
+def test_plane_broadcast_reused_across_calls(spark):
+    """Round-6 advice: repeated dedup calls must reuse ONE Spark
+    broadcast of the plane matrix per (context, layout), not accumulate
+    a fresh broadcast block per invocation."""
+    from data_pipeline_zeal_spark.operators.similarity import (
+        _PLANES_BC,
+        _band_planes_broadcast,
+    )
+
+    sc = spark.sparkContext
+    b1 = _band_planes_broadcast(sc, 64, 8, 3, True)
+    b2 = _band_planes_broadcast(sc, 64, 8, 3, True)
+    assert b1 is b2
+    assert _band_planes_broadcast(sc, 64, 4, 6, True) is not b1
+    key = (id(sc), 64, 8, 3, True)
+    assert key in _PLANES_BC

@@ -233,6 +233,10 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         "text_bm25_topk": 1,
         "retrieval_quality": 1,  # same run subplan
         "retrieval_hard_negatives": 1,  # same run subplan
+        # the amortized composition references the persisted run subplan
+        # from BOTH consumers, so the 1-row stats broadcast shows twice
+        # in the analyzed plan; at execution the run is one cached frame
+        "retrieval_pipeline": 2,
         # (dedup_bcubed_norm_vs_jaccard's exact clustering kernel sits
         # behind connected_components' eager localCheckpoint, so its
         # registered plan carries no nested loop — auto flips the

@@ -421,3 +421,14 @@ def test_compact_zorder_multi_predicate_skipping(spark, tmp_path):
     got = V.read_where(spark, t, [("x", ">=", 30), ("y", ">=", 30)])
     want = df.filter("x >= 30 AND y >= 30").count()
     assert got.count() == want
+
+
+def test_read_where_pushes_predicates_to_scan(spark, tmp_path):
+    """Directory/file pruning composes with parquet row-group pruning:
+    the residual filter must reach the scan as a pushed data filter, not
+    evaluate post-scan only."""
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 100), t, mode="overwrite")
+    df = V.read_where(spark, t, [("id", ">=", 50)])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(id,50" in plan
