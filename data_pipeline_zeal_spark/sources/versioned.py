@@ -276,7 +276,8 @@ def _predicate_may_match(bounds, op: str, value) -> bool:
     row satisfying ``col <op> value``?  Conservative: unknown bounds
     (missing stats, all-NULL column, pre-stats commits) always match.
     Date/timestamp bounds are ISO strings; pass the literal in the same
-    form (lexicographic order is chronological there)."""
+    form (lexicographic order is chronological there).  ``between`` takes
+    a ``(lo, hi)`` pair, ``in`` an iterable of values."""
     if bounds is None:
         return True
     lo, hi = bounds
@@ -292,6 +293,11 @@ def _predicate_may_match(bounds, op: str, value) -> bool:
         return hi > value
     if op == ">=":
         return hi >= value
+    if op == "between":
+        vlo, vhi = value
+        return not (vhi < lo or vlo > hi)
+    if op == "in":
+        return any(lo <= v <= hi for v in value)
     raise ValueError(f"unknown predicate op: {op!r}")
 
 
@@ -411,10 +417,70 @@ def read_where(
         "<=": lambda c, v: c <= v,
         ">": lambda c, v: c > v,
         ">=": lambda c, v: c >= v,
+        "between": lambda c, v: c.between(v[0], v[1]),
+        "in": lambda c, v: c.isin(list(v)),
     }
     for col, op, value in predicates:
-        df = df.filter(_OPS[op](F.col(col), F.lit(value)))
+        df = df.filter(_OPS[op](F.col(col), F.lit(value) if op not in ("between", "in") else value))
     return df
+
+
+def history(table: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per commit (version, action, txn id,
+    row count, file count, commit mtime) from log replay alone — the
+    audit view an orchestrator reads before time-traveling or vacuuming.
+    Metadata-only; no data file is opened."""
+    out = []
+    for v in _list_versions(table):
+        entry = _read_entry(table, v)
+        path = os.path.join(_log_path(table), _entry_name(v))
+        fs = entry.get("file_stats")
+        out.append(
+            {
+                "version": v,
+                "action": entry["action"],
+                "txn": entry.get("txn"),
+                "n_rows": entry.get("n_rows"),
+                "n_files": len(fs) if fs is not None else None,
+                "committed_at": os.path.getmtime(path),
+            }
+        )
+    return out
+
+
+def read_changes_since(
+    spark: SparkSession,
+    table: str,
+    after_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Append-only incremental read: the rows ADDED by commits in
+    ``(after_version, to_version]`` — the cheap consumption path for
+    downstream incremental jobs (rollup maintenance, sync to a serving
+    store) when the producer only appends.  Reads exactly the new
+    commits' directories; table history size is irrelevant.  Raises if
+    the range crosses an ``overwrite`` commit — appends after a rewrite
+    are not expressible as a pure delta, so the consumer must fall back
+    to the keyed :func:`change_feed` (which diffs full snapshots)."""
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no commits in {table}")
+    if to_version is None:
+        to_version = versions[-1]
+    new_dirs: list[str] = []
+    for v in versions:
+        if v <= after_version or v > to_version:
+            continue
+        entry = _read_entry(table, v)
+        if entry["action"] == "overwrite":
+            raise ValueError(
+                f"version {v} is an overwrite: the range is not append-only"
+                " — use change_feed() for a keyed diff across rewrites"
+            )
+        new_dirs.extend(entry["dirs"])
+    if not new_dirs:
+        return read_version(spark, table, to_version).limit(0)
+    return spark.read.parquet(*[os.path.join(table, d) for d in new_dirs])
 
 
 def change_feed(

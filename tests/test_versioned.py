@@ -432,3 +432,55 @@ def test_read_where_pushes_predicates_to_scan(spark, tmp_path):
     df = V.read_where(spark, t, [("id", ">=", 50)])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(id,50" in plan
+
+
+def test_between_and_in_predicates(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 10), t, mode="overwrite")
+    V.commit_write(_df(spark, 100, 110), t, mode="append")
+    V.commit_write(_df(spark, 200, 210), t, mode="append")
+    kept, skipped = V.pruned_dirs(t, [("id", "between", (101, 105))])
+    assert len(kept) == 1 and len(skipped) == 2
+    got = V.read_where(spark, t, [("id", "between", (101, 105))])
+    assert sorted(r.id for r in got.collect()) == [101, 102, 103, 104, 105]
+    kept, skipped = V.pruned_dirs(t, [("id", "in", [5, 205])])
+    assert len(kept) == 2 and len(skipped) == 1
+    got = V.read_where(spark, t, [("id", "in", [5, 205])])
+    assert sorted(r.id for r in got.collect()) == [5, 205]
+    # straddling boundary: conservative keep on both touched dirs
+    kept, _ = V.pruned_dirs(t, [("id", "between", (9, 100))])
+    assert len(kept) == 2
+
+
+def test_history_metadata_only(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 10), t, mode="overwrite", txn="boot")
+    V.commit_write(_df(spark, 10, 13), t, mode="append")
+    h = V.history(t)
+    assert [(e["version"], e["action"], e["txn"], e["n_rows"]) for e in h] == [
+        (1, "overwrite", "boot", 10),
+        (2, "append", None, 3),
+    ]
+    assert all(e["n_files"] >= 1 and e["committed_at"] > 0 for e in h)
+
+
+def test_read_changes_since_append_only(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 10), t, mode="overwrite")
+    V.commit_write(_df(spark, 10, 15), t, mode="append")
+    V.commit_write(_df(spark, 15, 18), t, mode="append")
+    got = V.read_changes_since(spark, t, after_version=1)
+    assert sorted(r.id for r in got.collect()) == list(range(10, 18))
+    got = V.read_changes_since(spark, t, after_version=1, to_version=2)
+    assert sorted(r.id for r in got.collect()) == list(range(10, 15))
+    assert V.read_changes_since(spark, t, after_version=3).count() == 0
+    # a rewrite in the range breaks append-only semantics: loud error
+    V.compact(spark, t)
+    import pytest
+
+    with pytest.raises(ValueError, match="not append-only"):
+        V.read_changes_since(spark, t, after_version=1)
+    # ranges entirely after the rewrite still work
+    V.commit_write(_df(spark, 18, 20), t, mode="append")
+    got = V.read_changes_since(spark, t, after_version=4)
+    assert sorted(r.id for r in got.collect()) == [18, 19]
