@@ -47,6 +47,9 @@ def get_spark(
         # session-UTC instants (reference semantics), not TIMESTAMP_NTZ.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (the zeal_versioned format
+        # prunes files against commit stats at planning time)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Streaming state should not depend on the number of cores at restore
         # time; a fixed modest number keeps local tests fast.
         .config("spark.sql.streaming.stateStore.maintenanceInterval", "30s")

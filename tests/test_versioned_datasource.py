@@ -1,0 +1,151 @@
+"""The zeal_versioned Python DataSource: batch snapshot reads with
+stats-pruned planning, and the streaming reader whose offsets are commit
+versions (checkpoint-resumed, exactly-once)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_pipeline_zeal_spark.sources import versioned as V
+from data_pipeline_zeal_spark.sources import versioned_datasource as DS
+
+
+@pytest.fixture()
+def registered(spark):
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    DS.register(spark)
+    yield spark
+    if old is None:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+    else:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def _table(spark, tmp_path) -> str:
+    t = str(tmp_path / "tbl")
+    V.commit_write(
+        _df(spark, 0, 100).repartitionByRange(2, "id").sortWithinPartitions("id"),
+        t,
+        mode="overwrite",
+    )
+    V.commit_write(
+        _df(spark, 100, 200).repartitionByRange(2, "id").sortWithinPartitions("id"),
+        t,
+        mode="append",
+    )
+    return t
+
+
+def test_batch_read_matches_read_version(registered, tmp_path):
+    spark = registered
+    t = _table(spark, tmp_path)
+    got = spark.read.format("zeal_versioned").option("path", t).load()
+    assert sorted(r.id for r in got.collect()) == list(range(200))
+    # same names and types; nullability may differ (arrow footers carry
+    # exact nullability, Spark's parquet reader reports everything
+    # nullable)
+    want = V.read_version(spark, t).schema
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in want.fields
+    ]
+    # time travel through the same option surface
+    v1 = (
+        spark.read.format("zeal_versioned")
+        .option("path", t)
+        .option("version", 1)
+        .load()
+    )
+    assert v1.count() == 100
+
+
+def test_batch_filter_pushdown_prunes_files(registered, tmp_path):
+    """Catalyst filters reach pushFilters and shrink the PLANNED input
+    partitions via the commit stats — fewer tasks, same rows."""
+    spark = registered
+    t = _table(spark, tmp_path)
+    base = spark.read.format("zeal_versioned").option("path", t).load()
+    assert base.rdd.getNumPartitions() == 4  # 2 commits x 2 files
+    filtered = base.filter("id >= 150")
+    assert filtered.rdd.getNumPartitions() == 1  # one file survives
+    assert sorted(r.id for r in filtered.collect()) == list(range(150, 200))
+    # residual filters still run row-by-row: a predicate the stats keep
+    # conservatively must still filter exactly
+    odd = base.filter("id >= 99").filter("v <= 200")
+    assert sorted(r.id for r in odd.collect()) == [99, 100]
+
+
+def test_stream_versions_are_offsets_with_restart(registered, tmp_path):
+    """availableNow drain, then new commits, then a restart on the SAME
+    checkpoint: only the new commits' rows append — the checkpointed
+    version offset gives exactly-once consumption."""
+    spark = registered
+    t = _table(spark, tmp_path)
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("zeal_versioned")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 200
+    V.commit_write(_df(spark, 200, 230), t, mode="append")
+    V.commit_write(_df(spark, 230, 240), t, mode="append")
+    drain()  # restart on the SAME checkpoint: only versions 3-4 flow
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(240))  # no duplicates, nothing missed
+    # a third drain with no new commits is a no-op
+    drain()
+    assert spark.read.parquet(out).count() == 240
+
+
+def test_stream_overwrite_fails_loudly_unless_skipped(registered, tmp_path):
+    spark = registered
+    t = _table(spark, tmp_path)
+    V.compact(spark, t)  # version 3: overwrite
+    V.commit_write(_df(spark, 200, 210), t, mode="append")  # version 4
+    ckpt = str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("zeal_versioned")
+        .option("path", t)
+        .load()
+        .writeStream.format("memory")
+        .queryName("vds_fail")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="not[ _]?consumable|overwrite"):
+        q.awaitTermination(120)
+        raise AssertionError("stream over an overwrite must fail")
+    # with skipChangeCommits the rewrite is passed over: appends flow
+    q2 = (
+        spark.readStream.format("zeal_versioned")
+        .option("path", t)
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("vds_skip")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = sorted(r.id for r in spark.table("vds_skip").collect())
+    assert got == list(range(0, 210))  # v1+v2 appends + v4 append
