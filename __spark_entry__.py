@@ -942,6 +942,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["versioned_stats_skipping"] = _versioned_skipping
 
+    def _versioned_datasource_read(s: SparkSession, d: str) -> DataFrame:
+        """The zeal_versioned Python DataSource end-to-end (round-7):
+        same three-commit layout as versioned_stats_skipping, but read
+        through ``format("zeal_versioned")`` with a CATALYST filter —
+        pushFilters maps it onto the per-file commit stats, so the scan
+        plans only the matching files, and the residual filter still
+        runs row-by-row.  The emitted planned-partition count pins that
+        the pushdown actually pruned (3 commits worth of files collapse
+        to the one matching commit's)."""
+        import shutil
+        import tempfile
+
+        from data_pipeline_zeal_spark.sources import (
+            versioned as V,
+            versioned_datasource as VDS,
+        )
+
+        o = load_table(s, d, "orders")
+        c1 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+        c2 = F.lit("1999-01-01 00:00:00").cast("timestamp")
+        t = tempfile.mkdtemp(prefix="versioned_ds_")
+        try:
+            # one file per commit -> the planned-partition count is the
+            # commit count, fixture-independent
+            V.commit_write(
+                o.filter(F.col("o_orderdate") < c1).coalesce(1),
+                t,
+                mode="overwrite",
+            )
+            V.commit_write(
+                o.filter(
+                    (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2)
+                ).coalesce(1),
+                t,
+                mode="append",
+            )
+            V.commit_write(
+                o.filter(F.col("o_orderdate") >= c2).coalesce(1),
+                t,
+                mode="append",
+            )
+            s.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+            VDS.register(s)
+            df = (
+                s.read.format("zeal_versioned")
+                .option("path", t)
+                .load()
+                .filter(F.col("o_orderdate") >= "1999-06-01 00:00:00")
+            )
+            n_parts = df.rdd.getNumPartitions()
+            cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum(cents), F.lit(0)).alias("total_cents"),
+            ).select(
+                F.lit(n_parts).alias("n_planned_files"),
+                "n_rows",
+                "total_cents",
+            )
+            return _eager(agg)
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
+
+    q["versioned_datasource_read"] = _versioned_datasource_read
+
     q["orders_grouping_sets"] = lambda s, d: relational.priority_year_grouping_sets(
         load_table(s, d, "orders")
     )
@@ -1494,10 +1559,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
 #: ROUND-7 WINDOW (tools/rotate_registry.py, now ranking greens
 #: STALEST-FIRST by last driver round — directive #4; verified with
-#: `python tools/driver_sim.py <names>` before commit): the 3 new
+#: `python tools/driver_sim.py <names>` before commit): the 4 new
 #: round-7 queries (dedup_embedding_near_cells — the IVF-cell-blocked
 #: SemDeDup path, retrieval_pipeline — the amortized one-BM25-run
-#: composition, versioned_stats_skipping — commit-stats data skipping),
+#: composition, versioned_stats_skipping — commit-stats data skipping,
+#: versioned_datasource_read — the zeal_versioned DataSource with
+#: Catalyst pushdown, swapped in for green filler corpus_hash_split),
 #: the 8 estimator queries oracle-UPGRADED this round via
 #: pinned-constant tables (sim_lsh/ivf/pq_topk, sim_pca_project,
 #: events_approx_distinct, events_hll_weekly_users,
@@ -1536,7 +1603,7 @@ _DRIVER_FIRST = [
     "dedup_jaccard_pairs",
     "dedup_clusters",
     "dedup_embedding_near",
-    "corpus_hash_split",
+    "versioned_datasource_read",
     "hourly_agg",
     "agg_filtered_page",
     "agg_latest",
@@ -5532,6 +5599,16 @@ ORDER BY merge_rank
 SELECT CAST(3 AS INTEGER) AS n_dirs,
        CAST(1 AS INTEGER) AS n_dirs_kept,
        CAST(2 AS INTEGER) AS n_dirs_skipped,
+       count(*)::BIGINT AS n_rows,
+       coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
+                0)::BIGINT AS total_cents
+FROM orders WHERE o_orderdate >= TIMESTAMP '1999-06-01'
+"""
+    # versioned_datasource_read: the DataSource read with a pushed filter
+    # must equal the plain filtered aggregate; n_planned_files = 1 pins
+    # that stats pushdown pruned the other two commits' files at PLAN time
+    o["versioned_datasource_read"] = """
+SELECT CAST(1 AS INTEGER) AS n_planned_files,
        count(*)::BIGINT AS n_rows,
        coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
                 0)::BIGINT AS total_cents

@@ -214,6 +214,11 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
     sneaking into any registered query fails here before it ships."""
     import __spark_entry__ as em
 
+    # cached frames from earlier tests (retrieval_pipeline's persisted
+    # run) print their child plan inside InMemoryRelation and skew the
+    # operator counts — audit plans on a clean cache
+    spark.catalog.clearCache()
+
     ALLOWED = {
         # 1-row scalar broadcast attaches
         "corpus_mixture_weights": 1,

@@ -112,6 +112,10 @@ def test_containment_catches_embedded_benchmark(spark):
 
 
 def test_bm25_plan_is_hash_joins_only(spark):
+    # retrieval_pipeline persists the shared run; a cached subtree from
+    # an earlier test renders its child plan inside InMemoryRelation and
+    # skews operator counts — plan-shape checks run on a clean cache
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_SMALL, "documents")
     df = retrieval.bm25_search(docs, retrieval.corpus_queries(docs), k=10)
     simple = plans.explain_mode(df, "simple")
