@@ -57,6 +57,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+#: shared task-staging area used by the zeal_versioned DataSource writer
+#: (tasks write here; the driver's job commit renames into a commit dir)
+_INFLIGHT_DIR = ".inflight"
 
 
 def _log_path(table: str) -> str:
@@ -151,51 +154,26 @@ def _staged_stats(spark: SparkSession, data_dir: str):
     return n_rows, dir_stats, file_stats
 
 
-def commit_write(
-    df: DataFrame,
-    table: str,
-    mode: str = "append",
-    txn: str | None = None,
-    max_retries: int = 20,
-) -> int:
-    """Write ``df`` into the table as one atomic commit; returns the
-    committed version.  ``mode`` is ``append`` or ``overwrite``.  With
-    ``txn`` set, a commit whose id already appears in the log is skipped
-    (idempotent retry) and the existing version is returned."""
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"unknown mode: {mode!r}")
-    os.makedirs(_log_path(table), exist_ok=True)
-
-    def _txn_already_committed() -> int | None:
-        if txn is None:
-            return None
-        for v in _list_versions(table):
-            if _read_entry(table, v).get("txn") == txn:
-                return v
+def _txn_committed_version(table: str, txn: str | None) -> int | None:
+    if txn is None:
         return None
+    for v in _list_versions(table):
+        if _read_entry(table, v).get("txn") == txn:
+            return v
+    return None
 
-    existing = _txn_already_committed()
-    if existing is not None:
-        return existing
-    staging = f"v{uuid.uuid4().hex[:12]}"
-    data_dir = os.path.join(table, _DATA_DIR, staging)
-    df.write.mode("error").parquet(data_dir)
-    # ONE aggregate job over the files just written computes the commit's
-    # row count AND per-column min/max together.  This is a real Spark
-    # job (plain count() is too — parquet footer-only counting needs the
-    # v2 scan + aggregate pushdown, which Spark does not use by default),
-    # but it is paid once at write time so that table_stats() and
-    # predicate pruning (read_where) stay metadata-only forever after.
-    n_rows, stats, file_stats = _staged_stats(df.sparkSession, data_dir)
-    entry = {
-        "action": mode,
-        "dirs": [f"{_DATA_DIR}/{staging}"],
-        "n_rows": n_rows,
-        "stats": stats,
-        "file_stats": file_stats,
-    }
+
+def _publish_entry(
+    table: str, entry: dict, txn: str | None, max_retries: int = 20
+) -> int:
+    """Atomically publish a fully-assembled commit entry: stage the
+    payload (temp + fsync), then claim the next version slot with a hard
+    link, re-checking txn idempotence on every attempt.  Shared by the
+    DataFrame path (:func:`commit_write`) and the DataSource writer —
+    one publish protocol, not two."""
+    os.makedirs(_log_path(table), exist_ok=True)
     if txn is not None:
-        entry["txn"] = txn
+        entry = {**entry, "txn": txn}
     payload = json.dumps(entry, sort_keys=True).encode()
     # Stage the FULL payload first (temp name + fsync), then publish with
     # an atomic hard link: readers either see no entry or a complete one.
@@ -218,7 +196,7 @@ def commit_write(
             # between this check and our link necessarily targets the
             # same next slot, collides, and sends us back around the
             # loop to observe it.
-            existing = _txn_already_committed()
+            existing = _txn_committed_version(table, txn)
             if existing is not None:
                 return existing
             target = os.path.join(_log_path(table), _entry_name(version))
@@ -230,6 +208,44 @@ def commit_write(
     finally:
         os.unlink(tmp)
     raise RuntimeError(f"could not commit to {table} after {max_retries} races")
+
+
+def commit_write(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    txn: str | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Write ``df`` into the table as one atomic commit; returns the
+    committed version.  ``mode`` is ``append`` or ``overwrite``.  With
+    ``txn`` set, a commit whose id already appears in the log is skipped
+    (idempotent retry) and the existing version is returned."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    os.makedirs(_log_path(table), exist_ok=True)
+
+    existing = _txn_committed_version(table, txn)
+    if existing is not None:
+        return existing
+    staging = f"v{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(table, _DATA_DIR, staging)
+    df.write.mode("error").parquet(data_dir)
+    # ONE aggregate job over the files just written computes the commit's
+    # row count AND per-column min/max together.  This is a real Spark
+    # job (plain count() is too — parquet footer-only counting needs the
+    # v2 scan + aggregate pushdown, which Spark does not use by default),
+    # but it is paid once at write time so that table_stats() and
+    # predicate pruning (read_where) stay metadata-only forever after.
+    n_rows, stats, file_stats = _staged_stats(df.sparkSession, data_dir)
+    entry = {
+        "action": mode,
+        "dirs": [f"{_DATA_DIR}/{staging}"],
+        "n_rows": n_rows,
+        "stats": stats,
+        "file_stats": file_stats,
+    }
+    return _publish_entry(table, entry, txn, max_retries)
 
 
 def live_dirs(table: str, version: int | None = None) -> list[str]:
@@ -639,6 +655,16 @@ def vacuum(table: str, retention_seconds: float = 6 * 3600) -> list[str]:
         for name in sorted(os.listdir(data_root)):
             rel = f"{_DATA_DIR}/{name}"
             path = os.path.join(data_root, name)
+            if name == _INFLIGHT_DIR:
+                # the DataSource writer's SHARED task-staging area: live
+                # writers of other commits may have fresh files here, so
+                # reap stale files individually, never the directory
+                for f in sorted(os.listdir(path)):
+                    fp = os.path.join(path, f)
+                    if os.path.getmtime(fp) < cutoff:
+                        os.unlink(fp)
+                        removed.append(fp)
+                continue
             if rel not in referenced and os.path.getmtime(path) < cutoff:
                 shutil.rmtree(path)
                 removed.append(path)

@@ -34,9 +34,13 @@ from __future__ import annotations
 import os
 from typing import Iterator
 
+from dataclasses import dataclass, field
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -46,6 +50,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -219,6 +224,181 @@ class VersionedStreamReader(DataSourceStreamReader):
         pass  # the checkpoint IS the commit record; nothing table-side
 
 
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    """Per-task result: the staged file plus ITS OWN statistics —
+    computed from the Arrow batches as they stream through the task, so
+    the job commit needs no read-back aggregate at all (the DataFrame
+    path pays one; this path gets stats for free)."""
+
+    file: str | None = None
+    n_rows: int = 0
+    stats: dict = field(default_factory=dict)
+
+
+def _arrow_stat_bounds(arrow_schema):
+    """Running per-column min/max over arrow batches for stat-eligible
+    columns (numeric / string / date / timestamp — the same set the
+    commit log records); date-likes serialize to ISO strings."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    eligible = {}
+    for f in arrow_schema:
+        t = f.type
+        if (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+        ):
+            eligible[f.name] = False
+        elif pa.types.is_date(t) or pa.types.is_timestamp(t):
+            eligible[f.name] = True  # ISO-serialize
+    bounds: dict[str, list] = {c: [None, None] for c in eligible}
+
+    def update(batch):
+        for c, iso in eligible.items():
+            col = batch.column(batch.schema.get_field_index(c))
+            if col.null_count == len(col):
+                continue
+            mm = pc.min_max(col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if iso:
+                lo, hi = str(lo), str(hi)
+            b = bounds[c]
+            if lo is not None and (b[0] is None or lo < b[0]):
+                b[0] = lo
+            if hi is not None and (b[1] is None or hi > b[1]):
+                b[1] = hi
+
+    return bounds, update
+
+
+class VersionedWriter(DataSourceArrowWriter):
+    """Batch write path: Spark's two-phase writer commit protocol mapped
+    1:1 onto the table's commit log.  Tasks stream their Arrow batches
+    into a uniquely-named parquet file under ``data/.inflight/``
+    (invisible to every reader — only committed log entries are
+    readable), computing per-file stats inline; the DRIVER's job commit
+    renames the staged files into a fresh commit directory and publishes
+    one atomic log entry via the shared `_publish_entry` protocol.  A
+    failed job aborts by deleting its staged files; a crash leaves only
+    `.inflight` orphans that `vacuum` reaps file-by-file after the
+    retention window.  On object stores the renames become copies —
+    same protocol, documented cost."""
+
+    def __init__(self, table: str, overwrite: bool, txn: str | None = None):
+        self._table = table
+        self._mode = "overwrite" if overwrite else "append"
+        self._txn = txn
+
+    def write(self, iterator):
+        import pyarrow.parquet as pq
+
+        inflight = os.path.join(self._table, V._DATA_DIR, V._INFLIGHT_DIR)
+        os.makedirs(inflight, exist_ok=True)
+        import uuid
+
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        path = os.path.join(inflight, name)
+        writer = None
+        bounds = update = None
+        n = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+                bounds, update = _arrow_stat_bounds(batch.schema)
+            writer.write_batch(batch)
+            update(batch)
+            n += batch.num_rows
+        if writer is None:  # empty task partition: nothing staged
+            return _FileCommit()
+        writer.close()
+        return _FileCommit(file=name, n_rows=n, stats=bounds)
+
+    def _assemble(self, messages):
+        """(entry, staged file names) from the task commit messages —
+        the driver-side half shared with the streaming writer."""
+        files = [m for m in messages if m is not None and m.file]
+        n_rows = sum(m.n_rows for m in files)
+        file_stats = {m.file: m.stats for m in files}
+        dir_stats: dict[str, list] = {}
+        for m in files:
+            for c, (lo, hi) in m.stats.items():
+                d = dir_stats.setdefault(c, [None, None])
+                if lo is not None and (d[0] is None or lo < d[0]):
+                    d[0] = lo
+                if hi is not None and (d[1] is None or hi > d[1]):
+                    d[1] = hi
+        return n_rows, dir_stats, file_stats, [m.file for m in files]
+
+    def _commit(self, messages, txn):
+        import uuid
+
+        existing = V._txn_committed_version(self._table, txn)
+        inflight = os.path.join(self._table, V._DATA_DIR, V._INFLIGHT_DIR)
+        n_rows, dir_stats, file_stats, names = self._assemble(messages)
+        if existing is not None:
+            # replayed job whose txn already committed: drop the
+            # re-staged files, keep exactly-once
+            for name in names:
+                try:
+                    os.unlink(os.path.join(inflight, name))
+                except FileNotFoundError:
+                    pass
+            return existing
+        staging = f"v{uuid.uuid4().hex[:12]}"
+        final = os.path.join(self._table, V._DATA_DIR, staging)
+        dirs = []
+        if names:
+            os.makedirs(final)
+            for name in names:
+                os.rename(
+                    os.path.join(inflight, name), os.path.join(final, name)
+                )
+            dirs = [f"{V._DATA_DIR}/{staging}"]
+        entry = {
+            "action": self._mode,
+            "dirs": dirs,
+            "n_rows": n_rows,
+            "stats": dir_stats,
+            "file_stats": file_stats,
+        }
+        return V._publish_entry(self._table, entry, txn)
+
+    def commit(self, messages):
+        self._commit(messages, self._txn)
+
+    def abort(self, messages):
+        inflight = os.path.join(self._table, V._DATA_DIR, V._INFLIGHT_DIR)
+        for m in messages:
+            if m is not None and m.file:
+                try:
+                    os.unlink(os.path.join(inflight, m.file))
+                except FileNotFoundError:
+                    pass
+
+
+class VersionedStreamWriter(VersionedWriter, DataSourceStreamArrowWriter):
+    """Streaming sink through the same protocol: each micro-batch
+    commits with ``txn = <prefix>-<batchId>``, so Structured Streaming's
+    replay of a batch after a crash between sink success and checkpoint
+    advance is a no-op (the same exactly-once contract as
+    `versioned.versioned_sink`, now reachable as
+    ``writeStream.format("zeal_versioned")``)."""
+
+    def __init__(self, table: str, overwrite: bool, txn_prefix: str):
+        super().__init__(table, overwrite)
+        self._prefix = txn_prefix
+
+    def commit(self, messages, batchId):  # noqa: N803 (Spark API name)
+        self._commit(messages, f"{self._prefix}-{batchId}")
+
+    def abort(self, messages, batchId):  # noqa: N803
+        VersionedWriter.abort(self, messages)
+
+
 class VersionedTableDataSource(DataSource):
     """``format("zeal_versioned")``; options:
 
@@ -228,6 +408,11 @@ class VersionedTableDataSource(DataSource):
       AFTER this version (default 0 = from the first commit)
     * ``skipChangeCommits`` — streaming: pass over overwrite commits
       instead of failing (default false)
+    * ``txn`` — batch write: idempotence id (an orchestrator retry of a
+      committed job is a no-op)
+    * ``txnPrefix`` — streaming write: per-batch txn ids are
+      ``<prefix>-<batchId>`` (default ``stream``); give each query a
+      distinct prefix when several streams append to one table
     """
 
     @classmethod
@@ -257,6 +442,20 @@ class VersionedTableDataSource(DataSource):
             int(self.options.get("startingversion", 0)),
             str(self.options.get("skipchangecommits", "false")).lower()
             == "true",
+        )
+
+    def writer(self, schema: StructType, overwrite: bool) -> VersionedWriter:
+        return VersionedWriter(
+            self._table(), overwrite, self.options.get("txn")
+        )
+
+    def streamWriter(  # noqa: N802
+        self, schema: StructType, overwrite: bool
+    ) -> VersionedStreamWriter:
+        return VersionedStreamWriter(
+            self._table(),
+            overwrite,
+            self.options.get("txnprefix", "stream"),
         )
 
 

@@ -149,3 +149,102 @@ def test_stream_overwrite_fails_loudly_unless_skipped(registered, tmp_path):
     q2.awaitTermination(120)
     got = sorted(r.id for r in spark.table("vds_skip").collect())
     assert got == list(range(0, 210))  # v1+v2 appends + v4 append
+
+
+def test_batch_write_commits_atomically_with_stats(registered, tmp_path):
+    """df.write.format('zeal_versioned'): task files stage invisibly,
+    the job commit publishes ONE log entry carrying per-file stats
+    computed inline by the tasks (no read-back job), and the result
+    round-trips through every reader path."""
+    spark = registered
+    t = str(tmp_path / "tbl")
+    (
+        _df(spark, 0, 100)
+        .repartitionByRange(2, "id")
+        .sortWithinPartitions("id")
+        .write.format("zeal_versioned")
+        .option("path", t)
+        .mode("append")
+        .save()
+    )
+    assert V._list_versions(t) == [1]
+    entry = V._read_entry(t, 1)
+    assert entry["action"] == "append" and entry["n_rows"] == 100
+    assert entry["stats"]["id"] == [0, 99]
+    assert len(entry["file_stats"]) == 2
+    spans = sorted(b["id"] for b in entry["file_stats"].values())
+    assert spans[0][0] == 0 and spans[-1][1] == 99
+    assert sorted(
+        r.id for r in V.read_version(spark, t).collect()
+    ) == list(range(100))
+    # no leftovers in the task-staging area
+    inflight = os.path.join(t, "data", ".inflight")
+    assert not os.path.isdir(inflight) or os.listdir(inflight) == []
+    # mode("overwrite") resets the live set
+    _df(spark, 500, 510).write.format("zeal_versioned").option(
+        "path", t
+    ).mode("overwrite").save()
+    assert V.read_version(spark, t).count() == 10
+    assert V.read_version(spark, t, 1).count() == 100  # time travel intact
+
+
+def test_batch_write_txn_idempotent(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "tbl")
+    for _ in range(2):  # orchestrator retry of the same job
+        (
+            _df(spark, 0, 50)
+            .write.format("zeal_versioned")
+            .option("path", t)
+            .option("txn", "job-42")
+            .mode("append")
+            .save()
+        )
+    assert V._list_versions(t) == [1]
+    assert V.read_version(spark, t).count() == 50
+
+
+def test_stream_write_exactly_once(registered, tmp_path):
+    """writeStream.format('zeal_versioned'): each micro-batch is one
+    atomic commit with txn <prefix>-<batchId>; a second drain over the
+    same source data and a FRESH checkpoint replays batch 0 with the
+    same txn id — the table must not double-append."""
+    spark = registered
+    src = str(tmp_path / "src")
+    _df(spark, 0, 40).coalesce(1).write.parquet(src)
+    t = str(tmp_path / "tbl")
+
+    def drain(ckpt):
+        q = (
+            spark.readStream.schema("id long, v long")
+            .parquet(src)
+            .writeStream.format("zeal_versioned")
+            .option("path", t)
+            .option("txnPrefix", "ingest")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain("ck1")
+    assert V.read_version(spark, t).count() == 40
+    h1 = V.history(t)
+    assert h1[-1]["txn"] == "ingest-0"
+    # fresh checkpoint -> Spark replays batch 0; same txn -> no-op
+    drain("ck2")
+    assert V.read_version(spark, t).count() == 40
+    assert len(V.history(t)) == len(h1)
+    # the round-trip composes: stream INTO the table, stream OUT of it
+    out = (
+        spark.readStream.format("zeal_versioned")
+        .option("path", t)
+        .load()
+        .writeStream.format("memory")
+        .queryName("vds_roundtrip")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    assert spark.table("vds_roundtrip").count() == 40
