@@ -462,6 +462,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semdedup_survivors"] = lambda s, d: corpus.semantic_dedup(
         load_table(s, d, "embeddings"), threshold=0.4, method="auto"
     )
+    # the composed cell-blocked SemDeDup (round-7): cells pairs ->
+    # connected components -> min-id survivor election, end-to-end on
+    # the O(n * cell) candidate path.  Deterministic -> pinned oracle.
+    q["semdedup_cells_survivors"] = lambda s, d: corpus.semantic_dedup(
+        load_table(s, d, "embeddings"),
+        threshold=0.4,
+        method="cells",
+        n_cells=64,
+        nassign=4,
+    )
     q["corpus_length_histogram"] = lambda s, d: corpus.token_length_histogram(
         load_table(s, d, "documents")
     )
@@ -1567,7 +1577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: SemDeDup path, retrieval_pipeline — the amortized one-BM25-run
 #: composition, versioned_stats_skipping — commit-stats data skipping,
 #: versioned_datasource_read — the zeal_versioned DataSource with
-#: Catalyst pushdown, swapped in for green filler corpus_hash_split),
+#: Catalyst pushdown, swapped in for green filler corpus_hash_split;
+#: semdedup_cells_survivors — the composed cell-blocked SemDeDup,
+#: swapped in for green filler part_search),
 #: the 8 estimator queries oracle-UPGRADED this round via
 #: pinned-constant tables (sim_lsh/ivf/pq_topk, sim_pca_project,
 #: events_approx_distinct, events_hll_weekly_users,
@@ -1594,7 +1606,7 @@ _DRIVER_FIRST = [
     "sim_pca_project",
     "sim_pq_topk",
     "inactive_customers",
-    "part_search",
+    "semdedup_cells_survivors",
     "priority_with_returns",
     "returned_item_revenue",
     "promo_revenue_share",
@@ -7811,6 +7823,1026 @@ UNION ALL
 SELECT CAST("vec_a" AS BIGINT) AS "vec_a", CAST("vec_b" AS BIGINT) AS "vec_b", CAST("cosine" AS DOUBLE) AS "cosine" FROM t2 WHERE (SELECT is_sf001 FROM which) = 1
 UNION ALL
 SELECT CAST(-999999 AS BIGINT) AS "vec_a", CAST(-999999 AS BIGINT) AS "vec_b", CAST(-999999.0 AS DOUBLE) AS "cosine" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
+"""
+
+    # semdedup_cells_survivors: the composed cell-blocked clustering is
+    # deterministic end-to-end (hash-ordered trainer sample, argmax
+    # assignment, min-label components) -> pinned per-fixture table,
+    # same dispatch as the estimator set
+
+    o["semdedup_cells_survivors"] = """
+WITH which AS (
+  SELECT
+    max(CASE WHEN md5(text) = '3bf959bb4328351c94e543f4ec639ca2' THEN 1 ELSE 0 END) AS is_sf0001,
+    max(CASE WHEN md5(text) = '2f562b51617feb025bfa5d6d2e63d2f3' THEN 1 ELSE 0 END) AS is_sf001
+  FROM documents),
+t1("vec_id", "cluster_id", "is_survivor") AS (VALUES
+  (0,0,1),
+  (1,1,1),
+  (2,2,1),
+  (3,3,1),
+  (4,4,1),
+  (5,5,1),
+  (6,6,1),
+  (7,7,1),
+  (8,8,1),
+  (9,9,1),
+  (10,10,1),
+  (11,11,1),
+  (12,12,1),
+  (13,13,1),
+  (14,14,1),
+  (15,15,1),
+  (16,16,1),
+  (17,17,1),
+  (18,18,1),
+  (19,19,1),
+  (20,20,1),
+  (21,21,1),
+  (22,22,1),
+  (23,23,1),
+  (24,24,1),
+  (25,25,1),
+  (26,26,1),
+  (27,27,1),
+  (28,28,1),
+  (29,29,1),
+  (30,30,1),
+  (31,31,1),
+  (32,32,1),
+  (33,33,1),
+  (34,34,1),
+  (35,35,1),
+  (36,36,1),
+  (37,37,1),
+  (38,38,1),
+  (39,39,1),
+  (40,40,1),
+  (41,41,1),
+  (42,42,1),
+  (43,43,1),
+  (44,44,1),
+  (45,45,1),
+  (46,46,1),
+  (47,47,1),
+  (48,48,1),
+  (49,49,1),
+  (50,50,1),
+  (51,51,1),
+  (52,52,1),
+  (53,53,1),
+  (54,54,1),
+  (55,55,1),
+  (56,41,0),
+  (57,57,1),
+  (58,58,1),
+  (59,59,1),
+  (60,60,1),
+  (61,61,1),
+  (62,62,1),
+  (63,63,1),
+  (64,64,1),
+  (65,65,1),
+  (66,66,1),
+  (67,67,1),
+  (68,68,1),
+  (69,69,1),
+  (70,70,1),
+  (71,71,1),
+  (72,72,1),
+  (73,50,0),
+  (74,74,1),
+  (75,75,1),
+  (76,76,1),
+  (77,77,1),
+  (78,78,1),
+  (79,79,1),
+  (80,64,0),
+  (81,81,1),
+  (82,82,1),
+  (83,83,1),
+  (84,84,1),
+  (85,85,1),
+  (86,86,1),
+  (87,87,1),
+  (88,88,1),
+  (89,89,1),
+  (90,90,1),
+  (91,91,1),
+  (92,92,1),
+  (93,93,1),
+  (94,94,1),
+  (95,95,1),
+  (96,96,1),
+  (97,97,1),
+  (98,98,1),
+  (99,99,1),
+  (100,100,1),
+  (101,101,1),
+  (102,102,1),
+  (103,103,1),
+  (104,104,1),
+  (105,105,1),
+  (106,106,1),
+  (107,107,1),
+  (108,108,1),
+  (109,109,1),
+  (110,110,1),
+  (111,111,1),
+  (112,112,1),
+  (113,113,1),
+  (114,114,1),
+  (115,115,1),
+  (116,14,0),
+  (117,117,1),
+  (118,118,1),
+  (119,119,1),
+  (120,120,1),
+  (121,121,1),
+  (122,122,1),
+  (123,123,1),
+  (124,124,1),
+  (125,125,1),
+  (126,92,0),
+  (127,127,1),
+  (128,128,1),
+  (129,129,1),
+  (130,130,1),
+  (131,131,1),
+  (132,132,1),
+  (133,133,1),
+  (134,53,0),
+  (135,135,1),
+  (136,136,1),
+  (137,137,1),
+  (138,138,1),
+  (139,139,1),
+  (140,140,1),
+  (141,141,1),
+  (142,142,1),
+  (143,143,1),
+  (144,144,1),
+  (145,145,1),
+  (146,146,1),
+  (147,147,1),
+  (148,148,1),
+  (149,149,1),
+  (150,150,1),
+  (151,151,1),
+  (152,152,1),
+  (153,153,1),
+  (154,154,1),
+  (155,155,1),
+  (156,156,1),
+  (157,157,1),
+  (158,158,1),
+  (159,159,1),
+  (160,160,1),
+  (161,161,1),
+  (162,162,1),
+  (163,163,1),
+  (164,164,1),
+  (165,54,0),
+  (166,166,1),
+  (167,167,1),
+  (168,168,1),
+  (169,169,1),
+  (170,170,1),
+  (171,171,1),
+  (172,23,0),
+  (173,173,1),
+  (174,174,1),
+  (175,175,1),
+  (176,176,1),
+  (177,177,1),
+  (178,178,1),
+  (179,179,1),
+  (180,180,1),
+  (181,181,1),
+  (182,182,1),
+  (183,183,1),
+  (184,184,1),
+  (185,185,1),
+  (186,186,1),
+  (187,187,1),
+  (188,188,1),
+  (189,189,1),
+  (190,190,1),
+  (191,191,1),
+  (192,192,1),
+  (193,93,0),
+  (194,194,1),
+  (195,195,1),
+  (196,196,1),
+  (197,197,1),
+  (198,198,1),
+  (199,199,1),
+  (200,200,1),
+  (201,201,1),
+  (202,202,1),
+  (203,14,0),
+  (204,204,1),
+  (205,205,1),
+  (206,206,1),
+  (207,207,1),
+  (208,208,1),
+  (209,209,1),
+  (210,210,1),
+  (211,211,1),
+  (212,212,1),
+  (213,213,1),
+  (214,214,1),
+  (215,54,0),
+  (216,216,1),
+  (217,217,1),
+  (218,218,1),
+  (219,219,1),
+  (220,220,1),
+  (221,221,1),
+  (222,222,1),
+  (223,223,1),
+  (224,224,1),
+  (225,225,1),
+  (226,226,1),
+  (227,85,0),
+  (228,228,1),
+  (229,44,0),
+  (230,131,0),
+  (231,231,1),
+  (232,232,1),
+  (233,233,1),
+  (234,234,1),
+  (235,235,1),
+  (236,236,1),
+  (237,237,1),
+  (238,238,1),
+  (239,239,1),
+  (240,240,1),
+  (241,136,0),
+  (242,242,1),
+  (243,93,0),
+  (244,244,1),
+  (245,245,1),
+  (246,246,1),
+  (247,247,1),
+  (248,212,0),
+  (249,249,1),
+  (250,53,0),
+  (251,251,1),
+  (252,252,1),
+  (253,253,1),
+  (254,254,1),
+  (255,255,1),
+  (256,167,0),
+  (257,257,1),
+  (258,258,1),
+  (259,259,1),
+  (260,260,1),
+  (261,261,1),
+  (262,262,1),
+  (263,106,0),
+  (264,264,1),
+  (265,265,1),
+  (266,266,1),
+  (267,267,1),
+  (268,268,1),
+  (269,269,1),
+  (270,270,1),
+  (271,271,1),
+  (272,272,1),
+  (273,273,1),
+  (274,274,1),
+  (275,212,0),
+  (276,43,0),
+  (277,277,1),
+  (278,278,1),
+  (279,279,1),
+  (280,280,1),
+  (281,281,1),
+  (282,282,1),
+  (283,283,1),
+  (284,284,1),
+  (285,285,1),
+  (286,74,0),
+  (287,287,1),
+  (288,288,1),
+  (289,289,1),
+  (290,290,1),
+  (291,291,1),
+  (292,292,1),
+  (293,293,1),
+  (294,294,1),
+  (295,124,0),
+  (296,296,1),
+  (297,297,1),
+  (298,298,1),
+  (299,299,1),
+  (300,300,1),
+  (301,301,1),
+  (302,302,1),
+  (303,303,1),
+  (304,304,1),
+  (305,37,0),
+  (306,306,1),
+  (307,307,1),
+  (308,308,1),
+  (309,309,1),
+  (310,310,1),
+  (311,311,1),
+  (312,312,1),
+  (313,313,1),
+  (314,314,1),
+  (315,315,1),
+  (316,316,1),
+  (317,317,1),
+  (318,318,1),
+  (319,23,0),
+  (320,320,1),
+  (321,321,1),
+  (322,52,0),
+  (323,323,1),
+  (324,324,1),
+  (325,325,1),
+  (326,326,1),
+  (327,327,1),
+  (328,328,1),
+  (329,329,1),
+  (330,330,1),
+  (331,331,1),
+  (332,332,1),
+  (333,333,1),
+  (334,334,1),
+  (335,335,1),
+  (336,336,1),
+  (337,16,0),
+  (338,338,1),
+  (339,339,1),
+  (340,340,1),
+  (341,341,1),
+  (342,154,0),
+  (343,343,1),
+  (344,344,1),
+  (345,345,1),
+  (346,346,1),
+  (347,347,1),
+  (348,348,1),
+  (349,349,1),
+  (350,350,1),
+  (351,351,1),
+  (352,352,1),
+  (353,353,1),
+  (354,354,1),
+  (355,355,1),
+  (356,356,1),
+  (357,357,1),
+  (358,171,0),
+  (359,45,0),
+  (360,360,1),
+  (361,329,0),
+  (362,23,0),
+  (363,363,1),
+  (364,364,1),
+  (365,365,1),
+  (366,366,1),
+  (367,367,1),
+  (368,368,1),
+  (369,369,1),
+  (370,370,1),
+  (371,371,1),
+  (372,372,1),
+  (373,373,1),
+  (374,374,1),
+  (375,375,1),
+  (376,376,1),
+  (377,377,1),
+  (378,378,1),
+  (379,379,1),
+  (380,380,1),
+  (381,381,1),
+  (382,382,1),
+  (383,383,1),
+  (384,159,0),
+  (385,385,1),
+  (386,386,1),
+  (387,387,1),
+  (388,388,1),
+  (389,389,1),
+  (390,390,1),
+  (391,391,1),
+  (392,23,0),
+  (393,393,1),
+  (394,394,1),
+  (395,395,1),
+  (396,396,1),
+  (397,52,0),
+  (398,398,1),
+  (399,399,1),
+  (400,400,1),
+  (401,401,1),
+  (402,402,1),
+  (403,119,0),
+  (404,38,0),
+  (405,405,1),
+  (406,395,0),
+  (407,407,1),
+  (408,408,1),
+  (409,409,1),
+  (410,410,1),
+  (411,352,0),
+  (412,412,1),
+  (413,413,1),
+  (414,233,0),
+  (415,415,1),
+  (416,416,1),
+  (417,417,1),
+  (418,418,1),
+  (419,419,1),
+  (420,420,1),
+  (421,421,1),
+  (422,422,1),
+  (423,423,1),
+  (424,424,1),
+  (425,425,1),
+  (426,426,1),
+  (427,427,1),
+  (428,428,1),
+  (429,365,0),
+  (430,430,1),
+  (431,431,1),
+  (432,432,1),
+  (433,433,1),
+  (434,434,1),
+  (435,435,1),
+  (436,436,1),
+  (437,437,1),
+  (438,438,1),
+  (439,439,1),
+  (440,440,1),
+  (441,441,1),
+  (442,442,1),
+  (443,443,1),
+  (444,444,1),
+  (445,438,0),
+  (446,446,1),
+  (447,447,1),
+  (448,448,1),
+  (449,449,1),
+  (450,450,1),
+  (451,451,1),
+  (452,452,1),
+  (453,453,1),
+  (454,124,0),
+  (455,64,0),
+  (456,456,1),
+  (457,330,0),
+  (458,67,0),
+  (459,459,1),
+  (460,460,1),
+  (461,461,1),
+  (462,54,0),
+  (463,463,1),
+  (464,464,1),
+  (465,465,1),
+  (466,466,1),
+  (467,467,1),
+  (468,468,1),
+  (469,469,1),
+  (470,14,0),
+  (471,52,0),
+  (472,44,0),
+  (473,473,1),
+  (474,474,1),
+  (475,475,1),
+  (476,476,1),
+  (477,244,0),
+  (478,478,1),
+  (479,479,1),
+  (480,480,1),
+  (481,481,1),
+  (482,482,1),
+  (483,390,0),
+  (484,484,1),
+  (485,136,0),
+  (486,486,1),
+  (487,320,0),
+  (488,321,0),
+  (489,489,1),
+  (490,490,1),
+  (491,491,1),
+  (492,492,1),
+  (493,396,0),
+  (494,494,1),
+  (495,495,1),
+  (496,60,0),
+  (497,497,1),
+  (498,498,1),
+  (499,499,1)),
+t2("vec_id", "cluster_id", "is_survivor") AS (VALUES
+  (0,0,1),
+  (1,1,1),
+  (2,2,1),
+  (3,3,1),
+  (4,4,1),
+  (5,5,1),
+  (6,6,1),
+  (7,7,1),
+  (8,8,1),
+  (9,9,1),
+  (10,10,1),
+  (11,11,1),
+  (12,12,1),
+  (13,13,1),
+  (14,14,1),
+  (15,15,1),
+  (16,16,1),
+  (17,17,1),
+  (18,18,1),
+  (19,19,1),
+  (20,20,1),
+  (21,21,1),
+  (22,22,1),
+  (23,23,1),
+  (24,24,1),
+  (25,25,1),
+  (26,26,1),
+  (27,27,1),
+  (28,28,1),
+  (29,29,1),
+  (30,30,1),
+  (31,31,1),
+  (32,32,1),
+  (33,33,1),
+  (34,34,1),
+  (35,35,1),
+  (36,36,1),
+  (37,37,1),
+  (38,38,1),
+  (39,39,1),
+  (40,40,1),
+  (41,41,1),
+  (42,42,1),
+  (43,43,1),
+  (44,44,1),
+  (45,24,0),
+  (46,46,1),
+  (47,47,1),
+  (48,48,1),
+  (49,49,1),
+  (50,50,1),
+  (51,51,1),
+  (52,52,1),
+  (53,24,0),
+  (54,54,1),
+  (55,55,1),
+  (56,56,1),
+  (57,57,1),
+  (58,58,1),
+  (59,59,1),
+  (60,60,1),
+  (61,61,1),
+  (62,62,1),
+  (63,63,1),
+  (64,64,1),
+  (65,65,1),
+  (66,66,1),
+  (67,67,1),
+  (68,68,1),
+  (69,69,1),
+  (70,70,1),
+  (71,71,1),
+  (72,72,1),
+  (73,73,1),
+  (74,74,1),
+  (75,75,1),
+  (76,76,1),
+  (77,77,1),
+  (78,78,1),
+  (79,79,1),
+  (80,80,1),
+  (81,81,1),
+  (82,82,1),
+  (83,83,1),
+  (84,84,1),
+  (85,85,1),
+  (86,86,1),
+  (87,19,0),
+  (88,88,1),
+  (89,89,1),
+  (90,90,1),
+  (91,91,1),
+  (92,92,1),
+  (93,93,1),
+  (94,94,1),
+  (95,95,1),
+  (96,96,1),
+  (97,97,1),
+  (98,98,1),
+  (99,99,1),
+  (100,100,1),
+  (101,101,1),
+  (102,102,1),
+  (103,103,1),
+  (104,104,1),
+  (105,105,1),
+  (106,106,1),
+  (107,107,1),
+  (108,108,1),
+  (109,109,1),
+  (110,110,1),
+  (111,111,1),
+  (112,112,1),
+  (113,113,1),
+  (114,114,1),
+  (115,115,1),
+  (116,116,1),
+  (117,117,1),
+  (118,118,1),
+  (119,119,1),
+  (120,120,1),
+  (121,121,1),
+  (122,122,1),
+  (123,123,1),
+  (124,124,1),
+  (125,125,1),
+  (126,126,1),
+  (127,127,1),
+  (128,128,1),
+  (129,129,1),
+  (130,130,1),
+  (131,131,1),
+  (132,132,1),
+  (133,133,1),
+  (134,134,1),
+  (135,135,1),
+  (136,136,1),
+  (137,137,1),
+  (138,138,1),
+  (139,139,1),
+  (140,140,1),
+  (141,141,1),
+  (142,108,0),
+  (143,143,1),
+  (144,144,1),
+  (145,145,1),
+  (146,146,1),
+  (147,147,1),
+  (148,148,1),
+  (149,149,1),
+  (150,150,1),
+  (151,151,1),
+  (152,150,0),
+  (153,153,1),
+  (154,154,1),
+  (155,155,1),
+  (156,156,1),
+  (157,157,1),
+  (158,158,1),
+  (159,159,1),
+  (160,160,1),
+  (161,161,1),
+  (162,162,1),
+  (163,163,1),
+  (164,164,1),
+  (165,165,1),
+  (166,166,1),
+  (167,167,1),
+  (168,168,1),
+  (169,169,1),
+  (170,170,1),
+  (171,171,1),
+  (172,172,1),
+  (173,173,1),
+  (174,174,1),
+  (175,175,1),
+  (176,176,1),
+  (177,177,1),
+  (178,178,1),
+  (179,179,1),
+  (180,180,1),
+  (181,181,1),
+  (182,182,1),
+  (183,183,1),
+  (184,184,1),
+  (185,185,1),
+  (186,186,1),
+  (187,187,1),
+  (188,188,1),
+  (189,189,1),
+  (190,84,0),
+  (191,191,1),
+  (192,192,1),
+  (193,193,1),
+  (194,181,0),
+  (195,195,1),
+  (196,196,1),
+  (197,197,1),
+  (198,198,1),
+  (199,199,1),
+  (200,32,0),
+  (201,201,1),
+  (202,159,0),
+  (203,203,1),
+  (204,32,0),
+  (205,205,1),
+  (206,206,1),
+  (207,207,1),
+  (208,208,1),
+  (209,209,1),
+  (210,70,0),
+  (211,211,1),
+  (212,212,1),
+  (213,213,1),
+  (214,214,1),
+  (215,215,1),
+  (216,216,1),
+  (217,217,1),
+  (218,218,1),
+  (219,219,1),
+  (220,220,1),
+  (221,221,1),
+  (222,222,1),
+  (223,223,1),
+  (224,224,1),
+  (225,225,1),
+  (226,226,1),
+  (227,227,1),
+  (228,228,1),
+  (229,229,1),
+  (230,230,1),
+  (231,231,1),
+  (232,108,0),
+  (233,233,1),
+  (234,24,0),
+  (235,235,1),
+  (236,236,1),
+  (237,237,1),
+  (238,238,1),
+  (239,239,1),
+  (240,240,1),
+  (241,241,1),
+  (242,242,1),
+  (243,243,1),
+  (244,244,1),
+  (245,245,1),
+  (246,246,1),
+  (247,247,1),
+  (248,248,1),
+  (249,249,1),
+  (250,250,1),
+  (251,251,1),
+  (252,252,1),
+  (253,253,1),
+  (254,254,1),
+  (255,255,1),
+  (256,75,0),
+  (257,257,1),
+  (258,258,1),
+  (259,259,1),
+  (260,260,1),
+  (261,261,1),
+  (262,262,1),
+  (263,263,1),
+  (264,264,1),
+  (265,265,1),
+  (266,266,1),
+  (267,267,1),
+  (268,268,1),
+  (269,7,0),
+  (270,270,1),
+  (271,271,1),
+  (272,272,1),
+  (273,273,1),
+  (274,274,1),
+  (275,275,1),
+  (276,276,1),
+  (277,277,1),
+  (278,278,1),
+  (279,279,1),
+  (280,280,1),
+  (281,281,1),
+  (282,162,0),
+  (283,283,1),
+  (284,284,1),
+  (285,285,1),
+  (286,286,1),
+  (287,238,0),
+  (288,288,1),
+  (289,289,1),
+  (290,290,1),
+  (291,262,0),
+  (292,292,1),
+  (293,293,1),
+  (294,294,1),
+  (295,295,1),
+  (296,296,1),
+  (297,297,1),
+  (298,24,0),
+  (299,299,1),
+  (300,24,0),
+  (301,44,0),
+  (302,302,1),
+  (303,303,1),
+  (304,304,1),
+  (305,28,0),
+  (306,306,1),
+  (307,307,1),
+  (308,308,1),
+  (309,309,1),
+  (310,83,0),
+  (311,311,1),
+  (312,312,1),
+  (313,313,1),
+  (314,314,1),
+  (315,315,1),
+  (316,316,1),
+  (317,195,0),
+  (318,318,1),
+  (319,319,1),
+  (320,320,1),
+  (321,321,1),
+  (322,322,1),
+  (323,323,1),
+  (324,166,0),
+  (325,290,0),
+  (326,207,0),
+  (327,327,1),
+  (328,328,1),
+  (329,329,1),
+  (330,330,1),
+  (331,290,0),
+  (332,332,1),
+  (333,333,1),
+  (334,156,0),
+  (335,335,1),
+  (336,336,1),
+  (337,337,1),
+  (338,338,1),
+  (339,339,1),
+  (340,7,0),
+  (341,341,1),
+  (342,342,1),
+  (343,343,1),
+  (344,344,1),
+  (345,345,1),
+  (346,346,1),
+  (347,347,1),
+  (348,348,1),
+  (349,349,1),
+  (350,350,1),
+  (351,35,0),
+  (352,352,1),
+  (353,353,1),
+  (354,354,1),
+  (355,355,1),
+  (356,356,1),
+  (357,357,1),
+  (358,358,1),
+  (359,359,1),
+  (360,360,1),
+  (361,361,1),
+  (362,362,1),
+  (363,363,1),
+  (364,364,1),
+  (365,365,1),
+  (366,366,1),
+  (367,367,1),
+  (368,368,1),
+  (369,369,1),
+  (370,370,1),
+  (371,371,1),
+  (372,372,1),
+  (373,373,1),
+  (374,374,1),
+  (375,375,1),
+  (376,376,1),
+  (377,377,1),
+  (378,378,1),
+  (379,379,1),
+  (380,380,1),
+  (381,381,1),
+  (382,156,0),
+  (383,383,1),
+  (384,24,0),
+  (385,253,0),
+  (386,386,1),
+  (387,387,1),
+  (388,387,0),
+  (389,389,1),
+  (390,390,1),
+  (391,391,1),
+  (392,392,1),
+  (393,393,1),
+  (394,394,1),
+  (395,350,0),
+  (396,396,1),
+  (397,397,1),
+  (398,398,1),
+  (399,183,0),
+  (400,400,1),
+  (401,401,1),
+  (402,16,0),
+  (403,403,1),
+  (404,85,0),
+  (405,405,1),
+  (406,338,0),
+  (407,407,1),
+  (408,408,1),
+  (409,409,1),
+  (410,410,1),
+  (411,411,1),
+  (412,412,1),
+  (413,413,1),
+  (414,203,0),
+  (415,415,1),
+  (416,416,1),
+  (417,355,0),
+  (418,418,1),
+  (419,419,1),
+  (420,420,1),
+  (421,120,0),
+  (422,422,1),
+  (423,423,1),
+  (424,424,1),
+  (425,425,1),
+  (426,426,1),
+  (427,427,1),
+  (428,428,1),
+  (429,429,1),
+  (430,24,0),
+  (431,191,0),
+  (432,432,1),
+  (433,433,1),
+  (434,434,1),
+  (435,435,1),
+  (436,436,1),
+  (437,437,1),
+  (438,156,0),
+  (439,335,0),
+  (440,172,0),
+  (441,441,1),
+  (442,442,1),
+  (443,443,1),
+  (444,444,1),
+  (445,445,1),
+  (446,446,1),
+  (447,447,1),
+  (448,448,1),
+  (449,449,1),
+  (450,450,1),
+  (451,451,1),
+  (452,158,0),
+  (453,453,1),
+  (454,454,1),
+  (455,455,1),
+  (456,131,0),
+  (457,457,1),
+  (458,458,1),
+  (459,459,1),
+  (460,460,1),
+  (461,461,1),
+  (462,462,1),
+  (463,463,1),
+  (464,464,1),
+  (465,465,1),
+  (466,169,0),
+  (467,467,1),
+  (468,198,0),
+  (469,469,1),
+  (470,470,1),
+  (471,471,1),
+  (472,472,1),
+  (473,473,1),
+  (474,474,1),
+  (475,475,1),
+  (476,476,1),
+  (477,477,1),
+  (478,478,1),
+  (479,479,1),
+  (480,480,1),
+  (481,481,1),
+  (482,482,1),
+  (483,483,1),
+  (484,484,1),
+  (485,205,0),
+  (486,486,1),
+  (487,487,1),
+  (488,488,1),
+  (489,489,1),
+  (490,490,1),
+  (491,491,1),
+  (492,492,1),
+  (493,493,1),
+  (494,494,1),
+  (495,495,1),
+  (496,496,1),
+  (497,497,1),
+  (498,498,1),
+  (499,499,1))
+SELECT CAST("vec_id" AS BIGINT) AS "vec_id", CAST("cluster_id" AS BIGINT) AS "cluster_id", CAST("is_survivor" AS INTEGER) AS "is_survivor" FROM t1 WHERE (SELECT is_sf0001 FROM which) = 1
+UNION ALL
+SELECT CAST("vec_id" AS BIGINT) AS "vec_id", CAST("cluster_id" AS BIGINT) AS "cluster_id", CAST("is_survivor" AS INTEGER) AS "is_survivor" FROM t2 WHERE (SELECT is_sf001 FROM which) = 1
+UNION ALL
+SELECT CAST(-999999 AS BIGINT) AS "vec_id", CAST(-999999 AS BIGINT) AS "cluster_id", CAST(-999999 AS INTEGER) AS "is_survivor" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
 """
 
     return o
