@@ -330,7 +330,14 @@ def semantic_dedup(
     ``method="cells"`` is the paper's own blocking: dedup WITHIN k-means
     cells only (``nassign`` multi-assignment for boundary recall), whose
     candidate volume is O(n * cell size) rather than any fraction of n² —
-    the scale-safe choice at low thresholds on clustered corpora."""
+    the scale-safe choice at low thresholds on clustered corpora.
+
+    ``method="auto"`` inherits :func:`dedup.embedding_near_dup_pairs`'s
+    THRESHOLD-AWARE dispatch (round-7 directive #1): exact at fixture row
+    counts; above that, lsh only when the solver can hold the background
+    candidate rate under 2 % of pairs (threshold >= ~0.6), else cells —
+    so this function's low default threshold (0.4) auto-routes large
+    corpora onto the structurally-linear cell-blocked path."""
     pairs = dedup.embedding_near_dup_pairs(
         embeddings,
         threshold,

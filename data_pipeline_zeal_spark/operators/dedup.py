@@ -533,8 +533,10 @@ def duplicate_clusters(
       candidates (bucketed band self-join, exact Jaccard verify) feed the
       same component kernel — no theta join anywhere in the plan.
     * ``method="auto"`` — exact below ``auto_row_threshold`` rows (one
-      count() job), else lsh — same flip as
-      :func:`embedding_near_dup_pairs`.
+      count() job), else lsh.  (Unlike :func:`embedding_near_dup_pairs`
+      there is no threshold cutover here: MinHash banding's background
+      rate decays with shingle-set Jaccard, which the solver already
+      budgets, and there is no cell-blocked alternative for set data.)
     """
     if method == "auto":
         method = "exact" if documents.count() <= auto_row_threshold else "lsh"
@@ -545,6 +547,42 @@ def duplicate_clusters(
     else:
         raise ValueError(f"unknown method: {method!r}")
     return connected_components(pairs.select("doc_a", "doc_b"))
+
+
+def _auto_embedding_method(
+    n_rows: int,
+    threshold: float,
+    auto_row_threshold: int = 1_000,
+    auto_background_budget: float = 0.02,
+) -> tuple[str, int | None, int | None]:
+    """Pure dispatch rule behind ``embedding_near_dup_pairs(method="auto")``
+    — factored out so the cutover is pytest-pinnable without a SparkSession.
+
+    * ``n_rows <= auto_row_threshold`` → ``exact`` (one theta-join is fine).
+    * Otherwise ask the s-curve solver for a band layout whose predicted
+      BACKGROUND (cosine ~0) candidate rate clears ``auto_background_budget``
+      at recall >= 0.85.  If one exists → ``lsh`` with THAT layout (sharper
+      than the default 9 %-budget solve — the rate that justified choosing
+      lsh is the rate we run).  If none exists within the solver's key
+      budget — exactly the low-threshold regime where ANY band layout
+      admits a constant fraction of n² as candidates — → ``cells``, whose
+      candidate volume is structurally O(n · cell size).  With the default
+      budget the cutover sits between cosine 0.5 (cells) and 0.6 (lsh).
+
+    Returns (method, bands, planes_per_band); the layout is None unless
+    method == "lsh".
+    """
+    if n_rows <= auto_row_threshold:
+        return "exact", None, None
+    from .similarity import derive_band_layout
+
+    background = max(-0.99, min(0.0, threshold - 0.1))
+    bands, planes, predicted_bg = derive_band_layout(
+        threshold, max_bg=auto_background_budget, background=background
+    )
+    if predicted_bg <= auto_background_budget:
+        return "lsh", bands, planes
+    return "cells", None, None
 
 
 def embedding_near_dup_pairs(
@@ -558,6 +596,7 @@ def embedding_near_dup_pairs(
     orthogonal: bool = True,
     n_cells: int | None = None,
     nassign: int = 4,
+    auto_background_budget: float = 0.02,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -584,10 +623,18 @@ def embedding_near_dup_pairs(
       pytest-pinned); on real clustered corpora — the actual SemDeDup
       setting, near-dups at cosine >= 0.9 inside semantic clusters —
       within-cell recall concentrates near 1 at ``nassign`` 1-2.
-    * ``method="auto"`` — exact below ``auto_row_threshold`` rows (one
-      count() job), else lsh (cells is opt-in: the fixture's low-contrast
-      thresholds favor the solved band layout at bench scale, and auto's
-      driver-facing behavior stays pinned).
+    * ``method="auto"`` — THRESHOLD-AWARE (round-7 directive #1): exact
+      below ``auto_row_threshold`` rows (one count() job); otherwise lsh
+      iff the s-curve solver can meet recall 0.85 with a predicted
+      background candidate rate <= ``auto_background_budget`` (default
+      2 % of pairs) — auto then runs that sharper layout; else cells.
+      With the defaults the cutover is between cosine 0.5 (→ cells) and
+      0.6 (→ lsh): a 100 TB user calling the default at a LOW threshold
+      now gets the structurally-linear O(n · cell) path instead of a band
+      layout admitting a constant ~8-9 % of n² as verify candidates.  An
+      explicitly passed (bands, planes_per_band) pins auto to lsh with
+      that layout.  Dispatch rule: :func:`_auto_embedding_method`
+      (pytest-pinned, ``tests/test_ann_dedup.py``).
 
     When ``bands``/``planes_per_band`` are not given, the layout is SOLVED
     from the threshold via the s-curve collision probability
@@ -606,7 +653,19 @@ def embedding_near_dup_pairs(
     from ..functions.vector import as_double, cosine, norm
 
     if method == "auto":
-        method = "exact" if embeddings.count() <= auto_row_threshold else "lsh"
+        if bands is not None and planes_per_band is not None:
+            # caller pinned a layout — honor it (count() still gates exact)
+            if embeddings.count() <= auto_row_threshold:
+                method = "exact"
+            else:
+                method = "lsh"
+        else:
+            method, bands, planes_per_band = _auto_embedding_method(
+                embeddings.count(),
+                threshold,
+                auto_row_threshold,
+                auto_background_budget,
+            )
     if method not in ("exact", "lsh", "cells"):
         raise ValueError(f"unknown method: {method!r}")
     if method == "lsh" and (bands is None or planes_per_band is None):

@@ -548,17 +548,19 @@ def test_semantic_dedup_cells_wiring(spark):
 
     emb = load_table(spark, SF_SMALL, "embeddings")
     exact = corpus.semantic_dedup(emb, threshold=0.4, method="exact").collect()
-    # every vector multi-assigned to 4 of 8 cells -> near-full collision
-    # coverage at 50 rows; the point is the wiring, not the recall here
+    # nassign == n_cells puts every vector in EVERY cell: collision
+    # coverage is total by construction, so the cell-blocked clustering
+    # must reproduce the exact one label-for-label (round-7 advice: the
+    # old subset assertion admitted any survivor labeling)
     cells = corpus.semantic_dedup(
-        emb, threshold=0.4, method="cells", n_cells=8, nassign=4
+        emb, threshold=0.4, method="cells", n_cells=4, nassign=4
     ).collect()
-    assert {(r.vec_id, r.is_survivor) for r in cells} <= {
-        (r.vec_id, s)
-        for r in exact
-        for s in (0, 1)
+    assert {(r.vec_id, r.is_survivor) for r in cells} == {
+        (r.vec_id, r.is_survivor) for r in exact
     }
-    assert len(cells) == len(exact)
+    assert {(r.vec_id, r.cluster_id) for r in cells} == {
+        (r.vec_id, r.cluster_id) for r in exact
+    }
 
 
 def test_plane_broadcast_reused_across_calls(spark):
@@ -577,3 +579,35 @@ def test_plane_broadcast_reused_across_calls(spark):
     assert _band_planes_broadcast(sc, 64, 4, 6, True) is not b1
     key = (id(sc), 64, 8, 3, True)
     assert key in _PLANES_BC
+
+
+def test_auto_dispatch_is_threshold_aware():
+    """Round-7 directive #1: method="auto" must route by threshold, not
+    unconditionally to lsh.  Pure rule — no SparkSession needed."""
+    from data_pipeline_zeal_spark.operators.dedup import _auto_embedding_method
+
+    # small inputs short-circuit to exact regardless of threshold
+    assert _auto_embedding_method(500, 0.4)[0] == "exact"
+    assert _auto_embedding_method(1_000, 0.95)[0] == "exact"
+    # low thresholds: no band layout holds background under the 2 % budget
+    # -> the structurally-linear cell path
+    for thr in (0.3, 0.4, 0.5):
+        m, b, p = _auto_embedding_method(1_000_000, thr)
+        assert m == "cells", thr
+        assert b is None and p is None
+    # high thresholds: the solver finds a <=2 %-background layout -> lsh,
+    # and auto carries THAT layout forward
+    for thr in (0.6, 0.7, 0.8, 0.9, 0.95):
+        m, b, p = _auto_embedding_method(1_000_000, thr)
+        assert m == "lsh", thr
+        assert b is not None and p is not None
+        from data_pipeline_zeal_spark.operators.similarity import (
+            derive_band_layout,
+        )
+
+        _, _, predicted = derive_band_layout(
+            thr, max_bg=0.02, background=max(-0.99, min(0.0, thr - 0.1))
+        )
+        assert predicted <= 0.02, thr
+    # budget is a knob: an infinite budget restores lsh-everywhere
+    assert _auto_embedding_method(1_000_000, 0.4, auto_background_budget=1.0)[0] == "lsh"
