@@ -23,6 +23,11 @@ Modes:
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect overhead).  A warmup run of the smallest query absorbs
 JVM/codegen startup so per-query numbers reflect steady state.
+
+Cache policy (round-7 directive #2): BENCH_FULL clears the session cache
+between queries so every row measures its own standalone cost; HEADLINE
+keeps the intentional retrieval_pipeline-first warm ordering and flags the
+cache-served rows in "warm_rows" in both artifacts' JSON.
 """
 
 from __future__ import annotations
@@ -178,9 +183,12 @@ HEADLINE = [
     # retrieval_pipeline runs FIRST of the retrieval set on purpose: its
     # persisted top-k run is the same plan subtree the three standalone
     # queries build, so the session cache serves them without re-running
-    # the posting join — the amortization the operator exists to provide
-    # (registry order already gives BENCH_FULL this shape; keeping the
-    # headline order aligned makes the two artifacts comparable).
+    # the posting join — the amortization the operator exists to provide.
+    # HEADLINE keeps this intentional warm ordering and flags the three
+    # beneficiaries in the artifact's "warm_rows" (their numbers are
+    # cache-served, not standalone cost); BENCH_FULL clears the session
+    # cache between queries so every row measures its own cost
+    # (round-7 verdict what's-wrong #5).
     "retrieval_pipeline",
     "text_bm25_topk",
     "retrieval_quality",
@@ -230,6 +238,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in suite:
+        if is_full:
+            # Cache-clean isolation (round-7 directive #2): drop every
+            # cached block a previous query left behind (e.g. the
+            # retrieval_pipeline run frame) so each BENCH_FULL row
+            # measures ITS OWN cost, not a warm-cache serve.  The
+            # intentional warm ordering lives only in HEADLINE, where
+            # the beneficiaries are flagged via "warm_rows" below.
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         _force(queries[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -255,11 +271,20 @@ def main() -> None:
     # headline/full detail artifact or masquerade as the suite metric.
     is_subset = bool(os.environ.get("BENCH_ONLY"))
     metric = "subset_suite_seconds" if is_subset else "headline_suite_seconds"
+    # HEADLINE-only honesty flag: these rows run after retrieval_pipeline
+    # on purpose and are served from its persisted run — their timings are
+    # the amortized marginal cost, NOT standalone cost (standalone numbers
+    # live in BENCH_FULL, which cache-cleans between queries).
+    warm_rows = sorted(
+        {"text_bm25_topk", "retrieval_quality", "retrieval_hard_negatives"}
+        & set(timings)
+    ) if (not is_full and not is_subset) else []
     detail = {
         "metric": metric,
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "warm_rows": warm_rows,
         "sf": sf_val,
     }
     print(json.dumps(detail))
@@ -282,6 +307,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in slowest.items()},
                 "queries_benched": len(timings),
+                "warm_rows": warm_rows,
                 "detail": detail_name,
                 "sf": sf_val,
             }

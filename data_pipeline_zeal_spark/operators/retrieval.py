@@ -279,6 +279,15 @@ def retrieval_pipeline(
     are a cheap broadcast join built once.  Output: one row per query —
     the full metrics row plus the mined negative doc ids as an ordered
     CSV column (the driver canonicalizer takes scalars only).
+
+    Cache lifetime (round-7 advice): the persisted run must outlive the
+    result's materialization — BOTH consumers read it lazily — so this
+    function cannot unpersist it itself.  The CALLER owns the lifetime:
+    after materializing the result, release the storage block via
+    :func:`release_pipeline_cache` (the handle rides on the returned
+    frame), or session-wide `spark.catalog.clearCache()`.  Long-lived
+    sessions that skip this accumulate one (queries x k)-row cached
+    block per call.
     """
     from pyspark import StorageLevel
 
@@ -301,8 +310,24 @@ def retrieval_pipeline(
             ).alias("hard_neg_csv")
         )
     )
-    return (
+    result = (
         metrics.join(neg_csv, "query_id", "left")
         .withColumn("hard_neg_csv", F.coalesce("hard_neg_csv", F.lit("")))
         .orderBy("query_id")
     )
+    result._zeal_persisted_run = run  # release handle — see docstring
+    return result
+
+
+def release_pipeline_cache(result: DataFrame) -> bool:
+    """Unpersist the BM25 run frame cached by :func:`retrieval_pipeline`
+    once the caller has materialized ``result`` (collected / written it).
+    Returns True if a cached run was released, False if ``result`` carries
+    no handle (already released, or not a pipeline frame).  Safe to call
+    twice — unpersist on an unpersisted frame is a no-op."""
+    run = getattr(result, "_zeal_persisted_run", None)
+    if run is None:
+        return False
+    run.unpersist()
+    result._zeal_persisted_run = None
+    return True

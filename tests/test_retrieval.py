@@ -173,3 +173,20 @@ def test_bcubed_identity_and_split(spark):
     # four elements at recall 2/4, the singleton at 1 -> (4*0.5 + 1)/5
     assert split.bcubed_recall == 0.6
     assert split.bcubed_f1 == round(2 * 1.0 * 0.6 / 1.6, 6)
+
+
+def test_pipeline_cache_release(spark):
+    """Round-7 advice: the caller-owned persisted BM25 run must be
+    releasable after materialization, and release must be idempotent."""
+    from data_pipeline_zeal_spark.io import load_table
+    from data_pipeline_zeal_spark.operators import retrieval
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = retrieval.retrieval_pipeline(docs, k=5, per_query=3)
+    rows = out.collect()
+    assert rows  # materialized while the run cache is alive
+    run = out._zeal_persisted_run
+    assert run is not None and run.is_cached
+    assert retrieval.release_pipeline_cache(out) is True
+    assert not run.is_cached
+    assert retrieval.release_pipeline_cache(out) is False  # idempotent
