@@ -25,6 +25,8 @@ embarrassingly parallel (no driver-side loops, no RNG stream state).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -131,3 +133,47 @@ def generate_event_stream(
         .select(F.col("value").alias("id"), F.col("timestamp").alias("ts"))
     )
     return _event_columns(base, num_users, seed)
+
+
+def generate_embeddings(
+    spark: SparkSession,
+    count: int,
+    dim: int = 64,
+    num_labels: int = 10,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic isotropic embeddings matching the fixture geometry
+    (``embeddings.parquet``: vec_id bigint, embedding float[dim], label
+    int 0..num_labels-1) at arbitrary row counts — the scale-law probe
+    for the dedup/ANN candidate-volume measurements (round-7 directive
+    #3: a third decade beyond sf0.1's 2 000 rows).
+
+    Components are standard normals via Box-Muller over the same
+    hash-derived uniforms as :func:`_u` — pure per-row functions of
+    ``id``, so the output is deterministic under ANY partitioning
+    (``F.rand`` is not: its stream is per-partition).  Entirely
+    JVM-side codegen; no Python on the row path.
+    """
+    base = spark.range(0, count, numPartitions=num_partitions)
+
+    def _unit(k: int):
+        # (pmod + 1) / (m + 1) keeps u in (0, 1]: ln(0) is the only
+        # Box-Muller singularity and u2's cos argument is unaffected
+        return (
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed + k)), F.lit(1_000_003))
+            + 1
+        ) / 1_000_004.0
+
+    comps = [
+        (
+            F.sqrt(-2.0 * F.log(_unit(2 * k)))
+            * F.cos(2.0 * math.pi * _unit(2 * k + 1))
+        ).cast("float")
+        for k in range(dim)
+    ]
+    return base.select(
+        F.col("id").alias("vec_id"),
+        F.array(*comps).alias("embedding"),
+        F.floor(_unit(2 * dim) * num_labels).cast("int").alias("label"),
+    )

@@ -18,10 +18,19 @@ Protocol:
   PUBLISHED as the next numbered ``_log/<version>.json`` with an atomic
   hard link — readers see either no entry or a complete one, never a
   torn write.  Two concurrent writers racing for the same version: one
-  wins the link, the loser retries at the next number (optimistic
+  wins the link, the loser re-checks and retries (optimistic
   concurrency).  A crash before commit leaves only an orphaned staging
   dir that no reader ever sees; ``vacuum`` removes it after a retention
   window.
+* **Conflict rules** (Delta-protocol shape): each writer carries the
+  snapshot basis it derived its data from; at publish, intervening
+  commits from other transactions are checked for commutativity —
+  append over append rebases silently to the next version; an append
+  losing to an overwrite, or an overwrite/MERGE losing to ANYTHING,
+  raises :class:`ConcurrentWriteConflict` (publishing would silently
+  drop or resurrect data the writer never read).  Same-txn retries are
+  resolved by the idempotence check first and never conflict with
+  their own winner.
 * **Read**: replay the log up to the requested version — ``overwrite``
   resets the live file-set, ``append`` extends it — then read exactly
   those directories.  ``version=None`` reads latest; any earlier version
@@ -154,6 +163,26 @@ def _staged_stats(spark: SparkSession, data_dir: str):
     return n_rows, dir_stats, file_stats
 
 
+class ConcurrentWriteConflict(RuntimeError):
+    """Optimistic-concurrency conflict (round-7 directive #4): the log
+    gained commits this writer never read, and they do not commute with
+    its action.  Rules (the public Delta protocol's shape):
+
+    * append vs intervening append — COMMUTES: the loser silently
+      retries at the next version number (both writers only extend the
+      live file-set; replay order does not change either's rows).
+    * append vs intervening overwrite — CONFLICT: the append was
+      derived against a table state that has been wholly replaced;
+      publishing it would resurrect rows into the new state unseen.
+    * overwrite (or MERGE, which commits as overwrite) vs ANY
+      intervening commit — CONFLICT: the overwrite would silently drop
+      data it never read.
+
+    The loser's staged data directory stays orphaned and invisible
+    (``vacuum`` collects it); retry by re-reading the new snapshot and
+    re-running the write."""
+
+
 def _txn_committed_version(table: str, txn: str | None) -> int | None:
     if txn is None:
         return None
@@ -164,13 +193,25 @@ def _txn_committed_version(table: str, txn: str | None) -> int | None:
 
 
 def _publish_entry(
-    table: str, entry: dict, txn: str | None, max_retries: int = 20
+    table: str,
+    entry: dict,
+    txn: str | None,
+    max_retries: int = 20,
+    read_version: int | None = None,
 ) -> int:
     """Atomically publish a fully-assembled commit entry: stage the
     payload (temp + fsync), then claim the next version slot with a hard
     link, re-checking txn idempotence on every attempt.  Shared by the
     DataFrame path (:func:`commit_write`) and the DataSource writer —
-    one publish protocol, not two."""
+    one publish protocol, not two.
+
+    ``read_version`` is the snapshot basis the writer derived its data
+    from (0 for an empty table).  When given, every publish attempt
+    checks the commits that landed AFTER the basis against the
+    :class:`ConcurrentWriteConflict` commute rules — the txn idempotence
+    re-check runs first, so a same-txn retry still adopts the winner
+    instead of conflicting with it.  ``None`` skips conflict checking
+    (blind publish — the streaming sink's txn dedup is its safety)."""
     os.makedirs(_log_path(table), exist_ok=True)
     if txn is not None:
         entry = {**entry, "txn": txn}
@@ -186,7 +227,8 @@ def _publish_entry(
         os.fsync(f.fileno())
     try:
         for _ in range(max_retries):
-            version = (_list_versions(table) or [0])[-1] + 1
+            versions = _list_versions(table)
+            version = (versions or [0])[-1] + 1
             # Re-check idempotence on EVERY publish attempt, not only
             # after a same-slot collision: a concurrent retry of this txn
             # that committed while we were staging data sits at an
@@ -195,10 +237,24 @@ def _publish_entry(
             # the version listing, so a same-txn commit that lands
             # between this check and our link necessarily targets the
             # same next slot, collides, and sends us back around the
-            # loop to observe it.
+            # loop to observe it.  It also runs BEFORE the conflict
+            # check: a same-txn winner IS this write, not a conflict.
             existing = _txn_committed_version(table, txn)
             if existing is not None:
                 return existing
+            if read_version is not None:
+                action = entry.get("action")
+                for v in versions:
+                    if v <= read_version:
+                        continue
+                    other = _read_entry(table, v).get("action")
+                    if action == "append" and other == "append":
+                        continue  # commutes — rebase onto the next slot
+                    raise ConcurrentWriteConflict(
+                        f"{table}: {action} based on snapshot v{read_version} "
+                        f"conflicts with intervening {other} commit v{v}; "
+                        "re-read the table and retry the write"
+                    )
             target = os.path.join(_log_path(table), _entry_name(version))
             try:
                 os.link(tmp, target)  # atomic; fails if the slot is taken
@@ -216,14 +272,25 @@ def commit_write(
     mode: str = "append",
     txn: str | None = None,
     max_retries: int = 20,
+    read_version: int | None = None,
 ) -> int:
     """Write ``df`` into the table as one atomic commit; returns the
     committed version.  ``mode`` is ``append`` or ``overwrite``.  With
     ``txn`` set, a commit whose id already appears in the log is skipped
-    (idempotent retry) and the existing version is returned."""
+    (idempotent retry) and the existing version is returned.
+
+    Concurrency: the snapshot basis is captured at entry (or passed as
+    ``read_version`` by read-modify-write callers like
+    :func:`merge_upsert`, who capture it BEFORE reading); at publish
+    time, intervening commits from OTHER writers are checked against the
+    :class:`ConcurrentWriteConflict` commute rules — append+append
+    rebase silently, everything else raises and leaves the loser's
+    staged files invisible."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode: {mode!r}")
     os.makedirs(_log_path(table), exist_ok=True)
+    if read_version is None:
+        read_version = (_list_versions(table) or [0])[-1]
 
     existing = _txn_committed_version(table, txn)
     if existing is not None:
@@ -245,7 +312,7 @@ def commit_write(
         "stats": stats,
         "file_stats": file_stats,
     }
-    return _publish_entry(table, entry, txn, max_retries)
+    return _publish_entry(table, entry, txn, max_retries, read_version)
 
 
 def live_dirs(table: str, version: int | None = None) -> list[str]:
@@ -576,16 +643,25 @@ def merge_upsert(
     overwrite version.  Readers see either the old snapshot or the fully
     merged one, never a partial state; with ``txn``, orchestrator
     retries are idempotent.  An empty table bootstraps from the updates
-    alone (MERGE's WHEN NOT MATCHED INSERT degenerate case)."""
+    alone (MERGE's WHEN NOT MATCHED INSERT degenerate case).
+
+    MERGE is read-modify-write, so the snapshot basis is captured HERE,
+    before the base read — any commit landing between this read and the
+    publish (append or overwrite alike) raises
+    :class:`ConcurrentWriteConflict` instead of being silently dropped
+    by the merged overwrite."""
     from ..operators.cdc import merge_latest
 
+    basis = (_list_versions(table) or [0])[-1]
     try:
         base = read_version(spark, table)
     except FileNotFoundError:
         merged = updates
     else:
         merged = merge_latest(base, updates, keys, order_col, tiebreak)
-    return commit_write(merged, table, mode="overwrite", txn=txn)
+    return commit_write(
+        merged, table, mode="overwrite", txn=txn, read_version=basis
+    )
 
 
 def versioned_sink(table: str, query_name: str = "stream"):

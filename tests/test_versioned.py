@@ -256,10 +256,11 @@ def test_txn_recheck_before_fresh_slot_link(spark, tmp_path, monkeypatch):
 
     def hooked(table_):
         state["calls"] += 1
-        # call 1: the pre-staging idempotence check (txn absent).
-        # call 2: the publish loop's version listing — by now our data is
+        # call 1: the snapshot-basis capture; call 2: the pre-staging
+        # idempotence check (txn absent).
+        # call 3: the publish loop's version listing — by now our data is
         # staged; fire the concurrent same-txn retry to completion first.
-        if state["calls"] == 2:
+        if state["calls"] == 3:
             state["inner"] = V.commit_write(
                 _df(spark, 5, 8), t, mode="append", txn="job-9"
             )
@@ -484,3 +485,99 @@ def test_read_changes_since_append_only(spark, tmp_path):
     V.commit_write(_df(spark, 18, 20), t, mode="append")
     got = V.read_changes_since(spark, t, after_version=4)
     assert sorted(r.id for r in got.collect()) == [18, 19]
+
+
+def test_cross_txn_overwrite_loses_to_intervening_append(spark, tmp_path):
+    """Round-7 directive #4: two DIFFERENT transactions interleaving.  An
+    overwrite whose snapshot basis predates a concurrent append must
+    conflict — publishing it would silently drop the appended rows."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 5), t, mode="overwrite")          # v1
+    # writer A reads at v1, starts staging its overwrite...
+    # ...writer B's append lands first:
+    V.commit_write(_df(spark, 5, 8), t, mode="append")             # v2
+    with pytest.raises(V.ConcurrentWriteConflict):
+        V.commit_write(_df(spark, 100, 105), t, mode="overwrite",
+                       read_version=1)
+    # loser's staged files stay invisible; table state is B's
+    assert V._list_versions(t) == [1, 2]
+    assert V.read_version(spark, t).count() == 8
+
+
+def test_cross_txn_append_loses_to_intervening_overwrite(spark, tmp_path):
+    """An append derived against a snapshot that a concurrent overwrite
+    has since replaced must conflict, not resurrect rows into the new
+    state."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 5), t, mode="overwrite")          # v1
+    V.commit_write(_df(spark, 50, 52), t, mode="overwrite")        # v2
+    with pytest.raises(V.ConcurrentWriteConflict):
+        V.commit_write(_df(spark, 5, 8), t, mode="append", read_version=1)
+    assert V._list_versions(t) == [1, 2]
+    assert V.read_version(spark, t).count() == 2
+
+
+def test_cross_txn_append_append_rebases_cleanly(spark, tmp_path):
+    """append+append commutes: the stale-basis appender retries onto the
+    next version instead of conflicting, and both writers' rows land."""
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 5), t, mode="overwrite")          # v1
+    V.commit_write(_df(spark, 5, 8), t, mode="append")             # v2 (B)
+    v = V.commit_write(_df(spark, 8, 10), t, mode="append", read_version=1)
+    assert v == 3
+    assert V.read_version(spark, t).count() == 10
+
+
+def test_merge_upsert_conflicts_with_concurrent_commit(spark, tmp_path, monkeypatch):
+    """MERGE captures its basis BEFORE reading the base snapshot; any
+    commit landing between that read and the publish raises instead of
+    being dropped by the merged overwrite."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k long, ver long, payload string"
+    )
+    V.commit_write(base, t, mode="overwrite")                      # v1
+
+    real_read = V.read_version
+    fired = {}
+
+    def racing_read(spark_, table_, version=None, merge_schema=False):
+        # the moment MERGE reads its base, a concurrent appender commits
+        if "v" not in fired:
+            fired["v"] = V.commit_write(
+                spark.createDataFrame([(9, 1, "z")],
+                                      "k long, ver long, payload string"),
+                t, mode="append",
+            )
+        return real_read(spark_, table_, version, merge_schema)
+
+    monkeypatch.setattr(V, "read_version", racing_read)
+    updates = spark.createDataFrame(
+        [(2, 20, "b2")], "k long, ver long, payload string"
+    )
+    with pytest.raises(V.ConcurrentWriteConflict):
+        V.merge_upsert(spark, t, updates, keys=["k"], order_col="ver")
+    monkeypatch.undo()
+    assert fired["v"] == 2
+    # the concurrent append survives untouched
+    got = {r.k for r in V.read_version(spark, t).collect()}
+    assert got == {1, 2, 9}
+
+
+def test_same_txn_retry_still_adopts_not_conflicts(spark, tmp_path):
+    """The idempotence re-check outranks conflict checking: a same-txn
+    retry with a stale basis adopts its winner instead of raising."""
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 5), t, mode="overwrite")          # v1
+    V.commit_write(_df(spark, 5, 8), t, mode="overwrite", txn="j1")  # v2
+    # zombie retry of j1, basis captured before the winner committed
+    v = V.commit_write(_df(spark, 5, 8), t, mode="overwrite", txn="j1",
+                       read_version=1)
+    assert v == 2
+    assert V._list_versions(t) == [1, 2]
