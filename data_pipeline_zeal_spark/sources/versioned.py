@@ -366,21 +366,28 @@ def _predicate_may_match(bounds, op: str, value) -> bool:
     lo, hi = bounds
     if lo is None or hi is None:
         return True
-    if op == "=":
-        return lo <= value <= hi
-    if op == "<":
-        return lo < value
-    if op == "<=":
-        return lo <= value
-    if op == ">":
-        return hi > value
-    if op == ">=":
-        return hi >= value
-    if op == "between":
-        vlo, vhi = value
-        return not (vhi < lo or vlo > hi)
-    if op == "in":
-        return any(lo <= v <= hi for v in value)
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+        if op == "between":
+            vlo, vhi = value
+            return not (vhi < lo or vlo > hi)
+        if op == "in":
+            return any(lo <= v <= hi for v in value)
+    except TypeError:
+        # literal not comparable with the recorded bounds (None, or a
+        # cross-type comparison) — pruning is an I/O optimization, so
+        # conservatively keep the file rather than failing the scan
+        # (round-7 advice)
+        return True
     raise ValueError(f"unknown predicate op: {op!r}")
 
 

@@ -83,15 +83,25 @@ def _filter_to_predicate(f: Filter):
     if op != "in" and isinstance(value, (list, tuple)):
         return None
     # stats store dates/timestamps as ISO strings; Catalyst hands
-    # datetime.date / datetime.datetime literals — same ISO rendering
+    # datetime.date / datetime.datetime literals — same ISO rendering.
+    # A None literal (EqualTo(col, null)) or a non-orderable type would
+    # raise TypeError inside _predicate_may_match during PLANNING and
+    # fail the whole scan (round-7 advice) — such filters prune nothing.
     import datetime
+
+    _orderable = (bool, int, float, str, datetime.date, datetime.datetime)
 
     def _norm(v):
         return str(v) if isinstance(v, (datetime.date, datetime.datetime)) else v
 
     if op == "in":
-        value = [_norm(v) for v in value]
+        vals = [v for v in value if isinstance(v, _orderable)]
+        if not vals:
+            return None
+        value = [_norm(v) for v in vals]
     else:
+        if not isinstance(value, _orderable):
+            return None
         value = _norm(value)
     return (f.attribute[0], op, value)
 
@@ -116,14 +126,77 @@ def _pruned_file_partitions(
 def _read_file_batches(path: str, schema: StructType) -> Iterator:
     """Arrow batches of one parquet file, cast to the session schema
     (pyarrow may surface different timestamp/integer widths than the
-    Spark schema declares)."""
+    Spark schema declares).  Files written BEFORE a schema evolution lack
+    the added columns — those are null-filled, the same read semantics
+    as the native path's ``read_version(merge_schema=True)``."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(schema)
-    table = pq.read_table(path, columns=[f.name for f in schema.fields])
-    yield from table.cast(target).to_batches()
+    names = [f.name for f in schema.fields]
+    present = set(pq.read_schema(path).names)
+    table = pq.read_table(path, columns=[n for n in names if n in present])
+    for n in names:
+        if n not in present:
+            table = table.append_column(
+                n, pa.nulls(table.num_rows, type=target.field(n).type)
+            )
+    yield from table.select(names).cast(target).to_batches()
+
+
+class SchemaEvolutionError(ValueError):
+    """An append's schema does not match the table's (round-7 directive
+    #6 — the writer declares its policy instead of committing whatever
+    arrives):
+
+    * identical schema — always allowed.
+    * pure column ADDITIONS (every existing column keeps its name and
+      type) — allowed only with ``option("mergeSchema", "true")``; the
+      commit then EVOLVES the table (the log's newest commit carries the
+      widened schema, so subsequent reads surface it and older files
+      null-fill the added columns).
+    * anything else (dropped columns, type changes) — always refused;
+      rewrite via ``mode("overwrite")`` if the change is intended.
+    """
+
+
+def _validate_write_schema(
+    table: str, schema: StructType, overwrite: bool, merge_schema: bool
+) -> None:
+    """Driver-side, fail-fast (before any task stages a file): enforce
+    the append schema policy above.  An empty table bootstraps with any
+    schema; an overwrite replaces the live file-set wholesale, so its
+    schema IS the new table schema."""
+    if overwrite:
+        return
+    try:
+        current = _infer_schema(table, None)
+    except (FileNotFoundError, ValueError, IndexError):
+        return  # no commits (or no live data files) yet: bootstrap
+    cur = {f.name: f.dataType.simpleString() for f in current.fields}
+    new = {f.name: f.dataType.simpleString() for f in schema.fields}
+    if cur == new:
+        return
+    dropped = sorted(set(cur) - set(new))
+    changed = sorted(
+        c for c in set(cur) & set(new) if cur[c] != new[c]
+    )
+    if dropped or changed:
+        raise SchemaEvolutionError(
+            f"append to {table} is incompatible with the table schema: "
+            f"dropped columns {dropped}, type changes "
+            f"{[(c, cur[c], new[c]) for c in changed]}; use "
+            'mode("overwrite") to rewrite the table'
+        )
+    added = sorted(set(new) - set(cur))
+    if not merge_schema:
+        raise SchemaEvolutionError(
+            f"append to {table} adds columns {added}; set "
+            '.option("mergeSchema", "true") to evolve the table schema '
+            "(older files will read the new columns as NULL)"
+        )
 
 
 def _infer_schema(table: str, version: int | None) -> StructType:
@@ -140,7 +213,13 @@ def _infer_schema(table: str, version: int | None) -> StructType:
     if not files:
         raise FileNotFoundError(f"no parquet files in {dirs[-1]}")
     arrow = pq.read_schema(os.path.join(dirs[-1], files[0]))
-    return from_arrow_schema(arrow)
+    inferred = from_arrow_schema(arrow)
+    # report every column nullable, like Spark's own parquet reader: the
+    # footer's non-null flag is per-FILE, and schema evolution makes any
+    # column null-filled in files that predate it
+    for f in inferred.fields:
+        f.nullable = True
+    return StructType(inferred.fields)
 
 
 class VersionedBatchReader(DataSourceReader):
@@ -292,6 +371,10 @@ class VersionedWriter(DataSourceArrowWriter):
         self._table = table
         self._mode = "overwrite" if overwrite else "append"
         self._txn = txn
+        # snapshot basis for optimistic conflict checking (batch path
+        # only — a long-lived stream's basis would go stale across its
+        # own micro-batches; its safety is the per-batch txn dedup)
+        self._basis = (V._list_versions(table) or [0])[-1]
 
     def write(self, iterator):
         import pyarrow.parquet as pq
@@ -333,7 +416,7 @@ class VersionedWriter(DataSourceArrowWriter):
                     d[1] = hi
         return n_rows, dir_stats, file_stats, [m.file for m in files]
 
-    def _commit(self, messages, txn):
+    def _commit(self, messages, txn, read_version=None):
         import uuid
 
         existing = V._txn_committed_version(self._table, txn)
@@ -365,10 +448,12 @@ class VersionedWriter(DataSourceArrowWriter):
             "stats": dir_stats,
             "file_stats": file_stats,
         }
-        return V._publish_entry(self._table, entry, txn)
+        return V._publish_entry(
+            self._table, entry, txn, read_version=read_version
+        )
 
     def commit(self, messages):
-        self._commit(messages, self._txn)
+        self._commit(messages, self._txn, read_version=self._basis)
 
     def abort(self, messages):
         inflight = os.path.join(self._table, V._DATA_DIR, V._INFLIGHT_DIR)
@@ -413,6 +498,10 @@ class VersionedTableDataSource(DataSource):
     * ``txnPrefix`` — streaming write: per-batch txn ids are
       ``<prefix>-<batchId>`` (default ``stream``); give each query a
       distinct prefix when several streams append to one table
+    * ``mergeSchema`` — write: allow an append that ADDS columns to
+      evolve the table schema (default false: schema drift fails loudly
+      at plan time; dropped columns / type changes always fail — see
+      :class:`SchemaEvolutionError`)
     """
 
     @classmethod
@@ -444,16 +533,21 @@ class VersionedTableDataSource(DataSource):
             == "true",
         )
 
+    def _merge_schema(self) -> bool:
+        return str(self.options.get("mergeschema", "false")).lower() == "true"
+
     def writer(self, schema: StructType, overwrite: bool) -> VersionedWriter:
-        return VersionedWriter(
-            self._table(), overwrite, self.options.get("txn")
-        )
+        table = self._table()
+        _validate_write_schema(table, schema, overwrite, self._merge_schema())
+        return VersionedWriter(table, overwrite, self.options.get("txn"))
 
     def streamWriter(  # noqa: N802
         self, schema: StructType, overwrite: bool
     ) -> VersionedStreamWriter:
+        table = self._table()
+        _validate_write_schema(table, schema, overwrite, self._merge_schema())
         return VersionedStreamWriter(
-            self._table(),
+            table,
             overwrite,
             self.options.get("txnprefix", "stream"),
         )

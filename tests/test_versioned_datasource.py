@@ -248,3 +248,87 @@ def test_stream_write_exactly_once(registered, tmp_path):
     )
     out.awaitTermination(120)
     assert spark.table("vds_roundtrip").count() == 40
+
+
+def test_append_schema_drift_fails_loudly(registered, tmp_path):
+    """Round-7 directive #6: an append carrying a NEW column must fail at
+    plan time unless mergeSchema is set; dropped columns and type changes
+    fail regardless."""
+    spark = registered
+    t = str(tmp_path / "tbl")
+    _df(spark, 0, 10).write.format("zeal_versioned").option("path", t).mode(
+        "append"
+    ).save()
+
+    added = spark.range(10, 12).selectExpr("id", "id * 2 AS v", "'x' AS tag")
+    with pytest.raises(Exception, match="mergeSchema"):
+        added.write.format("zeal_versioned").option("path", t).mode(
+            "append"
+        ).save()
+    # nothing committed, nothing staged
+    assert V._list_versions(t) == [1]
+
+    dropped = spark.range(12, 14).selectExpr("id")
+    with pytest.raises(Exception, match="incompatible"):
+        dropped.write.format("zeal_versioned").option("path", t).mode(
+            "append"
+        ).save()
+    retyped = spark.range(14, 16).selectExpr(
+        "id", "CAST(id AS STRING) AS v"
+    )
+    with pytest.raises(Exception, match="incompatible"):
+        retyped.write.format("zeal_versioned").option("path", t).mode(
+            "append"
+        ).save()
+    assert V._list_versions(t) == [1]
+    # overwrite replaces the table wholesale — any schema, no option
+    dropped.write.format("zeal_versioned").option("path", t).mode(
+        "overwrite"
+    ).save()
+    assert V.read_version(spark, t).columns == ["id"]
+
+
+def test_append_with_merge_schema_evolves_table(registered, tmp_path):
+    """With mergeSchema=true a column-adding append commits; the evolved
+    schema surfaces on the next read and pre-evolution files null-fill
+    the added column (round-trip through format('zeal_versioned'))."""
+    spark = registered
+    t = str(tmp_path / "tbl")
+    _df(spark, 0, 5).write.format("zeal_versioned").option("path", t).mode(
+        "append"
+    ).save()
+    evolved = spark.range(5, 8).selectExpr("id", "id * 2 AS v", "'x' AS tag")
+    evolved.write.format("zeal_versioned").option("path", t).option(
+        "mergeSchema", "true"
+    ).mode("append").save()
+    assert V._list_versions(t) == [1, 2]
+
+    got = spark.read.format("zeal_versioned").option("path", t).load()
+    assert got.columns == ["id", "v", "tag"]
+    by_id = {r.id: r.tag for r in got.collect()}
+    assert len(by_id) == 8
+    assert by_id[0] is None and by_id[7] == "x"  # old files null-fill
+    # a same-shape append now matches the evolved schema without options
+    spark.range(8, 9).selectExpr(
+        "id", "id * 2 AS v", "'y' AS tag"
+    ).write.format("zeal_versioned").option("path", t).mode("append").save()
+    assert (
+        spark.read.format("zeal_versioned").option("path", t).load().count()
+        == 9
+    )
+
+
+def test_pushed_filter_null_or_odd_literal_never_fails_planning():
+    """Round-7 advice: a pushed EqualTo(col, null) or a literal that does
+    not compare with the recorded stats must degrade to no-pruning, not
+    raise TypeError inside planning."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    assert DS._filter_to_predicate(EqualTo(("id",), None)) is None
+    assert DS._filter_to_predicate(In(("id",), [None, None])) is None
+    # a None mixed into IN prunes on the comparable values only
+    assert DS._filter_to_predicate(In(("id",), [None, 5])) == ("id", "in", [5])
+    # and the matcher itself keeps the file on any cross-type comparison
+    assert V._predicate_may_match([1, 5], "=", None) is True
+    assert V._predicate_may_match(["a", "b"], ">", 3) is True
+    assert V._predicate_may_match([1, 5], "=", 7) is False  # still prunes
