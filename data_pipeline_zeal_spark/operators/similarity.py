@@ -254,21 +254,39 @@ def _band_planes(dim: int, bands: int, planes_per_band: int, orthogonal: bool):
     return planes
 
 
-# Spark broadcasts of the plane matrix, keyed by (SparkContext id, layout).
+# Spark broadcasts of the plane matrix, keyed by (context token, layout).
 # At solver layouts the matrix is ~5 MB; broadcasting it fresh per
 # lsh_banded_rows call (round-6 advice) accumulated never-destroyed
 # broadcast blocks on the driver and executors across a long session.
 # One broadcast per layout per context is the steady state; entries for a
 # stopped context are dropped lazily on the next lookup.
 _PLANES_BC: dict[tuple, object] = {}
+#: cap on cached DATA-DEPENDENT broadcasts (k-means centroid matrices —
+#: retraining changes the payload hash, so unlike the layout-keyed plane
+#: matrices they can accumulate without bound within one session); the
+#: oldest entry is unpersisted on eviction (round-7 advice)
+_MAX_CENTROID_BC = 8
+
+
+def _ctx_token(sc) -> str:
+    """Context-unique cache token.  ``id(sc)`` is NOT one: CPython can
+    hand a new SparkContext the address of a stopped, GC'd one, serving
+    it a broadcast that belongs to a destroyed context (round-7
+    advice).  applicationId + startTime survives address reuse."""
+    return f"{sc.applicationId}@{sc.startTime}"
+
+
+def _purge_stale_contexts(token: str) -> None:
+    for stale in [k for k in _PLANES_BC if k[0] != token]:
+        _PLANES_BC.pop(stale, None)
 
 
 def _band_planes_broadcast(sc, dim, bands, planes_per_band, orthogonal):
-    key = (id(sc), dim, bands, planes_per_band, orthogonal)
+    token = _ctx_token(sc)
+    key = (token, dim, bands, planes_per_band, orthogonal)
     bc = _PLANES_BC.get(key)
     if bc is None:
-        for stale in [k for k in _PLANES_BC if k[0] != id(sc)]:
-            _PLANES_BC.pop(stale, None)
+        _purge_stale_contexts(token)
         bc = sc.broadcast(_band_planes(dim, bands, planes_per_band, orthogonal))
         _PLANES_BC[key] = bc
     return bc
@@ -501,9 +519,21 @@ def cell_assign_rows(
     sc = vectors.sparkSession.sparkContext
     arr = np.array(centroids, dtype=np.float64)
     # same per-(context, payload) broadcast reuse as the LSH plane matrix
-    key = (id(sc), "cells", hashlib.md5(arr.tobytes()).hexdigest())
+    # — plus a bounded LRU: centroid payloads are DATA-dependent, so
+    # retraining within one session mints new keys; evicted broadcasts
+    # are unpersisted (executors drop the block; a still-referenced one
+    # re-fetches from the driver on demand, so eviction is safe even for
+    # lazy plans) (round-7 advice)
+    token = _ctx_token(sc)
+    key = (token, "cells", hashlib.md5(arr.tobytes()).hexdigest())
     cents_bc = _PLANES_BC.get(key)
     if cents_bc is None:
+        _purge_stale_contexts(token)
+        cells_keys = [k for k in _PLANES_BC if k[1] == "cells"]
+        while len(cells_keys) >= _MAX_CENTROID_BC:
+            evicted = _PLANES_BC.pop(cells_keys.pop(0), None)
+            if evicted is not None:
+                evicted.unpersist()
         arr.setflags(write=False)
         cents_bc = sc.broadcast(arr)
         _PLANES_BC[key] = cents_bc

