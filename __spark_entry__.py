@@ -1570,80 +1570,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
-#: ROUND-7 WINDOW (tools/rotate_registry.py, now ranking greens
-#: STALEST-FIRST by last driver round — directive #4; verified with
-#: `python tools/driver_sim.py <names>` before commit): the 4 new
-#: round-7 queries (dedup_embedding_near_cells — the IVF-cell-blocked
-#: SemDeDup path, retrieval_pipeline — the amortized one-BM25-run
-#: composition, versioned_stats_skipping — commit-stats data skipping,
-#: versioned_datasource_read — the zeal_versioned DataSource with
-#: Catalyst pushdown, swapped in for green filler corpus_hash_split;
-#: semdedup_cells_survivors — the composed cell-blocked SemDeDup,
-#: swapped in for green filler part_search),
-#: the 8 estimator queries oracle-UPGRADED this round via
-#: pinned-constant tables (sim_lsh/ivf/pq_topk, sim_pca_project,
-#: events_approx_distinct, events_hll_weekly_users,
-#: price_quantiles_sketch, dedup_embedding_near_lsh — generated by
-#: tools/gen_pinned_oracles.py, sentinel-dispatched per fixture with a
-#: loud unknown-fixture branch), and 39 re-verifications (78 % of the
-#: window) of the STALEST greens: the r2/r3 rows (relational suite,
-#: agg_* API, hourly_agg, TPC-H 1/3/5/6/7/8/9, dedup ladder incl.
-#: dedup_clusters whose kernel changed r5/r6) plus the
-#: directive-named changed-kernel set (semdedup_survivors,
-#: dedup_minhash_lsh_pairs) and the four r5 analytics
-#: (orders_priority_anova, events_stickiness_28d,
-#: events_gap_distribution, part_supplier_hhi).
+#: ROUND-8 WINDOW (tools/rotate_registry.py stalest-first; verified with
+#: `python tools/driver_sim.py <names>` before commit): after round 7's
+#: first all-green window, every slot is a RE-VERIFICATION of the stalest
+#: green evidence (the tool reported 0 never-sampled / 0 stale).  The
+#: window takes the tool's stalest-50 — the r1/r2 rows (part_search,
+#: multimodal_decode — the rows-only codec stub, corpus_hash_split), the
+#: full r3 TPC-H ladder (q2, q11-q13, q15-q17, q19-q22), the r2-r4 text
+#: ladder (text_stats … text_scrub_pii), the r3/r4 dedup + corpus
+#: curation rows, and the r3 events analytics — with five tail events_*
+#: rows swapped for the directive-named sets with weaker-but-newer
+#: evidence: the r5 streaming estimator twins (events_user_cms_counts,
+#: events_heavy_hitters) and the r6 versioned trio
+#: (versioned_time_travel / merge_upsert / change_feed) whose kernels
+#: took four round-7 commits plus this round's cross-txn conflict rules
+#: after their last driver rows.  50/50 re-verification (≥50 %
+#: directive trivially met; no new queries existed unsampled at rotation
+#: time — new r8 queries are appended to the window as they land, before
+#: the round-end driver run).
 _DRIVER_FIRST = [
-    "dedup_embedding_near_cells",
-    "retrieval_pipeline",
-    "versioned_stats_skipping",
-    "sim_lsh_topk",
-    "dedup_embedding_near_lsh",
-    "price_quantiles_sketch",
-    "events_approx_distinct",
-    "events_hll_weekly_users",
-    "sim_ivf_topk",
-    "sim_pca_project",
-    "sim_pq_topk",
-    "inactive_customers",
-    "semdedup_cells_survivors",
-    "priority_with_returns",
-    "returned_item_revenue",
-    "promo_revenue_share",
-    "large_volume_customers",
-    "price_quantiles",
-    "semdedup_survivors",
-    "sim_cosine_topk",
-    "dedup_exact_survivors",
-    "dedup_jaccard_pairs",
-    "dedup_clusters",
-    "dedup_embedding_near",
-    "versioned_datasource_read",
-    "hourly_agg",
-    "agg_filtered_page",
-    "agg_latest",
-    "agg_stats",
-    "agg_event_types",
-    "agg_rollup_by_type",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_revenue_forecast",
-    "top_orders_per_customer",
-    "customer_order_stats",
-    "nations_without_suppliers",
-    "nations_with_both",
-    "order_priority_rollup",
-    "part_type_stats",
-    "order_lineitem_detail",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_revenue",
-    "dedup_minhash_lsh_pairs",
-    "orders_priority_anova",
-    "events_stickiness_28d",
-    "events_gap_distribution",
-    "part_supplier_hhi",
+    "part_search",
+    "multimodal_decode",
+    "corpus_hash_split",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_suppliers",
+    "tpch_q16_part_variety",
+    "tpch_q17_small_quantity",
+    "tpch_q19_bracket_revenue",
+    "tpch_q22_idle_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_priority",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_orders",
+    "events_type_hour_pivot",
+    "asof_events_last_order",
+    "order_gaps",
+    "events_funnel",
+    "range_error_context",
+    "sim_quantized_embeddings",
+    "text_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_lang_profile",
+    "text_fingerprint",
+    "text_source_token_totals",
+    "text_token_frequencies",
+    "text_tfidf_top_terms",
+    "text_normalize",
+    "text_rare_tokens",
+    "text_scrub_pii",
+    "dedup_exact_groups",
+    "dedup_normalized_groups",
+    "dedup_levenshtein_pairs",
+    "corpus_stratified_sample",
+    "corpus_source_cap",
+    "corpus_pack_chunks",
+    "corpus_quality_filter",
+    "corpus_mixture_weights",
+    "corpus_contamination",
+    "corpus_length_histogram",
+    "corpus_curation_summary",
+    "events_props_profile",
+    "events_daily_cube",
+    "events_daily_moving_avg",
+    "events_user_cms_counts",
+    "events_heavy_hitters",
+    "versioned_time_travel",
+    "versioned_merge_upsert",
+    "versioned_change_feed",
 ]
 
 
