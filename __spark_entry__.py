@@ -1496,6 +1496,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_decontaminate"] = lambda s, d: corpus.decontaminate(
         load_table(s, d, "documents"), n=8, benchmark_mod=7
     )
+    # Bloom-prefiltered decontamination: same output as the exact path by
+    # construction (no false negatives; bloom-positives exact-confirmed),
+    # so it shares the exact oracle.  The 100 TB shape for held-out sides
+    # too large to broadcast raw — see operators/corpus.py.
+    q["corpus_decontaminate_bloom"] = lambda s, d: corpus.decontaminate_bloom(
+        load_table(s, d, "documents"), n=8, benchmark_mod=7
+    )
     q["events_audience_overlap"] = lambda s, d: events_ext.audience_overlap(
         load_table(s, d, "events")
     )
@@ -5698,6 +5705,8 @@ FROM documents d
 WHERE d.doc_id % 7 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
 ORDER BY d.doc_id
 """
+    # identical semantics to the exact path (see the query registration)
+    o["corpus_decontaminate_bloom"] = o["corpus_decontaminate"]
     o["events_audience_overlap"] = """
 WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
 pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users

@@ -27,6 +27,7 @@ Scale notes (100 TB bar):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -694,6 +695,131 @@ def decontaminate(
         .join(F.broadcast(bench), "gram")
         .select("doc_id")
         .distinct()
+    )
+    return (
+        documents.filter(~is_bench)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def build_gram_bloom(
+    grams: DataFrame, m_bits: int = 1 << 20, k_hashes: int = 7
+):
+    """Aggregate a Bloom-filter bitmap over a single-column ``gram`` frame,
+    entirely distributed: each gram sets ``k_hashes`` bit positions
+    (``xxhash64(gram, seed) mod m_bits``), positions pack into 64-bit words
+    via a map-side-combined ``bit_or`` aggregate keyed on the word index,
+    and the driver collects AT MOST ``m_bits / 64`` rows — the collect is
+    bounded by the FILTER size, never by the data (2^20 bits = 16 Ki words
+    = 128 KiB regardless of whether the gram side is 10^5 or 10^10 rows).
+
+    Returns a ``numpy.uint64`` array of ``m_bits // 64`` words.  Standard
+    Bloom property: no false negatives; false-positive rate ≈
+    (1 - e^(-k·n/m))^k, so size ``m_bits`` ≈ 10–16 bits per expected
+    distinct gram for ~1 % FPR."""
+    import numpy as np
+
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    positions = grams.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m_bits)).alias(
+                        f"p{i}"
+                    )
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        positions.select(
+            F.shiftright("pos", 6).alias("w"),
+            F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .collect()  # bounded: <= m_bits/64 rows (the bitmap itself)
+    )
+    bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[r.w] = np.uint64(r.bits & 0xFFFFFFFFFFFFFFFF)
+    return bitmap
+
+
+def _bloom_membership_udf(bitmap, k_hashes: int):
+    """Arrow-batched membership test against a driver-built Bloom bitmap.
+    The k probe POSITIONS are computed JVM-side (``xxhash64`` columns), so
+    Python does only the vectorized bit lookups — one fancy-index + mask
+    per batch over a ``numpy.uint64`` word array shipped once per task in
+    the closure (m_bits/8 bytes; 128 KiB at the default size)."""
+    import numpy as np
+
+    words = bitmap
+
+    @F.pandas_udf("boolean")
+    def might_contain(pos: pd.Series) -> pd.Series:
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        P = np.array(pos.tolist(), dtype=np.int64)  # (batch, k) positions
+        w = words[P >> 6]
+        bit = np.uint64(1) << (P & 63).astype(np.uint64)
+        return pd.Series(((w & bit) != 0).all(axis=1))
+
+    return might_contain
+
+
+def decontaminate_bloom(
+    documents: DataFrame,
+    n: int = 8,
+    benchmark_mod: int = 7,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — identical OUTPUT to
+    :func:`decontaminate` (Bloom filters admit false positives but never
+    false negatives, and every bloom-positive gram is exact-confirmed
+    against the true benchmark set before a document is dropped), with the
+    scale shape for benchmark/held-out sides too large to broadcast raw:
+
+    1. The benchmark gram set folds into an ``m_bits`` Bloom bitmap via
+       one distributed ``bit_or`` aggregate (:func:`build_gram_bloom`) —
+       the driver never holds the gram set, only the fixed-size bitmap.
+    2. The corpus gram stream is prefiltered MAP-SIDE by the bitmap
+       (vectorized Arrow batches, k JVM-computed hash positions per gram);
+       at a calibrated ~1 % FPR this drops ~99 % of clean grams before any
+       join, so the exchange downstream carries only true matches + FPs.
+    3. Surviving grams exact-confirm via the same broadcast hash join as
+       the exact path, eliminating the FPs; anti-join drops contaminated
+       documents.
+
+    At 100 TB: a 10^9-gram held-out side is ~50+ GB of raw strings —
+    un-broadcastable — but its 1 %-FPR bloom is ~1.8 GB shipped once per
+    executor, and the confirm join's build side only has to serve the
+    bloom-positive trickle.  Here the confirm side stays a broadcast
+    (fixture benchmark sets are tiny); swap it for a shuffle join when the
+    raw set genuinely cannot broadcast — the prefilter already shrank the
+    probe side by ~100x.
+    """
+    grams = with_min_parallelism(documents).select(
+        "doc_id", F.explode(_distinct_ngrams(tokens("text"), n)).alias("gram")
+    )
+    is_bench = F.col("doc_id") % benchmark_mod == 0
+    bench = grams.filter(is_bench).select("gram").distinct()
+    bitmap = build_gram_bloom(bench, m_bits, k_hashes)
+    might_contain = _bloom_membership_udf(bitmap, k_hashes)
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m_bits))
+            for i in range(k_hashes)
+        ]
+    )
+    suspects = grams.filter(~is_bench).filter(might_contain(pos))
+    contaminated = (
+        suspects.join(F.broadcast(bench), "gram").select("doc_id").distinct()
     )
     return (
         documents.filter(~is_bench)

@@ -189,6 +189,62 @@ def test_decontaminate_complements_contamination_report(spark):
     assert survivors.isdisjoint(flagged)
 
 
+def test_decontaminate_bloom_matches_exact(spark):
+    """The bloom-prefiltered path must emit byte-identical survivors to
+    the exact path: blooms admit false positives (removed by the exact
+    confirm join) but never false negatives."""
+    docs = _docs(spark)
+    exact = corpus.decontaminate(docs, n=8, benchmark_mod=7).collect()
+    bloom = corpus.decontaminate_bloom(docs, n=8, benchmark_mod=7).collect()
+    assert bloom == exact
+
+
+def test_decontaminate_bloom_saturated_filter_still_exact(spark):
+    """A deliberately undersized bitmap (256 bits for thousands of grams
+    — near-100 % FPR) floods the confirm join with false positives; the
+    OUTPUT must not change, only the prefilter's selectivity."""
+    docs = _docs(spark)
+    exact = corpus.decontaminate(docs, n=8, benchmark_mod=7).collect()
+    tiny = corpus.decontaminate_bloom(
+        docs, n=8, benchmark_mod=7, m_bits=256, k_hashes=3
+    ).collect()
+    assert tiny == exact
+
+
+def test_build_gram_bloom_properties(spark):
+    """Bitmap size is fixed by m_bits (the driver collect is bounded by
+    the FILTER, not the data); every inserted gram tests positive (no
+    false negatives); a disjoint probe set shows a low FP rate at the
+    calibrated size."""
+    import numpy as np
+
+    docs = _docs(spark)
+    grams = docs.limit(50).select(
+        F.explode(
+            corpus._distinct_ngrams(corpus.tokens("text"), 8)
+        ).alias("gram")
+    ).distinct()
+    m_bits, k = 1 << 16, 5
+    bm = corpus.build_gram_bloom(grams, m_bits=m_bits, k_hashes=k)
+    assert bm.shape == (m_bits // 64,) and bm.dtype == np.uint64
+
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    member = corpus._bloom_membership_udf(bm, k)
+    hits = grams.select(member(pos).alias("m")).collect()
+    assert all(r.m for r in hits)  # no false negatives, ever
+
+    probes = spark.range(2000).select(
+        F.concat(F.lit("zz-not-a-gram-"), F.col("id")).alias("gram")
+    )
+    fp = probes.select(member(pos).alias("m")).filter("m").count()
+    assert fp / 2000 < 0.05  # ~((1-e^(-kn/m))^k) ~= tiny at 16 bits/gram
+
+
 def test_temperature_mixture_laws(spark):
     """alpha=1 reproduces the natural mixture; alpha<1 moves every
     group's temp share toward uniform (tail up, head down); shares sum
