@@ -1490,6 +1490,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_best_quality_lsh"] = lambda s, d: dedup.best_quality_survivors(
         load_table(s, d, "documents"), threshold=0.2, method="lsh"
     )
+    # Amortized dedup report: ONE MinHash pass (localCheckpointed pair
+    # list) feeds pairs + clusters + per-source summary in a single plan
+    # — the composition a real curation run executes (the standalone
+    # pair/cluster queries each pay their own signature pass).  LSH path;
+    # the oracle is the exact recursive-CTE kernel, sound for the same
+    # measured recall-1.0 reason as dedup_minhash_lsh_pairs.
+    q["dedup_pipeline"] = lambda s, d: dedup.dedup_pipeline(
+        load_table(s, d, "documents"), threshold=0.2, method="lsh"
+    )
     q["text_bigram_logprob"] = lambda s, d: text.bigram_logprob(
         load_table(s, d, "documents"), alpha=0.5
     )
@@ -3698,6 +3707,49 @@ WITH RECURSIVE sh AS (
 )
 SELECT node AS doc_id, min(lab) AS cluster_id
 FROM reach GROUP BY node ORDER BY doc_id
+"""
+    # dedup_pipeline: per-source dedup report over the SAME exact-Jaccard
+    # pair/cluster kernels as dedup_clusters (recursive-CTE components);
+    # sound as an oracle for the LSH path because banding recall is
+    # measurably 1.0 at fixture scale (see dedup_minhash_lsh_pairs note).
+    o["dedup_pipeline"] = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+        / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0), 6) >= 0.2
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+), clusters AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+), base AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), pair_src AS (
+  SELECT d.source, count(*) AS n_pairs
+  FROM pairs p JOIN documents d ON d.doc_id = p.doc_a GROUP BY d.source
+), clu AS (
+  SELECT d.source, count(*) AS n_clustered,
+         count(*) FILTER (WHERE c.doc_id <> c.cluster_id) AS n_removed
+  FROM clusters c JOIN documents d USING (doc_id) GROUP BY d.source
+)
+SELECT b.source, b.n_docs,
+       coalesce(p.n_pairs, 0) AS n_pairs,
+       coalesce(c.n_clustered, 0) AS n_clustered,
+       coalesce(c.n_removed, 0) AS n_removed,
+       b.n_docs - coalesce(c.n_removed, 0) AS n_survivors,
+       round(coalesce(c.n_removed, 0)::DOUBLE / b.n_docs, 6) AS dup_rate
+FROM base b
+LEFT JOIN pair_src p USING (source)
+LEFT JOIN clu c USING (source)
+ORDER BY b.source
 """
     o["dedup_embedding_near"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

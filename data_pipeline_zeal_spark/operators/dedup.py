@@ -1171,3 +1171,79 @@ def best_quality_survivors(
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_pipeline(
+    documents: DataFrame,
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+    method: str = "lsh",
+) -> DataFrame:
+    """The production dedup-report shape: ONE MinHash pass feeding the
+    pair list, the duplicate clusters, AND the per-source dedup summary in
+    a single plan — the amortized composition a real curation run executes
+    (the standalone registry queries ``dedup_minhash_lsh_pairs`` and
+    ``dedup_clusters`` each pay their own tokenize+signature pass because
+    the driver contract is per-query; same motivation as
+    ``retrieval.retrieval_pipeline``).
+
+    Plan shape: :func:`minhash_lsh_pairs` eagerly localCheckpoints its
+    verified pair list (pairs-above-threshold — tiny), so the three
+    consumers (the per-source pair count, the component kernel, and the
+    survivor election derived from it) all read the checkpoint instead of
+    replaying tokenize → signature → band join → verify.  Everything
+    after the checkpoint aggregates on enum-small keys (``source``) or the
+    sparse cluster graph.
+
+    Returns one row per source: document count, near-dup pairs whose
+    LEFT member lives in the source, clustered documents, removed
+    documents (clustered non-canonicals), surviving documents, and the
+    duplicate rate — the report a curation dashboard renders per shard.
+
+    ``method="exact"`` swaps in the O(n²) :func:`jaccard_pairs` edges as
+    the small-input/oracle anchor; the default is the banded scale path.
+    """
+    if method == "exact":
+        pairs = jaccard_pairs(documents, threshold, shingle_n)
+    elif method == "lsh":
+        pairs = minhash_lsh_pairs(documents, threshold, shingle_n=shingle_n)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    pairs = pairs.select("doc_a", "doc_b")
+    clusters = connected_components(pairs)
+
+    src = documents.select("doc_id", "source")
+    base = src.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    pair_src = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    clu = (
+        clusters.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clustered"),
+            F.count_if(F.col("doc_id") != F.col("cluster_id")).alias(
+                "n_removed"
+            ),
+        )
+    )
+    return (
+        base.join(pair_src, "source", "left")
+        .join(clu, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_clustered", F.lit(0)).alias("n_clustered"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            (F.col("n_docs") - F.coalesce("n_removed", F.lit(0))).alias(
+                "n_survivors"
+            ),
+            F.round(
+                F.coalesce("n_removed", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

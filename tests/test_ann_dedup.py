@@ -646,3 +646,43 @@ def test_auto_dispatch_is_threshold_aware():
         assert predicted <= 0.02, thr
     # budget is a knob: an infinite budget restores lsh-everywhere
     assert _auto_embedding_method(1_000_000, 0.4, auto_background_budget=1.0)[0] == "lsh"
+
+
+def test_dedup_pipeline_consistent_with_standalone_ops(spark):
+    """The amortized report must agree with the standalone operators it
+    composes: per-source pair counts with minhash_lsh_pairs, clustered /
+    removed counts with duplicate_clusters, and the arithmetic laws
+    n_survivors = n_docs - n_removed, dup_rate = n_removed / n_docs."""
+    from collections import Counter
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    report = {r.source: r for r in dedup.dedup_pipeline(docs, 0.2).collect()}
+
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    pairs = dedup.minhash_lsh_pairs(docs, 0.2).collect()
+    want_pairs = Counter(src[r.doc_a] for r in pairs)
+    clusters = dedup.duplicate_clusters(docs, 0.2, method="lsh").collect()
+    want_clustered = Counter(src[r.doc_id] for r in clusters)
+    want_removed = Counter(
+        src[r.doc_id] for r in clusters if r.doc_id != r.cluster_id
+    )
+    n_docs = Counter(src.values())
+
+    assert set(report) == set(n_docs)
+    for s, row in report.items():
+        assert row.n_docs == n_docs[s]
+        assert row.n_pairs == want_pairs.get(s, 0), s
+        assert row.n_clustered == want_clustered.get(s, 0), s
+        assert row.n_removed == want_removed.get(s, 0), s
+        assert row.n_survivors == row.n_docs - row.n_removed
+        assert row.dup_rate == round(row.n_removed / row.n_docs, 6)
+
+
+def test_dedup_pipeline_exact_anchor_matches_lsh(spark):
+    """At fixture scale the banded path has measured recall 1.0, so the
+    exact anchor and the scale path must emit identical reports — the
+    same argument that makes the exact SQL a sound driver oracle."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    lsh = dedup.dedup_pipeline(docs, 0.2, method="lsh").collect()
+    exact = dedup.dedup_pipeline(docs, 0.2, method="exact").collect()
+    assert lsh == exact
