@@ -664,6 +664,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_pq_topk"] = lambda s, d: similarity.pq_topk(
         load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
     )
+    # IVFADC + refine (faiss IndexIVFPQ + refine): coarse cells prune the
+    # scan AND residual PQ compresses the probed remainder — the composed
+    # billion-scale architecture.  Deterministic (hash-ordered trainer
+    # samples, no RNG) -> pinned regression oracle; recall is
+    # pytest-gated vs the exact kernel (test_ivf_pq_recall_gate).
+    q["sim_ivf_pq_topk"] = lambda s, d: similarity.ivf_pq_topk(
+        load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
+    )
 
     # --- [EXT] round-3 additions: journeys, baskets, LM scoring, sets ---
     q["events_type_transitions"] = lambda s, d: events_ext.type_transitions(
@@ -5948,6 +5956,9 @@ FROM c, tot ORDER BY k
     #   sim_ivf_topk -> recall >= 0.8 vs exact (test_ivf_recall_gate)
     #   sim_pq_topk -> recall gate vs exact
     #     (test_pq_recall_gate_and_determinism)
+    #   sim_ivf_pq_topk -> recall >= 0.8 vs exact + residual-code
+    #     information law (test_ivf_pq_recall_gate_and_determinism,
+    #     test_residual_pq_improves_on_coarse_only_reconstruction)
     #   sim_pca_project -> basis orthonormality + reconstruction laws
     #     (test_pca_basis_laws,
     #     test_pca_projection_reconstruction_improves_with_k)
@@ -6555,6 +6566,220 @@ t2("query_id", "vec_id", "cosine", "rank") AS (VALUES
   (9,302,0.247664,8),
   (9,319,0.241903,9),
   (9,205,0.234705,10))
+SELECT CAST("query_id" AS BIGINT) AS "query_id", CAST("vec_id" AS BIGINT) AS "vec_id", CAST("cosine" AS DOUBLE) AS "cosine", CAST("rank" AS INTEGER) AS "rank" FROM t1 WHERE (SELECT is_sf0001 FROM which) = 1
+UNION ALL
+SELECT CAST("query_id" AS BIGINT) AS "query_id", CAST("vec_id" AS BIGINT) AS "vec_id", CAST("cosine" AS DOUBLE) AS "cosine", CAST("rank" AS INTEGER) AS "rank" FROM t2 WHERE (SELECT is_sf001 FROM which) = 1
+UNION ALL
+SELECT CAST(-999999 AS BIGINT) AS "query_id", CAST(-999999 AS BIGINT) AS "vec_id", CAST(-999999.0 AS DOUBLE) AS "cosine", CAST(-999999 AS INTEGER) AS "rank" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
+"""
+    o["sim_ivf_pq_topk"] = """
+WITH which AS (
+  SELECT
+    max(CASE WHEN md5(text) = '3bf959bb4328351c94e543f4ec639ca2' THEN 1 ELSE 0 END) AS is_sf0001,
+    max(CASE WHEN md5(text) = '2f562b51617feb025bfa5d6d2e63d2f3' THEN 1 ELSE 0 END) AS is_sf001
+  FROM documents),
+t1("query_id", "vec_id", "cosine", "rank") AS (VALUES
+  (0,17,0.334456,1),
+  (0,225,0.315127,2),
+  (0,12,0.311027,3),
+  (0,260,0.298669,4),
+  (0,73,0.297238,5),
+  (0,212,0.281399,6),
+  (0,347,0.274508,7),
+  (0,402,0.2745,8),
+  (0,299,0.268713,9),
+  (0,497,0.252082,10),
+  (1,257,0.391762,1),
+  (1,209,0.381544,2),
+  (1,376,0.304811,3),
+  (1,440,0.299303,4),
+  (1,75,0.289978,5),
+  (1,455,0.282431,6),
+  (1,247,0.261462,7),
+  (1,260,0.255336,8),
+  (1,237,0.253512,9),
+  (1,248,0.24799,10),
+  (2,443,0.357569,1),
+  (2,62,0.289997,2),
+  (2,246,0.289771,3),
+  (2,234,0.277688,4),
+  (2,441,0.253966,5),
+  (2,309,0.252344,6),
+  (2,183,0.250606,7),
+  (2,488,0.238607,8),
+  (2,24,0.23019,9),
+  (2,388,0.229304,10),
+  (3,223,0.340915,1),
+  (3,205,0.336595,2),
+  (3,212,0.319721,3),
+  (3,84,0.319664,4),
+  (3,426,0.315098,5),
+  (3,156,0.311071,6),
+  (3,72,0.308943,7),
+  (3,278,0.269397,8),
+  (3,382,0.267276,9),
+  (3,137,0.245957,10),
+  (4,345,0.374941,1),
+  (4,98,0.339767,2),
+  (4,143,0.329711,3),
+  (4,343,0.312433,4),
+  (4,57,0.298747,5),
+  (4,62,0.288641,6),
+  (4,229,0.267757,7),
+  (4,472,0.26634,8),
+  (4,100,0.260062,9),
+  (4,271,0.25458,10),
+  (5,113,0.364433,1),
+  (5,440,0.309255,2),
+  (5,234,0.304412,3),
+  (5,298,0.299073,4),
+  (5,448,0.279152,5),
+  (5,118,0.273542,6),
+  (5,296,0.268568,7),
+  (5,377,0.267445,8),
+  (5,31,0.262665,9),
+  (5,409,0.2548,10),
+  (6,141,0.34588,1),
+  (6,434,0.305749,2),
+  (6,78,0.294073,3),
+  (6,280,0.285945,4),
+  (6,467,0.264866,5),
+  (6,495,0.260577,6),
+  (6,444,0.256031,7),
+  (6,312,0.255047,8),
+  (6,352,0.253827,9),
+  (6,486,0.235414,10),
+  (7,382,0.349854,1),
+  (7,466,0.324004,2),
+  (7,209,0.30625,3),
+  (7,329,0.305111,4),
+  (7,220,0.299404,5),
+  (7,18,0.285971,6),
+  (7,167,0.273189,7),
+  (7,326,0.270095,8),
+  (7,198,0.257289,9),
+  (7,341,0.252292,10),
+  (8,20,0.330079,1),
+  (8,385,0.326578,2),
+  (8,190,0.324204,3),
+  (8,231,0.323992,4),
+  (8,132,0.309926,5),
+  (8,142,0.283681,6),
+  (8,118,0.278424,7),
+  (8,375,0.275049,8),
+  (8,398,0.274684,9),
+  (8,333,0.257606,10),
+  (9,381,0.356692,1),
+  (9,107,0.329678,2),
+  (9,365,0.321149,3),
+  (9,261,0.279713,4),
+  (9,396,0.279537,5),
+  (9,216,0.272537,6),
+  (9,327,0.259396,7),
+  (9,88,0.251826,8),
+  (9,463,0.251354,9),
+  (9,314,0.250929,10)),
+t2("query_id", "vec_id", "cosine", "rank") AS (VALUES
+  (0,365,0.369994,1),
+  (0,334,0.362722,2),
+  (0,387,0.331139,3),
+  (0,423,0.296934,4),
+  (0,73,0.295434,5),
+  (0,7,0.292842,6),
+  (0,320,0.287861,7),
+  (0,190,0.281795,8),
+  (0,464,0.276628,9),
+  (0,388,0.276301,10),
+  (1,386,0.371485,1),
+  (1,27,0.348208,2),
+  (1,407,0.32701,3),
+  (1,195,0.322744,4),
+  (1,64,0.316374,5),
+  (1,124,0.30275,6),
+  (1,402,0.292322,7),
+  (1,472,0.292109,8),
+  (1,220,0.289782,9),
+  (1,203,0.268155,10),
+  (2,117,0.318143,1),
+  (2,450,0.266344,2),
+  (2,145,0.263494,3),
+  (2,188,0.263272,4),
+  (2,320,0.255043,5),
+  (2,471,0.247193,6),
+  (2,350,0.240069,7),
+  (2,172,0.239829,8),
+  (2,197,0.233149,9),
+  (2,440,0.231369,10),
+  (3,130,0.399872,1),
+  (3,149,0.329934,2),
+  (3,343,0.308472,3),
+  (3,174,0.303548,4),
+  (3,231,0.298788,5),
+  (3,207,0.291702,6),
+  (3,315,0.285192,7),
+  (3,437,0.280535,8),
+  (3,474,0.276738,9),
+  (3,363,0.268615,10),
+  (4,114,0.398513,1),
+  (4,496,0.341212,2),
+  (4,482,0.313897,3),
+  (4,280,0.279826,4),
+  (4,249,0.279631,5),
+  (4,257,0.272399,6),
+  (4,89,0.265964,7),
+  (4,346,0.231564,8),
+  (4,288,0.228625,9),
+  (4,332,0.227642,10),
+  (5,404,0.328403,1),
+  (5,419,0.319237,2),
+  (5,157,0.311256,3),
+  (5,359,0.305821,4),
+  (5,316,0.291112,5),
+  (5,464,0.270882,6),
+  (5,487,0.263043,7),
+  (5,266,0.260944,8),
+  (5,11,0.257455,9),
+  (5,453,0.240669,10),
+  (6,350,0.324518,1),
+  (6,430,0.32252,2),
+  (6,145,0.297696,3),
+  (6,437,0.283031,4),
+  (6,386,0.275196,5),
+  (6,395,0.25912,6),
+  (6,214,0.256941,7),
+  (6,252,0.25563,8),
+  (6,374,0.24758,9),
+  (6,371,0.241364,10),
+  (7,340,0.492766,1),
+  (7,425,0.40752,2),
+  (7,209,0.394463,3),
+  (7,334,0.356901,4),
+  (7,381,0.345179,5),
+  (7,445,0.340782,6),
+  (7,221,0.324678,7),
+  (7,302,0.314524,8),
+  (7,0,0.292842,9),
+  (7,49,0.288352,10),
+  (8,39,0.384696,1),
+  (8,138,0.356671,2),
+  (8,403,0.338238,3),
+  (8,380,0.304526,4),
+  (8,173,0.30203,5),
+  (8,207,0.285675,6),
+  (8,494,0.284058,7),
+  (8,447,0.280742,8),
+  (8,321,0.269311,9),
+  (8,102,0.266575,10),
+  (9,489,0.343538,1),
+  (9,414,0.3323,2),
+  (9,386,0.322118,3),
+  (9,107,0.284494,4),
+  (9,259,0.251484,5),
+  (9,302,0.247664,6),
+  (9,330,0.242977,7),
+  (9,319,0.241903,8),
+  (9,205,0.234705,9),
+  (9,340,0.233565,10))
 SELECT CAST("query_id" AS BIGINT) AS "query_id", CAST("vec_id" AS BIGINT) AS "vec_id", CAST("cosine" AS DOUBLE) AS "cosine", CAST("rank" AS INTEGER) AS "rank" FROM t1 WHERE (SELECT is_sf0001 FROM which) = 1
 UNION ALL
 SELECT CAST("query_id" AS BIGINT) AS "query_id", CAST("vec_id" AS BIGINT) AS "vec_id", CAST("cosine" AS DOUBLE) AS "cosine", CAST("rank" AS INTEGER) AS "rank" FROM t2 WHERE (SELECT is_sf001 FROM which) = 1

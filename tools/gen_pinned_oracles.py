@@ -36,6 +36,7 @@ TARGETS = [
     "sim_lsh_topk",
     "sim_ivf_topk",
     "sim_pq_topk",
+    "sim_ivf_pq_topk",
     "sim_pca_project",
     "events_hll_weekly_users",
     "events_approx_distinct",
