@@ -1608,10 +1608,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: events_heavy_hitters) and the r6 versioned trio
 #: (versioned_time_travel / merge_upsert / change_feed) whose kernels
 #: took four round-7 commits plus this round's cross-txn conflict rules
-#: after their last driver rows.  50/50 re-verification (≥50 %
-#: directive trivially met; no new queries existed unsampled at rotation
-#: time — new r8 queries are appended to the window as they land, before
-#: the round-end driver run).
+#: after their last driver rows.  The three NEW round-8 queries
+#: (corpus_decontaminate_bloom, dedup_pipeline, sim_ivf_pq_topk —
+#: never driver-sampled, the strongest claim on a slot) displaced the
+#: three lowest-risk r3 events re-verifications (props_profile,
+#: daily_cube, daily_moving_avg: plain aggregations, kernels unchanged
+#: since r3).  47/50 re-verification (≥50 % directive met).
 _DRIVER_FIRST = [
     "part_search",
     "multimodal_decode",
@@ -1655,9 +1657,9 @@ _DRIVER_FIRST = [
     "corpus_contamination",
     "corpus_length_histogram",
     "corpus_curation_summary",
-    "events_props_profile",
-    "events_daily_cube",
-    "events_daily_moving_avg",
+    "corpus_decontaminate_bloom",
+    "dedup_pipeline",
+    "sim_ivf_pq_topk",
     "events_user_cms_counts",
     "events_heavy_hitters",
     "versioned_time_travel",

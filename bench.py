@@ -206,6 +206,10 @@ HEADLINE = [
     # round-7 additions
     "dedup_embedding_near_cells",
     "versioned_stats_skipping",
+    # round-8 additions
+    "corpus_decontaminate_bloom",
+    "dedup_pipeline",
+    "sim_ivf_pq_topk",
 ]
 
 

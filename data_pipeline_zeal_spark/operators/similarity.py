@@ -438,6 +438,29 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def auto_n_cells(n_rows: int, floor: int = 8, cap: int = 65536) -> int:
+    """The faiss cell-count guideline, ``n_cells ~ sqrt(n)``: with
+    ``nprobe`` fixed, per-query touched volume is ``nprobe * n / n_cells``
+    — linear in n at any FIXED cell count, but ``nprobe * sqrt(n)``
+    (sublinear FRACTION -> 0) when cells grow with the corpus.  Floor
+    keeps tiny fixtures probing meaningfully; cap bounds the trainer's
+    driver-side O(sample x cells) assignment matrix.  Pure function so
+    the rule is pytest-pinnable without a session."""
+    import math
+
+    return max(floor, min(cap, round(math.sqrt(max(n_rows, 1)))))
+
+
+def _resolve_n_cells(embeddings: DataFrame, n_cells) -> int:
+    """``n_cells="auto"`` -> :func:`auto_n_cells` of one count() job.
+    The registered/pinned queries pass the integer defaults (stable
+    oracles); ``auto`` is the opt-in a growing deployment uses so the
+    scanned fraction shrinks as the corpus grows."""
+    if n_cells == "auto":
+        return auto_n_cells(embeddings.count())
+    return int(n_cells)
+
+
 def train_kmeans_centroids(
     embeddings: DataFrame,
     n_cells: int = 8,
@@ -569,7 +592,7 @@ def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    n_cells: int = 8,
+    n_cells: int | str = 8,
     nprobe: int = 5,
     train_iters: int = 10,
     sample_size: int = 4096,
@@ -593,7 +616,14 @@ def ivf_topk(
     property, not an implementation artifact.  The defaults (probe 5/8 of
     the cells) measure ≈ 0.9 recall at sf0.001 and are pytest-gated ≥ 0.8
     vs :func:`cosine_topk`; on a real clustered corpus drop ``nprobe``
-    (recall concentrates in the query's own cell)."""
+    (recall concentrates in the query's own cell).
+
+    ``n_cells="auto"`` applies the faiss ``sqrt(n)`` growth rule
+    (:func:`auto_n_cells`): a FIXED cell count scans a fixed fraction of
+    the corpus per query — linear absolute volume at 100 TB — while
+    sqrt-growth makes the probed fraction ``nprobe/sqrt(n)`` -> 0.  The
+    registered query pins the integer default for oracle stability."""
+    n_cells = _resolve_n_cells(embeddings, n_cells)
     cents = train_kmeans_centroids(embeddings, n_cells, train_iters, sample_size)
     spark = embeddings.sparkSession
     cents_df = spark.createDataFrame(
@@ -929,7 +959,7 @@ def ivf_pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    n_cells: int = 8,
+    n_cells: int | str = 8,
     nprobe: int = 6,
     m: int = 8,
     n_codes: int = 32,
@@ -962,9 +992,12 @@ def ivf_pq_topk(
     rerank 200, 32 codes/subspace) measure 0.9 / 0.87 recall at
     sf0.001 / sf0.01 on the ISOTROPIC fixture geometry — the worst case
     for any cell-probing ANN (recall ≈ scanned fraction); clustered real
-    corpora do better at much lower nprobe."""
+    corpora do better at much lower nprobe.  ``n_cells="auto"`` opts into
+    the sqrt(n) growth rule (:func:`auto_n_cells`), same as
+    :func:`ivf_topk`; the registered query pins the integer default."""
     import numpy as np
 
+    n_cells = _resolve_n_cells(embeddings, n_cells)
     cents = train_kmeans_centroids(embeddings, n_cells, train_iters, sample_size)
     books = train_pq_codebooks_residual(
         embeddings, cents, m, n_codes, train_iters, sample_size

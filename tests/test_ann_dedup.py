@@ -736,3 +736,27 @@ def test_residual_pq_improves_on_coarse_only_reconstruction(spark):
     # determinism of the trainer (hash-ordered sample, no RNG)
     again = similarity.train_pq_codebooks_residual(emb, cents, m=8, n_codes=16)
     assert again == resid
+
+
+def test_auto_n_cells_rule():
+    """sqrt(n) growth with floor and cap — pure function, no session.
+    The scale property: probed FRACTION nprobe/n_cells -> 0 as n grows."""
+    from data_pipeline_zeal_spark.operators.similarity import auto_n_cells
+
+    assert auto_n_cells(0) == 8 and auto_n_cells(500) == 22
+    assert auto_n_cells(1_000_000) == 1000
+    assert auto_n_cells(10**10) == 65536  # capped (trainer matrix bound)
+    # monotone non-decreasing over decades
+    vals = [auto_n_cells(10**d) for d in range(2, 11)]
+    assert vals == sorted(vals)
+
+
+def test_ivf_auto_cells_end_to_end(spark):
+    """n_cells="auto" resolves via one count() and returns a valid top-k
+    frame; at 500 fixture rows it trains sqrt(500)~22 cells."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qids = [r.vec_id for r in emb.orderBy("vec_id").limit(3).collect()]
+    got = similarity.ivf_topk(emb, qids, k=5, n_cells="auto", nprobe=16)
+    rows = got.collect()
+    assert len(rows) == 15
+    assert {r.query_id for r in rows} == set(qids)
