@@ -737,6 +737,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["retrieval_pipeline"] = lambda s, d: retrieval.retrieval_pipeline(
         load_table(s, d, "documents"), k=10, per_query=5
     )
+    # hybrid lexical+vector retrieval fused by RRF (Cormack et al. 2009):
+    # deterministic (rounded scores, doc_id tie-breaks) -> exactly
+    # SQL-expressible, oracle-checked end-to-end
+    q["retrieval_hybrid_rrf"] = lambda s, d: retrieval.hybrid_rrf_topk(
+        load_table(s, d, "documents"), load_table(s, d, "embeddings"), k=10
+    )
     # distributed BPE merge training (Sennrich '16): the corpus is touched
     # once (word-count shuffle); each merge round runs on the bounded
     # vocab frame.  Deterministic -> oracle = pinned per-fixture merge
@@ -1608,12 +1614,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: events_heavy_hitters) and the r6 versioned trio
 #: (versioned_time_travel / merge_upsert / change_feed) whose kernels
 #: took four round-7 commits plus this round's cross-txn conflict rules
-#: after their last driver rows.  The three NEW round-8 queries
-#: (corpus_decontaminate_bloom, dedup_pipeline, sim_ivf_pq_topk —
-#: never driver-sampled, the strongest claim on a slot) displaced the
-#: three lowest-risk r3 events re-verifications (props_profile,
-#: daily_cube, daily_moving_avg: plain aggregations, kernels unchanged
-#: since r3).  47/50 re-verification (≥50 % directive met).
+#: after their last driver rows.  The four NEW round-8 queries
+#: (corpus_decontaminate_bloom, dedup_pipeline, sim_ivf_pq_topk,
+#: retrieval_hybrid_rrf — never driver-sampled, the strongest claim on
+#: a slot) displaced the four lowest-risk r3 re-verifications
+#: (events_props_profile, events_daily_cube, events_daily_moving_avg,
+#: corpus_length_histogram: plain aggregations, kernels unchanged since
+#: r3).  46/50 re-verification (≥50 % directive met).
 _DRIVER_FIRST = [
     "part_search",
     "multimodal_decode",
@@ -1655,11 +1662,11 @@ _DRIVER_FIRST = [
     "corpus_quality_filter",
     "corpus_mixture_weights",
     "corpus_contamination",
-    "corpus_length_histogram",
     "corpus_curation_summary",
     "corpus_decontaminate_bloom",
     "dedup_pipeline",
     "sim_ivf_pq_topk",
+    "retrieval_hybrid_rrf",
     "events_user_cms_counts",
     "events_heavy_hitters",
     "versioned_time_travel",
@@ -5514,6 +5521,45 @@ FROM nr WHERE neg_rank <= 5 ORDER BY query_id, neg_rank
     # retrieval_pipeline: the composed run -> metrics + negatives plan;
     # the oracle shares the BM25 CTE and stitches the same two outputs —
     # metrics row + ordered negative-id CSV per query
+    # hybrid RRF: both runs replay exactly in SQL (BM25 shared CTE +
+    # cosine window), fusion is a full outer join on (query, doc) with
+    # rank-reciprocal sums rounded to 6 dp BEFORE the fused rank window
+    # (cross-engine tie stability, same recipe as the BM25 oracle).
+    o["retrieval_hybrid_rrf"] = f"""
+WITH {_bm25_ranked},
+bm AS (SELECT query_id, doc_id, rank::INTEGER AS bm25_rank
+       FROM ranked WHERE rank <= 10),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+       FROM embeddings WHERE vec_id % 31 = 0),
+vscored AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(qv.v, e.embedding::DOUBLE[]), 6)
+           AS cosine
+  FROM qv JOIN embeddings e ON e.vec_id <> qv.query_id),
+vranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, doc_id ASC)
+              AS INTEGER) AS vec_rank
+  FROM vscored),
+vec AS (SELECT * FROM vranked WHERE vec_rank <= 10),
+fused AS (
+  SELECT coalesce(b.query_id, v.query_id) AS query_id,
+         coalesce(b.doc_id, v.doc_id) AS doc_id,
+         coalesce(b.bm25_rank, 0) AS bm25_rank,
+         coalesce(v.vec_rank, 0) AS vec_rank,
+         round(coalesce(1.0 / (60 + b.bm25_rank), 0)
+               + coalesce(1.0 / (60 + v.vec_rank), 0), 6) AS rrf_score
+  FROM bm b FULL OUTER JOIN vec v
+    ON b.query_id = v.query_id AND b.doc_id = v.doc_id),
+final AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_score DESC, doc_id ASC)
+                 AS INTEGER) AS rank
+  FROM fused)
+SELECT query_id, doc_id, bm25_rank, vec_rank, rrf_score, rank
+FROM final WHERE rank <= 10 ORDER BY query_id, rank
+"""
     o["retrieval_pipeline"] = f"""
 WITH {_bm25_ranked},
 qrels AS (

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfn import tokens
+from ..functions.vector import as_double, cosine
 from ..io import with_min_parallelism
 
 
@@ -317,6 +318,85 @@ def retrieval_pipeline(
     )
     result._zeal_persisted_run = run  # release handle — see docstring
     return result
+
+
+def hybrid_rrf_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    depth: int = 10,
+    rrf_k: int = 60,
+    query_mod: int = 31,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    (Cormack/Clarke/Buettcher 2009): each query runs BOTH a BM25 top-
+    ``depth`` over the text corpus and an exact-cosine top-``depth`` over
+    the embedding corpus, and a candidate's fused score is
+    ``sum(1 / (rrf_k + rank))`` over the runs that retrieved it — the
+    standard production shape for RAG retrieval (lexical recall for rare
+    exact terms, vector recall for paraphrase) precisely because RRF
+    needs no score calibration between the two runs.
+
+    Queries are the deterministic corpus derivation (``doc_id %
+    query_mod == 0``; the vector side uses the SAME ids where an
+    embedding exists — partial embedding coverage is normal and a query
+    or candidate absent from one run simply contributes nothing from
+    it).  Fusion ranks on the 6-dp-rounded fused score with doc_id
+    tie-breaks, so the whole operator is deterministic and exactly
+    SQL-expressible — unlike IVF/LSH this hybrid is oracle-checked
+    end-to-end.
+
+    SCALE: both runs are the already-audited kernels (posting join with
+    broadcast query terms; broadcast query vectors over the corpus
+    scan); the fusion join touches only ``queries x depth`` rows per run
+    — negligible at any corpus size.  Returns (query_id, doc_id,
+    bm25_rank, vec_rank, rrf_score, rank) with 0 marking "not retrieved
+    by this run"."""
+    run_bm = bm25_search(
+        documents, corpus_queries(documents, query_mod), k=depth
+    ).select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
+
+    qv = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    cand = with_min_parallelism(embeddings).select(
+        F.col("vec_id").alias("doc_id"),
+        as_double(F.col("embedding")).alias("v"),
+    )
+    vec_scored = cand.join(
+        F.broadcast(qv), F.col("doc_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "doc_id",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    run_vec = (
+        vec_scored.withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= depth)
+        .select("query_id", "doc_id", "vec_rank")
+    )
+
+    fused = run_bm.join(run_vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+        F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
 
 
 def release_pipeline_cache(result: DataFrame) -> bool:

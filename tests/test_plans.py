@@ -262,6 +262,11 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
         "sim_knn_label": 1,
         "sim_ivf_topk": 1,
         "sim_pq_topk": 1,
+        "sim_ivf_pq_topk": 1,  # same broadcast query-set shape as pq_topk
+        # hybrid fusion: the vector run is the bounded broadcast
+        # query-set theta join (the sim_cosine_topk kernel) plus the
+        # BM25 side's 1-row (n_docs, avgdl) corpus-stats broadcast
+        "retrieval_hybrid_rrf": 2,
         # documented exact O(n²) verification kernels
         "dedup_jaccard_pairs": 1,
         "dedup_embedding_near": 1,

@@ -190,3 +190,62 @@ def test_pipeline_cache_release(spark):
     assert retrieval.release_pipeline_cache(out) is True
     assert not run.is_cached
     assert retrieval.release_pipeline_cache(out) is False  # idempotent
+
+
+def test_hybrid_rrf_matches_python_recomputation(spark):
+    """Fuse the two standalone runs in plain Python and demand exact
+    agreement: membership, both per-run ranks, the 6-dp fused score, and
+    the fused ordering (score desc, doc_id asc)."""
+    from data_pipeline_zeal_spark.operators import similarity
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    bm = retrieval.bm25_search(docs, retrieval.corpus_queries(docs), k=10)
+    bm_rank = {(r.query_id, r.doc_id): r.rank for r in bm.collect()}
+    qids = [r.vec_id for r in emb.filter("vec_id % 31 = 0").collect()]
+    vec = similarity.cosine_topk(emb, qids, k=10)
+    vec_rank = {(r.query_id, r.vec_id): r.rank for r in vec.collect()}
+
+    want = {}
+    for (q, d), r in bm_rank.items():
+        want.setdefault((q, d), [0, 0])[0] = r
+    for (q, d), r in vec_rank.items():
+        want.setdefault((q, d), [0, 0])[1] = r
+    scored = {
+        k: round(
+            (1.0 / (60 + v[0]) if v[0] else 0.0)
+            + (1.0 / (60 + v[1]) if v[1] else 0.0),
+            6,
+        )
+        for k, v in want.items()
+    }
+    by_q: dict = {}
+    for (q, d), s in scored.items():
+        by_q.setdefault(q, []).append((-s, d))
+    expect = {}
+    for q, lst in by_q.items():
+        for i, (negs, d) in enumerate(sorted(lst)[:10], 1):
+            expect[(q, d)] = (want[(q, d)][0], want[(q, d)][1], -negs, i)
+
+    got = {
+        (r.query_id, r.doc_id): (r.bm25_rank, r.vec_rank, r.rrf_score, r.rank)
+        for r in retrieval.hybrid_rrf_topk(docs, emb, k=10).collect()
+    }
+    assert got == expect
+
+
+def test_hybrid_rrf_both_runs_beat_single_run_at_same_rank(spark):
+    """RRF law: a candidate retrieved at rank r by BOTH runs must outscore
+    one retrieved at rank r by only one run."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = retrieval.hybrid_rrf_topk(docs, emb, k=10).collect()
+    both = [r for r in rows if r.bm25_rank and r.vec_rank]
+    single = [r for r in rows if bool(r.bm25_rank) != bool(r.vec_rank)]
+    assert both and single  # the fixture exercises both shapes
+    for b in both:
+        base = min(b.bm25_rank, b.vec_rank)
+        for s in single:
+            if max(s.bm25_rank, s.vec_rank) >= base:
+                assert b.rrf_score > s.rrf_score
