@@ -966,6 +966,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["versioned_stats_skipping"] = _versioned_skipping
 
+    def _versioned_delete(s: SparkSession, d: str) -> DataFrame:
+        """Copy-on-write DELETE (round-8): three single-file commits
+        over disjoint o_orderdate ranges, then a predicate delete that
+        must (a) REWRITE only the one file whose stats can match and
+        HARD-LINK the other two untouched (the counts are emitted as
+        columns so the oracle pins the COW mechanics, not just values),
+        and (b) leave exactly the plain anti-filter's rows behind."""
+        import shutil
+        import tempfile
+
+        from data_pipeline_zeal_spark.sources import versioned as V
+
+        o = load_table(s, d, "orders").filter(F.col("o_orderkey") % 10 == 0)
+        c1 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+        c2 = F.lit("1999-01-01 00:00:00").cast("timestamp")
+        t = tempfile.mkdtemp(prefix="versioned_del_")
+        try:
+            V.commit_write(
+                o.filter(F.col("o_orderdate") < c1).coalesce(1),
+                t,
+                mode="overwrite",
+            )
+            V.commit_write(
+                o.filter(
+                    (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2)
+                ).coalesce(1),
+                t,
+                mode="append",
+            )
+            V.commit_write(
+                o.filter(F.col("o_orderdate") >= c2).coalesce(1),
+                t,
+                mode="append",
+            )
+            rep = V.delete_where(
+                s, t, [("o_orderdate", ">=", "1999-01-01 00:00:00")]
+            )
+            cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            agg = (
+                V.read_version(s, t)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.coalesce(F.sum(cents), F.lit(0)).alias("total_cents"),
+                )
+                .select(
+                    F.lit(rep["files_rewritten"]).alias("files_rewritten"),
+                    F.lit(rep["files_linked"]).alias("files_linked"),
+                    F.lit(rep["rows_deleted"]).cast("long").alias("rows_deleted"),
+                    "n_rows",
+                    "total_cents",
+                )
+            )
+            return _eager(agg)
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
+
+    q["versioned_delete_where"] = _versioned_delete
+
     def _versioned_datasource_read(s: SparkSession, d: str) -> DataFrame:
         """The zeal_versioned Python DataSource end-to-end (round-7):
         same three-commit layout as versioned_stats_skipping, but read
@@ -1614,13 +1672,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: events_heavy_hitters) and the r6 versioned trio
 #: (versioned_time_travel / merge_upsert / change_feed) whose kernels
 #: took four round-7 commits plus this round's cross-txn conflict rules
-#: after their last driver rows.  The four NEW round-8 queries
+#: after their last driver rows.  The five NEW round-8 queries
 #: (corpus_decontaminate_bloom, dedup_pipeline, sim_ivf_pq_topk,
-#: retrieval_hybrid_rrf — never driver-sampled, the strongest claim on
-#: a slot) displaced the four lowest-risk r3 re-verifications
-#: (events_props_profile, events_daily_cube, events_daily_moving_avg,
-#: corpus_length_histogram: plain aggregations, kernels unchanged since
-#: r3).  46/50 re-verification (≥50 % directive met).
+#: retrieval_hybrid_rrf, versioned_delete_where — never driver-sampled,
+#: the strongest claim on a slot) displaced the five lowest-risk r2/r3
+#: re-verifications (events_props_profile, events_daily_cube,
+#: events_daily_moving_avg, corpus_length_histogram, text_normalize:
+#: plain aggregations/projections, kernels unchanged for 5+ rounds).
+#: 45/50 re-verification (≥50 % directive met).
 _DRIVER_FIRST = [
     "part_search",
     "multimodal_decode",
@@ -1650,7 +1709,6 @@ _DRIVER_FIRST = [
     "text_source_token_totals",
     "text_token_frequencies",
     "text_tfidf_top_terms",
-    "text_normalize",
     "text_rare_tokens",
     "text_scrub_pii",
     "dedup_exact_groups",
@@ -1667,6 +1725,7 @@ _DRIVER_FIRST = [
     "dedup_pipeline",
     "sim_ivf_pq_topk",
     "retrieval_hybrid_rrf",
+    "versioned_delete_where",
     "events_user_cms_counts",
     "events_heavy_hitters",
     "versioned_time_travel",
@@ -5728,6 +5787,23 @@ SELECT CAST(3 AS INTEGER) AS n_dirs,
        coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
                 0)::BIGINT AS total_cents
 FROM orders WHERE o_orderdate >= TIMESTAMP '1999-06-01'
+"""
+    # versioned_delete_where: the COW delete's surviving snapshot must
+    # equal the plain anti-filter; files_rewritten=1 / files_linked=2 pin
+    # that the per-file stats routed exactly one commit's file through
+    # the rewrite and hard-linked the other two; rows_deleted is the
+    # matching count, recomputed independently here
+    o["versioned_delete_where"] = """
+SELECT CAST(1 AS INTEGER) AS files_rewritten,
+       CAST(2 AS INTEGER) AS files_linked,
+       (SELECT count(*) FROM orders
+        WHERE o_orderkey % 10 = 0
+          AND o_orderdate >= TIMESTAMP '1999-01-01')::BIGINT AS rows_deleted,
+       count(*)::BIGINT AS n_rows,
+       coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
+                0)::BIGINT AS total_cents
+FROM orders
+WHERE o_orderkey % 10 = 0 AND o_orderdate < TIMESTAMP '1999-01-01'
 """
     # versioned_datasource_read: the DataSource read with a pushed filter
     # must equal the plain filtered aggregate; n_planned_files = 1 pins

@@ -211,6 +211,7 @@ HEADLINE = [
     "dedup_pipeline",
     "sim_ivf_pq_topk",
     "retrieval_hybrid_rrf",
+    "versioned_delete_where",
 ]
 
 

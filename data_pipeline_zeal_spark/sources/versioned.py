@@ -31,6 +31,12 @@ Protocol:
   drop or resurrect data the writer never read).  Same-txn retries are
   resolved by the idempotence check first and never conflict with
   their own winner.
+* **DELETE (copy-on-write)**: :func:`delete_where` removes matching
+  rows as one overwrite commit, REWRITING only the files whose
+  recorded per-file min/max can contain a match and HARD-LINKING every
+  provably-untouched file into the new commit (zero bytes copied or
+  scanned; stats carried forward, row counts from parquet footers).
+  The write side of the same two-tier stats that power read skipping.
 * **Read**: replay the log up to the requested version — ``overwrite``
   resets the live file-set, ``append`` extends it — then read exactly
   those directories.  ``version=None`` reads latest; any earlier version
@@ -669,6 +675,155 @@ def merge_upsert(
     return commit_write(
         merged, table, mode="overwrite", txn=txn, read_version=basis
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    predicates: list[tuple],
+    txn: str | None = None,
+) -> dict:
+    """Copy-on-write DELETE (the GDPR/right-to-erasure primitive):
+    remove every row matching a conjunction of simple predicates
+    ``(col, op, literal)`` — ops as in :func:`read_where` — as ONE
+    atomic overwrite commit, rewriting only the files the predicate can
+    touch.
+
+    The same two-tier commit stats that power read-side skipping power
+    the WRITE side here: files whose recorded min/max PROVE no row
+    matches are HARD-LINKED into the new commit directory (zero bytes
+    copied or scanned — the protocol's existing link-based atomicity,
+    now applied to data files), and only the may-match files flow
+    through Spark's scan → anti-filter → write.  At 100 TB with
+    clustered layout (OPTIMIZE ZORDER), a keyed delete rewrites a
+    handful of files and links the rest; without stats it degrades to a
+    full rewrite, never to wrong answers.  Linked files carry their old
+    per-file stats forward; their row counts come from parquet FOOTERS
+    only (no data pages read).  Pre-stats commits are conservatively
+    rewritten wholesale.
+
+    SQL NULL semantics: ``DELETE WHERE p`` removes rows where ``p`` is
+    TRUE — rows where ``p`` evaluates NULL are KEPT (the keep filter is
+    ``NOT coalesce(p, FALSE)``).
+
+    Read-modify-write concurrency: the snapshot basis is captured before
+    classification; an intervening commit from another writer raises
+    :class:`ConcurrentWriteConflict` at publish (overwrite rules).  A
+    provably-empty delete (every file pruned) is a NO-OP: no commit is
+    published.  Returns ``{"version", "rows_deleted", "files_rewritten",
+    "files_linked"}``."""
+    from pyspark.sql import functions as F
+
+    existing = _txn_committed_version(table, txn)
+    if existing is not None:
+        return {
+            "version": existing,
+            "rows_deleted": None,  # idempotent replay: counts not re-derived
+            "files_rewritten": None,
+            "files_linked": None,
+        }
+    basis = (_list_versions(table) or [0])[-1]
+    rewrite: list[str] = []  # file paths (or whole pre-stats dirs) to scan
+    linked: list[tuple[str, dict]] = []  # (path, per-file bounds) to link
+    for d, payload in _live_stats(table, None).items():
+        stats = payload["stats"]
+        fs = payload["file_stats"]
+        dir_may_match = all(
+            _predicate_may_match(stats.get(col), op, value)
+            for col, op, value in predicates
+        )
+        if not fs:
+            # pre-stats commit: no per-file evidence — rewrite wholesale
+            # (dir bounds could prune it, but without file stats a link
+            # would lose the stats payload; correctness first)
+            rewrite.append(os.path.join(table, d))
+            continue
+        for base, bounds in sorted(fs.items()):
+            may = dir_may_match and all(
+                _predicate_may_match(bounds.get(col), op, value)
+                for col, op, value in predicates
+            )
+            path = os.path.join(table, d, base)
+            if may:
+                rewrite.append(path)
+            else:
+                linked.append((path, bounds))
+    if not rewrite:
+        # no file can contain a matching row: provably a no-op
+        return {
+            "version": basis,
+            "rows_deleted": 0,
+            "files_rewritten": 0,
+            "files_linked": 0,
+        }
+
+    staging = f"v{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(table, _DATA_DIR, staging)
+    src = spark.read.parquet(*rewrite)
+    _OPS = {
+        "=": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+        "between": lambda c, v: c.between(v[0], v[1]),
+        "in": lambda c, v: c.isin(list(v)),
+    }
+    pred = F.lit(True)
+    for col, op, value in predicates:
+        pred = pred & _OPS[op](F.col(col), value)
+    keep = src.filter(~F.coalesce(pred, F.lit(False)))
+    keep.write.mode("error").parquet(data_dir)
+    n_new, dir_stats, file_stats = _staged_stats(spark, data_dir)
+
+    # exact deleted-row count: rewritten-input footers minus kept rows
+    import pyarrow.parquet as pq
+
+    n_in = 0
+    for p in rewrite:
+        if os.path.isdir(p):  # pre-stats whole directory
+            for name in os.listdir(p):
+                if name.endswith(".parquet"):
+                    n_in += pq.ParquetFile(os.path.join(p, name)).metadata.num_rows
+        else:
+            n_in += pq.ParquetFile(p).metadata.num_rows
+
+    # hard-link the provably-untouched files into the commit dir and
+    # fold their stats + footer row counts into the entry
+    n_rows = n_new
+    for path, bounds in linked:
+        base = os.path.basename(path)
+        target = os.path.join(data_dir, base)
+        if os.path.exists(target):  # spark part names embed job UUIDs
+            raise RuntimeError(f"file name collision linking {base}")
+        os.link(path, target)
+        file_stats[base] = bounds
+        n_rows += pq.ParquetFile(path).metadata.num_rows
+        for c, b in bounds.items():
+            if b is None:
+                continue
+            lo, hi = b
+            d0 = dir_stats.setdefault(c, [None, None])
+            if lo is not None and (d0[0] is None or lo < d0[0]):
+                d0[0] = lo
+            if hi is not None and (d0[1] is None or hi > d0[1]):
+                d0[1] = hi
+
+    entry = {
+        "action": "overwrite",
+        "dirs": [f"{_DATA_DIR}/{staging}"],
+        "n_rows": n_rows,
+        "stats": dir_stats,
+        "file_stats": file_stats,
+        "rows_deleted": n_in - n_new,
+    }
+    version = _publish_entry(table, entry, txn, read_version=basis)
+    return {
+        "version": version,
+        "rows_deleted": n_in - n_new,
+        "files_rewritten": len(rewrite),
+        "files_linked": len(linked),
+    }
 
 
 def versioned_sink(table: str, query_name: str = "stream"):

@@ -581,3 +581,122 @@ def test_same_txn_retry_still_adopts_not_conflicts(spark, tmp_path):
                        read_version=1)
     assert v == 2
     assert V._list_versions(t) == [1, 2]
+
+
+def test_delete_where_cow_rewrites_only_may_match_files(spark):
+    """Copy-on-write DELETE: files whose stats prove no match are
+    hard-linked (zero bytes copied), only may-match files rewrite;
+    content equals a plain anti-filter; linked files keep prunable
+    stats; time travel still sees pre-delete rows."""
+    import tempfile, shutil
+    from pyspark.sql import functions as F
+    from data_pipeline_zeal_spark.io import load_table
+    from data_pipeline_zeal_spark.sources import versioned as V
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    c1 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    c2 = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    t = tempfile.mkdtemp(prefix="del_cow_")
+    try:
+        V.commit_write(o.filter(F.col("o_orderdate") < c1).coalesce(1), t, mode="overwrite")
+        V.commit_write(
+            o.filter((F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2)).coalesce(1),
+            t, mode="append",
+        )
+        V.commit_write(o.filter(F.col("o_orderdate") >= c2).coalesce(1), t, mode="append")
+        before = V.read_version(spark, t).count()
+
+        rep = V.delete_where(spark, t, [("o_orderdate", ">=", "1999-01-01 00:00:00")])
+        assert rep["files_rewritten"] == 1 and rep["files_linked"] == 2
+        want = o.filter(F.col("o_orderdate") < c2)
+        assert rep["rows_deleted"] == before - want.count()
+        got = V.read_version(spark, t).orderBy("o_orderkey").collect()
+        assert got == want.orderBy("o_orderkey").collect()
+        # linked files carried their stats: later predicate reads still prune
+        _, kept, skipped = V.pruned_paths(t, [("o_orderdate", "<", "1997-01-01 00:00:00")])
+        assert kept == 1 and skipped >= 1
+        # time travel to the pre-delete version is intact
+        assert V.read_version(spark, t, 3).count() == before
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+
+
+def test_delete_where_noop_and_null_semantics(spark):
+    """A provably-empty delete publishes NO commit; rows where the
+    predicate evaluates NULL are kept (DELETE removes only TRUE)."""
+    import tempfile, shutil
+    from data_pipeline_zeal_spark.sources import versioned as V
+
+    t = tempfile.mkdtemp(prefix="del_noop_")
+    try:
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 3.0)], "id long, v double"
+        )
+        V.commit_write(df, t, mode="overwrite")
+        # out-of-range literal -> every file pruned -> no-op, same version
+        rep = V.delete_where(spark, t, [("id", ">", 100)])
+        assert rep == {
+            "version": 1, "rows_deleted": 0,
+            "files_rewritten": 0, "files_linked": 0,
+        }
+        assert [h["version"] for h in V.history(t)] == [1]
+        # NULL predicate value: row 2 (v IS NULL) must survive v > 5.0
+        rep = V.delete_where(spark, t, [("v", ">", 5.0)])
+        assert rep["rows_deleted"] == 1
+        ids = sorted(r.id for r in V.read_version(spark, t).collect())
+        assert ids == [2, 3]
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+
+
+def test_delete_where_txn_idempotent_and_conflicts(spark):
+    """Same-txn retry returns the committed version without a second
+    rewrite; a delete publishing against a snapshot that gained an
+    intervening commit raises the overwrite conflict (delete is
+    read-modify-write — losing it silently would resurrect rows)."""
+    import tempfile, shutil
+    import pytest
+    from data_pipeline_zeal_spark.sources import versioned as V
+
+    t = tempfile.mkdtemp(prefix="del_txn_")
+    try:
+        df = spark.range(100).selectExpr("id", "id * 2 AS v")
+        V.commit_write(df, t, mode="overwrite")
+        rep1 = V.delete_where(spark, t, [("id", "<", 10)], txn="del-1")
+        rep2 = V.delete_where(spark, t, [("id", "<", 10)], txn="del-1")
+        assert rep2["version"] == rep1["version"]
+        assert rep2["rows_deleted"] is None  # replay: not re-derived
+        assert V.read_version(spark, t).count() == 90
+
+        # stale-basis conflict: an append lands between the delete's
+        # snapshot read and its publish -> ConcurrentWriteConflict.
+        # Stage the race by pausing delete's publish via the entry hook.
+        orig_publish = V._publish_entry
+        raced = {"done": False}
+
+        def racing_publish(table, entry, txn, max_retries=20, read_version=None):
+            if table == t and not raced["done"]:
+                raced["done"] = True
+                V.commit_write(
+                    spark.range(5).selectExpr("id + 1000 AS id", "id AS v"),
+                    t,
+                    mode="append",
+                )
+            return orig_publish(
+                table, entry, txn, max_retries, read_version=read_version
+            )
+
+        V._publish_entry = racing_publish
+        try:
+            with pytest.raises(V.ConcurrentWriteConflict):
+                V.delete_where(spark, t, [("id", ">=", 50)])
+        finally:
+            V._publish_entry = orig_publish
+        # the losing delete left no commit; the appended rows are intact
+        assert V.read_version(spark, t).count() == 95
+        # retry on the fresh snapshot succeeds
+        rep3 = V.delete_where(spark, t, [("id", ">=", 1000)])
+        assert rep3["rows_deleted"] == 5
+        assert V.read_version(spark, t).count() == 90
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
