@@ -1024,6 +1024,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["versioned_delete_where"] = _versioned_delete
 
+    def _versioned_update(s: SparkSession, d: str) -> DataFrame:
+        """Copy-on-write UPDATE (round-8): same three-commit layout as
+        the delete query, then SET o_orderstatus='R' on the matching
+        date range — one file rewrites, two hard-link, every row
+        survives, and the post-update status census is independently
+        recomputable in SQL (string SET: no float hazard)."""
+        import shutil
+        import tempfile
+
+        from data_pipeline_zeal_spark.sources import versioned as V
+
+        o = load_table(s, d, "orders").filter(F.col("o_orderkey") % 10 == 0)
+        c1 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+        c2 = F.lit("1999-01-01 00:00:00").cast("timestamp")
+        t = tempfile.mkdtemp(prefix="versioned_upd_")
+        try:
+            V.commit_write(
+                o.filter(F.col("o_orderdate") < c1).coalesce(1),
+                t,
+                mode="overwrite",
+            )
+            V.commit_write(
+                o.filter(
+                    (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2)
+                ).coalesce(1),
+                t,
+                mode="append",
+            )
+            V.commit_write(
+                o.filter(F.col("o_orderdate") >= c2).coalesce(1),
+                t,
+                mode="append",
+            )
+            rep = V.update_where(
+                s,
+                t,
+                [("o_orderdate", ">=", "1999-01-01 00:00:00")],
+                {"o_orderstatus": "'R'"},
+            )
+            agg = (
+                V.read_version(s, t)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.count_if(F.col("o_orderstatus") == "R").alias(
+                        "n_status_r"
+                    ),
+                )
+                .select(
+                    F.lit(rep["files_rewritten"]).alias("files_rewritten"),
+                    F.lit(rep["files_linked"]).alias("files_linked"),
+                    F.lit(rep["rows_updated"]).cast("long").alias(
+                        "rows_updated"
+                    ),
+                    "n_rows",
+                    "n_status_r",
+                )
+            )
+            return _eager(agg)
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
+
+    q["versioned_update_where"] = _versioned_update
+
     def _versioned_datasource_read(s: SparkSession, d: str) -> DataFrame:
         """The zeal_versioned Python DataSource end-to-end (round-7):
         same three-commit layout as versioned_stats_skipping, but read
@@ -1672,14 +1735,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: events_heavy_hitters) and the r6 versioned trio
 #: (versioned_time_travel / merge_upsert / change_feed) whose kernels
 #: took four round-7 commits plus this round's cross-txn conflict rules
-#: after their last driver rows.  The five NEW round-8 queries
+#: after their last driver rows.  The six NEW round-8 queries
 #: (corpus_decontaminate_bloom, dedup_pipeline, sim_ivf_pq_topk,
-#: retrieval_hybrid_rrf, versioned_delete_where — never driver-sampled,
-#: the strongest claim on a slot) displaced the five lowest-risk r2/r3
-#: re-verifications (events_props_profile, events_daily_cube,
-#: events_daily_moving_avg, corpus_length_histogram, text_normalize:
-#: plain aggregations/projections, kernels unchanged for 5+ rounds).
-#: 45/50 re-verification (≥50 % directive met).
+#: retrieval_hybrid_rrf, versioned_delete_where,
+#: versioned_update_where — never driver-sampled, the strongest claim
+#: on a slot) displaced the six lowest-risk r2/r3 re-verifications
+#: (events_props_profile, events_daily_cube, events_daily_moving_avg,
+#: corpus_length_histogram, text_normalize, text_scrub_pii: plain
+#: aggregations/projections, kernels unchanged for 5+ rounds).
+#: 44/50 re-verification (≥50 % directive met).
 _DRIVER_FIRST = [
     "part_search",
     "multimodal_decode",
@@ -1710,7 +1774,6 @@ _DRIVER_FIRST = [
     "text_token_frequencies",
     "text_tfidf_top_terms",
     "text_rare_tokens",
-    "text_scrub_pii",
     "dedup_exact_groups",
     "dedup_normalized_groups",
     "dedup_levenshtein_pairs",
@@ -1726,6 +1789,7 @@ _DRIVER_FIRST = [
     "sim_ivf_pq_topk",
     "retrieval_hybrid_rrf",
     "versioned_delete_where",
+    "versioned_update_where",
     "events_user_cms_counts",
     "events_heavy_hitters",
     "versioned_time_travel",
@@ -5804,6 +5868,21 @@ SELECT CAST(1 AS INTEGER) AS files_rewritten,
                 0)::BIGINT AS total_cents
 FROM orders
 WHERE o_orderkey % 10 = 0 AND o_orderdate < TIMESTAMP '1999-01-01'
+"""
+    # versioned_update_where: a string SET carries no float hazard, so
+    # the post-update status census is a pure SQL recompute; the COW
+    # counts pin that one file rewrote and two linked, and every row
+    # survives an UPDATE (unlike the delete twin)
+    o["versioned_update_where"] = """
+SELECT CAST(1 AS INTEGER) AS files_rewritten,
+       CAST(2 AS INTEGER) AS files_linked,
+       (SELECT count(*) FROM orders
+        WHERE o_orderkey % 10 = 0
+          AND o_orderdate >= TIMESTAMP '1999-01-01')::BIGINT AS rows_updated,
+       count(*)::BIGINT AS n_rows,
+       count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+                           OR o_orderstatus = 'R')::BIGINT AS n_status_r
+FROM orders WHERE o_orderkey % 10 = 0
 """
     # versioned_datasource_read: the DataSource read with a pushed filter
     # must equal the plain filtered aggregate; n_planned_files = 1 pins

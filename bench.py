@@ -212,6 +212,7 @@ HEADLINE = [
     "sim_ivf_pq_topk",
     "retrieval_hybrid_rrf",
     "versioned_delete_where",
+    "versioned_update_where",
 ]
 
 

@@ -31,8 +31,9 @@ Protocol:
   drop or resurrect data the writer never read).  Same-txn retries are
   resolved by the idempotence check first and never conflict with
   their own winner.
-* **DELETE (copy-on-write)**: :func:`delete_where` removes matching
-  rows as one overwrite commit, REWRITING only the files whose
+* **DELETE / UPDATE (copy-on-write)**: :func:`delete_where` /
+  :func:`update_where` apply predicate DML as one overwrite commit,
+  REWRITING only the files whose
   recorded per-file min/max can contain a match and HARD-LINKING every
   provably-untouched file into the new commit (zero bytes copied or
   scanned; stats carried forward, row counts from parquet footers).
@@ -712,13 +713,110 @@ def delete_where(
     provably-empty delete (every file pruned) is a NO-OP: no commit is
     published.  Returns ``{"version", "rows_deleted", "files_rewritten",
     "files_linked"}``."""
+    return _cow_rewrite(
+        spark,
+        table,
+        predicates,
+        lambda src, pred: src.filter(~_coalesce_false(pred)),
+        txn,
+        count_key="rows_deleted",
+        affected=lambda src, pred, n_in, n_new: n_in - n_new,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    table: str,
+    predicates: list[tuple],
+    set_exprs: dict[str, str],
+    txn: str | None = None,
+) -> dict:
+    """Copy-on-write UPDATE: for every row matching the predicate
+    conjunction, replace each ``set_exprs`` column with its SQL
+    expression (evaluated against the row — ``{"v": "v * 2", "status":
+    "'fixed'"}``); non-matching rows pass through byte-identical.  Same
+    stats-routed COW kernel as :func:`delete_where`: provably-untouched
+    files hard-link (zero bytes moved), only may-match files rewrite,
+    one atomic overwrite commit, txn-idempotent, conflict-checked.
+    ``rows_updated`` counts predicate-TRUE rows (NULL predicate rows
+    pass through unchanged, SQL semantics), measured with one extra
+    aggregate over the SAME may-match file set the rewrite scans.
+    Completes the DML triad with :func:`merge_upsert` (keyed) and
+    :func:`delete_where` (predicate removal)."""
     from pyspark.sql import functions as F
 
+    def transform(src, pred):
+        matched = _coalesce_false(pred)
+        out = src
+        for col, expr in set_exprs.items():
+            if col not in src.columns:
+                raise ValueError(f"unknown SET column: {col!r}")
+            out = out.withColumn(
+                col,
+                F.when(matched, F.expr(expr).cast(src.schema[col].dataType))
+                .otherwise(F.col(col)),
+            )
+        return out
+
+    return _cow_rewrite(
+        spark,
+        table,
+        predicates,
+        transform,
+        txn,
+        count_key="rows_updated",
+        affected=lambda src, pred, n_in, n_new: src.filter(
+            _coalesce_false(pred)
+        ).count(),
+    )
+
+
+def _coalesce_false(pred):
+    from pyspark.sql import functions as F
+
+    return F.coalesce(pred, F.lit(False))
+
+
+def _predicate_column(predicates: list[tuple]):
+    """Conjunction of simple ``(col, op, literal)`` predicates as one
+    Spark Column — ops as in :func:`read_where`."""
+    from pyspark.sql import functions as F
+
+    _OPS = {
+        "=": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+        "between": lambda c, v: c.between(v[0], v[1]),
+        "in": lambda c, v: c.isin(list(v)),
+    }
+    pred = F.lit(True)
+    for col, op, value in predicates:
+        pred = pred & _OPS[op](F.col(col), value)
+    return pred
+
+
+def _cow_rewrite(
+    spark: SparkSession,
+    table: str,
+    predicates: list[tuple],
+    transform,
+    txn: str | None,
+    count_key: str,
+    affected,
+) -> dict:
+    """Shared copy-on-write kernel behind :func:`delete_where` /
+    :func:`update_where`: classify live files against the per-file
+    stats, run ``transform(src, pred)`` over the may-match files only,
+    hard-link the rest, publish one overwrite commit.  ``affected(src,
+    pred, n_in, n_new)`` derives the reported row count (delete: footer
+    difference, free; update: one aggregate over the may-match set)."""
     existing = _txn_committed_version(table, txn)
     if existing is not None:
         return {
             "version": existing,
-            "rows_deleted": None,  # idempotent replay: counts not re-derived
+            count_key: None,  # idempotent replay: counts not re-derived
             "files_rewritten": None,
             "files_linked": None,
         }
@@ -752,7 +850,7 @@ def delete_where(
         # no file can contain a matching row: provably a no-op
         return {
             "version": basis,
-            "rows_deleted": 0,
+            count_key: 0,
             "files_rewritten": 0,
             "files_linked": 0,
         }
@@ -760,23 +858,12 @@ def delete_where(
     staging = f"v{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table, _DATA_DIR, staging)
     src = spark.read.parquet(*rewrite)
-    _OPS = {
-        "=": lambda c, v: c == v,
-        "<": lambda c, v: c < v,
-        "<=": lambda c, v: c <= v,
-        ">": lambda c, v: c > v,
-        ">=": lambda c, v: c >= v,
-        "between": lambda c, v: c.between(v[0], v[1]),
-        "in": lambda c, v: c.isin(list(v)),
-    }
-    pred = F.lit(True)
-    for col, op, value in predicates:
-        pred = pred & _OPS[op](F.col(col), value)
-    keep = src.filter(~F.coalesce(pred, F.lit(False)))
-    keep.write.mode("error").parquet(data_dir)
+    pred = _predicate_column(predicates)
+    out = transform(src, pred)
+    out.write.mode("error").parquet(data_dir)
     n_new, dir_stats, file_stats = _staged_stats(spark, data_dir)
 
-    # exact deleted-row count: rewritten-input footers minus kept rows
+    # rewritten-input row count from parquet FOOTERS (no data pages)
     import pyarrow.parquet as pq
 
     n_in = 0
@@ -787,6 +874,7 @@ def delete_where(
                     n_in += pq.ParquetFile(os.path.join(p, name)).metadata.num_rows
         else:
             n_in += pq.ParquetFile(p).metadata.num_rows
+    n_affected = affected(src, pred, n_in, n_new)
 
     # hard-link the provably-untouched files into the commit dir and
     # fold their stats + footer row counts into the entry
@@ -815,12 +903,12 @@ def delete_where(
         "n_rows": n_rows,
         "stats": dir_stats,
         "file_stats": file_stats,
-        "rows_deleted": n_in - n_new,
+        count_key: n_affected,
     }
     version = _publish_entry(table, entry, txn, read_version=basis)
     return {
         "version": version,
-        "rows_deleted": n_in - n_new,
+        count_key: n_affected,
         "files_rewritten": len(rewrite),
         "files_linked": len(linked),
     }

@@ -700,3 +700,58 @@ def test_delete_where_txn_idempotent_and_conflicts(spark):
         assert V.read_version(spark, t).count() == 90
     finally:
         shutil.rmtree(t, ignore_errors=True)
+
+
+def test_update_where_cow_semantics(spark):
+    """Copy-on-write UPDATE: matching rows take the SET expressions,
+    non-matching (and predicate-NULL) rows pass through unchanged;
+    untouched files hard-link; delete and update share the COW kernel
+    so the same no-op/idempotence contracts hold."""
+    import tempfile, shutil
+    from pyspark.sql import functions as F
+    from data_pipeline_zeal_spark.sources import versioned as V
+
+    t = tempfile.mkdtemp(prefix="upd_cow_")
+    try:
+        # two commits with disjoint id ranges -> one links, one rewrites
+        V.commit_write(
+            spark.createDataFrame(
+                [(1, 10.0, "a"), (2, None, "b")], "id long, v double, s string"
+            ).coalesce(1),
+            t, mode="overwrite",
+        )
+        V.commit_write(
+            spark.createDataFrame(
+                [(100, 5.0, "c"), (101, 50.0, "d")], "id long, v double, s string"
+            ).coalesce(1),
+            t, mode="append",
+        )
+        rep = V.update_where(
+            spark, t, [("id", ">=", 100)], {"v": "v * 2", "s": "'bumped'"}
+        )
+        assert rep["files_rewritten"] == 1 and rep["files_linked"] == 1
+        assert rep["rows_updated"] == 2
+        rows = {r.id: r for r in V.read_version(spark, t).collect()}
+        assert rows[100].v == 10.0 and rows[100].s == "bumped"
+        assert rows[101].v == 100.0 and rows[101].s == "bumped"
+        assert rows[1].v == 10.0 and rows[1].s == "a"  # untouched, linked
+        assert rows[2].v is None and rows[2].s == "b"
+
+        # predicate-NULL rows pass through even in a rewritten file
+        rep = V.update_where(spark, t, [("v", ">", 5.0)], {"s": "'big'"})
+        rows = {r.id: r for r in V.read_version(spark, t).collect()}
+        assert rows[2].s == "b"  # v IS NULL -> not matched
+        assert rows[1].s == "big" and rows[100].s == "big"
+
+        # no-op: out-of-range predicate publishes nothing
+        before = [h["version"] for h in V.history(t)]
+        rep = V.update_where(spark, t, [("id", ">", 10_000)], {"s": "'x'"})
+        assert rep["rows_updated"] == 0 and rep["files_rewritten"] == 0
+        assert [h["version"] for h in V.history(t)] == before
+
+        # unknown SET column fails loudly before any write
+        import pytest
+        with pytest.raises(ValueError):
+            V.update_where(spark, t, [("id", "=", 1)], {"nope": "1"})
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
