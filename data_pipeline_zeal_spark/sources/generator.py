@@ -142,38 +142,70 @@ def generate_embeddings(
     num_labels: int = 10,
     seed: int = 42,
     num_partitions: int | None = None,
+    clusters: int | None = None,
+    cluster_scale: float = 1.0,
 ) -> DataFrame:
-    """Synthetic isotropic embeddings matching the fixture geometry
+    """Synthetic embeddings matching the fixture geometry
     (``embeddings.parquet``: vec_id bigint, embedding float[dim], label
     int 0..num_labels-1) at arbitrary row counts — the scale-law probe
     for the dedup/ANN candidate-volume measurements (round-7 directive
     #3: a third decade beyond sf0.1's 2 000 rows).
 
+    Default geometry is ISOTROPIC standard normals (the fixture's —
+    the worst case for any cell-probing ANN).  ``clusters=k`` switches
+    to CLUSTERED geometry: each row draws a hash-assigned cluster id and
+    its vector is ``cluster_scale * anchor(cluster) + noise``, where the
+    anchor components are themselves hash-derived normals of the cluster
+    id — the real ANN/SemDeDup setting, where cell probing concentrates
+    recall in a few cells.  ``label`` becomes the cluster id so recall
+    probes can verify against ground-truth structure.
+
     Components are standard normals via Box-Muller over the same
     hash-derived uniforms as :func:`_u` — pure per-row functions of
-    ``id``, so the output is deterministic under ANY partitioning
-    (``F.rand`` is not: its stream is per-partition).  Entirely
-    JVM-side codegen; no Python on the row path.
+    ``id`` (and the derived cluster id), so the output is deterministic
+    under ANY partitioning (``F.rand`` is not: its stream is
+    per-partition).  Entirely JVM-side codegen; no Python on the row
+    path.
     """
     base = spark.range(0, count, numPartitions=num_partitions)
 
-    def _unit(k: int):
+    def _unit(k: int, col="id"):
         # (pmod + 1) / (m + 1) keeps u in (0, 1]: ln(0) is the only
         # Box-Muller singularity and u2's cos argument is unaffected
         return (
-            F.pmod(F.xxhash64(F.col("id"), F.lit(seed + k)), F.lit(1_000_003))
+            F.pmod(F.xxhash64(F.col(col), F.lit(seed + k)), F.lit(1_000_003))
             + 1
         ) / 1_000_004.0
 
+    def _normal(k: int, col="id"):
+        return F.sqrt(-2.0 * F.log(_unit(2 * k, col))) * F.cos(
+            2.0 * math.pi * _unit(2 * k + 1, col)
+        )
+
+    if clusters is None:
+        comps = [_normal(k).cast("float") for k in range(dim)]
+        label = F.floor(_unit(2 * dim) * num_labels).cast("int")
+        return base.select(
+            F.col("id").alias("vec_id"),
+            F.array(*comps).alias("embedding"),
+            label.alias("label"),
+        )
+
+    # clustered: anchor(cluster) is a pure function of the cluster id via
+    # the same hash-normal construction (seed offset keeps anchors
+    # independent of the noise stream)
+    withc = base.withColumn(
+        "__c", F.floor(_unit(2 * dim) * clusters).cast("bigint")
+    )
     comps = [
         (
-            F.sqrt(-2.0 * F.log(_unit(2 * k)))
-            * F.cos(2.0 * math.pi * _unit(2 * k + 1))
+            F.lit(float(cluster_scale)) * _normal(k + 7919, "__c")
+            + _normal(k)
         ).cast("float")
         for k in range(dim)
     ]
-    return base.select(
+    return withc.select(
         F.col("id").alias("vec_id"),
         F.array(*comps).alias("embedding"),
-        F.floor(_unit(2 * dim) * num_labels).cast("int").alias("label"),
+        F.col("__c").cast("int").alias("label"),
     )

@@ -25,3 +25,28 @@ def test_generate_embeddings_matches_fixture_shape(spark):
 
     arr = np.array([r.embedding for r in rows])
     assert abs(arr.mean()) < 0.05 and abs(arr.std() - 1.0) < 0.05
+
+
+def test_clustered_embeddings_deterministic_and_structured(spark):
+    """clusters=k mode: deterministic under repartitioning, labels carry
+    the cluster id, and same-cluster cosine dominates cross-cluster —
+    the structure the IVFADC scale probe relies on."""
+    import numpy as np
+
+    from data_pipeline_zeal_spark.sources.generator import generate_embeddings
+
+    a = generate_embeddings(spark, 200, clusters=5).orderBy("vec_id").collect()
+    b = (
+        generate_embeddings(spark, 200, clusters=5, num_partitions=7)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert a == b  # partitioning-independent
+    X = np.array([r.embedding for r in a], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    lab = np.array([r.label for r in a])
+    assert set(lab) <= set(range(5))
+    S = X @ X.T
+    same = S[lab[:, None] == lab[None, :]].mean()
+    diff = S[lab[:, None] != lab[None, :]].mean()
+    assert same > diff + 0.2, (same, diff)
