@@ -1647,6 +1647,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_decontaminate_bloom"] = lambda s, d: corpus.decontaminate_bloom(
         load_table(s, d, "documents"), n=8, benchmark_mod=7
     )
+
+    def _text_quality_classifier(s: SparkSession, d: str) -> DataFrame:
+        """Learned quality filter (round-8): train the fastText-style
+        linear classifier on the bounded deterministic sample (positive
+        = lang == 'en' on the fixture; a real pipeline labels a trusted
+        slice), then score the whole corpus JVM-side.  Training is a
+        deterministic driver-side kernel (regression-pinned weights in
+        the oracle); SCORING is exactly SQL-expressible via the
+        md5-feature portability recipe, so the distributed pass is
+        independently recomputed by DuckDB."""
+        docs = load_table(s, d, "documents")
+        w, b = text.train_quality_classifier(docs, F.col("lang") == "en")
+        return text.quality_classifier_scores(docs, w, b)
+
+    q["text_quality_classifier"] = _text_quality_classifier
     q["events_audience_overlap"] = lambda s, d: events_ext.audience_overlap(
         load_table(s, d, "events")
     )
@@ -1735,15 +1750,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: events_heavy_hitters) and the r6 versioned trio
 #: (versioned_time_travel / merge_upsert / change_feed) whose kernels
 #: took four round-7 commits plus this round's cross-txn conflict rules
-#: after their last driver rows.  The six NEW round-8 queries
+#: after their last driver rows.  The seven NEW round-8 queries
 #: (corpus_decontaminate_bloom, dedup_pipeline, sim_ivf_pq_topk,
 #: retrieval_hybrid_rrf, versioned_delete_where,
-#: versioned_update_where — never driver-sampled, the strongest claim
-#: on a slot) displaced the six lowest-risk r2/r3 re-verifications
-#: (events_props_profile, events_daily_cube, events_daily_moving_avg,
-#: corpus_length_histogram, text_normalize, text_scrub_pii: plain
+#: versioned_update_where, text_quality_classifier — never
+#: driver-sampled, the strongest claim on a slot) displaced the seven
+#: lowest-risk r2/r3 re-verifications (events_props_profile,
+#: events_daily_cube, events_daily_moving_avg, corpus_length_histogram,
+#: text_normalize, text_scrub_pii, text_fingerprint: plain
 #: aggregations/projections, kernels unchanged for 5+ rounds).
-#: 44/50 re-verification (≥50 % directive met).
+#: 43/50 re-verification (≥50 % directive met).
 _DRIVER_FIRST = [
     "part_search",
     "multimodal_decode",
@@ -1769,7 +1785,6 @@ _DRIVER_FIRST = [
     "text_quality_score",
     "text_language_id",
     "text_lang_profile",
-    "text_fingerprint",
     "text_source_token_totals",
     "text_token_frequencies",
     "text_tfidf_top_terms",
@@ -1790,6 +1805,7 @@ _DRIVER_FIRST = [
     "retrieval_hybrid_rrf",
     "versioned_delete_where",
     "versioned_update_where",
+    "text_quality_classifier",
     "events_user_cms_counts",
     "events_heavy_hitters",
     "versioned_time_travel",
@@ -5970,6 +5986,111 @@ ORDER BY d.doc_id
 """
     # identical semantics to the exact path (see the query registration)
     o["corpus_decontaminate_bloom"] = o["corpus_decontaminate"]
+    # text_quality_classifier: HYBRID oracle — the weights/bias are a
+    # training REGRESSION PIN (generated by rerunning the deterministic
+    # trainer; semantic gates live in tests/test_quality.py: beats the
+    # label base rate at the measured NB ceiling on the fixture, >=0.95
+    # on a separable synthetic task), but the SCORING pass is a fully
+    # independent DuckDB recompute over those weights via the md5
+    # feature-hash portability recipe (the dedup_simhash precedent).
+    # Unknown fixture -> empty weight table + NULL bias -> loud NULLs.
+    o["text_quality_classifier"] = f"""
+WITH which AS (
+  SELECT
+    max(CASE WHEN md5(text) = '3bf959bb4328351c94e543f4ec639ca2' THEN 1 ELSE 0 END) AS is_sf0001,
+    max(CASE WHEN md5(text) = '2f562b51617feb025bfa5d6d2e63d2f3' THEN 1 ELSE 0 END) AS is_sf001
+  FROM documents),
+w1(feat, w) AS (VALUES
+  (352::BIGINT, 0.003151010239527231::DOUBLE),
+  (478::BIGINT, -0.12216017819660084::DOUBLE),
+  (641::BIGINT, 0.27774075855189423::DOUBLE),
+  (921::BIGINT, -0.024435819950079127::DOUBLE),
+  (1051::BIGINT, -0.16877853081440344::DOUBLE),
+  (1101::BIGINT, 0.01736295879108033::DOUBLE),
+  (1465::BIGINT, -0.16951815391642533::DOUBLE),
+  (1641::BIGINT, -0.17420790309341205::DOUBLE),
+  (1868::BIGINT, -0.05073628170902827::DOUBLE),
+  (1917::BIGINT, 0.23925446483234009::DOUBLE),
+  (2032::BIGINT, 0.09087130014551822::DOUBLE),
+  (2143::BIGINT, -0.12447591361195275::DOUBLE),
+  (2157::BIGINT, 0.10323372382917807::DOUBLE),
+  (2693::BIGINT, 0.04686340530154932::DOUBLE),
+  (2737::BIGINT, 0.06080604090897277::DOUBLE),
+  (2788::BIGINT, -0.10549337004618253::DOUBLE),
+  (2938::BIGINT, -0.19763273305646192::DOUBLE),
+  (2954::BIGINT, 0.18385227938507606::DOUBLE),
+  (3121::BIGINT, 0.12789429499325203::DOUBLE),
+  (3159::BIGINT, 0.11958855239018959::DOUBLE),
+  (3181::BIGINT, -0.28955997182942317::DOUBLE),
+  (3213::BIGINT, 0.2077837984666365::DOUBLE),
+  (3322::BIGINT, 0.003901312873413152::DOUBLE),
+  (3726::BIGINT, 0.032379825594553685::DOUBLE),
+  (3776::BIGINT, -0.03307822183170792::DOUBLE),
+  (3798::BIGINT, -0.024255076088019887::DOUBLE),
+  (3895::BIGINT, -0.24397906800007915::DOUBLE),
+  (3896::BIGINT, 0.023759509919823816::DOUBLE),
+  (3987::BIGINT, -0.056872179542666434::DOUBLE),
+  (4071::BIGINT, 0.10645174986118705::DOUBLE),
+  (4090::BIGINT, -0.19707656112766203::DOUBLE)),
+w2(feat, w) AS (VALUES
+  (352::BIGINT, -0.10770239372613019::DOUBLE),
+  (478::BIGINT, 0.3499789219224951::DOUBLE),
+  (641::BIGINT, -0.1787245928398995::DOUBLE),
+  (921::BIGINT, -0.06985359256232024::DOUBLE),
+  (1051::BIGINT, -0.12405752720855011::DOUBLE),
+  (1101::BIGINT, -0.06317974935832105::DOUBLE),
+  (1465::BIGINT, 0.3140643691396175::DOUBLE),
+  (1641::BIGINT, 0.0023024950608158223::DOUBLE),
+  (1868::BIGINT, 0.2767393651065704::DOUBLE),
+  (1917::BIGINT, 0.17918250278869552::DOUBLE),
+  (2032::BIGINT, -0.2559445345205848::DOUBLE),
+  (2143::BIGINT, -0.01758006724372257::DOUBLE),
+  (2157::BIGINT, -0.07913518704363347::DOUBLE),
+  (2693::BIGINT, -0.06278808377308706::DOUBLE),
+  (2737::BIGINT, -0.04350565223431524::DOUBLE),
+  (2788::BIGINT, -0.034286886474513764::DOUBLE),
+  (2938::BIGINT, 0.17048725298587955::DOUBLE),
+  (2954::BIGINT, -0.062369460879850194::DOUBLE),
+  (3121::BIGINT, -0.16452256635412552::DOUBLE),
+  (3159::BIGINT, 0.31571625682565374::DOUBLE),
+  (3181::BIGINT, -0.10679883068021105::DOUBLE),
+  (3213::BIGINT, -0.018287414839953362::DOUBLE),
+  (3322::BIGINT, -0.27500968392887043::DOUBLE),
+  (3726::BIGINT, 0.001236811077092382::DOUBLE),
+  (3776::BIGINT, -0.2015054993414073::DOUBLE),
+  (3798::BIGINT, -0.049231199421053445::DOUBLE),
+  (3895::BIGINT, 0.1790771725293125::DOUBLE),
+  (3896::BIGINT, -0.18027069011650015::DOUBLE),
+  (3987::BIGINT, -0.10288074044763423::DOUBLE),
+  (4071::BIGINT, -0.1591856603693338::DOUBLE),
+  (4090::BIGINT, 0.3816239890820481::DOUBLE)),
+wsel AS (
+  SELECT * FROM w1 WHERE (SELECT is_sf0001 FROM which) = 1
+  UNION ALL
+  SELECT * FROM w2 WHERE (SELECT is_sf001 FROM which) = 1),
+bsel AS (
+  SELECT CASE WHEN (SELECT is_sf0001 FROM which) = 1 THEN -0.45303642551061285
+              WHEN (SELECT is_sf001 FROM which) = 1 THEN -0.25046169336072643
+         END AS b),
+toks AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+feats AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096)::BIGINT AS feat
+  FROM toks),
+tf AS (SELECT doc_id, feat, count(*)::DOUBLE AS cnt FROM feats GROUP BY 1, 2),
+zw AS (SELECT doc_id, sum(w * cnt) AS zw
+       FROM tf JOIN wsel USING (feat) GROUP BY 1),
+n AS (SELECT doc_id, len({_TOK})::DOUBLE AS n FROM documents),
+z AS (
+  SELECT n.doc_id,
+         coalesce(zw.zw, 0) / greatest(n.n, 1) + (SELECT b FROM bsel) AS z
+  FROM n LEFT JOIN zw USING (doc_id))
+SELECT doc_id,
+       round(1 / (1 + exp(-z)), 6) AS quality_prob,
+       (round(1 / (1 + exp(-z)), 6) >= 0.5)::INTEGER AS keep
+FROM z ORDER BY doc_id
+"""
+
     o["events_audience_overlap"] = """
 WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
 pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users

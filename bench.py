@@ -213,6 +213,7 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     "versioned_delete_where",
     "versioned_update_where",
+    "text_quality_classifier",
 ]
 
 

@@ -1117,3 +1117,136 @@ def bpe_train_merges(
         ]
     )
     return spark.createDataFrame(merges, schema).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# Learned quality classifier (fastText-style linear filter)
+# ---------------------------------------------------------------------------
+
+#: engine-portable token feature: md5 hex -> 32-bit int -> bucket.
+#: Identical in Spark (conv/substring/md5), DuckDB ('0x'||substr)::UBIGINT
+#: and Python (int(hexdigest[:8], 16)) — the dedup_simhash portability
+#: recipe, reused so the classifier's SCORING is independently
+#: recomputable in the oracle engine.
+def _feature_expr(tok, dim: int):
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+    )
+
+
+def train_quality_classifier(
+    documents: DataFrame,
+    positive,
+    dim: int = 4096,
+    sample_size: int = 2048,
+    iters: int = 300,
+    lr: float = 1.0,
+    l2: float = 1e-3,
+) -> tuple[dict[int, float], float]:
+    """Train the production quality-filter shape — a LINEAR classifier
+    over hashed token features (the fastText / CCNet / RefinedWeb
+    recipe: label a trusted slice positive, a crawl slice negative, keep
+    what scores high) — on a BOUNDED deterministic sample, driver-side
+    in numpy (same bounded-trainer pattern as the k-means/PQ/PCA
+    trainers: O(sample x dim x iters) whatever the corpus size; only
+    SCORING is distributed).
+
+    ``positive`` is a boolean Column evaluated per document (e.g.
+    ``F.col("lang") == "en"`` on the fixture; a real pipeline passes
+    "source is wikipedia/books").  Features are L1-normalized hashed
+    token counts; full-batch logistic regression with L2, zero init,
+    fixed iteration count — deterministic end-to-end.  Returns
+    ``(sparse weights {feature: w}, bias)``; only features seen in the
+    sample carry weight, so the map is vocabulary-bounded."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    rows = (
+        documents.select(
+            "doc_id", "text", positive.cast("int").alias("y")
+        )
+        .orderBy(F.xxhash64(F.col("doc_id")), F.col("doc_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    feats: list[dict[int, float]] = []
+    y = np.array([r.y for r in rows], dtype=np.float64)
+    for r in rows:
+        toks = re.split(r"\s+", r.text.strip()) if r.text.strip() else []
+        f: dict[int, float] = {}
+        for t in toks:
+            k = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+            f[k] = f.get(k, 0.0) + 1.0
+        n = sum(f.values())
+        feats.append({k: v / n for k, v in f.items()} if n else {})
+    X = np.zeros((len(rows), dim))
+    for i, f in enumerate(feats):
+        for k, v in f.items():
+            X[i, k] = v
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(iters):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * ((X.T @ g) / len(y) + l2 * w)
+        b -= lr * g.mean()
+    nz = {int(k): float(w[k]) for k in np.nonzero(w)[0]}
+    return nz, float(b)
+
+
+def quality_classifier_scores(
+    documents: DataFrame,
+    weights: dict[int, float],
+    bias: float,
+    dim: int = 4096,
+) -> DataFrame:
+    """Score every document with a trained linear quality filter —
+    entirely JVM-side: explode tokens, hash to features, join the
+    broadcast (vocabulary-bounded) weight table, one doc-keyed sum, then
+    ``sigmoid(z/n + b)``.  The corpus shuffles once on doc_id
+    (map-side-combined count aggregate); the weight side is tiny by
+    construction.  Zero-token documents score ``sigmoid(bias)``.
+    Returns (doc_id, quality_prob, keep) — deterministic and exactly
+    SQL-expressible, so the scoring pass is oracle-checked end-to-end
+    (training itself is a regression-pinned driver-side kernel, gated
+    in pytest by held-out accuracy)."""
+    spark = documents.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(k), float(v)) for k, v in sorted(weights.items())] or
+        [(-1, 0.0)],
+        "feat long, w double",
+    )
+    toks = with_min_parallelism(documents).select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    tf = (
+        toks.select("doc_id", _feature_expr(F.col("tok"), dim).alias("feat"))
+        .groupBy("doc_id", "feat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    zsum = (
+        tf.join(F.broadcast(wdf), "feat")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("cnt")).alias("zw"))
+    )
+    n = documents.select("doc_id", token_count("text").alias("n"))
+    z = (
+        n.join(zsum, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("zw"), F.lit(0.0))
+                / F.greatest(F.col("n"), F.lit(1))
+                + F.lit(float(bias))
+            ).alias("z"),
+        )
+    )
+    prob = F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 6)
+    return z.select(
+        "doc_id",
+        prob.alias("quality_prob"),
+        (prob >= 0.5).cast("int").alias("keep"),
+    ).orderBy("doc_id")

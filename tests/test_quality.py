@@ -353,3 +353,98 @@ def test_l_diversity_homogeneity_attack(spark):
     assert rows["fr"] == (2, 0, 1)  # NULLs carry no diversity
     with pytest.raises(ValueError):
         dq.l_diversity(df, [], "diagnosis", l=2)
+
+
+def test_quality_classifier_learns_separable_task(spark):
+    """On a task with disjoint vocabularies the trained filter must be
+    near-perfect — the semantic gate for the trainer (the fixture's
+    en-vs-rest labels have a measured naive-Bayes ceiling of only ~0.62,
+    so fixture accuracy cannot gate learning)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.operators import text
+
+    rows = []
+    for i in range(400):
+        good = i % 2 == 0
+        words = (
+            ["alpha", "beta", "gamma", "delta"]
+            if good
+            else ["omega", "sigma", "theta", "kappa"]
+        )
+        txt = " ".join(words[j % 4] for j in range(i % 7 + 3))
+        rows.append((i, txt, "en" if good else "xx", "s", len(txt)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    w, b = text.train_quality_classifier(docs, F.col("lang") == "en")
+    scored = {r.doc_id: r.keep for r in
+              text.quality_classifier_scores(docs, w, b).collect()}
+    acc = sum(1 for i in range(400) if scored[i] == (1 if i % 2 == 0 else 0)) / 400
+    assert acc >= 0.95, acc
+    # determinism: bounded hash-ordered sample, zero-init full-batch GD
+    assert (w, b) == text.train_quality_classifier(docs, F.col("lang") == "en")
+
+
+def test_quality_classifier_fixture_hits_bayes_ceiling(spark):
+    """On the real fixture the en-vs-rest unigram distributions overlap
+    heavily; the gate is honest: beat the base rate and land within 5
+    points of the naive-Bayes train ceiling computed from the same
+    data."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.io import load_table
+    from data_pipeline_zeal_spark.operators import text
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = docs.select("doc_id", "text", "lang").collect()
+    y = {r.doc_id: int(r.lang == "en") for r in rows}
+    base = max(sum(y.values()), len(y) - sum(y.values())) / len(y)
+
+    # naive-Bayes multinomial ceiling on the same documents
+    ce = Counter(); cr = Counter()
+    for r in rows:
+        toks = re.split(r"\s+", r.text.strip()) if r.text.strip() else []
+        (ce if y[r.doc_id] else cr).update(toks)
+    vocab = set(ce) | set(cr)
+    te, tr = sum(ce.values()) + len(vocab), sum(cr.values()) + len(vocab)
+    prior = np.log(sum(y.values()) / (len(y) - sum(y.values())))
+    nb_hits = 0
+    for r in rows:
+        toks = re.split(r"\s+", r.text.strip()) if r.text.strip() else []
+        s = prior + sum(
+            np.log((ce[t] + 1) / te) - np.log((cr[t] + 1) / tr) for t in toks
+        )
+        nb_hits += int((s > 0) == bool(y[r.doc_id]))
+    ceiling = nb_hits / len(y)
+
+    w, b = text.train_quality_classifier(docs, F.col("lang") == "en")
+    scored = {r.doc_id: r.keep for r in
+              text.quality_classifier_scores(docs, w, b).collect()}
+    acc = sum(1 for d, k in scored.items() if k == y[d]) / len(y)
+    # the sf0.001 slice's ceiling EQUALS its base rate (0.614): a linear
+    # model cannot beat majority voting here, so the honest gates are
+    # "never worse than majority" + "within 5 points of the ceiling"
+    assert acc >= base, (acc, base)
+    assert acc >= ceiling - 0.05, (acc, ceiling)
+
+
+def test_quality_classifier_zero_token_doc_scores_bias(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "en", "s", 10), (1, "   ", "xx", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    w, b = text.train_quality_classifier(docs, F.col("lang") == "en")
+    got = {r.doc_id: r.quality_prob for r in
+           text.quality_classifier_scores(docs, w, b).collect()}
+    assert got[1] == round(1.0 / (1.0 + math.exp(-b)), 6)
