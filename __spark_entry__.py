@@ -600,7 +600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "lineitem")
     )
 
-    # --- [EXT] multimodal plumbing (stubbed decode kernel; rows-only) ---
+    # --- [EXT] multimodal plumbing (documented fake-decode stub kernels;
+    # oracle-backed since r9 — DuckDB recomputes the stub spec, see the
+    # multimodal block in oracle_sql()) ---
     q["multimodal_decode"] = lambda s, d: multimodal.decode_image(
         multimodal.synth_media(s, 256)
     )
@@ -734,12 +736,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the metrics and the negative miner in a single plan — the
     # production experiment-loop shape the three standalone queries
     # cannot show under the per-query driver contract
+    # embeddings passed since r9 so the pipeline ALSO persists the vector
+    # top-k run — a later hybrid_rrf_topk in the same session fuses from
+    # both cached runs (bench HEADLINE's warm ordering shows the serve)
     q["retrieval_pipeline"] = lambda s, d: retrieval.retrieval_pipeline(
-        load_table(s, d, "documents"), k=10, per_query=5
+        load_table(s, d, "documents"), k=10, per_query=5,
+        embeddings=load_table(s, d, "embeddings"),
     )
     # hybrid lexical+vector retrieval fused by RRF (Cormack et al. 2009):
     # deterministic (rounded scores, doc_id tie-breaks) -> exactly
-    # SQL-expressible, oracle-checked end-to-end
+    # SQL-expressible, oracle-checked end-to-end; r9: both runs built via
+    # retrieval_runs (persisted, subplan-identical to the pipeline's)
     q["retrieval_hybrid_rrf"] = lambda s, d: retrieval.hybrid_rrf_topk(
         load_table(s, d, "documents"), load_table(s, d, "embeddings"), k=10
     )
@@ -2024,6 +2031,46 @@ _COMPRESSION_PINS = """\
   ('ff96bcb12a7e07d2447f21e5fdf8c186',0.536965),('ffbac52eac0c51859a8625e695d3fcfa',0.470255),('ffd40b3a9a5eb087263b42bfd57fc1c6',0.448113),('ffe1dd53c072306f50b4a038885f6a13',0.42243)"""
 
 
+def _scene_detect_oracle_sql() -> str:
+    """Spec-derived oracle for ``multimodal_scene_detect``.
+
+    ``synth_video`` payloads are the ASCII bytes of ``sha512('11' || id)``
+    hex (multimodal.py:synth_video) — DuckDB has no sha512, so the 64
+    digests are computed here with stdlib hashlib FROM THE GENERATOR SPEC
+    (not by running the Spark kernel).  Everything downstream — frame
+    count ``max(1, dur*24 // 1000)``, the documented stub cut rule
+    ``byte[i % len] % 7 == 0``, scene bounds — is recomputed in SQL, so
+    the comparison independently exercises the mapInPandas fan-out."""
+    import hashlib
+
+    digests = ",\n  ".join(
+        f"({mid}, '{hashlib.sha512(('11' + str(mid)).encode()).hexdigest()}')"
+        for mid in range(64)
+    )
+    return f"""
+WITH hex(media_id, h) AS (VALUES
+  {digests}),
+vids AS (SELECT media_id, h,
+                greatest(1, CAST((1000 + (media_id % 7) * 500) * 24 // 1000
+                                 AS INTEGER)) AS n_frames
+         FROM hex),
+frames AS (SELECT media_id, h, n_frames,
+                  UNNEST(generate_series(0, n_frames - 1)) AS i
+           FROM vids),
+cuts AS (SELECT media_id, n_frames, i AS start_frame FROM frames
+         WHERE i = 0 OR ascii(substr(h, (i % 128) + 1, 1)) % 7 = 0),
+scenes AS (SELECT media_id,
+                  CAST(row_number() OVER w - 1 AS INTEGER) AS scene_idx,
+                  CAST(start_frame AS INTEGER) AS start_frame,
+                  CAST(coalesce(lead(start_frame) OVER w, n_frames)
+                       AS INTEGER) AS end_frame
+           FROM cuts
+           WINDOW w AS (PARTITION BY media_id ORDER BY start_frame))
+SELECT CAST(media_id AS BIGINT) AS media_id, scene_idx, start_frame, end_frame
+FROM scenes ORDER BY media_id, scene_idx
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -2724,17 +2771,63 @@ GROUP BY cohort_week, week_offset
 ORDER BY cohort_week, week_offset
 """
     # events_approx_distinct: estimator-specific (HLL++), rows-only check.
-    # multimodal_decode: hash-kernel op, rows-only.
     # multimodal_pcm_energy / image_phash: same determinism argument as
     # the header gates below — synth_pcm_audio / synth_media are pure
     # functions of media_id, so the REAL kernels' outputs (Goertzel-free
     # frame RMS/peak over synthesized tones; 64-bit DCT-free difference
     # pHash) are fixed constants, pinned and hash-checked per round.  The
     # closed-form laws (rms == amplitude/sqrt(2), pHash locality) stay in
-    # tests/test_multimodal.py.  multimodal_{decode,resize,scene_detect}
-    # remain rows-only: their kernels are the DOCUMENTED fake-decode stubs
-    # (no codec libs in-sandbox), and pinning a stub's fake output would
-    # manufacture evidence without testing anything real.
+    # tests/test_multimodal.py.
+    #
+    # multimodal_{decode,resize,scene_detect} (oracle-backed since r9):
+    # their kernels are the DOCUMENTED fake-decode stubs (no codec libs
+    # in-sandbox), but the stub semantics are a published closed-form
+    # function of the generator spec — synth_media payloads are the ASCII
+    # bytes of sha256('7' || id) hex, synth_video payloads the ASCII bytes
+    # of sha512('11' || id) hex — so DuckDB can RECOMPUTE the expected rows
+    # from the spec (sha256 + ascii + the documented arithmetic), which is
+    # an independent derivation, not a pin of the kernel's own output.
+    # What this tests for real: the mapInPandas plumbing (Arrow batch
+    # boundaries, schema, fan-out rows, py->arrow type mapping) and the
+    # exact stub arithmetic (trunc-vs-round, stride, cut modulo).  DuckDB
+    # lacks sha512, so ONLY the 64 video digests are pinned (computed with
+    # stdlib hashlib from the spec, see _scene_detect_oracle_sql); every
+    # derived value (frame counts, cut positions, scene bounds) is SQL.
+    # Swapping in a real codec would intentionally break these oracles —
+    # they pin today's documented stub contract, nothing more.
+    o["multimodal_decode"] = """
+WITH ids AS (SELECT range AS media_id FROM range(256)),
+hex AS (SELECT media_id, sha256('7' || CAST(media_id AS VARCHAR)) AS h FROM ids)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(16 + ascii(substr(h, 1, 1)) % 48 AS INTEGER) AS height,
+       CAST(16 + ascii(substr(h, 2, 1)) % 48 AS INTEGER) AS width,
+       round(list_sum(list_transform(generate_series(1, 32),
+                                     i -> ascii(substr(h, i, 1)))) / 8160.0,
+             6) AS mean_luma,
+       CAST(64 AS BIGINT) AS n_bytes
+FROM hex ORDER BY media_id
+"""
+    o["multimodal_resize"] = """
+WITH ids AS (SELECT range AS media_id FROM range(256)),
+hex AS (SELECT media_id, sha256('7' || CAST(media_id AS VARCHAR)) AS h FROM ids),
+dims AS (SELECT media_id,
+                16 + ascii(substr(h, 1, 1)) % 48 AS fh,
+                16 + ascii(substr(h, 2, 1)) % 48 AS fw
+         FROM hex),
+scaled AS (SELECT media_id, fh, fw,
+                  least(1.0, 32.0 / greatest(fh, fw)) AS scale
+           FROM dims),
+resized AS (SELECT media_id,
+                   greatest(1, CAST(floor(fh * scale) AS INTEGER)) AS nh,
+                   greatest(1, CAST(floor(fw * scale) AS INTEGER)) AS nw
+            FROM scaled)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(nw AS INTEGER) AS width,
+       CAST(nh AS INTEGER) AS height,
+       CAST(ceil(64.0 / greatest(1, 64 // (nh * nw))) AS INTEGER) AS n_bytes
+FROM resized ORDER BY media_id
+"""
+    o["multimodal_scene_detect"] = _scene_detect_oracle_sql()
     o["multimodal_pcm_energy"] = """
 SELECT CAST(media_id AS BIGINT) AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx, CAST(n_samples AS INTEGER) AS n_samples, CAST(rms AS DOUBLE) AS rms, CAST(peak AS INTEGER) AS peak FROM (VALUES
   (0, 0, 200, 0.423172, 19660),
