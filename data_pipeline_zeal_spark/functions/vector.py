@@ -32,3 +32,19 @@ def cosine(a: Column, b: Column) -> Column:
     d = dot(a, b)
     nn = norm(a) * norm(b)
     return F.when(nn == 0, F.lit(0.0)).otherwise(d / nn)
+
+
+def cosine_from_parts(d: Column, na: Column, nb: Column) -> Column:
+    """Cosine from a precomputed dot product and per-side norms — the
+    factored form of :func:`cosine` for broadcast top-k joins, where
+    recomputing ``norm(a)`` / ``norm(b)`` per PAIR costs two extra
+    ``zip_with``+``aggregate`` array passes per candidate x query.
+    Factoring the norms onto each side before the join cuts the per-pair
+    work to ONE dot product (~3x at any scale) and is bit-identical to
+    :func:`cosine`: same doubles, same ``na * nb`` multiplication order,
+    same division — so 6-dp-rounded oracle parity is preserved exactly.
+
+    Callers must pass ``na`` / ``nb`` in the same operand order
+    :func:`cosine` would use (``norm(a) * norm(b)``)."""
+    nn = na * nb
+    return F.when(nn == 0, F.lit(0.0)).otherwise(d / nn)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfn import tokens
-from ..functions.vector import as_double, cosine
+from ..functions.vector import as_double, cosine_from_parts, dot, norm
 from ..io import with_min_parallelism
 
 
@@ -261,11 +261,90 @@ def lang_source_qrels(documents: DataFrame, query_mod: int = 31) -> DataFrame:
     )
 
 
+def vector_topk_run(
+    embeddings: DataFrame, depth: int = 10, query_mod: int = 31
+) -> DataFrame:
+    """Exact-cosine top-``depth`` run over the embedding corpus for the
+    corpus-derived query set (``vec_id % query_mod == 0``), self excluded.
+    Returns (query_id, doc_id, vec_rank) — the vector leg of the hybrid
+    retriever, factored out so :func:`retrieval_pipeline` and
+    :func:`hybrid_rrf_topk` build the IDENTICAL subplan (one cached run
+    serves every consumer in a session).
+
+    SCALE: broadcast query vectors over one corpus scan (no corpus
+    shuffle); norms are precomputed per side so the bounded theta join
+    does ONE dot product per pair instead of three array passes — see
+    :func:`~data_pipeline_zeal_spark.functions.vector.cosine_from_parts`
+    (bit-identical to the unfactored cosine, oracle parity unchanged)."""
+    qv = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+    ).withColumn("nq", norm(F.col("qv")))
+    cand = with_min_parallelism(embeddings).select(
+        F.col("vec_id").alias("doc_id"),
+        as_double(F.col("embedding")).alias("v"),
+    ).withColumn("nv", norm(F.col("v")))
+    vec_scored = cand.join(
+        F.broadcast(qv), F.col("doc_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "doc_id",
+        F.round(
+            cosine_from_parts(
+                dot(F.col("qv"), F.col("v")), F.col("nq"), F.col("nv")
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("doc_id")
+    )
+    return (
+        vec_scored.withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= depth)
+        .select("query_id", "doc_id", "vec_rank")
+    )
+
+
+def retrieval_runs(
+    documents: DataFrame,
+    embeddings: DataFrame | None = None,
+    depth: int = 10,
+    query_mod: int = 31,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Build and persist the shared retrieval run(s): the BM25 top-``depth``
+    run over ``documents`` and (when ``embeddings`` is given) the exact-
+    cosine top-``depth`` run.  Every retrieval consumer — metrics, hard
+    negatives, hybrid RRF fusion — reads these two tiny frames (queries x
+    depth rows), so ONE materialization of the posting join / corpus scan
+    serves the whole experiment loop; building the runs through this
+    single function guarantees subplan identity, which lets the session
+    CacheManager serve later standalone consumers from the same cached
+    blocks.
+
+    Caller owns the cache lifetime (same contract as
+    :func:`retrieval_pipeline`): release via
+    :func:`release_pipeline_cache` on the consuming frame, or
+    ``spark.catalog.clearCache()``.  Persisting an already-persisted
+    identical plan is a Spark no-op, so pipeline-then-hybrid sessions
+    share one entry per run rather than duplicating storage."""
+    from pyspark import StorageLevel
+
+    run = bm25_search(documents, corpus_queries(documents, query_mod), k=depth)
+    run = run.persist(StorageLevel.MEMORY_AND_DISK)
+    vrun = None
+    if embeddings is not None:
+        vrun = vector_topk_run(embeddings, depth=depth, query_mod=query_mod)
+        vrun = vrun.persist(StorageLevel.MEMORY_AND_DISK)
+    return run, vrun
+
+
 def retrieval_pipeline(
     documents: DataFrame,
     k: int = 10,
     per_query: int = 5,
     query_mod: int = 31,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """The production retrieval-experiment shape: ONE BM25 run feeding
     both the evaluation metrics and the hard-negative miner in a single
@@ -289,11 +368,17 @@ def retrieval_pipeline(
     frame), or session-wide `spark.catalog.clearCache()`.  Long-lived
     sessions that skip this accumulate one (queries x k)-row cached
     block per call.
-    """
-    from pyspark import StorageLevel
 
-    run = bm25_search(documents, corpus_queries(documents, query_mod), k=k)
-    run = run.persist(StorageLevel.MEMORY_AND_DISK)
+    ``embeddings`` (round-8 verdict #2): when given, the vector top-k run
+    is built and persisted alongside the BM25 run (via
+    :func:`retrieval_runs`), so a subsequent :func:`hybrid_rrf_topk` in
+    the same session fuses from the SAME two cached runs instead of
+    re-running either kernel — the experiment-loop amortization extended
+    to the hybrid retriever.  The pipeline's own output is unchanged.
+    """
+    run, vrun = retrieval_runs(
+        documents, embeddings, depth=k, query_mod=query_mod
+    )
     qrels = lang_source_qrels(documents, query_mod)
     metrics = retrieval_metrics(run, qrels, k=k)
     negs = hard_negatives(run, qrels, k=k, per_query=per_query)
@@ -317,6 +402,7 @@ def retrieval_pipeline(
         .orderBy("query_id")
     )
     result._zeal_persisted_run = run  # release handle — see docstring
+    result._zeal_persisted_vec_run = vrun
     return result
 
 
@@ -348,34 +434,21 @@ def hybrid_rrf_topk(
 
     SCALE: both runs are the already-audited kernels (posting join with
     broadcast query terms; broadcast query vectors over the corpus
-    scan); the fusion join touches only ``queries x depth`` rows per run
-    — negligible at any corpus size.  Returns (query_id, doc_id,
-    bm25_rank, vec_rank, rrf_score, rank) with 0 marking "not retrieved
-    by this run"."""
-    run_bm = bm25_search(
-        documents, corpus_queries(documents, query_mod), k=depth
-    ).select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
-
-    qv = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        as_double(F.col("embedding")).alias("qv"),
+    scan), built and PERSISTED through :func:`retrieval_runs` — the
+    identical subplans :func:`retrieval_pipeline` persists, so in a
+    session that already ran the pipeline (the experiment-loop shape)
+    the fusion reads both runs from cache and touches only ``queries x
+    depth`` rows per run, negligible at any corpus size; standalone, one
+    materialization of each kernel fills the cache.  Caller owns the
+    cache lifetime: :func:`release_pipeline_cache` on the returned frame
+    (handles attached), or ``spark.catalog.clearCache()``.  Returns
+    (query_id, doc_id, bm25_rank, vec_rank, rrf_score, rank) with 0
+    marking "not retrieved by this run"."""
+    run, run_vec = retrieval_runs(
+        documents, embeddings, depth=depth, query_mod=query_mod
     )
-    cand = with_min_parallelism(embeddings).select(
-        F.col("vec_id").alias("doc_id"),
-        as_double(F.col("embedding")).alias("v"),
-    )
-    vec_scored = cand.join(
-        F.broadcast(qv), F.col("doc_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "doc_id",
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
-    )
-    wv = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
-    run_vec = (
-        vec_scored.withColumn("vec_rank", F.row_number().over(wv))
-        .filter(F.col("vec_rank") <= depth)
-        .select("query_id", "doc_id", "vec_rank")
+    run_bm = run.select(
+        "query_id", "doc_id", F.col("rank").alias("bm25_rank")
     )
 
     fused = run_bm.join(run_vec, ["query_id", "doc_id"], "full_outer").select(
@@ -392,22 +465,28 @@ def hybrid_rrf_topk(
     wf = Window.partitionBy("query_id").orderBy(
         F.desc("rrf_score"), F.asc("doc_id")
     )
-    return (
+    result = (
         fused.withColumn("rank", F.row_number().over(wf))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+    result._zeal_persisted_run = run  # release handles — see docstring
+    result._zeal_persisted_vec_run = run_vec
+    return result
 
 
 def release_pipeline_cache(result: DataFrame) -> bool:
-    """Unpersist the BM25 run frame cached by :func:`retrieval_pipeline`
-    once the caller has materialized ``result`` (collected / written it).
-    Returns True if a cached run was released, False if ``result`` carries
-    no handle (already released, or not a pipeline frame).  Safe to call
-    twice — unpersist on an unpersisted frame is a no-op."""
-    run = getattr(result, "_zeal_persisted_run", None)
-    if run is None:
-        return False
-    run.unpersist()
-    result._zeal_persisted_run = None
-    return True
+    """Unpersist the run frame(s) cached by :func:`retrieval_pipeline` /
+    :func:`hybrid_rrf_topk` once the caller has materialized ``result``
+    (collected / written it).  Returns True if a cached run was released,
+    False if ``result`` carries no handle (already released, or not a
+    pipeline frame).  Safe to call twice — unpersist on an unpersisted
+    frame is a no-op."""
+    released = False
+    for attr in ("_zeal_persisted_run", "_zeal_persisted_vec_run"):
+        run = getattr(result, attr, None)
+        if run is not None:
+            run.unpersist()
+            setattr(result, attr, None)
+            released = True
+    return released
