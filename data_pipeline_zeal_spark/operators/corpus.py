@@ -765,6 +765,13 @@ def _bloom_membership_udf(bitmap, k_hashes: int):
         if not len(pos):
             return pd.Series([], dtype=bool)
         P = np.array(pos.tolist(), dtype=np.int64)  # (batch, k) positions
+        # guard the caller contract: the position arrays must carry
+        # exactly the k the bitmap was built with, else probes silently
+        # test the wrong bit pattern (round-8 advice)
+        assert P.shape[1] == k_hashes, (
+            f"probe arrays carry {P.shape[1]} positions, bitmap built "
+            f"with k_hashes={k_hashes}"
+        )
         w = words[P >> 6]
         bit = np.uint64(1) << (P & 63).astype(np.uint64)
         return pd.Series(((w & bit) != 0).all(axis=1))
@@ -778,6 +785,7 @@ def decontaminate_bloom(
     benchmark_mod: int = 7,
     m_bits: int = 1 << 20,
     k_hashes: int = 7,
+    confirm_broadcast: bool = True,
 ) -> DataFrame:
     """Bloom-prefiltered decontamination — identical OUTPUT to
     :func:`decontaminate` (Bloom filters admit false positives but never
@@ -799,10 +807,13 @@ def decontaminate_bloom(
     At 100 TB: a 10^9-gram held-out side is ~50+ GB of raw strings —
     un-broadcastable — but its 1 %-FPR bloom is ~1.8 GB shipped once per
     executor, and the confirm join's build side only has to serve the
-    bloom-positive trickle.  Here the confirm side stays a broadcast
-    (fixture benchmark sets are tiny); swap it for a shuffle join when the
-    raw set genuinely cannot broadcast — the prefilter already shrank the
-    probe side by ~100x.
+    bloom-positive trickle.  ``confirm_broadcast`` selects the confirm
+    join's physical shape (round-8 advice: the documented 100 TB shape
+    must be selectable, not just described): True (default, right for
+    fixture-scale benchmark sets) broadcasts the raw gram set; False runs
+    a gram-keyed shuffle hash join instead — the bloom prefilter already
+    shrank the probe side ~100x, so both sides of that shuffle are the
+    bloom-positive trickle plus the benchmark grams, never the corpus.
     """
     grams = with_min_parallelism(documents).select(
         "doc_id", F.explode(_distinct_ngrams(tokens("text"), n)).alias("gram")
@@ -818,8 +829,9 @@ def decontaminate_bloom(
         ]
     )
     suspects = grams.filter(~is_bench).filter(might_contain(pos))
+    confirm_side = F.broadcast(bench) if confirm_broadcast else bench
     contaminated = (
-        suspects.join(F.broadcast(bench), "gram").select("doc_id").distinct()
+        suspects.join(confirm_side, "gram").select("doc_id").distinct()
     )
     return (
         documents.filter(~is_bench)

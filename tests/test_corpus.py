@@ -199,6 +199,20 @@ def test_decontaminate_bloom_matches_exact(spark):
     assert bloom == exact
 
 
+def test_decontaminate_bloom_shuffle_confirm_matches_exact(spark):
+    """confirm_broadcast=False (the 100 TB shape: held-out gram set too
+    large to broadcast raw) drops the broadcast hint from the confirm
+    join (AQE may still pick broadcast at fixture scale — the point is
+    the hint no longer FORCES it); the OUTPUT must stay byte-identical
+    to the exact path."""
+    docs = _docs(spark)
+    exact = corpus.decontaminate(docs, n=8, benchmark_mod=7).collect()
+    shuffled_df = corpus.decontaminate_bloom(
+        docs, n=8, benchmark_mod=7, confirm_broadcast=False
+    )
+    assert shuffled_df.collect() == exact
+
+
 def test_decontaminate_bloom_saturated_filter_still_exact(spark):
     """A deliberately undersized bitmap (256 bits for thousands of grams
     — near-100 % FPR) floods the confirm join with false positives; the

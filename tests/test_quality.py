@@ -386,6 +386,47 @@ def test_quality_classifier_learns_separable_task(spark):
     assert (w, b) == text.train_quality_classifier(docs, F.col("lang") == "en")
 
 
+def test_quality_classifier_distributed_trainer_matches_driver(spark):
+    """The distributed trainer (one broadcast-join + bounded-collect
+    gradient step per iteration) must converge to the driver kernel's
+    weights on the same sample with the same iteration count — the two
+    computations differ only in float summation order, so parity is
+    np.allclose at 1e-8, not bit equality.  Includes a zero-token doc
+    (bias-gradient-only path) and runs the sample_size=None branch (the
+    100 TB shape: no driver-side cap)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.operators import text
+
+    rows = []
+    for i in range(120):
+        good = i % 2 == 0
+        words = (
+            ["alpha", "beta", "gamma", "delta"]
+            if good
+            else ["omega", "sigma", "theta", "kappa"]
+        )
+        txt = " ".join(words[j % 4] for j in range(i % 7 + 3))
+        rows.append((i, txt, "en" if good else "xx", "s", len(txt)))
+    rows.append((120, "", "xx", "s", 0))  # zero-token doc
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    kw = dict(dim=512, iters=25, lr=1.0, l2=1e-3)
+    w_drv, b_drv = text.train_quality_classifier(
+        docs, F.col("lang") == "en", sample_size=121, **kw
+    )
+    w_dst, b_dst = text.train_quality_classifier_distributed(
+        docs, F.col("lang") == "en", sample_size=None, **kw
+    )
+    assert set(w_drv) == set(w_dst)
+    wd = np.array([w_drv[k] for k in sorted(w_drv)])
+    ws = np.array([w_dst[k] for k in sorted(w_drv)])
+    assert np.allclose(wd, ws, atol=1e-8), np.abs(wd - ws).max()
+    assert abs(b_drv - b_dst) < 1e-8
+
+
 def test_quality_classifier_fixture_hits_bayes_ceiling(spark):
     """On the real fixture the en-vs-rest unigram distributions overlap
     heavily; the gate is honest: beat the base rate and land within 5

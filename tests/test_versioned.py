@@ -755,3 +755,89 @@ def test_update_where_cow_semantics(spark):
             V.update_where(spark, t, [("id", "=", 1)], {"nope": "1"})
     finally:
         shutil.rmtree(t, ignore_errors=True)
+
+
+def test_dml_on_empty_table_is_noop(spark, tmp_path):
+    """DELETE/UPDATE on a table with zero commits is a well-defined no-op
+    (nothing to touch), not an incidental FileNotFoundError from the
+    stats replay (round-8 advice)."""
+    t = str(tmp_path / "tbl")
+    os.makedirs(t, exist_ok=True)
+    rep = V.delete_where(spark, t, [("id", ">", 0)])
+    assert rep["version"] is None and rep["rows_deleted"] == 0
+    assert rep["files_rewritten"] == 0 and rep["files_linked"] == 0
+    rep = V.update_where(spark, t, [("id", ">", 0)], {"v": "v + 1"})
+    assert rep["version"] is None and rep["rows_updated"] == 0
+    assert V._list_versions(t) == []  # no commit published
+
+
+def test_vacuum_expiry_floor_and_read_guard(spark, tmp_path):
+    """Snapshot-isolation contract between vacuum and time travel
+    (round-8 verdict #7), staged like the conflict-rules tests:
+
+    v1 overwrite / v2 append / v3 overwrite / v4 append.  Expiring below
+    v3 must (a) persist the floor BEFORE deletion, (b) remove exactly the
+    dirs unreachable from every retained snapshot (v1+v2's files, which
+    v3's overwrite superseded), (c) keep v3/v4 byte-complete, and (d)
+    turn every read at v1/v2 into a LOUD VersionExpiredError — including
+    the stats-pruned read path — rather than a missing-parquet error."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 10), t, mode="overwrite")     # v1
+    V.commit_write(_df(spark, 10, 15), t, mode="append")       # v2
+    V.commit_write(_df(spark, 100, 110), t, mode="overwrite")  # v3
+    V.commit_write(_df(spark, 110, 112), t, mode="append")     # v4
+
+    # pre-expiry: everything readable
+    assert V.read_version(spark, t, 2).count() == 15
+
+    removed = V.vacuum(t, retention_seconds=0, min_retained_version=3)
+    # exactly the dirs only v1/v2 reached are gone
+    assert removed, "expiry should reclaim the superseded v1/v2 dirs"
+    for p in removed:
+        assert not os.path.exists(p)
+
+    # retained snapshots byte-complete
+    assert V.read_version(spark, t, 3).count() == 10
+    assert V.read_version(spark, t, 4).count() == 12
+    assert V.read_version(spark, t).count() == 12
+
+    # loud guard on every expired-read path
+    for v in (1, 2):
+        with pytest.raises(V.VersionExpiredError, match="min_retained_version=3"):
+            V.read_version(spark, t, v)
+    with pytest.raises(V.VersionExpiredError):
+        V.read_where(spark, t, [("id", ">", 0)], version=2)
+    with pytest.raises(V.VersionExpiredError):
+        V.change_feed(spark, t, 1, 4, keys=["id"])
+    with pytest.raises(V.VersionExpiredError):
+        V.read_changes_since(spark, t, 0, to_version=2)
+
+    # floor is monotonic: a lower request never un-expires
+    V.vacuum(t, retention_seconds=0, min_retained_version=1)
+    with pytest.raises(V.VersionExpiredError):
+        V.read_version(spark, t, 2)
+
+    # refusing to expire the current snapshot
+    with pytest.raises(ValueError, match="refusing"):
+        V.vacuum(t, retention_seconds=0, min_retained_version=99)
+
+
+def test_vacuum_expiry_keeps_append_only_history_readable(spark, tmp_path):
+    """Append-only dirs below the floor stay reachable from retained
+    snapshots, so expiry must delete NOTHING and incremental reads that
+    target retained snapshots keep working."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 5), t, mode="overwrite")   # v1
+    V.commit_write(_df(spark, 5, 8), t, mode="append")      # v2
+    V.commit_write(_df(spark, 8, 12), t, mode="append")     # v3
+    removed = V.vacuum(t, retention_seconds=0, min_retained_version=3)
+    assert removed == []  # every dir reachable from v3
+    assert V.read_version(spark, t, 3).count() == 12
+    # the (v2, v3] delta reads dirs still live in v3 -> fine
+    assert V.read_changes_since(spark, t, 2, to_version=3).count() == 4
+    with pytest.raises(V.VersionExpiredError):
+        V.read_version(spark, t, 2)
