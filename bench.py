@@ -218,6 +218,8 @@ HEADLINE = [
     "versioned_delete_where",
     "versioned_update_where",
     "text_quality_classifier",
+    # round-9 additions
+    "dedup_substring_spans",
 ]
 
 

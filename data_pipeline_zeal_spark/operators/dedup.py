@@ -1247,3 +1247,99 @@ def dedup_pipeline(
         )
         .orderBy("source")
     )
+
+
+def trim_duplicated_spans(documents: DataFrame, n: int = 20) -> DataFrame:
+    """Exact-substring CROSS-document dedup — the removal half of Lee et
+    al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"): every ``n``-token span occurring more than once corpus-wide
+    keeps its FIRST occurrence (min doc_id, then min position — the
+    canonical copy) and every other occurrence is trimmed out of its
+    document.  Complements :func:`~.text.duplicated_spans`, which only
+    PROFILES the duplication.  (Reference analogue: none — the reference
+    engine has no substring dedup; this completes the dedup family for
+    pretraining pipelines.)
+
+    Per document the removal set is the UNION of token positions covered
+    by its non-canonical duplicated windows; the surviving tokens rejoin
+    in order.  Returns (doc_id, n_tokens, n_spans_trimmed, n_tokens_kept,
+    trimmed_md5) — the md5 pins the exact reconstructed text so the
+    independent oracle checks the full trim, not just the counts.
+
+    SCALE (the Lee et al. suffix array re-expressed as three uniform
+    equality shuffles):
+
+    1. Hash prefilter: windows explode as (doc_id, pos, xxhash64) — the
+       8-byte hash, never the text — and a map-combined count keeps only
+       hashes seen >= 2.  At a typical ~1% duplication rate this bounds
+       everything downstream to the duplicated trickle.
+    2. Exact confirm + election: only suspect windows re-join WITH text,
+       group on the full window text (so 64-bit collisions cannot trim a
+       false match — exactness is restored, unlike count-only profiling),
+       and a per-window row_number elects the canonical.
+    3. Reconstruction: removal starts collect per doc (bounded by the
+       doc's own window count) and an engine-side filter/transform pass
+       rebuilds the text — per-doc cost O(len x starts), no Python.
+    """
+    from pyspark.sql import Window
+
+    docs = with_min_parallelism(documents).select(
+        "doc_id", tokens("text").alias("tok")
+    )
+    win = F.when(
+        F.size("tok") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tok") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(F.col("tok"), i, n)).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,w:string>>"))
+    spans = docs.select("doc_id", F.explode(win).alias("s")).select(
+        "doc_id",
+        F.col("s.pos").alias("pos"),
+        F.col("s.w").alias("w"),
+        F.xxhash64("s.w").alias("wh"),
+    )
+    dup_h = (
+        spans.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n_h"))
+        .filter(F.col("n_h") >= 2)
+        .select("wh")
+    )
+    cand = spans.join(dup_h, "wh")
+    wspec = Window.partitionBy("w").orderBy("doc_id", "pos")
+    removals = (
+        cand.withColumn("rk", F.row_number().over(wspec))
+        .withColumn("n_exact", F.count(F.lit(1)).over(Window.partitionBy("w")))
+        .filter((F.col("n_exact") >= 2) & (F.col("rk") >= 2))
+        .select("doc_id", "pos")
+    )
+    starts = removals.groupBy("doc_id").agg(
+        F.collect_set("pos").alias("starts")  # order-free: used as a set
+    )
+    joined = docs.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "tok",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    positions = F.when(
+        F.size("tok") >= 1, F.sequence(F.lit(1), F.size("tok"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        positions,
+        lambda p: ~F.exists(
+            F.col("starts"), lambda st: (p >= st) & (p < st + F.lit(n))
+        ),
+    )
+    trimmed = F.concat_ws(
+        " ", F.transform(kept, lambda p: F.element_at(F.col("tok"), p))
+    )
+    return joined.select(
+        "doc_id",
+        F.size("tok").alias("n_tokens"),
+        F.size("starts").alias("n_spans_trimmed"),
+        F.size(kept).alias("n_tokens_kept"),
+        F.md5(trimmed).alias("trimmed_md5"),
+    ).orderBy("doc_id")

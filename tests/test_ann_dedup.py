@@ -760,3 +760,57 @@ def test_ivf_auto_cells_end_to_end(spark):
     rows = got.collect()
     assert len(rows) == 15
     assert {r.query_id for r in rows} == set(qids)
+
+
+def test_trim_duplicated_spans_hand_computed(spark):
+    """Exact-substring cross-doc dedup on a hand-built corpus: the first
+    occurrence (min doc_id, min pos) of a duplicated 20-token span stays,
+    every other occurrence trims out — including a within-doc repeat and
+    a doc that IS the span (trims to empty).  The md5 column pins the
+    exact reconstructed text."""
+    import hashlib
+
+    from data_pipeline_zeal_spark.operators import dedup
+
+    span = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (0, "alpha " + span + " beta"),          # canonical copy: untouched
+        (1, "gamma " + span + " delta " + span),  # both copies trimmed
+        (2, "short doc"),                         # no window at all
+        (3, ""),                                  # empty doc
+        (4, span),                                # trims to empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans_trimmed, r.n_tokens_kept,
+                   r.trimmed_md5)
+        for r in dedup.trim_duplicated_spans(docs, n=20).collect()
+    }
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[0] == (22, 0, 22, h("alpha " + span + " beta"))
+    assert got[1] == (42, 2, 2, h("gamma delta"))
+    assert got[2] == (2, 0, 2, h("short doc"))
+    assert got[3] == (0, 0, 0, h(""))
+    assert got[4] == (20, 1, 0, h(""))
+
+
+def test_trim_duplicated_spans_overlap_union(spark):
+    """Overlapping non-canonical windows remove the UNION of their
+    covered positions: doc 1 repeats a 21-token region of doc 0, which
+    contains TWO duplicated 20-token windows; the trim removes all 21
+    tokens once, not 40."""
+    from data_pipeline_zeal_spark.operators import dedup
+
+    region = " ".join(f"t{i}" for i in range(21))
+    docs = spark.createDataFrame(
+        [(0, region), (1, "x " + region + " y")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           dedup.trim_duplicated_spans(docs, n=20).collect()}
+    assert got[0].n_tokens_kept == 21          # canonical doc untouched
+    assert got[1].n_spans_trimmed == 2          # two window instances
+    assert got[1].n_tokens_kept == 2            # x + y survive: union, not sum
