@@ -759,6 +759,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bpe_train_merges"] = lambda s, d: text.bpe_train_merges(
         load_table(s, d, "documents"), n_merges=10
     )
+    # BPE ENCODING with the trained table — the per-doc real-tokenizer
+    # count a training run budgets with.  Deterministic (train + encode
+    # are pure functions of the fixture) -> pinned regression oracle;
+    # semantic gate = exact parity with the textbook encoder on the
+    # classic corpus AND a full pure-Python fixture recompute
+    # (tests/test_bpe_train.py).
+    q["text_bpe_encode"] = lambda s, d: text.bpe_encode_lengths(
+        load_table(s, d, "documents"), n_merges=10
+    )
 
     def _bcubed_norm(s: SparkSession, d: str) -> DataFrame:
         docs = load_table(s, d, "documents")
@@ -1751,20 +1760,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
 #: ROUND-9 WINDOW (tools/rotate_registry.py stalest-first; verified with
-#: `python tools/driver_sim.py <names>` before commit): 1 never-sampled
-#: (dedup_substring_spans, the new exact-substring cross-doc dedup), 3
+#: `python tools/driver_sim.py <names>` before commit): 2 never-sampled
+#: (dedup_substring_spans — the new exact-substring cross-doc dedup —
+#: and text_bpe_encode, the trained-table BPE encoder), 3
 #: oracle-upgraded rows (multimodal_decode/resize/scene_detect — rows-only
 #: since r1, now hash-checked against spec-derived DuckDB oracles, the
-#: round-8 verdict's #1 directive), and 46 re-verifications drawn from the
+#: round-8 verdict's #1 directive), and 45 re-verifications drawn from the
 #: r3/r4 staleness tail the same directive names: the r3 text trio
 #: (text_fingerprint/normalize/scrub_pii), the r3/r4 events analytics
 #: ladder (sessionize, type_share, top_users, hour_profile,
 #: cohort_retention, windows, transitions, cdc/scd2, markov, drift...),
 #: orders_grouping_sets, orders_rfm, part_pagerank, sim_knn_label,
 #: dq_audit, customer_spend_deciles, and the r4 sim/corpus rows.
-#: 46/50 re-verification (>=50 % directive met).
+#: 45/50 re-verification (>=50 % directive met).
 _DRIVER_FIRST = [
     "dedup_substring_spans",
+    "text_bpe_encode",
     "multimodal_resize",
     "multimodal_scene_detect",
     "multimodal_decode",
@@ -1813,7 +1824,6 @@ _DRIVER_FIRST = [
     "events_markov_steady",
     "events_hour_uniformity",
     "events_profile_drift",
-    "hourly_agg_incremental",
 ]
 
 
@@ -6430,6 +6440,1024 @@ FROM c, tot ORDER BY k
     # Regenerate with `python tools/gen_pinned_oracles.py` after any
     # operator or fixture change.
 
+    # text_bpe_encode: deterministic train+encode composition ->
+    # REGRESSION PIN (tools/gen_pinned_oracles.py — honesty label there);
+    # semantics gated by exact textbook-encoder parity + a full
+    # pure-Python fixture recompute in tests/test_bpe_train.py.
+    o["text_bpe_encode"] = """
+WITH which AS (
+  SELECT
+    max(CASE WHEN md5(text) = '3bf959bb4328351c94e543f4ec639ca2' THEN 1 ELSE 0 END) AS is_sf0001,
+    max(CASE WHEN md5(text) = '2f562b51617feb025bfa5d6d2e63d2f3' THEN 1 ELSE 0 END) AS is_sf001
+  FROM documents),
+t1("doc_id", "n_words", "n_chars", "n_bpe_tokens", "chars_per_token") AS (VALUES
+  (0,23,106,83,1.277108),
+  (1,78,364,279,1.304659),
+  (2,65,284,232,1.224138),
+  (3,49,232,183,1.26776),
+  (4,31,147,116,1.267241),
+  (5,43,173,147,1.176871),
+  (6,86,391,309,1.265372),
+  (7,44,195,162,1.203704),
+  (8,76,327,265,1.233962),
+  (9,36,175,140,1.25),
+  (10,53,241,197,1.22335),
+  (11,86,387,311,1.244373),
+  (12,78,333,271,1.228782),
+  (13,47,200,170,1.176471),
+  (14,32,154,121,1.272727),
+  (15,25,115,91,1.263736),
+  (16,88,398,307,1.296417),
+  (17,62,278,225,1.235556),
+  (18,33,138,111,1.243243),
+  (19,46,216,170,1.270588),
+  (20,58,250,195,1.282051),
+  (21,89,391,311,1.257235),
+  (22,87,377,312,1.208333),
+  (23,52,227,187,1.213904),
+  (24,60,251,196,1.280612),
+  (25,32,140,110,1.272727),
+  (26,88,398,318,1.251572),
+  (27,10,45,38,1.184211),
+  (28,86,381,299,1.274247),
+  (29,81,360,295,1.220339),
+  (30,95,446,358,1.24581),
+  (31,84,378,302,1.251656),
+  (32,25,116,93,1.247312),
+  (33,11,48,38,1.263158),
+  (34,79,349,278,1.255396),
+  (35,91,383,319,1.200627),
+  (36,78,335,268,1.25),
+  (37,42,204,155,1.316129),
+  (38,78,362,294,1.231293),
+  (39,57,263,216,1.217593),
+  (40,22,91,72,1.263889),
+  (41,45,207,169,1.224852),
+  (42,80,342,277,1.234657),
+  (43,76,334,269,1.241636),
+  (44,40,186,138,1.347826),
+  (45,30,136,106,1.283019),
+  (46,32,137,106,1.292453),
+  (47,30,129,103,1.252427),
+  (48,42,196,156,1.25641),
+  (49,71,317,250,1.268),
+  (50,22,103,80,1.2875),
+  (51,39,169,131,1.290076),
+  (52,41,199,159,1.251572),
+  (53,69,296,228,1.298246),
+  (54,90,402,323,1.244582),
+  (55,46,224,174,1.287356),
+  (56,56,258,210,1.228571),
+  (57,15,73,60,1.216667),
+  (58,18,84,71,1.183099),
+  (59,67,298,233,1.27897),
+  (60,76,336,262,1.282443),
+  (61,35,141,112,1.258929),
+  (62,46,222,176,1.261364),
+  (63,75,331,268,1.235075),
+  (64,32,134,106,1.264151),
+  (65,16,73,59,1.237288),
+  (66,24,105,84,1.25),
+  (67,65,301,243,1.238683),
+  (68,27,106,91,1.164835),
+  (69,12,57,47,1.212766),
+  (70,41,176,148,1.189189),
+  (71,54,238,191,1.246073),
+  (72,87,384,308,1.246753),
+  (73,17,73,60,1.216667),
+  (74,14,62,53,1.169811),
+  (75,42,183,153,1.196078),
+  (76,55,254,208,1.221154),
+  (77,80,358,287,1.247387),
+  (78,24,99,78,1.269231),
+  (79,41,178,140,1.271429),
+  (80,87,384,308,1.246753),
+  (81,98,425,335,1.268657),
+  (82,24,109,86,1.267442),
+  (83,82,355,280,1.267857),
+  (84,14,65,54,1.203704),
+  (85,86,387,312,1.240385),
+  (86,58,278,220,1.263636),
+  (87,76,351,273,1.285714),
+  (88,89,375,313,1.198083),
+  (89,15,63,53,1.188679),
+  (90,76,361,287,1.25784),
+  (91,12,51,40,1.275),
+  (92,26,96,85,1.129412),
+  (93,82,356,296,1.202703),
+  (94,46,226,174,1.298851),
+  (95,47,218,168,1.297619),
+  (96,66,296,232,1.275862),
+  (97,61,283,225,1.257778),
+  (98,85,357,290,1.231034),
+  (99,86,396,312,1.269231),
+  (100,89,388,320,1.2125),
+  (101,51,227,185,1.227027),
+  (102,71,319,255,1.25098),
+  (103,53,246,190,1.294737),
+  (104,63,283,231,1.225108),
+  (105,43,183,148,1.236486),
+  (106,77,351,277,1.267148),
+  (107,63,265,216,1.226852),
+  (108,96,446,361,1.235457),
+  (109,88,423,343,1.233236),
+  (110,94,420,334,1.257485),
+  (111,78,366,291,1.257732),
+  (112,60,286,221,1.294118),
+  (113,66,304,243,1.251029),
+  (114,16,66,56,1.178571),
+  (115,31,141,111,1.27027),
+  (116,28,120,99,1.212121),
+  (117,25,116,95,1.221053),
+  (118,15,65,54,1.203704),
+  (119,37,168,137,1.226277),
+  (120,75,324,262,1.236641),
+  (121,38,168,137,1.226277),
+  (122,11,54,43,1.255814),
+  (123,61,279,222,1.256757),
+  (124,81,360,295,1.220339),
+  (125,61,287,223,1.286996),
+  (126,58,266,208,1.278846),
+  (127,28,132,103,1.281553),
+  (128,97,446,354,1.259887),
+  (129,50,219,174,1.258621),
+  (130,28,126,103,1.223301),
+  (131,56,261,203,1.285714),
+  (132,38,161,130,1.238462),
+  (133,67,310,246,1.260163),
+  (134,82,379,299,1.267559),
+  (135,67,301,224,1.34375),
+  (136,68,310,244,1.270492),
+  (137,96,433,332,1.304217),
+  (138,41,175,140,1.25),
+  (139,46,223,185,1.205405),
+  (140,21,98,75,1.306667),
+  (141,24,109,83,1.313253),
+  (142,92,423,339,1.247788),
+  (143,66,304,242,1.256198),
+  (144,89,384,303,1.267327),
+  (145,40,177,144,1.229167),
+  (146,47,204,166,1.228916),
+  (147,16,74,62,1.193548),
+  (148,75,334,277,1.205776),
+  (149,99,445,351,1.267806),
+  (150,14,69,53,1.301887),
+  (151,97,435,344,1.264535),
+  (152,65,300,239,1.25523),
+  (153,87,400,329,1.215805),
+  (154,98,457,358,1.276536),
+  (155,19,81,67,1.208955),
+  (156,77,350,281,1.245552),
+  (157,55,255,207,1.231884),
+  (158,39,180,135,1.333333),
+  (159,26,112,93,1.204301),
+  (160,52,230,179,1.284916),
+  (161,90,387,306,1.264706),
+  (162,98,410,327,1.253823),
+  (163,36,153,129,1.186047),
+  (164,18,86,68,1.264706),
+  (165,23,114,86,1.325581),
+  (166,54,245,203,1.206897),
+  (167,38,185,139,1.330935),
+  (168,98,439,362,1.212707),
+  (169,13,54,45,1.2),
+  (170,38,171,142,1.204225),
+  (171,18,82,64,1.28125),
+  (172,65,302,227,1.330396),
+  (173,40,174,141,1.234043),
+  (174,85,393,309,1.271845),
+  (175,88,386,312,1.237179),
+  (176,89,401,321,1.249221),
+  (177,29,117,92,1.271739),
+  (178,26,113,90,1.255556),
+  (179,88,401,325,1.233846),
+  (180,24,111,83,1.337349),
+  (181,29,119,102,1.166667),
+  (182,24,98,86,1.139535),
+  (183,40,174,146,1.191781),
+  (184,68,305,235,1.297872),
+  (185,38,193,154,1.253247),
+  (186,66,292,236,1.237288),
+  (187,75,313,255,1.227451),
+  (188,44,211,159,1.327044),
+  (189,93,416,341,1.219941),
+  (190,88,381,308,1.237013),
+  (191,16,66,52,1.269231),
+  (192,94,440,356,1.235955),
+  (193,22,102,81,1.259259),
+  (194,57,261,206,1.26699),
+  (195,61,276,229,1.20524),
+  (196,50,229,178,1.286517),
+  (197,83,377,306,1.232026),
+  (198,49,222,175,1.268571),
+  (199,55,244,194,1.257732),
+  (200,59,298,232,1.284483),
+  (201,66,290,233,1.244635),
+  (202,10,38,31,1.225806),
+  (203,42,191,150,1.273333),
+  (204,95,421,328,1.283537),
+  (205,42,205,165,1.242424),
+  (206,64,286,217,1.317972),
+  (207,43,192,160,1.2),
+  (208,94,420,333,1.261261),
+  (209,48,210,166,1.26506),
+  (210,59,271,213,1.2723),
+  (211,66,292,234,1.247863),
+  (212,79,358,294,1.217687),
+  (213,70,301,247,1.218623),
+  (214,90,417,333,1.252252),
+  (215,70,319,252,1.265873),
+  (216,41,186,149,1.248322),
+  (217,71,324,264,1.227273),
+  (218,98,437,354,1.234463),
+  (219,47,226,177,1.276836),
+  (220,60,282,218,1.293578),
+  (221,13,61,48,1.270833),
+  (222,42,203,154,1.318182),
+  (223,86,388,304,1.276316),
+  (224,58,263,208,1.264423),
+  (225,27,130,101,1.287129),
+  (226,45,186,152,1.223684),
+  (227,81,371,292,1.270548),
+  (228,34,152,117,1.299145),
+  (229,24,109,93,1.172043),
+  (230,70,302,245,1.232653),
+  (231,56,244,192,1.270833),
+  (232,69,308,237,1.299578),
+  (233,22,97,80,1.2125),
+  (234,80,364,286,1.272727),
+  (235,76,333,271,1.228782),
+  (236,36,165,129,1.27907),
+  (237,36,170,139,1.223022),
+  (238,53,236,187,1.262032),
+  (239,29,136,113,1.20354),
+  (240,83,391,313,1.249201),
+  (241,54,241,190,1.268421),
+  (242,92,435,356,1.22191),
+  (243,94,409,320,1.278125),
+  (244,39,180,146,1.232877),
+  (245,84,378,301,1.255814),
+  (246,74,331,259,1.277992),
+  (247,43,194,158,1.227848),
+  (248,90,395,306,1.29085),
+  (249,81,365,293,1.245734),
+  (250,36,158,124,1.274194),
+  (251,62,264,216,1.222222),
+  (252,98,438,348,1.258621),
+  (253,50,238,193,1.233161),
+  (254,31,145,117,1.239316),
+  (255,48,212,159,1.333333),
+  (256,15,71,56,1.267857),
+  (257,21,99,79,1.253165),
+  (258,41,176,145,1.213793),
+  (259,87,407,323,1.260062),
+  (260,90,394,327,1.204893),
+  (261,93,427,345,1.237681),
+  (262,42,177,142,1.246479),
+  (263,25,112,96,1.166667),
+  (264,61,278,226,1.230088),
+  (265,43,203,164,1.237805),
+  (266,25,111,92,1.206522),
+  (267,97,430,346,1.242775),
+  (268,98,455,356,1.27809),
+  (269,62,278,222,1.252252),
+  (270,86,368,296,1.243243),
+  (271,36,155,133,1.165414),
+  (272,83,366,288,1.270833),
+  (273,22,105,80,1.3125),
+  (274,90,407,324,1.256173),
+  (275,64,308,240,1.283333),
+  (276,12,51,36,1.416667),
+  (277,67,314,258,1.217054),
+  (278,27,124,104,1.192308),
+  (279,58,264,209,1.263158),
+  (280,96,410,330,1.242424),
+  (281,11,49,43,1.139535),
+  (282,66,283,227,1.246696),
+  (283,82,363,293,1.238908),
+  (284,81,372,303,1.227723),
+  (285,68,309,258,1.197674),
+  (286,32,143,113,1.265487),
+  (287,89,401,330,1.215152),
+  (288,80,377,286,1.318182),
+  (289,37,165,136,1.213235),
+  (290,20,92,76,1.210526),
+  (291,89,378,309,1.223301),
+  (292,55,253,204,1.240196),
+  (293,76,346,278,1.244604),
+  (294,31,122,100,1.22),
+  (295,78,344,275,1.250909),
+  (296,88,403,320,1.259375),
+  (297,56,265,203,1.305419),
+  (298,87,410,330,1.242424),
+  (299,64,296,233,1.270386),
+  (300,79,365,284,1.285211),
+  (301,70,320,263,1.21673),
+  (302,18,84,65,1.292308),
+  (303,85,369,294,1.255102),
+  (304,21,92,77,1.194805),
+  (305,83,388,310,1.251613),
+  (306,81,372,291,1.278351),
+  (307,11,44,34,1.294118),
+  (308,19,92,77,1.194805),
+  (309,59,264,218,1.211009),
+  (310,35,151,122,1.237705),
+  (311,16,80,62,1.290323),
+  (312,39,194,156,1.24359),
+  (313,34,152,113,1.345133),
+  (314,63,294,227,1.295154),
+  (315,55,260,206,1.262136),
+  (316,61,277,224,1.236607),
+  (317,93,423,340,1.244118),
+  (318,72,317,255,1.243137),
+  (319,62,309,239,1.292887),
+  (320,57,268,209,1.282297),
+  (321,62,295,237,1.244726),
+  (322,39,186,138,1.347826),
+  (323,90,418,333,1.255255),
+  (324,51,221,178,1.241573),
+  (325,18,76,57,1.333333),
+  (326,40,179,145,1.234483),
+  (327,12,59,46,1.282609),
+  (328,40,183,146,1.253425),
+  (329,85,365,293,1.245734),
+  (330,95,422,337,1.252226),
+  (331,54,248,196,1.265306),
+  (332,77,347,273,1.271062),
+  (333,58,257,200,1.285),
+  (334,94,430,337,1.275964),
+  (335,34,157,125,1.256),
+  (336,33,146,116,1.258621),
+  (337,18,77,65,1.184615),
+  (338,49,223,180,1.238889),
+  (339,39,175,144,1.215278),
+  (340,57,268,213,1.258216),
+  (341,42,200,164,1.219512),
+  (342,94,420,345,1.217391),
+  (343,99,460,365,1.260274),
+  (344,18,82,62,1.322581),
+  (345,59,268,218,1.229358),
+  (346,41,197,152,1.296053),
+  (347,29,133,109,1.220183),
+  (348,51,244,204,1.196078),
+  (349,54,234,191,1.225131),
+  (350,53,226,182,1.241758),
+  (351,70,309,243,1.271605),
+  (352,15,64,51,1.254902),
+  (353,17,77,65,1.184615),
+  (354,68,320,243,1.316872),
+  (355,76,317,262,1.209924),
+  (356,95,433,347,1.247839),
+  (357,77,353,272,1.297794),
+  (358,90,410,329,1.246201),
+  (359,36,164,130,1.261538),
+  (360,77,330,268,1.231343),
+  (361,48,224,182,1.230769),
+  (362,54,244,197,1.238579),
+  (363,86,380,307,1.237785),
+  (364,73,330,265,1.245283),
+  (365,49,228,182,1.252747),
+  (366,48,203,160,1.26875),
+  (367,83,362,288,1.256944),
+  (368,51,217,172,1.261628),
+  (369,87,395,304,1.299342),
+  (370,13,58,45,1.288889),
+  (371,43,198,161,1.229814),
+  (372,72,312,251,1.243028),
+  (373,49,236,188,1.255319),
+  (374,96,433,349,1.240688),
+  (375,35,155,133,1.165414),
+  (376,87,399,309,1.291262),
+  (377,28,119,92,1.293478),
+  (378,73,312,252,1.238095),
+  (379,47,205,169,1.213018),
+  (380,96,422,338,1.248521),
+  (381,71,308,242,1.272727),
+  (382,11,44,34,1.294118),
+  (383,24,100,86,1.162791),
+  (384,23,103,83,1.240964),
+  (385,37,174,131,1.328244),
+  (386,71,322,257,1.252918),
+  (387,83,371,301,1.232558),
+  (388,47,210,162,1.296296),
+  (389,34,141,123,1.146341),
+  (390,98,441,345,1.278261),
+  (391,91,397,330,1.20303),
+  (392,51,239,193,1.238342),
+  (393,87,378,307,1.23127),
+  (394,96,441,354,1.245763),
+  (395,43,197,158,1.246835),
+  (396,99,433,356,1.216292),
+  (397,12,49,44,1.113636),
+  (398,24,114,89,1.280899),
+  (399,89,399,317,1.258675),
+  (400,15,64,53,1.207547),
+  (401,90,396,320,1.2375),
+  (402,46,220,174,1.264368),
+  (403,21,92,73,1.260274),
+  (404,67,295,237,1.244726),
+  (405,67,317,249,1.273092),
+  (406,99,444,351,1.264957),
+  (407,29,126,101,1.247525),
+  (408,62,291,237,1.227848),
+  (409,80,362,284,1.274648),
+  (410,98,443,352,1.258523),
+  (411,53,231,188,1.228723),
+  (412,92,427,333,1.282282),
+  (413,12,51,39,1.307692),
+  (414,17,79,67,1.179104),
+  (415,58,260,210,1.238095),
+  (416,40,181,138,1.311594),
+  (417,34,162,130,1.246154),
+  (418,23,106,82,1.292683),
+  (419,61,285,229,1.244541),
+  (420,84,361,291,1.24055),
+  (421,65,309,243,1.271605),
+  (422,27,117,94,1.244681),
+  (423,72,316,254,1.244094),
+  (424,37,164,134,1.223881),
+  (425,36,165,134,1.231343),
+  (426,46,201,159,1.264151),
+  (427,25,107,79,1.35443),
+  (428,41,186,149,1.248322),
+  (429,45,198,157,1.261146),
+  (430,56,245,197,1.243655),
+  (431,64,286,233,1.227468),
+  (432,52,229,186,1.231183),
+  (433,79,356,283,1.257951),
+  (434,69,310,262,1.183206),
+  (435,81,354,285,1.242105),
+  (436,10,45,35,1.285714),
+  (437,82,362,286,1.265734),
+  (438,38,166,128,1.296875),
+  (439,34,154,125,1.232),
+  (440,83,380,309,1.229773),
+  (441,74,346,279,1.240143),
+  (442,16,70,51,1.372549),
+  (443,69,296,229,1.292576),
+  (444,77,343,271,1.265683),
+  (445,13,50,42,1.190476),
+  (446,92,393,314,1.251592),
+  (447,18,83,65,1.276923),
+  (448,53,235,195,1.205128),
+  (449,29,142,112,1.267857),
+  (450,42,170,144,1.180556),
+  (451,75,344,279,1.232975),
+  (452,37,167,133,1.255639),
+  (453,87,389,299,1.301003),
+  (454,54,234,196,1.193878),
+  (455,12,56,40,1.4),
+  (456,41,179,149,1.201342),
+  (457,90,411,329,1.24924),
+  (458,54,244,199,1.226131),
+  (459,79,355,284,1.25),
+  (460,59,257,204,1.259804),
+  (461,14,60,51,1.176471),
+  (462,51,233,183,1.273224),
+  (463,24,107,88,1.215909),
+  (464,79,377,296,1.273649),
+  (465,80,381,299,1.274247),
+  (466,23,110,86,1.27907),
+  (467,95,423,337,1.255193),
+  (468,73,349,276,1.264493),
+  (469,87,416,342,1.216374),
+  (470,56,261,213,1.225352),
+  (471,64,291,229,1.270742),
+  (472,20,91,79,1.151899),
+  (473,80,367,289,1.269896),
+  (474,96,422,340,1.241176),
+  (475,68,293,238,1.231092),
+  (476,75,360,279,1.290323),
+  (477,68,301,241,1.248963),
+  (478,39,179,144,1.243056),
+  (479,43,194,154,1.25974),
+  (480,11,48,40,1.2),
+  (481,91,419,334,1.254491),
+  (482,61,288,238,1.210084),
+  (483,71,309,252,1.22619),
+  (484,40,185,144,1.284722),
+  (485,98,432,353,1.223796),
+  (486,95,418,330,1.266667),
+  (487,29,133,103,1.291262),
+  (488,69,304,250,1.216),
+  (489,19,82,64,1.28125),
+  (490,10,44,34,1.294118),
+  (491,47,202,162,1.246914),
+  (492,61,263,221,1.190045),
+  (493,18,69,56,1.232143),
+  (494,83,364,282,1.29078),
+  (495,17,75,59,1.271186),
+  (496,26,120,98,1.22449),
+  (497,13,66,49,1.346939),
+  (498,95,419,337,1.243323),
+  (499,45,214,178,1.202247)),
+t2("doc_id", "n_words", "n_chars", "n_bpe_tokens", "chars_per_token") AS (VALUES
+  (0,32,126,102,1.235294),
+  (1,72,335,264,1.268939),
+  (2,45,202,169,1.195266),
+  (3,27,121,97,1.247423),
+  (4,45,206,165,1.248485),
+  (5,56,259,217,1.193548),
+  (6,15,64,56,1.142857),
+  (7,72,331,263,1.258555),
+  (8,84,387,309,1.252427),
+  (9,74,318,253,1.256917),
+  (10,39,176,143,1.230769),
+  (11,58,247,192,1.286458),
+  (12,65,284,226,1.256637),
+  (13,60,287,227,1.264317),
+  (14,87,409,329,1.243161),
+  (15,41,188,153,1.228758),
+  (16,16,75,62,1.209677),
+  (17,77,350,281,1.245552),
+  (18,75,349,279,1.250896),
+  (19,11,47,40,1.175),
+  (20,68,327,254,1.287402),
+  (21,37,181,139,1.302158),
+  (22,81,374,312,1.198718),
+  (23,30,137,111,1.234234),
+  (24,97,439,340,1.291176),
+  (25,94,412,332,1.240964),
+  (26,12,52,47,1.106383),
+  (27,64,283,235,1.204255),
+  (28,60,275,223,1.233184),
+  (29,34,163,133,1.225564),
+  (30,31,137,110,1.245455),
+  (31,43,208,166,1.253012),
+  (32,93,421,341,1.234604),
+  (33,46,202,154,1.311688),
+  (34,29,137,106,1.292453),
+  (35,85,368,296,1.243243),
+  (36,22,114,86,1.325581),
+  (37,69,310,245,1.265306),
+  (38,36,168,129,1.302326),
+  (39,23,102,83,1.228916),
+  (40,73,349,279,1.250896),
+  (41,61,277,224,1.236607),
+  (42,56,248,199,1.246231),
+  (43,28,125,101,1.237624),
+  (44,24,105,84,1.25),
+  (45,80,353,285,1.238596),
+  (46,86,407,331,1.229607),
+  (47,41,184,148,1.243243),
+  (48,30,135,102,1.323529),
+  (49,46,211,172,1.226744),
+  (50,45,212,168,1.261905),
+  (51,58,269,214,1.257009),
+  (52,13,51,40,1.275),
+  (53,34,157,124,1.266129),
+  (54,65,293,234,1.252137),
+  (55,37,160,124,1.290323),
+  (56,97,453,354,1.279661),
+  (57,83,365,300,1.216667),
+  (58,72,318,261,1.218391),
+  (59,24,95,79,1.202532),
+  (60,93,401,325,1.233846),
+  (61,59,251,213,1.178404),
+  (62,72,321,254,1.26378),
+  (63,96,434,346,1.254335),
+  (64,25,111,92,1.206522),
+  (65,19,81,69,1.173913),
+  (66,62,291,231,1.25974),
+  (67,61,273,224,1.21875),
+  (68,33,154,121,1.272727),
+  (69,57,252,202,1.247525),
+  (70,94,416,336,1.238095),
+  (71,60,277,228,1.214912),
+  (72,42,189,144,1.3125),
+  (73,93,411,332,1.237952),
+  (74,10,39,33,1.181818),
+  (75,60,253,199,1.271357),
+  (76,71,312,257,1.214008),
+  (77,57,263,204,1.289216),
+  (78,42,192,149,1.288591),
+  (79,12,52,43,1.209302),
+  (80,32,141,116,1.215517),
+  (81,63,295,234,1.260684),
+  (82,47,214,172,1.244186),
+  (83,15,74,57,1.298246),
+  (84,72,332,266,1.24812),
+  (85,31,125,107,1.168224),
+  (86,23,116,88,1.318182),
+  (87,23,106,82,1.292683),
+  (88,51,239,190,1.257895),
+  (89,27,115,93,1.236559),
+  (90,24,89,74,1.202703),
+  (91,77,355,284,1.25),
+  (92,26,121,98,1.234694),
+  (93,25,106,87,1.218391),
+  (94,24,120,96,1.25),
+  (95,55,242,193,1.253886),
+  (96,81,374,299,1.250836),
+  (97,59,262,210,1.247619),
+  (98,93,434,355,1.222535),
+  (99,38,159,128,1.242188),
+  (100,83,379,310,1.222581),
+  (101,42,191,154,1.24026),
+  (102,91,425,351,1.210826),
+  (103,93,435,349,1.246418),
+  (104,44,203,158,1.28481),
+  (105,60,269,216,1.24537),
+  (106,13,58,47,1.234043),
+  (107,40,173,142,1.21831),
+  (108,16,71,62,1.145161),
+  (109,70,326,256,1.273438),
+  (110,11,44,36,1.222222),
+  (111,94,436,354,1.231638),
+  (112,58,265,207,1.280193),
+  (113,79,350,282,1.241135),
+  (114,36,172,138,1.246377),
+  (115,24,109,85,1.282353),
+  (116,10,53,40,1.325),
+  (117,47,200,165,1.212121),
+  (118,70,327,258,1.267442),
+  (119,16,72,59,1.220339),
+  (120,37,175,145,1.206897),
+  (121,30,139,109,1.275229),
+  (122,19,84,63,1.333333),
+  (123,28,131,102,1.284314),
+  (124,60,252,203,1.241379),
+  (125,34,152,123,1.235772),
+  (126,90,420,330,1.272727),
+  (127,83,352,298,1.181208),
+  (128,81,375,298,1.258389),
+  (129,81,359,291,1.233677),
+  (130,29,122,96,1.270833),
+  (131,54,240,189,1.269841),
+  (132,62,269,224,1.200893),
+  (133,94,407,333,1.222222),
+  (134,24,109,85,1.282353),
+  (135,97,442,358,1.234637),
+  (136,63,272,227,1.198238),
+  (137,43,191,155,1.232258),
+  (138,66,299,241,1.240664),
+  (139,56,239,189,1.26455),
+  (140,28,130,107,1.214953),
+  (141,75,358,294,1.217687),
+  (142,95,418,333,1.255255),
+  (143,72,340,271,1.254613),
+  (144,18,72,59,1.220339),
+  (145,72,330,254,1.299213),
+  (146,22,108,83,1.301205),
+  (147,84,359,295,1.216949),
+  (148,37,161,131,1.229008),
+  (149,27,131,98,1.336735),
+  (150,48,227,173,1.312139),
+  (151,94,426,339,1.256637),
+  (152,39,180,148,1.216216),
+  (153,78,356,285,1.249123),
+  (154,83,361,294,1.227891),
+  (155,67,301,236,1.275424),
+  (156,21,102,82,1.243902),
+  (157,17,75,61,1.229508),
+  (158,17,90,75,1.2),
+  (159,69,311,241,1.290456),
+  (160,44,203,155,1.309677),
+  (161,86,388,310,1.251613),
+  (162,82,377,302,1.248344),
+  (163,45,213,170,1.252941),
+  (164,19,90,74,1.216216),
+  (165,21,88,70,1.257143),
+  (166,61,267,223,1.197309),
+  (167,85,391,315,1.24127),
+  (168,40,189,142,1.330986),
+  (169,69,330,253,1.304348),
+  (170,22,103,82,1.256098),
+  (171,61,268,220,1.218182),
+  (172,20,84,70,1.2),
+  (173,97,444,358,1.240223),
+  (174,57,259,205,1.263415),
+  (175,29,130,106,1.226415),
+  (176,88,404,319,1.266458),
+  (177,49,215,172,1.25),
+  (178,38,177,145,1.22069),
+  (179,87,398,320,1.24375),
+  (180,32,154,120,1.283333),
+  (181,19,91,70,1.3),
+  (182,64,280,226,1.238938),
+  (183,20,80,62,1.290323),
+  (184,80,362,291,1.243986),
+  (185,58,248,210,1.180952),
+  (186,80,334,266,1.255639),
+  (187,91,407,330,1.233333),
+  (188,47,200,158,1.265823),
+  (189,37,171,142,1.204225),
+  (190,78,351,269,1.304833),
+  (191,21,98,80,1.225),
+  (192,26,107,86,1.244186),
+  (193,31,138,108,1.277778),
+  (194,29,128,100,1.28),
+  (195,58,261,215,1.213953),
+  (196,59,281,223,1.26009),
+  (197,95,428,344,1.244186),
+  (198,47,208,162,1.283951),
+  (199,30,125,106,1.179245),
+  (200,53,251,196,1.280612),
+  (201,56,260,213,1.220657),
+  (202,91,391,311,1.257235),
+  (203,24,105,84,1.25),
+  (204,21,97,77,1.25974),
+  (205,69,308,252,1.222222),
+  (206,25,106,93,1.139785),
+  (207,73,313,257,1.217899),
+  (208,22,94,75,1.253333),
+  (209,44,180,148,1.216216),
+  (210,94,422,334,1.263473),
+  (211,51,229,184,1.244565),
+  (212,43,212,172,1.232558),
+  (213,88,380,313,1.214058),
+  (214,13,57,44,1.295455),
+  (215,98,430,343,1.253644),
+  (216,92,438,350,1.251429),
+  (217,66,285,232,1.228448),
+  (218,81,375,306,1.22549),
+  (219,29,147,116,1.267241),
+  (220,99,455,361,1.260388),
+  (221,42,180,146,1.232877),
+  (222,51,211,175,1.205714),
+  (223,85,375,311,1.205788),
+  (224,77,366,291,1.257732),
+  (225,76,344,278,1.23741),
+  (226,20,90,75,1.2),
+  (227,81,388,302,1.284768),
+  (228,86,379,309,1.226537),
+  (229,74,336,270,1.244444),
+  (230,55,257,205,1.253659),
+  (231,27,129,100,1.29),
+  (232,58,259,208,1.245192),
+  (233,83,376,305,1.232787),
+  (234,66,279,231,1.207792),
+  (235,39,186,143,1.300699),
+  (236,12,51,45,1.133333),
+  (237,79,338,271,1.247232),
+  (238,48,210,162,1.296296),
+  (239,30,135,106,1.273585),
+  (240,70,311,256,1.214844),
+  (241,92,420,330,1.272727),
+  (242,69,320,248,1.290323),
+  (243,33,146,116,1.258621),
+  (244,67,305,243,1.255144),
+  (245,83,384,306,1.254902),
+  (246,34,142,113,1.256637),
+  (247,80,351,278,1.26259),
+  (248,79,368,300,1.226667),
+  (249,82,350,287,1.219512),
+  (250,44,204,164,1.243902),
+  (251,94,430,338,1.272189),
+  (252,46,207,161,1.285714),
+  (253,38,160,125,1.28),
+  (254,19,85,69,1.231884),
+  (255,28,130,97,1.340206),
+  (256,11,52,44,1.181818),
+  (257,21,94,79,1.189873),
+  (258,74,323,259,1.247104),
+  (259,45,215,171,1.25731),
+  (260,26,109,89,1.224719),
+  (261,84,389,310,1.254839),
+  (262,47,210,171,1.22807),
+  (263,83,365,293,1.245734),
+  (264,99,446,351,1.270655),
+  (265,47,222,171,1.298246),
+  (266,41,185,146,1.267123),
+  (267,78,347,279,1.243728),
+  (268,39,178,147,1.210884),
+  (269,86,382,311,1.228296),
+  (270,93,407,320,1.271875),
+  (271,53,243,197,1.233503),
+  (272,92,395,323,1.22291),
+  (273,28,130,108,1.203704),
+  (274,96,442,354,1.248588),
+  (275,10,40,30,1.333333),
+  (276,96,443,352,1.258523),
+  (277,32,132,104,1.269231),
+  (278,72,323,263,1.228137),
+  (279,51,231,185,1.248649),
+  (280,88,383,310,1.235484),
+  (281,30,142,106,1.339623),
+  (282,32,147,120,1.225),
+  (283,84,388,304,1.276316),
+  (284,51,228,181,1.259669),
+  (285,94,419,334,1.254491),
+  (286,46,213,174,1.224138),
+  (287,18,84,67,1.253731),
+  (288,32,145,119,1.218487),
+  (289,38,187,150,1.246667),
+  (290,94,437,358,1.22067),
+  (291,76,342,270,1.266667),
+  (292,86,373,289,1.290657),
+  (293,71,315,258,1.22093),
+  (294,83,388,303,1.280528),
+  (295,32,155,123,1.260163),
+  (296,66,294,230,1.278261),
+  (297,62,261,206,1.26699),
+  (298,32,158,128,1.234375),
+  (299,94,409,326,1.254601),
+  (300,39,178,139,1.280576),
+  (301,93,416,331,1.256798),
+  (302,88,397,315,1.260317),
+  (303,83,372,296,1.256757),
+  (304,42,178,146,1.219178),
+  (305,11,53,46,1.152174),
+  (306,75,347,288,1.204861),
+  (307,54,249,202,1.232673),
+  (308,17,81,66,1.227273),
+  (309,44,195,158,1.234177),
+  (310,27,122,95,1.284211),
+  (311,90,406,327,1.24159),
+  (312,67,303,242,1.252066),
+  (313,18,70,53,1.320755),
+  (314,37,154,122,1.262295),
+  (315,87,374,298,1.255034),
+  (316,74,334,266,1.255639),
+  (317,72,337,255,1.321569),
+  (318,83,374,293,1.276451),
+  (319,87,427,329,1.297872),
+  (320,75,331,261,1.268199),
+  (321,50,243,186,1.306452),
+  (322,45,211,172,1.226744),
+  (323,62,270,226,1.19469),
+  (324,43,186,150,1.24),
+  (325,60,269,213,1.262911),
+  (326,36,163,134,1.216418),
+  (327,33,149,118,1.262712),
+  (328,89,407,329,1.237082),
+  (329,66,288,239,1.205021),
+  (330,59,258,213,1.211268),
+  (331,51,250,197,1.269036),
+  (332,36,172,142,1.211268),
+  (333,32,146,115,1.269565),
+  (334,92,393,315,1.247619),
+  (335,61,265,216,1.226852),
+  (336,68,309,247,1.251012),
+  (337,43,200,159,1.257862),
+  (338,18,74,59,1.254237),
+  (339,32,156,125,1.248),
+  (340,44,204,158,1.291139),
+  (341,80,348,275,1.265455),
+  (342,21,96,83,1.156627),
+  (343,29,127,99,1.282828),
+  (344,77,341,272,1.253676),
+  (345,59,265,206,1.286408),
+  (346,74,336,261,1.287356),
+  (347,51,232,191,1.21466),
+  (348,24,108,84,1.285714),
+  (349,84,374,296,1.263514),
+  (350,85,383,302,1.268212),
+  (351,67,302,245,1.232653),
+  (352,97,440,350,1.257143),
+  (353,59,257,198,1.29798),
+  (354,76,351,275,1.276364),
+  (355,61,293,236,1.241525),
+  (356,67,293,236,1.241525),
+  (357,47,207,163,1.269939),
+  (358,11,49,34,1.441176),
+  (359,60,269,212,1.268868),
+  (360,79,365,294,1.241497),
+  (361,65,299,238,1.256303),
+  (362,15,67,54,1.240741),
+  (363,64,294,230,1.278261),
+  (364,47,224,174,1.287356),
+  (365,12,56,41,1.365854),
+  (366,55,257,213,1.206573),
+  (367,39,175,144,1.215278),
+  (368,13,61,48,1.270833),
+  (369,50,224,180,1.244444),
+  (370,41,206,160,1.2875),
+  (371,65,286,231,1.238095),
+  (372,28,115,92,1.25),
+  (373,70,319,255,1.25098),
+  (374,31,152,120,1.266667),
+  (375,63,281,221,1.271493),
+  (376,69,299,240,1.245833),
+  (377,43,192,147,1.306122),
+  (378,64,274,221,1.239819),
+  (379,72,332,266,1.24812),
+  (380,80,364,288,1.263889),
+  (381,63,291,237,1.227848),
+  (382,25,108,87,1.241379),
+  (383,44,211,169,1.248521),
+  (384,17,76,62,1.225806),
+  (385,70,330,256,1.289063),
+  (386,88,384,300,1.28),
+  (387,39,170,139,1.223022),
+  (388,63,283,225,1.257778),
+  (389,28,125,98,1.27551),
+  (390,26,112,86,1.302326),
+  (391,43,196,154,1.272727),
+  (392,23,113,88,1.284091),
+  (393,81,385,304,1.266447),
+  (394,71,334,265,1.260377),
+  (395,81,399,309,1.291262),
+  (396,44,205,168,1.220238),
+  (397,53,242,190,1.273684),
+  (398,19,87,74,1.175676),
+  (399,57,253,199,1.271357),
+  (400,25,110,88,1.25),
+  (401,76,363,288,1.260417),
+  (402,31,130,101,1.287129),
+  (403,85,389,300,1.296667),
+  (404,43,179,144,1.243056),
+  (405,56,259,207,1.251208),
+  (406,83,378,294,1.285714),
+  (407,20,89,74,1.202703),
+  (408,16,72,55,1.309091),
+  (409,53,221,178,1.241573),
+  (410,75,339,262,1.293893),
+  (411,79,333,260,1.280769),
+  (412,71,295,231,1.277056),
+  (413,79,350,282,1.241135),
+  (414,78,331,265,1.249057),
+  (415,58,256,199,1.286432),
+  (416,53,235,188,1.25),
+  (417,93,428,333,1.285285),
+  (418,77,363,290,1.251724),
+  (419,20,95,73,1.30137),
+  (420,80,382,301,1.269103),
+  (421,83,378,299,1.264214),
+  (422,66,300,240,1.25),
+  (423,65,299,241,1.240664),
+  (424,73,337,265,1.271698),
+  (425,24,108,90,1.2),
+  (426,82,371,293,1.266212),
+  (427,79,342,268,1.276119),
+  (428,48,232,189,1.227513),
+  (429,95,443,355,1.247887),
+  (430,72,328,267,1.228464),
+  (431,56,252,196,1.285714),
+  (432,65,295,233,1.266094),
+  (433,31,146,116,1.258621),
+  (434,79,345,281,1.227758),
+  (435,31,137,106,1.292453),
+  (436,51,227,182,1.247253),
+  (437,81,360,286,1.258741),
+  (438,31,142,111,1.279279),
+  (439,33,152,126,1.206349),
+  (440,42,202,155,1.303226),
+  (441,99,444,349,1.272206),
+  (442,84,372,301,1.23588),
+  (443,51,230,181,1.270718),
+  (444,75,345,277,1.245487),
+  (445,58,250,203,1.231527),
+  (446,25,108,87,1.241379),
+  (447,93,413,333,1.24024),
+  (448,54,233,192,1.213542),
+  (449,33,145,113,1.283186),
+  (450,25,118,95,1.242105),
+  (451,20,93,76,1.223684),
+  (452,65,294,238,1.235294),
+  (453,97,423,340,1.244118),
+  (454,28,126,108,1.166667),
+  (455,11,49,44,1.113636),
+  (456,23,92,75,1.226667),
+  (457,37,166,137,1.211679),
+  (458,59,265,218,1.215596),
+  (459,69,308,256,1.203125),
+  (460,49,213,172,1.238372),
+  (461,67,306,243,1.259259),
+  (462,60,268,221,1.21267),
+  (463,91,401,323,1.241486),
+  (464,35,170,133,1.278195),
+  (465,62,259,210,1.233333),
+  (466,86,386,307,1.257329),
+  (467,66,295,242,1.219008),
+  (468,39,169,137,1.233577),
+  (469,10,48,37,1.297297),
+  (470,42,191,150,1.273333),
+  (471,63,273,226,1.207965),
+  (472,38,171,135,1.266667),
+  (473,53,241,192,1.255208),
+  (474,67,290,228,1.27193),
+  (475,15,63,51,1.235294),
+  (476,16,69,57,1.210526),
+  (477,28,124,96,1.291667),
+  (478,50,241,196,1.229592),
+  (479,69,321,245,1.310204),
+  (480,64,296,235,1.259574),
+  (481,16,70,58,1.206897),
+  (482,30,136,107,1.271028),
+  (483,47,199,162,1.228395),
+  (484,43,179,145,1.234483),
+  (485,23,107,87,1.229885),
+  (486,32,140,109,1.284404),
+  (487,59,263,215,1.223256),
+  (488,36,170,136,1.25),
+  (489,57,261,208,1.254808),
+  (490,50,222,179,1.240223),
+  (491,67,302,240,1.258333),
+  (492,13,65,53,1.226415),
+  (493,88,378,302,1.251656),
+  (494,38,169,137,1.233577),
+  (495,70,315,260,1.211538),
+  (496,81,377,299,1.26087),
+  (497,20,104,77,1.350649),
+  (498,89,397,309,1.28479),
+  (499,33,134,111,1.207207))
+SELECT CAST("doc_id" AS BIGINT) AS "doc_id", CAST("n_words" AS BIGINT) AS "n_words", CAST("n_chars" AS BIGINT) AS "n_chars", CAST("n_bpe_tokens" AS BIGINT) AS "n_bpe_tokens", CAST("chars_per_token" AS DOUBLE) AS "chars_per_token" FROM t1 WHERE (SELECT is_sf0001 FROM which) = 1
+UNION ALL
+SELECT CAST("doc_id" AS BIGINT) AS "doc_id", CAST("n_words" AS BIGINT) AS "n_words", CAST("n_chars" AS BIGINT) AS "n_chars", CAST("n_bpe_tokens" AS BIGINT) AS "n_bpe_tokens", CAST("chars_per_token" AS DOUBLE) AS "chars_per_token" FROM t2 WHERE (SELECT is_sf001 FROM which) = 1
+UNION ALL
+SELECT CAST(-999999 AS BIGINT) AS "doc_id", CAST(-999999 AS BIGINT) AS "n_words", CAST(-999999 AS BIGINT) AS "n_chars", CAST(-999999 AS BIGINT) AS "n_bpe_tokens", CAST(-999999.0 AS DOUBLE) AS "chars_per_token" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
+"""
     o["sim_lsh_topk"] = """
 WITH which AS (
   SELECT

@@ -220,6 +220,7 @@ HEADLINE = [
     "text_quality_classifier",
     # round-9 additions
     "dedup_substring_spans",
+    "text_bpe_encode",
 ]
 
 

@@ -1119,6 +1119,108 @@ def bpe_train_merges(
     return spark.createDataFrame(merges, schema).orderBy("merge_rank")
 
 
+def bpe_encode_lengths(
+    documents: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    n_merges: int = 10,
+    max_word_len: int = 64,
+) -> DataFrame:
+    """ENCODE the corpus with a trained BPE merge table — the other half
+    of :func:`bpe_train_merges`, giving the per-document token count a
+    training pipeline actually budgets with (a real-tokenizer count, not
+    the :func:`bpe_token_estimate` regex heuristic).  ``merges`` is the
+    rank-ordered (left, right) table; None trains ``n_merges`` on the
+    corpus itself first (the self-contained registered-query form).
+
+    Application order: merges apply IN RANK ORDER, one greedy
+    left-to-right pass each — for rank-consistent tables (every merge's
+    symbols exist only via earlier merges, which training guarantees)
+    this is equivalent to the priority-queue form, because merging two
+    adjacent symbols can never create a NEW adjacency for an earlier
+    pair (symbols are only ever concatenated, never deleted).  Exact
+    parity with an in-memory reference encoder is pinned in
+    tests/test_bpe_train.py.
+
+    SCALE: the corpus is touched once (doc x word count shuffle); the
+    merge folds run over the BOUNDED distinct-word frame as ONE static
+    chain of ``aggregate`` expressions (no per-round jobs — encoding
+    never recounts pairs, unlike training), and the encoded lengths join
+    back by word.  Words longer than ``max_word_len`` bypass the fold
+    (the array-concat fold is O(len^2) per word — a 10k-char URL would
+    dominate a partition) and count as raw characters, mirroring the
+    training-side guard.  Returns (doc_id, n_words, n_chars,
+    n_bpe_tokens, chars_per_token), chars_per_token = NULL on wordless
+    documents."""
+    if merges is None:
+        merges = [
+            (r["left"], r["right"])
+            for r in bpe_train_merges(
+                documents, n_merges=n_merges, max_word_len=max_word_len
+            ).collect()
+        ]
+
+    doc_words = (
+        with_min_parallelism(documents)
+        .select("doc_id", F.explode(tokens("text")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = doc_words.select("word").distinct()
+
+    sym = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    for a, b in merges:
+        ab = a + b
+        prev = sym
+        sym = F.aggregate(
+            prev,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+    n_sym = F.when(
+        F.length("word") > max_word_len, F.length("word")
+    ).otherwise(F.size(sym))
+    enc = vocab.select(
+        "word",
+        F.length("word").alias("n_chars_w"),
+        n_sym.cast("long").alias("n_sym"),
+    )
+
+    per_doc = (
+        doc_words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_chars_w")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_sym")).alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+            F.round(
+                F.col("n_chars") / F.col("n_bpe_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Learned quality classifier (fastText-style linear filter)
 # ---------------------------------------------------------------------------

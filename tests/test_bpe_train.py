@@ -94,3 +94,94 @@ def test_bpe_merge_is_greedy_left_to_right(spark):
     # round 2 merges (aa,aa)
     assert got[0][1:] == ("a", "a", 9)
     assert got[1][1:] == ("aa", "aa", 3)
+
+
+def _reference_encode(word: str, merges: list[tuple[str, str]]) -> int:
+    """Textbook BPE encoder: apply each merge in rank order with one
+    greedy left-to-right pass; return the symbol count."""
+    sym = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return len(sym)
+
+
+def test_bpe_encode_matches_reference_on_classic_corpus(spark):
+    """Train 6 merges on the Sennrich-style toy corpus, then encode it:
+    every per-doc token count must equal the textbook encoder's."""
+    import re
+
+    rows = [
+        (0, "low low low low low"),
+        (1, "lower lower newest newest newest"),
+        (2, "newest newest newest widest widest widest"),
+        (3, "low lowest newest"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (a, b) for _, a, b, _ in _spark_merges(spark, rows, n_merges=6)
+    ]
+    got = {r.doc_id: r for r in
+           text_ops.bpe_encode_lengths(docs, merges=merges).collect()}
+    for doc_id, txt in rows:
+        words = re.split(r"\s+", txt.strip()) if txt.strip() else []
+        exp_tokens = sum(_reference_encode(w, merges) for w in words)
+        exp_chars = sum(len(w) for w in words)
+        assert got[doc_id].n_words == len(words)
+        assert got[doc_id].n_chars == exp_chars
+        assert got[doc_id].n_bpe_tokens == exp_tokens, (doc_id, txt)
+        if exp_tokens:
+            assert got[doc_id].chars_per_token == round(
+                exp_chars / exp_tokens, 6
+            )
+        else:
+            assert got[doc_id].chars_per_token is None
+
+
+def test_bpe_encode_matches_reference_on_fixture(spark):
+    """Self-contained form (trains its own merges) against a full pure-
+    Python recompute of the sf0.001 fixture — exact ground truth for
+    train + encode composed."""
+    import re
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = [(r.doc_id, r.text) for r in
+            docs.select("doc_id", "text").collect()]
+    wc: Counter = Counter()
+    for _, t in rows:
+        for w in re.split(r"\s+", t.strip()) if t.strip() else []:
+            if 0 < len(w) <= 64:
+                wc[w] += 1
+    merges = [(a, b) for _, a, b, _ in _reference_bpe(wc, 10)]
+    got = {r.doc_id: r.n_bpe_tokens for r in
+           text_ops.bpe_encode_lengths(docs, n_merges=10).collect()}
+    for doc_id, t in rows:
+        words = re.split(r"\s+", t.strip()) if t.strip() else []
+        exp = sum(
+            len(w) if len(w) > 64 else _reference_encode(w, merges)
+            for w in words
+        )
+        assert got[doc_id] == exp, doc_id
+
+
+def test_bpe_encode_long_word_bypass(spark):
+    """Words above max_word_len skip the fold and count as raw chars —
+    the O(len^2) fold guard."""
+    long_word = "a" * 100
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa " + long_word)], "doc_id long, text string"
+    )
+    got = text_ops.bpe_encode_lengths(
+        docs, merges=[("a", "a")], max_word_len=64
+    ).collect()[0]
+    # three "aa" words encode to 1 symbol each; the long word counts 100
+    assert got.n_bpe_tokens == 3 + 100
+    assert got.n_chars == 6 + 100

@@ -41,6 +41,9 @@ TARGETS = [
     "events_hll_weekly_users",
     "events_approx_distinct",
     "price_quantiles_sketch",
+    # deterministic train+encode composition; semantic gate = textbook
+    # encoder parity + full fixture recompute in tests/test_bpe_train.py
+    "text_bpe_encode",
 ]
 
 _DUCK_TYPES = {
