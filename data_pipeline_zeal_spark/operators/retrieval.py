@@ -80,12 +80,26 @@ def bm25_search(
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    doclen = docs.select(
-        "doc_id", F.size(tokens("text")).cast("double").alias("dl")
+    # doclen, document frequencies AND the corpus stats all derive from
+    # tf (r9): |d| = sum of its term frequencies, and avgdl averages the
+    # per-doc sums over ALL documents (zero-token docs rejoin as dl=0
+    # through the id left join) — numerically identical to
+    # avg(size(tokens)).  The (doc_id, token) exchange under tf is
+    # planned once and REUSED across every consumer (ReusedExchange), so
+    # the corpus is scanned + tokenized ONCE per run instead of three
+    # times; the only extra scan left is the column-pruned doc_id
+    # projection feeding the stats aggregate, and the stats frame stays
+    # a single 1-row broadcast (one bounded nested loop, as before).
+    doclen = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("double").alias("dl")
     )
-    stats = docs.select(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size(tokens("text"))).alias("avgdl"),
+    stats = (
+        documents.select("doc_id")
+        .join(doclen, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg(F.coalesce(F.col("dl"), F.lit(0.0))).alias("avgdl"),
+        )
     )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     qterms = queries.select("query_id", "token").distinct()
