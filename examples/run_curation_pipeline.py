@@ -7,11 +7,13 @@ would actually chain it:
   1. quality-filter chain (Gopher/C4-style length + word-shape gates),
   2. cross-document boilerplate scoring (drop template-heavy docs),
   3. MinHash-LSH near-duplicate clustering, keep one survivor per cluster,
-  4. benchmark-contamination check (drop docs sharing 8-grams with the
+  4. exact-substring span trim (Lee et al. removal form: duplicated
+     20-token spans keep their first occurrence, other copies trim),
+  5. benchmark-contamination check (drop docs sharing 8-grams with the
      held-out set),
-  5. deterministic train/test hash split,
-  6. per-source mixture weights over the surviving train corpus,
-  7. write the result with the z-order clustered writer so downstream
+  6. deterministic train/test hash split,
+  7. per-source mixture weights over the surviving train corpus,
+  8. write the result with the z-order clustered writer so downstream
      scans skip row groups on (n_chars, doc_id).
 
 Run:  python examples/run_curation_pipeline.py [sf_dir]
@@ -62,21 +64,29 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     deduped = clean.join(keep_ids, "doc_id")
     n_dedup = deduped.count()
 
-    # 4. contamination: doc_id % 7 == 0 stands in for the benchmark set
+    # 4. exact-substring trim: report how much duplicated-span text the
+    #    cross-doc trim removes from the surviving corpus
+    trim = dedup.trim_duplicated_spans(deduped, n=20)
+    trim_stats = trim.agg(
+        F.sum("n_tokens").alias("toks"),
+        F.sum(F.col("n_tokens") - F.col("n_tokens_kept")).alias("trimmed"),
+    ).collect()[0]
+
+    # 5. contamination: doc_id % 7 == 0 stands in for the benchmark set
     contaminated = corpus.ngram_contamination(deduped, n=8)
     kept = deduped.join(contaminated.select("doc_id"), "doc_id", "left_anti").filter(
         F.col("doc_id") % 7 != 0
     )
     n_kept = kept.count()
 
-    # 5. split + 6. mixture weights
+    # 6. split + 7. mixture weights
     split = corpus.hash_split(kept, test_frac=0.1)
     train = kept.join(
         split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
     )
     weights = corpus.mixture_weights(train, by="source").collect()
 
-    # 7. clustered write
+    # 8. clustered write
     out = tempfile.mkdtemp(prefix="curated_")
     write_clustered(
         train.select("doc_id", "text", "lang", "source", "n_chars"),
@@ -89,6 +99,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
 
     print(f"raw={n_raw} quality={n_quality} deboilered={n_clean} "
           f"deduped={n_dedup} decontaminated={n_kept} train={n_train}")
+    print(f"substring trim: {trim_stats.trimmed}/{trim_stats.toks} tokens "
+          "in duplicated spans removed")
     print("mixture weights:")
     for r in weights:
         print(f"  {r['source']}: share={r['share']} weight={r['weight']}")

@@ -16,7 +16,10 @@ def test_list_names_every_query_without_spark(capsys):
 
     assert len(out) == len(em.queries())
     kinds = {line.split()[-1] for line in out}
-    assert kinds == {"oracle", "rows-only"}
+    # since round 9 every registered query is oracle-backed (the last
+    # rows-only multimodal stubs gained spec-derived DuckDB oracles), so
+    # "rows-only" must never reappear in the listing
+    assert kinds == {"oracle"}
 
 
 def test_parser_rejects_unknown_command():
