@@ -64,13 +64,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     deduped = clean.join(keep_ids, "doc_id")
     n_dedup = deduped.count()
 
-    # 4. exact-substring trim: report how much duplicated-span text the
-    #    cross-doc trim removes from the surviving corpus
-    trim = dedup.trim_duplicated_spans(deduped, n=20)
-    trim_stats = trim.agg(
-        F.sum("n_tokens").alias("toks"),
-        F.sum(F.col("n_tokens") - F.col("n_tokens_kept")).alias("trimmed"),
-    ).collect()[0]
+    # 4. exact-substring trim: measure span-level duplication before and
+    #    after the document-level near-dup pass — the residual is what a
+    #    Lee et al. substring pass would still remove (0 here verifies the
+    #    fixture's duplication is whole-document, fully caught by step 3)
+    def span_dup(frame):
+        t = dedup.trim_duplicated_spans(frame, n=20)
+        return t.agg(
+            F.sum("n_tokens").alias("toks"),
+            F.sum(F.col("n_tokens") - F.col("n_tokens_kept")).alias("trimmed"),
+        ).collect()[0]
+
+    pre, post = span_dup(clean), span_dup(deduped)
 
     # 5. contamination: doc_id % 7 == 0 stands in for the benchmark set
     contaminated = corpus.ngram_contamination(deduped, n=8)
@@ -99,8 +104,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
 
     print(f"raw={n_raw} quality={n_quality} deboilered={n_clean} "
           f"deduped={n_dedup} decontaminated={n_kept} train={n_train}")
-    print(f"substring trim: {trim_stats.trimmed}/{trim_stats.toks} tokens "
-          "in duplicated spans removed")
+    print(f"substring duplication: pre-dedup {pre.trimmed}/{pre.toks} "
+          f"tokens in cross-doc spans, residual after near-dup "
+          f"{post.trimmed}/{post.toks}")
     print("mixture weights:")
     for r in weights:
         print(f"  {r['source']}: share={r['share']} weight={r['weight']}")
