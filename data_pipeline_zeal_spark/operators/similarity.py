@@ -500,6 +500,96 @@ def train_kmeans_centroids(
     return [[float(x) for x in c] for c in C]
 
 
+def train_kmeans_centroids_distributed(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    iters: int = 10,
+    sample_size: int | None = 4096,
+) -> list[list[float]]:
+    """Fully distributed twin of :func:`train_kmeans_centroids` — Lloyd's
+    spherical k-means where each iteration is one assignment scan (a
+    codegen dot-product argmax against the broadcast centroid literals,
+    no Python, no shuffle) plus ONE map-side-combined (cell, position)
+    aggregate whose exchange carries at most ``partitions x n_cells x
+    dim`` rows; the only driver traffic per iteration is the centroid
+    matrix itself (``n_cells x dim`` rows — bounded by the MODEL, never
+    the data).  This removes the driver-side sample cap: pass
+    ``sample_size=None`` to train on the whole corpus (the 100 TB shape;
+    the same argument as ``train_quality_classifier_distributed``).
+
+    Parity with the driver kernel (pytest-pinned on a well-separated
+    synthetic fixture): same hash-ordered sample, same first-k init,
+    same raw-dot argmax with first-index tie-breaks, same
+    keep-old-centroid rule for emptied cells — the two implementations
+    differ only in float summation order.
+
+    COST MODEL (SCALE.md): iters x (corpus scan + one uniform
+    model-bounded aggregate).  Below driver memory the sampled numpy
+    kernel is strictly cheaper (one TakeOrdered job total); this is the
+    unbounded-sample path."""
+    import numpy as np
+
+    from ..functions.vector import dot as _dot
+
+    base = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    if sample_size is not None:
+        base = base.orderBy(
+            F.xxhash64(F.col("vec_id")), F.col("vec_id")
+        ).limit(sample_size)
+    # L2-normalize once (zero vectors pass through, like the driver
+    # kernel's nrm==0 -> 1 guard); checkpoint so iterations re-read a
+    # materialized frame instead of re-scanning the corpus
+    nrm = norm(F.col("v"))
+    X = base.select(
+        "vec_id",
+        F.transform(
+            "v",
+            lambda x: x / F.when(nrm == 0, F.lit(1.0)).otherwise(nrm),
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+
+    init = X.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id")).limit(
+        n_cells
+    ).collect()  # bounded: <= n_cells rows
+    C = np.array([r.v for r in init], dtype=np.float64)
+
+    for _ in range(iters):
+        scored = F.array(
+            *[
+                F.struct(
+                    _dot(
+                        F.col("v"), F.array(*[F.lit(float(x)) for x in c])
+                    ).alias("d"),
+                    F.lit(-j).alias("negcell"),
+                )
+                for j, c in enumerate(C)
+            ]
+        )
+        cell = (-F.array_max(scored)["negcell"]).cast("int")
+        # two selects: a generator (posexplode) in the same select strips
+        # the struct field aliases the argmax extraction needs
+        stats = (
+            X.select(cell.alias("cell"), "v")
+            .select("cell", F.posexplode("v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: <= n_cells x dim rows (the model)
+        )
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r.cell, np.zeros(C.shape[1]))[r.pos] = r.s
+            counts[r.cell] = r.n
+        for j in range(len(C)):
+            if counts.get(j):
+                c = sums[j] / counts[j]
+                n = np.linalg.norm(c)
+                C[j] = c / n if n > 0 else c
+    return [[float(x) for x in c] for c in C]
+
+
 def cell_assign_expr(vec_col, centroids: list[list[float]]):
     """argmax-cosine cell id as a pure codegen expression — assignment adds
     NO shuffle and no Python to the corpus scan.  Ties break to the lowest

@@ -814,3 +814,42 @@ def test_trim_duplicated_spans_overlap_union(spark):
     assert got[0].n_tokens_kept == 21          # canonical doc untouched
     assert got[1].n_spans_trimmed == 2          # two window instances
     assert got[1].n_tokens_kept == 2            # x + y survive: union, not sum
+
+
+def test_kmeans_distributed_trainer_matches_driver(spark):
+    """The distributed Lloyd trainer (codegen dot argmax + one
+    model-bounded aggregate per iteration) must converge to the driver
+    kernel's centroids on the same sample with the same iteration count
+    and init — they differ only in float summation order, so parity is
+    np.allclose on a well-separated synthetic fixture (assignments are
+    robust to last-bit dot differences there).  Runs the
+    sample_size=None branch (the 100 TB shape) plus a zero-vector row
+    (the norm guard)."""
+    import numpy as np
+
+    from data_pipeline_zeal_spark.operators import similarity
+
+    rows = []
+    for i in range(90):
+        blob = i % 3
+        base = [0.0] * 8
+        base[blob * 2] = 10.0
+        base[blob * 2 + 1] = 4.0
+        # deterministic per-id jitter, small vs the blob separation
+        vec = [b + ((i * 31 + j * 7) % 13 - 6) * 0.05
+               for j, b in enumerate(base)]
+        rows.append((i, vec))
+    rows.append((90, [0.0] * 8))  # zero vector: norm guard path
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    drv = similarity.train_kmeans_centroids(
+        emb, n_cells=3, iters=8, sample_size=91
+    )
+    dst = similarity.train_kmeans_centroids_distributed(
+        emb, n_cells=3, iters=8, sample_size=None
+    )
+    a, b = np.array(drv), np.array(dst)
+    assert a.shape == b.shape == (3, 8)
+    assert np.allclose(a, b, atol=1e-9), np.abs(a - b).max()
+    # centroids are unit vectors (spherical k-means invariant)
+    assert np.allclose(np.linalg.norm(b, axis=1), 1.0, atol=1e-9)
