@@ -1670,6 +1670,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_decontaminate_bloom"] = lambda s, d: corpus.decontaminate_bloom(
         load_table(s, d, "documents"), n=8, benchmark_mod=7
     )
+    # Fuzzy tier of the decontamination ladder (r9): drop corpus docs
+    # that NEAR-duplicate a benchmark doc (shingle Jaccard >= 0.5) even
+    # without an exact 8-gram hit — the cross-frame LSH admission-filter
+    # kernels; the oracle is the exact cross-frame Jaccard (sound for
+    # the same measured banding-recall-1.0 reason as dedup_pipeline).
+    q["corpus_decontaminate_fuzzy"] = lambda s, d: corpus.decontaminate_fuzzy(
+        load_table(s, d, "documents"), benchmark_mod=7, threshold=0.5
+    )
 
     def _text_quality_classifier(s: SparkSession, d: str) -> DataFrame:
         """Learned quality filter (round-8): train the fastText-style
@@ -1760,22 +1768,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
 #: ROUND-9 WINDOW (tools/rotate_registry.py stalest-first; verified with
-#: `python tools/driver_sim.py <names>` before commit): 2 never-sampled
+#: `python tools/driver_sim.py <names>` before commit): 3 never-sampled
 #: (dedup_substring_spans — the new exact-substring cross-doc dedup —
-#: and text_bpe_encode, the trained-table BPE encoder), 3
+#: text_bpe_encode, the trained-table BPE encoder, and
+#: corpus_decontaminate_fuzzy, the near-dup decontamination tier), 3
 #: oracle-upgraded rows (multimodal_decode/resize/scene_detect — rows-only
 #: since r1, now hash-checked against spec-derived DuckDB oracles, the
-#: round-8 verdict's #1 directive), and 45 re-verifications drawn from the
+#: round-8 verdict's #1 directive), and 44 re-verifications drawn from the
 #: r3/r4 staleness tail the same directive names: the r3 text trio
 #: (text_fingerprint/normalize/scrub_pii), the r3/r4 events analytics
 #: ladder (sessionize, type_share, top_users, hour_profile,
 #: cohort_retention, windows, transitions, cdc/scd2, markov, drift...),
 #: orders_grouping_sets, orders_rfm, part_pagerank, sim_knn_label,
 #: dq_audit, customer_spend_deciles, and the r4 sim/corpus rows.
-#: 45/50 re-verification (>=50 % directive met).
+#: 44/50 re-verification (>=50 % directive met).
 _DRIVER_FIRST = [
     "dedup_substring_spans",
     "text_bpe_encode",
+    "corpus_decontaminate_fuzzy",
     "multimodal_resize",
     "multimodal_scene_detect",
     "multimodal_decode",
@@ -1823,7 +1833,6 @@ _DRIVER_FIRST = [
     "sim_matryoshka_topk",
     "events_markov_steady",
     "events_hour_uniformity",
-    "events_profile_drift",
 ]
 
 
@@ -6122,6 +6131,22 @@ ORDER BY d.doc_id
 """
     # identical semantics to the exact path (see the query registration)
     o["corpus_decontaminate_bloom"] = o["corpus_decontaminate"]
+    # fuzzy decontamination: independent exact cross-frame Jaccard (the
+    # LSH banding has measured recall 1.0 at fixture scale — fixture
+    # near-dups sit at jaccard ~1.0, far above the 0.5 s-curve knee)
+    o["corpus_decontaminate_fuzzy"] = f"""
+WITH sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents),
+b AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 = 0),
+c AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0),
+dup AS (SELECT DISTINCT c.doc_id FROM c JOIN b ON
+        len(list_intersect(c.s, b.s))::DOUBLE
+          / nullif(len(c.s) + len(b.s) - len(list_intersect(c.s, b.s)), 0)
+        >= 0.5)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+ANTI JOIN dup USING (doc_id)
+WHERE d.doc_id % 7 <> 0
+ORDER BY d.doc_id
+"""
     # text_quality_classifier: HYBRID oracle — the weights/bias are a
     # training REGRESSION PIN (generated by rerunning the deterministic
     # trainer; semantic gates live in tests/test_quality.py: beats the

@@ -221,6 +221,7 @@ HEADLINE = [
     # round-9 additions
     "dedup_substring_spans",
     "text_bpe_encode",
+    "corpus_decontaminate_fuzzy",
 ]
 
 

@@ -841,6 +841,45 @@ def decontaminate_bloom(
     )
 
 
+def decontaminate_fuzzy(
+    documents: DataFrame,
+    benchmark_mod: int = 7,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-duplicate decontamination: drop corpus documents whose text
+    near-duplicates a held-out/benchmark document at shingle-Jaccard >=
+    ``threshold`` — catching paraphrased or lightly-edited contamination
+    that exact n-gram matching (:func:`decontaminate` /
+    :func:`decontaminate_bloom`) misses.  The fuzzy tier of the standard
+    decontamination ladder (exact grams -> fuzzy near-dup).
+
+    Pure composition: :func:`~.dedup.incremental_dedup` with the
+    benchmark slice as the "existing corpus" side — the cross-frame
+    MinHash/LSH bucket join, exact-Jaccard verification, and anti-join
+    are the audited admission-filter kernels, so the scale shape is
+    inherited (band-keyed uniform shuffles; the benchmark side is banded
+    once and is the natural side to persist as a reusable index).
+    Returns the surviving (doc_id, lang, source) rows, same contract as
+    the exact path."""
+    from . import dedup
+
+    is_bench = F.col("doc_id") % benchmark_mod == 0
+    bench = documents.filter(is_bench)
+    rest = documents.filter(~is_bench)
+    survivors = dedup.incremental_dedup(
+        rest,
+        bench,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    return survivors.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def epoch_plan(
     documents: DataFrame,
     target_tokens: int,

@@ -370,3 +370,23 @@ def test_dsir_weights_favor_target_slice(spark):
     again = {r.doc_id: r.log_weight for r in corpus.dsir_weights(
         docs, target_col="lang", target_value="en").collect()}
     assert {k: v[0] for k, v in joined.items()} == again
+
+
+def test_decontaminate_fuzzy_catches_paraphrased_contamination(spark):
+    """A corpus doc that near-duplicates a benchmark doc (one word
+    swapped — high shingle Jaccard, but no exact long-n-gram overlap
+    run) is dropped; an unrelated doc survives; benchmark docs never
+    appear in the output."""
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = base.replace("tok15", "swapped")
+    rows = [
+        (7, base, "en", "bench", len(base)),       # benchmark (id % 7 == 0)
+        (8, near, "en", "crawl", len(near)),       # fuzzy contamination
+        (9, "totally different text entirely here", "en", "crawl", 36),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id for r in corpus.decontaminate_fuzzy(
+        docs, benchmark_mod=7, threshold=0.5).collect()}
+    assert out == {9}
