@@ -1343,3 +1343,75 @@ def trim_duplicated_spans(documents: DataFrame, n: int = 20) -> DataFrame:
         F.size(kept).alias("n_tokens_kept"),
         F.md5(trimmed).alias("trimmed_md5"),
     ).orderBy("doc_id")
+
+
+def dedup_admission_sink(
+    corpus: DataFrame,
+    table: str,
+    threshold: float = 0.5,
+    query_name: str = "dedup-admit",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+):
+    """Streaming near-dup ADMISSION sink — the continuously-ingesting
+    training-corpus shape: each micro-batch of candidate documents is
+    admitted only if it near-duplicates neither the seed ``corpus`` NOR
+    anything admitted by an earlier batch, and survivors append to the
+    commit-log versioned ``table`` as one atomic, exactly-once commit.
+    Composes three audited pieces: :func:`incremental_dedup` (cross-frame
+    MinHash/LSH admission filter), the versioned table's txn-idempotent
+    ``commit_write`` (micro-batch replay after a crash is a no-op — the
+    ``versioned_sink`` contract), and Structured Streaming's
+    ``foreachBatch``.
+
+    The dedup index EVOLVES: batch N checks against corpus + all
+    previously admitted survivors (a snapshot read of ``table``), so two
+    near-identical docs arriving in different batches admit exactly one.
+    Within a single micro-batch, candidates are admitted as a set (the
+    batch self-dedups first via :func:`duplicate_clusters` survivors —
+    min doc_id per near-dup cluster).
+
+    SCALE: the per-batch cost is the admission filter's band-keyed
+    equality joins — the corpus side's banded signatures are exactly
+    what a production deployment persists as its dedup-index table; the
+    snapshot read adds one versioned-table scan per batch (bounded by
+    admitted volume, not stream history, since only survivors land)."""
+    from ..sources import versioned as V
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        # batch self-dedup: keep one survivor per within-batch cluster
+        clusters = duplicate_clusters(
+            batch, threshold=threshold, method="auto"
+        )
+        reps = clusters.groupBy("cluster_id").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        keep = reps.select("doc_id").unionByName(
+            batch.select("doc_id").join(
+                clusters.select("doc_id"), "doc_id", "left_anti"
+            )
+        )
+        selfdeduped = batch.join(keep, "doc_id")
+        # evolving index: seed corpus + everything already admitted
+        index = corpus
+        if V._list_versions(table):
+            index = index.unionByName(
+                V.read_version(spark, table).select(*corpus.columns)
+            )
+        survivors = incremental_dedup(
+            selfdeduped,
+            index,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+        )
+        V.commit_write(
+            survivors, table, mode="append", txn=f"{query_name}-{batch_id}"
+        )
+
+    return _sink

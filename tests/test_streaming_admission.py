@@ -1,0 +1,77 @@
+"""End-to-end streaming near-dup admission: micro-batches of candidate
+documents flow through ``dedup_admission_sink`` into a versioned table;
+the dedup index evolves so a batch-2 near-dup of a batch-1 ADMISSION is
+rejected, and micro-batch replays are exactly-once via the txn log."""
+
+from __future__ import annotations
+
+import os
+
+from data_pipeline_zeal_spark.operators import dedup
+from data_pipeline_zeal_spark.sources import versioned as V
+
+SCHEMA = "doc_id long, text string"
+
+
+def _text(tag: str, n: int = 30) -> str:
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def test_streaming_admission_evolving_index(spark, tmp_path):
+    src = str(tmp_path / "incoming")
+    table = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    X, Y, Z = _text("x"), _text("y"), _text("z")
+    Y_near = Y.replace("y15", "swapped")   # near-dup of Y (jaccard ~0.9)
+    X_near = X.replace("x3", "other")
+
+    corpus = spark.createDataFrame([(1000, X)], SCHEMA)
+
+    # batch 1: doc 1 near-dups the seed corpus (reject), doc 2 is fresh
+    # (admit), doc 3 near-dups doc 2 WITHIN the batch (self-dedup keeps 2)
+    spark.createDataFrame(
+        [(1, X_near), (2, Y), (3, Y.replace("y20", "alt"))], SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    # batch 2: doc 4 near-dups ADMITTED doc 2 (reject — the index grew),
+    # doc 5 is fresh (admit)
+    spark.createDataFrame(
+        [(4, Y_near), (5, Z)], SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+    # one file per micro-batch, deterministic order via mtime
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    assert len(files) == 2
+    os.utime(files[0], (1_700_000_000, 1_700_000_000))
+    os.utime(files[1], (1_700_000_100, 1_700_000_100))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup.dedup_admission_sink(corpus, table, threshold=0.5)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    admitted = {r.doc_id for r in V.read_version(spark, table).collect()}
+    assert admitted == {2, 5}, admitted
+    # two commits, one per non-empty micro-batch, each txn-stamped
+    hist = V.history(table)
+    assert len(hist) == 2
+    # exactly-once: replaying a micro-batch commit is a no-op
+    b2 = V.read_version(spark, table)
+    v = V.commit_write(
+        b2.filter("doc_id = 5"), table, mode="append", txn="dedup-admit-1"
+    )
+    assert v == hist[-1]["version"]  # adopted, not re-appended
+    assert {r.doc_id for r in V.read_version(spark, table).collect()} == {2, 5}
