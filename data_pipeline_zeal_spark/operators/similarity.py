@@ -889,6 +889,117 @@ def train_pq_codebooks(
     return books
 
 
+def train_pq_codebooks_distributed(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 10,
+    sample_size: int | None = 4096,
+) -> list[list[list[float]]]:
+    """Fully distributed twin of :func:`train_pq_codebooks` — the same
+    sample-cap removal as ``train_kmeans_centroids_distributed``, with
+    one extra trick: all ``m`` subspaces train TOGETHER.  The sample
+    explodes once into (vec_id, subspace, sub_vector) rows, and each
+    Lloyd iteration is ONE job over that frame — a codegen assignment
+    (argmin ||s-c||^2 as the argmax ``s.c - |c|^2/2`` form, the
+    :func:`pq_reconstruct_udf` recipe, branched per subspace) plus one
+    map-side-combined (subspace, code, position) aggregate whose collect
+    is the full codebook tensor (m x n_codes x d_sub rows — bounded by
+    the MODEL).  Total cost: iters jobs, NOT m x iters.
+
+    ``sample_size=None`` trains on the whole corpus.  Parity with the
+    driver numpy kernel is pytest-pinned on a separated synthetic
+    fixture (same sample/init/empty-cell rule; the assignment algebra is
+    mathematically identical and tie-breaks match — float summation
+    order is the only difference)."""
+    import numpy as np
+
+    from ..functions.vector import dot as _dot
+
+    base = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    if sample_size is not None:
+        base = base.orderBy(
+            F.xxhash64(F.col("vec_id")), F.col("vec_id")
+        ).limit(sample_size)
+    nrm = norm(F.col("v"))
+    Xn = base.select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: x / F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
+        ).alias("v"),
+    )
+
+    init = Xn.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id")).limit(
+        n_codes
+    ).collect()  # bounded: n_codes rows
+    dim = len(init[0].v)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books = [
+        np.array([r.v[j * d_sub : (j + 1) * d_sub] for r in init])
+        for j in range(m)
+    ]
+
+    subs = Xn.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice("v", j * d_sub + 1, d_sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
+    subs = subs.localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        code_expr = F.lit(-1)
+        for j in range(m):
+            scored = F.array(
+                *[
+                    F.struct(
+                        (
+                            _dot(
+                                F.col("sv"),
+                                F.array(*[F.lit(float(x)) for x in c]),
+                            )
+                            - F.lit(0.5 * float(np.dot(c, c)))
+                        ).alias("sc"),
+                        F.lit(-ci).alias("negcode"),
+                    )
+                    for ci, c in enumerate(books[j])
+                ]
+            )
+            code_j = (-F.array_max(scored)["negcode"]).cast("int")
+            code_expr = F.when(F.col("sub") == j, code_j).otherwise(code_expr)
+        # two selects: a generator in the same select strips the struct
+        # field aliases the argmax extraction needs (see the k-means twin)
+        stats = (
+            subs.select("sub", code_expr.alias("code"), "sv")
+            .select("sub", "code", F.posexplode("sv"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: m x n_codes x d_sub rows (the model)
+        )
+        sums: dict[tuple[int, int], np.ndarray] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in stats:
+            sums.setdefault((r.sub, r.code), np.zeros(d_sub))[r.pos] = r.s
+            counts[(r.sub, r.code)] = r.n
+        for j in range(m):
+            for ci in range(len(books[j])):
+                if counts.get((j, ci)):
+                    books[j][ci] = sums[(j, ci)] / counts[(j, ci)]
+    return [[[float(x) for x in c] for c in B] for B in books]
+
+
 def pq_reconstruct_udf(books: list[list[list[float]]]):
     """Vectorized PQ encode+decode as one Arrow-batched ``pandas_udf``:
     normalize, per-subspace nearest-code assignment (argmin ||s - c||^2 =

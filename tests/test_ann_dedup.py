@@ -853,3 +853,36 @@ def test_kmeans_distributed_trainer_matches_driver(spark):
     assert np.allclose(a, b, atol=1e-9), np.abs(a - b).max()
     # centroids are unit vectors (spherical k-means invariant)
     assert np.allclose(np.linalg.norm(b, axis=1), 1.0, atol=1e-9)
+
+
+def test_pq_distributed_trainer_matches_driver(spark):
+    """All-m-subspaces-in-one-job distributed PQ training must converge
+    to the driver kernel's codebooks: same sample, init, assignment
+    algebra (argmin L2 == argmax dot - |c|^2/2, ties to lowest code),
+    and empty-cell rule — float summation order the only difference, so
+    np.allclose on a subspace-separated synthetic fixture."""
+    import numpy as np
+
+    from data_pipeline_zeal_spark.operators import similarity
+
+    rows = []
+    for i in range(80):
+        # subspace 0 clusters on i%3, subspace 1 independently on i%2
+        a, b = i % 3, i % 2
+        v = [0.0] * 8
+        v[a] = 8.0
+        v[3] = 2.0
+        v[4 + b * 2] = 8.0
+        v[7] = 1.0
+        v = [x + ((i * 17 + j * 5) % 11 - 5) * 0.04 for j, x in enumerate(v)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(m=2, n_codes=3, iters=6)
+    drv = similarity.train_pq_codebooks(emb, sample_size=80, **kw)
+    dst = similarity.train_pq_codebooks_distributed(
+        emb, sample_size=None, **kw
+    )
+    a, b = np.array(drv), np.array(dst)
+    assert a.shape == b.shape == (2, 3, 4)
+    assert np.allclose(a, b, atol=1e-9), np.abs(a - b).max()
