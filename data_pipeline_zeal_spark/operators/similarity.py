@@ -895,6 +895,7 @@ def train_pq_codebooks_distributed(
     n_codes: int = 16,
     iters: int = 10,
     sample_size: int | None = 4096,
+    centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Fully distributed twin of :func:`train_pq_codebooks` — the same
     sample-cap removal as ``train_kmeans_centroids_distributed``, with
@@ -911,7 +912,15 @@ def train_pq_codebooks_distributed(
     driver numpy kernel is pytest-pinned on a separated synthetic
     fixture (same sample/init/empty-cell rule; the assignment algebra is
     mathematically identical and tie-breaks match — float summation
-    order is the only difference)."""
+    order is the only difference).
+
+    ``centroids`` switches training onto coarse-quantizer RESIDUALS —
+    the IVFADC recipe (:func:`train_pq_codebooks_residual`'s distributed
+    twin, see :func:`train_pq_codebooks_residual_distributed`): each
+    normalized vector's nearest cell is a codegen dot-argmax against the
+    broadcast centroid literals, and ``v - centroid[cell]`` flows into
+    the identical subspace machinery — residuals never materialize
+    driver-side."""
     import numpy as np
 
     from ..functions.vector import dot as _dot
@@ -930,6 +939,25 @@ def train_pq_codebooks_distributed(
             "v", lambda x: x / F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
         ).alias("v"),
     )
+    if centroids is not None:
+        carrs = [
+            F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+        ]
+        cscored = F.array(
+            *[
+                F.struct(
+                    _dot(F.col("v"), ca).alias("d"),
+                    F.lit(-i).alias("negcell"),
+                )
+                for i, ca in enumerate(carrs)
+            ]
+        )
+        cell = (-F.array_max(cscored)["negcell"]).cast("int")
+        assigned = F.element_at(F.array(*carrs), cell + 1)
+        Xn = Xn.select(
+            "vec_id",
+            F.zip_with("v", assigned, lambda a, b: a - b).alias("v"),
+        )
 
     init = Xn.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id")).limit(
         n_codes
@@ -998,6 +1026,29 @@ def train_pq_codebooks_distributed(
                 if counts.get((j, ci)):
                     books[j][ci] = sums[(j, ci)] / counts[(j, ci)]
     return [[[float(x) for x in c] for c in B] for B in books]
+
+
+def train_pq_codebooks_residual_distributed(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 10,
+    sample_size: int | None = 4096,
+) -> list[list[list[float]]]:
+    """Distributed twin of :func:`train_pq_codebooks_residual` — the
+    IVFADC residual codebooks with no driver-side sample cap.  Thin
+    front over :func:`train_pq_codebooks_distributed(centroids=...)`:
+    cell assignment and residual subtraction are codegen expressions, so
+    the residual frame exists only inside the plan."""
+    return train_pq_codebooks_distributed(
+        embeddings,
+        m=m,
+        n_codes=n_codes,
+        iters=iters,
+        sample_size=sample_size,
+        centroids=centroids,
+    )
 
 
 def pq_reconstruct_udf(books: list[list[list[float]]]):

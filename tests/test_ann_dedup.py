@@ -886,3 +886,38 @@ def test_pq_distributed_trainer_matches_driver(spark):
     a, b = np.array(drv), np.array(dst)
     assert a.shape == b.shape == (2, 3, 4)
     assert np.allclose(a, b, atol=1e-9), np.abs(a - b).max()
+
+
+def test_pq_residual_distributed_trainer_matches_driver(spark):
+    """Residual (IVFADC) codebook training distributed vs driver: same
+    coarse assignment (dot argmax vs unit centroids, first-index ties),
+    same residual algebra, same init/empty-cell rule — np.allclose."""
+    import numpy as np
+
+    from data_pipeline_zeal_spark.operators import similarity
+
+    rows = []
+    for i in range(80):
+        a, b = i % 3, i % 2
+        v = [0.0] * 8
+        v[a] = 8.0
+        v[3] = 2.0
+        v[4 + b * 2] = 8.0
+        v[7] = 1.0
+        v = [x + ((i * 17 + j * 5) % 11 - 5) * 0.04 for j, x in enumerate(v)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.train_kmeans_centroids(
+        emb, n_cells=3, iters=5, sample_size=80
+    )
+
+    kw = dict(m=2, n_codes=3, iters=6)
+    drv = similarity.train_pq_codebooks_residual(
+        emb, cents, sample_size=80, **kw
+    )
+    dst = similarity.train_pq_codebooks_residual_distributed(
+        emb, cents, sample_size=None, **kw
+    )
+    a, b = np.array(drv), np.array(dst)
+    assert a.shape == b.shape == (2, 3, 4)
+    assert np.allclose(a, b, atol=1e-9), np.abs(a - b).max()
