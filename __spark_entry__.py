@@ -764,9 +764,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are pure functions of the fixture) -> pinned regression oracle;
     # semantic gate = exact parity with the textbook encoder on the
     # classic corpus AND a full pure-Python fixture recompute
-    # (tests/test_bpe_train.py).
+    # (tests/test_bpe_train.py).  encoder="arrow" is the scale path —
+    # broadcast rank dict + one pandas_udf over distinct words, encode
+    # cost independent of merge-table depth (a 32k-merge tokenizer is
+    # encodable; the expr chain form dies in Catalyst analysis there) —
+    # parity with the expr form pinned in tests/test_bpe_train.py.
     q["text_bpe_encode"] = lambda s, d: text.bpe_encode_lengths(
-        load_table(s, d, "documents"), n_merges=10
+        load_table(s, d, "documents"), n_merges=10, encoder="arrow"
     )
 
     def _bcubed_norm(s: SparkSession, d: str) -> DataFrame:

@@ -1119,11 +1119,87 @@ def bpe_train_merges(
     return spark.createDataFrame(merges, schema).orderBy("merge_rank")
 
 
+#: merge-table size above which ``encoder="auto"`` abandons the nested
+#: expression-chain form: each merge wraps the previous ``aggregate`` in
+#: another, so Catalyst analysis/codegen cost grows with table DEPTH —
+#: fine for toy tables, fatal for a real 32k-merge tokenizer at ANY data
+#: size.  Past this the Arrow kernel (cost independent of depth) wins.
+_BPE_EXPR_CHAIN_MAX = 16
+
+
+def _select_bpe_encoder(n_merges_in_table: int) -> str:
+    """``encoder="auto"`` dispatch: expression chain only while the merge
+    table is shallow enough that chain depth is a non-issue."""
+    return "expr" if n_merges_in_table <= _BPE_EXPR_CHAIN_MAX else "arrow"
+
+
+def _bpe_encode_vocab_arrow(
+    vocab: DataFrame, merges: list[tuple[str, str]], max_word_len: int
+) -> DataFrame:
+    """Arrow-batched BPE encode of the distinct-word frame: the merge
+    table is the MODEL (bounded — 32k entries for a production
+    tokenizer), so collect-and-broadcast a rank dict once and encode each
+    distinct word in Python via the standard min-rank-pair loop (the
+    GPT-2 ``bpe()`` shape: repeatedly merge every occurrence of the
+    lowest-ranked adjacent pair present).  For rank-consistent tables —
+    every merge's symbols exist only via earlier merges, which training
+    guarantees — this is exactly the rank-order one-pass-each semantics
+    of the expression-chain form, because a merge only creates
+    adjacencies involving its OWN output symbol, whose consuming merges
+    are necessarily later-ranked.  Parity with both the chain form and
+    the textbook encoder is pinned in tests/test_bpe_train.py.
+
+    Cost per word is O(len^2) dict lookups with len <= max_word_len,
+    INDEPENDENT of merge-table depth — the property the chain form
+    lacks.  Python runs per DISTINCT word, not per token occurrence."""
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    bc = vocab.sparkSession.sparkContext.broadcast(ranks)
+
+    @F.pandas_udf("long")
+    def n_sym_udf(words: pd.Series) -> pd.Series:
+        r = bc.value
+
+        def one(w: str) -> int:
+            if len(w) > max_word_len:
+                return len(w)
+            sym = list(w)
+            while len(sym) > 1:
+                best, best_rank = None, None
+                for i in range(len(sym) - 1):
+                    rk = r.get((sym[i], sym[i + 1]))
+                    if rk is not None and (
+                        best_rank is None or rk < best_rank
+                    ):
+                        best_rank, best = rk, (sym[i], sym[i + 1])
+                if best is None:
+                    break
+                a, b = best
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            return len(sym)
+
+        return words.map(one)
+
+    return vocab.select(
+        "word",
+        F.length("word").alias("n_chars_w"),
+        n_sym_udf(F.col("word")).alias("n_sym"),
+    )
+
+
 def bpe_encode_lengths(
     documents: DataFrame,
     merges: list[tuple[str, str]] | None = None,
     n_merges: int = 10,
     max_word_len: int = 64,
+    encoder: str = "auto",
 ) -> DataFrame:
     """ENCODE the corpus with a trained BPE merge table — the other half
     of :func:`bpe_train_merges`, giving the per-document token count a
@@ -1141,16 +1217,28 @@ def bpe_encode_lengths(
     parity with an in-memory reference encoder is pinned in
     tests/test_bpe_train.py.
 
+    ``encoder`` picks the distinct-word encode kernel:
+
+    - ``"arrow"`` — broadcast the merge table as a rank dict (it IS the
+      model, bounded) and encode each distinct word in one Arrow-batched
+      ``pandas_udf`` (:func:`_bpe_encode_vocab_arrow`).  Cost is
+      independent of merge-table depth — the ONLY shape that carries a
+      real 30-50k-merge tokenizer, since the expression chain's
+      Catalyst analysis cost grows with every merge.
+    - ``"expr"`` — one static chain of ``aggregate`` folds, all
+      JVM-side; fine for shallow tables, dies at tokenizer depth.
+    - ``"auto"`` — expr up to ``_BPE_EXPR_CHAIN_MAX`` merges, arrow
+      beyond.
+
     SCALE: the corpus is touched once (doc x word count shuffle); the
-    merge folds run over the BOUNDED distinct-word frame as ONE static
-    chain of ``aggregate`` expressions (no per-round jobs — encoding
-    never recounts pairs, unlike training), and the encoded lengths join
-    back by word.  Words longer than ``max_word_len`` bypass the fold
-    (the array-concat fold is O(len^2) per word — a 10k-char URL would
-    dominate a partition) and count as raw characters, mirroring the
-    training-side guard.  Returns (doc_id, n_words, n_chars,
-    n_bpe_tokens, chars_per_token), chars_per_token = NULL on wordless
-    documents."""
+    encode kernel runs over the BOUNDED distinct-word frame (Python —
+    when used — per distinct word, never per token occurrence), and the
+    encoded lengths join back by word.  Words longer than
+    ``max_word_len`` bypass the kernel (the fold is O(len^2) per word —
+    a 10k-char URL would dominate a partition) and count as raw
+    characters, mirroring the training-side guard.  Returns (doc_id,
+    n_words, n_chars, n_bpe_tokens, chars_per_token), chars_per_token =
+    NULL on wordless documents."""
     if merges is None:
         merges = [
             (r["left"], r["right"])
@@ -1158,6 +1246,11 @@ def bpe_encode_lengths(
                 documents, n_merges=n_merges, max_word_len=max_word_len
             ).collect()
         ]
+    mode = encoder
+    if mode == "auto":
+        mode = _select_bpe_encoder(len(merges))
+    if mode not in ("expr", "arrow"):
+        raise ValueError(f"unknown encoder {encoder!r}")
 
     doc_words = (
         with_min_parallelism(documents)
@@ -1168,33 +1261,36 @@ def bpe_encode_lengths(
     )
     vocab = doc_words.select("word").distinct()
 
-    sym = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.col("word").substr(i, F.lit(1)),
-    )
-    for a, b in merges:
-        ab = a + b
-        prev = sym
-        sym = F.aggregate(
-            prev,
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+    if mode == "arrow":
+        enc = _bpe_encode_vocab_arrow(vocab, merges, max_word_len)
+    else:
+        sym = F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
         )
-    n_sym = F.when(
-        F.length("word") > max_word_len, F.length("word")
-    ).otherwise(F.size(sym))
-    enc = vocab.select(
-        "word",
-        F.length("word").alias("n_chars_w"),
-        n_sym.cast("long").alias("n_sym"),
-    )
+        for a, b in merges:
+            ab = a + b
+            prev = sym
+            sym = F.aggregate(
+                prev,
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+        n_sym = F.when(
+            F.length("word") > max_word_len, F.length("word")
+        ).otherwise(F.size(sym))
+        enc = vocab.select(
+            "word",
+            F.length("word").alias("n_chars_w"),
+            n_sym.cast("long").alias("n_sym"),
+        )
 
     per_doc = (
         doc_words.join(enc, "word")

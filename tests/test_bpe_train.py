@@ -174,14 +174,91 @@ def test_bpe_encode_matches_reference_on_fixture(spark):
 
 def test_bpe_encode_long_word_bypass(spark):
     """Words above max_word_len skip the fold and count as raw chars —
-    the O(len^2) fold guard."""
+    the O(len^2) fold guard.  Both encoders honor it."""
     long_word = "a" * 100
     docs = spark.createDataFrame(
         [(0, "aa aa aa " + long_word)], "doc_id long, text string"
     )
-    got = text_ops.bpe_encode_lengths(
-        docs, merges=[("a", "a")], max_word_len=64
-    ).collect()[0]
-    # three "aa" words encode to 1 symbol each; the long word counts 100
-    assert got.n_bpe_tokens == 3 + 100
-    assert got.n_chars == 6 + 100
+    for encoder in ("expr", "arrow"):
+        got = text_ops.bpe_encode_lengths(
+            docs, merges=[("a", "a")], max_word_len=64, encoder=encoder
+        ).collect()[0]
+        # three "aa" words encode to 1 symbol each; the long word is 100
+        assert got.n_bpe_tokens == 3 + 100, encoder
+        assert got.n_chars == 6 + 100, encoder
+
+
+def test_bpe_encoder_auto_dispatch():
+    """auto = expr while the chain is shallow, arrow past the depth cap."""
+    cap = text_ops._BPE_EXPR_CHAIN_MAX
+    assert text_ops._select_bpe_encoder(0) == "expr"
+    assert text_ops._select_bpe_encoder(cap) == "expr"
+    assert text_ops._select_bpe_encoder(cap + 1) == "arrow"
+    assert text_ops._select_bpe_encoder(32000) == "arrow"
+
+
+def test_bpe_encode_arrow_matches_expr_on_fixture(spark):
+    """The Arrow kernel and the expression chain must agree row-for-row
+    on real fixture text with the trained table (the registered-query
+    shape, n_merges=10)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in text_ops.bpe_train_merges(docs, n_merges=10).collect()
+    ]
+    want = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens, r.chars_per_token)
+        for r in text_ops.bpe_encode_lengths(
+            docs, merges=merges, encoder="expr"
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens, r.chars_per_token)
+        for r in text_ops.bpe_encode_lengths(
+            docs, merges=merges, encoder="arrow"
+        ).collect()
+    }
+    assert got == want
+
+
+def _synthetic_rank_consistent_merges(n: int) -> list[tuple[str, str]]:
+    """Train a >=n-merge rank-consistent table in pure Python over a
+    deterministic synthetic vocab (varied bigrams so training never runs
+    dry) — the cheap way to get tokenizer-depth tables in a test."""
+    import random
+
+    rng = random.Random(20260815)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    wc = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(4, 20))):
+        rng.randint(1, 50)
+        for _ in range(4000)
+    }
+    merges = [(a, b) for _, a, b, _ in _reference_bpe(wc, n)]
+    assert len(merges) == n, "synthetic corpus ran dry"
+    return merges
+
+
+def test_bpe_encode_arrow_at_tokenizer_depth(spark):
+    """The weak-mark fix: a 1000-merge table must encode through the
+    Arrow kernel (auto-dispatch), match the textbook encoder exactly,
+    and must NOT build the nested expression chain — pinned by the plan
+    carrying ArrowEvalPython and zero higher-order `aggregate` folds."""
+    merges = _synthetic_rank_consistent_merges(1000)
+    rows = [
+        (0, "low lower lowest"),
+        (1, "abc0 xyz9 qqqq"),
+        (2, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_ops.bpe_encode_lengths(docs, merges=merges)  # auto->arrow
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "aggregate(" not in plan  # no chain fold was built
+    got = {r.doc_id: r.n_bpe_tokens for r in out.collect()}
+    import re
+
+    for doc_id, txt in rows:
+        words = re.split(r"\s+", txt.strip()) if txt.strip() else []
+        exp = sum(_reference_encode(w, merges) for w in words)
+        assert got[doc_id] == exp, (doc_id, txt)
