@@ -959,33 +959,64 @@ def incremental_dedup(
             StorageLevel.MEMORY_AND_DISK
         )
 
-    r = num_hashes // bands
-
-    def _banded(sig: DataFrame) -> DataFrame:
-        return sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[F.col(f"h{b * r + j}") for j in range(r)]
-                            ).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("doc_id", "bb.band", "bb.bucket")
-
     new_sig = _sig(new_docs)
     corp_sig = _sig(corpus)
+    dupes = _cross_frame_dup_ids(
+        new_sig, corp_sig, threshold, num_hashes, bands
+    )
+    new_sig.unpersist(blocking=False)
+    corp_sig.unpersist(blocking=False)
+    return new_docs.join(
+        dupes.withColumnRenamed("new_id", "doc_id"), "doc_id", "left_anti"
+    )
+
+
+def _banded_signatures(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, band, bucket) from a signature frame (doc_id, h0..h{n-1},
+    ...) — banding is a pure projection over already-computed min-hashes;
+    no tokenization or shingling happens here.  This is the frame a
+    production deployment PERSISTS as its dedup-index table."""
+    r = num_hashes // bands
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * r + j}") for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def _cross_frame_dup_ids(
+    new_sig: DataFrame,
+    corp_sig: DataFrame,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """The new_ids whose exact shingle-Jaccard against some corpus doc is
+    >= threshold, computed from SIGNATURE frames (doc_id, h0..h{n-1}, sh)
+    — the shared cross-frame kernel behind :func:`incremental_dedup` and
+    the admission sink's persisted-index path (where the corpus side's
+    signatures are read back from a versioned table instead of being
+    recomputed).  Candidates meet on (band, bucket) equality, exact
+    Jaccard verifies; the returned distinct-id frame is eagerly
+    localCheckpointed so callers can release their signature caches."""
     cand = (
-        _banded(new_sig)
+        _banded_signatures(new_sig, num_hashes, bands)
         .alias("l")
         .join(
-            _banded(corp_sig).alias("rr"),
+            _banded_signatures(corp_sig, num_hashes, bands).alias("rr"),
             (F.col("l.band") == F.col("rr.band"))
             & (F.col("l.bucket") == F.col("rr.bucket")),
         )
@@ -1009,18 +1040,13 @@ def incremental_dedup(
     inter = F.size(F.array_intersect("sh_n", "sh_o"))
     union = F.size("sh_n") + F.size("sh_o") - inter
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
-    # materialize the (small) duplicate-id list so both signature caches
-    # release NOW — the final anti-join reads only new_docs + dupes
-    dupes = (
+    # materialize the (small) duplicate-id list so signature caches can
+    # release NOW — downstream anti-joins read only raw rows + this list
+    return (
         verified.filter(jac >= threshold)
         .select("new_id")
         .distinct()
         .localCheckpoint(eager=True)
-    )
-    new_sig.unpersist(blocking=False)
-    corp_sig.unpersist(blocking=False)
-    return new_docs.join(
-        dupes.withColumnRenamed("new_id", "doc_id"), "doc_id", "left_anti"
     )
 
 
@@ -1353,31 +1379,63 @@ def dedup_admission_sink(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    index_table: str | None = None,
 ):
     """Streaming near-dup ADMISSION sink — the continuously-ingesting
     training-corpus shape: each micro-batch of candidate documents is
     admitted only if it near-duplicates neither the seed ``corpus`` NOR
     anything admitted by an earlier batch, and survivors append to the
     commit-log versioned ``table`` as one atomic, exactly-once commit.
-    Composes three audited pieces: :func:`incremental_dedup` (cross-frame
-    MinHash/LSH admission filter), the versioned table's txn-idempotent
-    ``commit_write`` (micro-batch replay after a crash is a no-op — the
-    ``versioned_sink`` contract), and Structured Streaming's
-    ``foreachBatch``.
+    Composes three audited pieces: :func:`_cross_frame_dup_ids` (the
+    cross-frame MinHash/LSH admission kernel), the versioned table's
+    txn-idempotent ``commit_write`` (micro-batch replay after a crash is
+    a no-op — the ``versioned_sink`` contract), and Structured
+    Streaming's ``foreachBatch``.
 
-    The dedup index EVOLVES: batch N checks against corpus + all
-    previously admitted survivors (a snapshot read of ``table``), so two
-    near-identical docs arriving in different batches admit exactly one.
-    Within a single micro-batch, candidates are admitted as a set (the
-    batch self-dedups first via :func:`duplicate_clusters` survivors —
-    min doc_id per near-dup cluster).
+    The dedup index is a PERSISTED SIGNATURE TABLE (``index_table``,
+    default ``<table>_sigidx``): the seed corpus is shingled and
+    MinHash-signed exactly ONCE, at sink creation (txn-idempotent — a
+    stream restart adopts the seed commit instead of re-signing), and
+    each batch appends only its admitted survivors' signatures.  The
+    index still EVOLVES — batch N checks against seed + all previously
+    admitted — but per-batch work is now O(batch signatures + band-join
+    + matched buckets), never O(corpus re-shingling): round 9 rebuilt
+    signatures for the whole evolving index every micro-batch, a
+    hot-loop scale-killer at a 100 TB seed corpus.  Within a single
+    micro-batch, candidates are admitted as a set (the batch self-dedups
+    first via :func:`duplicate_clusters` survivors — min doc_id per
+    near-dup cluster; self-dedup shares ``shingle_n``, and its MinHash
+    band layout is threshold-solved internally by the lsh path, so the
+    intra-batch near-dup criterion matches the index check).
 
-    SCALE: the per-batch cost is the admission filter's band-keyed
-    equality joins — the corpus side's banded signatures are exactly
-    what a production deployment persists as its dedup-index table; the
-    snapshot read adds one versioned-table scan per batch (bounded by
-    admitted volume, not stream history, since only survivors land)."""
+    Commit ordering is load-bearing: survivors land in ``table`` FIRST,
+    their signatures in ``index_table`` second.  A crash between the two
+    replays deterministically — the index lacks the batch's signatures,
+    so the recompute reproduces the same survivors, the doc commit is
+    adopted by txn, and the signature commit lands.  The reverse order
+    would let a replayed batch filter itself against its own signatures
+    and commit nothing.  doc_ids are assumed unique stream-wide (they
+    are the documents' key).
+
+    SCALE: the per-batch cost is the admission kernel's band-keyed
+    equality joins against the signature table's parquet scan; at 100 TB
+    the index table is the thing to bucket by (band, bucket) so the join
+    co-locates without a shuffle of the index side."""
+    from pyspark import StorageLevel
+
     from ..sources import versioned as V
+
+    if index_table is None:
+        index_table = table + "_sigidx"
+    # Seed: sign the corpus ONCE.  This is the only time corpus text is
+    # tokenized/shingled for the life of the sink (pinned in
+    # tests/test_streaming_admission.py by a call counter).
+    V.commit_write(
+        _minhash_signatures(corpus, num_hashes, shingle_n),
+        index_table,
+        mode="append",
+        txn=f"{query_name}-sigseed",
+    )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
@@ -1385,7 +1443,7 @@ def dedup_admission_sink(
         spark = batch.sparkSession
         # batch self-dedup: keep one survivor per within-batch cluster
         clusters = duplicate_clusters(
-            batch, threshold=threshold, method="auto"
+            batch, threshold=threshold, shingle_n=shingle_n, method="auto"
         )
         reps = clusters.groupBy("cluster_id").agg(
             F.min("doc_id").alias("doc_id")
@@ -1396,22 +1454,32 @@ def dedup_admission_sink(
             )
         )
         selfdeduped = batch.join(keep, "doc_id")
-        # evolving index: seed corpus + everything already admitted
-        index = corpus
-        if V._list_versions(table):
-            index = index.unionByName(
-                V.read_version(spark, table).select(*corpus.columns)
-            )
-        survivors = incremental_dedup(
-            selfdeduped,
-            index,
-            threshold=threshold,
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_n=shingle_n,
+        # batch side signed once; index side READ BACK, never recomputed
+        new_sig = _minhash_signatures(
+            selfdeduped, num_hashes, shingle_n
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        idx_sig = V.read_version(spark, index_table)
+        dupes = _cross_frame_dup_ids(
+            new_sig, idx_sig, threshold, num_hashes, bands
+        )
+        survivors = selfdeduped.join(
+            dupes.withColumnRenamed("new_id", "doc_id"), "doc_id", "left_anti"
         )
         V.commit_write(
             survivors, table, mode="append", txn=f"{query_name}-{batch_id}"
         )
+        # new_sig is already restricted to the self-deduped batch, so the
+        # survivors' signatures are just new_sig minus the rejected ids —
+        # reads the persisted cache, never re-runs the self-dedup jobs
+        surv_sig = new_sig.join(
+            dupes.withColumnRenamed("new_id", "doc_id"), "doc_id", "left_anti"
+        )
+        V.commit_write(
+            surv_sig,
+            index_table,
+            mode="append",
+            txn=f"{query_name}-sig-{batch_id}",
+        )
+        new_sig.unpersist(blocking=False)
 
     return _sink

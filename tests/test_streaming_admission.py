@@ -17,11 +17,23 @@ def _text(tag: str, n: int = 30) -> str:
     return " ".join(f"{tag}{i}" for i in range(n))
 
 
-def test_streaming_admission_evolving_index(spark, tmp_path):
+def test_streaming_admission_evolving_index(spark, tmp_path, monkeypatch):
     src = str(tmp_path / "incoming")
     table = str(tmp_path / "admitted")
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(src, exist_ok=True)
+
+    # shingle-once pin: count every signature computation for the life of
+    # the sink — seed corpus must be signed EXACTLY once (at creation),
+    # each batch exactly once (its own docs); the index side must never
+    # be re-signed (it is read back from the persisted signature table)
+    sig_calls = []
+    real_sig = dedup._minhash_signatures
+    monkeypatch.setattr(
+        dedup,
+        "_minhash_signatures",
+        lambda docs, *a, **k: (sig_calls.append(1), real_sig(docs, *a, **k))[1],
+    )
 
     X, Y, Z = _text("x"), _text("y"), _text("z")
     Y_near = Y.replace("y15", "swapped")   # near-dup of Y (jaccard ~0.9)
@@ -68,6 +80,29 @@ def test_streaming_admission_evolving_index(spark, tmp_path):
     # two commits, one per non-empty micro-batch, each txn-stamped
     hist = V.history(table)
     assert len(hist) == 2
+
+    # the persisted signature index: 1 seed commit + 1 per batch, holding
+    # signatures for the seed doc and every admitted survivor, nothing else
+    idx = table + "_sigidx"
+    assert len(V.history(idx)) == 3
+    idx_rows = V.read_version(spark, idx).collect()
+    assert {r.doc_id for r in idx_rows} == {1000, 2, 5}
+    assert all(r.sh for r in idx_rows)  # shingle sets travel with the sigs
+    # corpus shingled exactly once across N batches: 1 seed + 2 batch-side
+    # signings (self-dedup's exact path signs nothing), index side zero
+    assert len(sig_calls) == 3, len(sig_calls)
+    # sink re-creation (stream restart) adopts the seed commit — corpus
+    # is NOT re-signed and the index history does not grow
+    dedup.dedup_admission_sink(
+        spark.createDataFrame([(1000, X)], SCHEMA), table, threshold=0.5
+    )
+    assert len(V.history(idx)) == 3
+    assert len(sig_calls) == 4  # the sig frame is built lazily...
+    # ...but commit_write's txn check short-circuits before any job runs;
+    # the index table contents are untouched
+    assert {r.doc_id for r in V.read_version(spark, idx).collect()} == {
+        1000, 2, 5,
+    }
     # exactly-once: replaying a micro-batch commit is a no-op
     b2 = V.read_version(spark, table)
     v = V.commit_write(
