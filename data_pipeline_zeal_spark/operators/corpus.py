@@ -767,11 +767,13 @@ def _bloom_membership_udf(bitmap, k_hashes: int):
         P = np.array(pos.tolist(), dtype=np.int64)  # (batch, k) positions
         # guard the caller contract: the position arrays must carry
         # exactly the k the bitmap was built with, else probes silently
-        # test the wrong bit pattern (round-8 advice)
-        assert P.shape[1] == k_hashes, (
-            f"probe arrays carry {P.shape[1]} positions, bitmap built "
-            f"with k_hashes={k_hashes}"
-        )
+        # test the wrong bit pattern (round-8 advice).  A real raise, not
+        # assert — python -O must not strip the guard (round-9 advice).
+        if P.shape[1] != k_hashes:
+            raise ValueError(
+                f"probe arrays carry {P.shape[1]} positions, bitmap built "
+                f"with k_hashes={k_hashes}"
+            )
         w = words[P >> 6]
         bit = np.uint64(1) << (P & 63).astype(np.uint64)
         return pd.Series(((w & bit) != 0).all(axis=1))

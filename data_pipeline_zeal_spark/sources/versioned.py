@@ -1068,7 +1068,16 @@ def vacuum(
     cutoff = time.time() - retention_seconds
     versions = _list_versions(table)
     if min_retained_version is not None:
-        if versions and min_retained_version > versions[-1]:
+        if not versions:
+            # a floor on a zero-commit table would pre-expire versions
+            # 1..N-1 of whatever is committed afterwards, despite never
+            # having been vacuumed (round-9 advice) — nothing exists to
+            # expire, so refuse rather than persist a landmine
+            raise ValueError(
+                f"min_retained_version={min_retained_version} on a table "
+                "with no commits — nothing to expire"
+            )
+        if min_retained_version > versions[-1]:
             raise ValueError(
                 f"min_retained_version={min_retained_version} is above the "
                 f"latest version {versions[-1]} — refusing to expire the "

@@ -258,6 +258,20 @@ def test_build_gram_bloom_properties(spark):
     fp = probes.select(member(pos).alias("m")).filter("m").count()
     assert fp / 2000 < 0.05  # ~((1-e^(-kn/m))^k) ~= tiny at 16 bits/gram
 
+    # the k-width contract guard must be a real raise (survives -O), not
+    # an assert (round-9 advice): probing with k-1 positions fails loudly
+    import pytest
+
+    bad_pos = F.array(
+        *[
+            F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m_bits))
+            for i in range(k - 1)
+        ]
+    )
+    with pytest.raises(Exception, match="probe arrays carry") as ei:
+        grams.select(member(bad_pos).alias("m")).collect()
+    assert not isinstance(ei.value, AssertionError)
+
 
 def test_temperature_mixture_laws(spark):
     """alpha=1 reproduces the natural mixture; alpha<1 moves every

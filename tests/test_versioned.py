@@ -824,6 +824,22 @@ def test_vacuum_expiry_floor_and_read_guard(spark, tmp_path):
         V.vacuum(t, retention_seconds=0, min_retained_version=99)
 
 
+def test_vacuum_floor_rejected_on_empty_table(spark, tmp_path):
+    """A floor on a zero-commit table would pre-expire versions 1..N-1 of
+    whatever gets committed later (round-9 advice): refuse, leave no
+    floor behind, and keep the table fully usable afterwards."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="no commits"):
+        V.vacuum(t, retention_seconds=0, min_retained_version=3)
+    # ...and the refused call must not have persisted any floor
+    V.commit_write(_df(spark, 0, 5), t, mode="overwrite")   # v1
+    V.commit_write(_df(spark, 5, 8), t, mode="append")      # v2
+    assert V.read_version(spark, t, 1).count() == 5
+    assert V.read_version(spark, t, 2).count() == 8
+
+
 def test_vacuum_expiry_keeps_append_only_history_readable(spark, tmp_path):
     """Append-only dirs below the floor stay reachable from retained
     snapshots, so expiry must delete NOTHING and incremental reads that
