@@ -1697,6 +1697,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.quality_classifier_scores(docs, w, b)
 
     q["text_quality_classifier"] = _text_quality_classifier
+
+    # --- distributed-trainer evaluation queries (r10, r9 verdict #7:
+    # the unbounded-sample trainers were pytest-only; these register
+    # driver-checkable INTEGER evaluation frames over them).  All three
+    # train on the FULL corpus (sample_size=None — the path the
+    # distributed twins exist for).  Integer-only/-dominant outputs make
+    # the pinned regression oracles robust to the trainers' float-
+    # summation-order nondeterminism; the semantic gates live in pytest
+    # (driver-kernel parity pins + partition/majority laws).
+    q["train_kmeans_distributed"] = lambda s, d: (
+        similarity.kmeans_cells_distributed(
+            load_table(s, d, "embeddings"), n_cells=8, iters=5
+        )
+    )
+    q["train_pq_distributed"] = lambda s, d: (
+        similarity.pq_code_histogram_distributed(
+            load_table(s, d, "embeddings"), m=4, n_codes=8, iters=3
+        )
+    )
+    # fixture note: the en-vs-rest labels sit AT the naive-Bayes ceiling
+    # (== the base rate, measured in tests/test_quality.py), so the
+    # expected confusion row here IS the majority vote — the pytest
+    # separable-task gate carries the "it learns" claim; this row pins
+    # the full-corpus distributed training + scoring composition.
+    q["train_classifier_distributed"] = lambda s, d: (
+        text.quality_classifier_eval_distributed(
+            load_table(s, d, "documents"),
+            F.col("lang") == "en",
+            iters=8,
+            lr=50.0,
+        )
+    )
     q["events_audience_overlap"] = lambda s, d: events_ext.audience_overlap(
         load_table(s, d, "events")
     )
@@ -1787,56 +1819,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: dq_audit, customer_spend_deciles, and the r4 sim/corpus rows.
 #: 44/50 re-verification (>=50 % directive met).
 _DRIVER_FIRST = [
-    "dedup_substring_spans",
-    "text_bpe_encode",
-    "corpus_decontaminate_fuzzy",
-    "multimodal_resize",
-    "multimodal_scene_detect",
-    "multimodal_decode",
-    "text_fingerprint",
-    "text_normalize",
-    "text_scrub_pii",
-    "corpus_length_histogram",
-    "events_props_profile",
-    "events_daily_cube",
-    "events_daily_moving_avg",
-    "events_sessionize",
-    "events_type_share",
-    "events_top_users",
-    "events_hour_profile",
-    "events_cohort_retention",
-    "events_value_histogram",
-    "events_daily_anomaly",
-    "orders_rfm",
-    "sql_entry_revenue_rank",
-    "events_user_counts_salted",
-    "events_session_window",
-    "events_sliding_window",
-    "sim_label_centroids",
-    "sim_embedding_norms",
-    "sim_filtered_topk",
-    "sim_centroid_pairs",
-    "sim_knn_label",
-    "events_type_transitions",
-    "basket_part_pairs",
-    "text_repetition_profile",
-    "text_unigram_logprob",
-    "orders_grouping_sets",
-    "corpus_weighted_sample",
-    "customer_spend_deciles",
-    "events_hour_unpivot",
-    "events_cdc_merge",
-    "part_pagerank",
-    "corpus_boilerplate_profile",
-    "corpus_source_divergence",
-    "events_value_percentiles",
-    "events_scd2_history",
-    "dq_audit",
-    "asof_error_last_click_30m",
-    "tpch_q4_priority_check",
-    "sim_matryoshka_topk",
-    "events_markov_steady",
-    "events_hour_uniformity",
+    "train_kmeans_distributed",
+    "train_pq_distributed",
+    "train_classifier_distributed",
+    "events_profile_drift",
+    "hourly_agg_incremental",
+    "asof_error_nearest_click_30m",
+    "events_scd2_pit_join",
+    "orders_snapshot_diff",
+    "orders_snapshot_rebuild",
+    "dedup_incremental_survivors",
+    "events_first_touch",
+    "events_linear_attribution",
+    "events_decay_attribution",
+    "events_hourly_gapfill",
+    "events_hourly_interpolate",
+    "events_daily_trend",
+    "order_ship_latency",
+    "supplier_scorecard",
+    "corpus_effective_tokens",
+    "corpus_shuffle_shards",
+    "part_degree_histogram",
+    "part_triangle_census",
+    "orders_backlog_timeline",
+    "text_duplicated_spans",
+    "text_gopher_flags",
+    "text_bpe_token_estimate",
+    "dedup_best_quality",
+    "text_bigram_logprob",
+    "corpus_decontaminate",
+    "events_audience_overlap",
+    "corpus_temperature_mix",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "events_funnel_rates",
+    "orders_pareto_share",
+    "sim_centroid_drift",
+    "text_readability",
+    "text_top_terms_per_source",
+    "text_feature_hash",
+    "text_chunk_overlap",
+    "text_ngram_novelty",
+    "text_doc_similarity",
+    "text_zipf_fit",
+    "dedup_rate_by_source",
+    "dedup_simhash",
+    "corpus_split_leakage",
+    "events_top_paths",
+    "events_daily_anomaly_mad",
+    "events_user_bursts",
+    "events_key_skew_profile",
 ]
 
 
@@ -7486,6 +7518,137 @@ UNION ALL
 SELECT CAST("doc_id" AS BIGINT) AS "doc_id", CAST("n_words" AS BIGINT) AS "n_words", CAST("n_chars" AS BIGINT) AS "n_chars", CAST("n_bpe_tokens" AS BIGINT) AS "n_bpe_tokens", CAST("chars_per_token" AS DOUBLE) AS "chars_per_token" FROM t2 WHERE (SELECT is_sf001 FROM which) = 1
 UNION ALL
 SELECT CAST(-999999 AS BIGINT) AS "doc_id", CAST(-999999 AS BIGINT) AS "n_words", CAST(-999999 AS BIGINT) AS "n_chars", CAST(-999999 AS BIGINT) AS "n_bpe_tokens", CAST(-999999.0 AS DOUBLE) AS "chars_per_token" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
+"""
+    # distributed-trainer evaluation pins (r10): REGRESSION PINS
+    # (tools/gen_pinned_oracles.py honesty label applies) over
+    # integer-only evaluation frames; semantic gates = driver-kernel
+    # parity pins + partition/majority laws in tests/test_ann_dedup.py
+    # and tests/test_quality.py.
+    o["train_kmeans_distributed"] = """
+WITH which AS (
+  SELECT
+    max(CASE WHEN md5(text) = '3bf959bb4328351c94e543f4ec639ca2' THEN 1 ELSE 0 END) AS is_sf0001,
+    max(CASE WHEN md5(text) = '2f562b51617feb025bfa5d6d2e63d2f3' THEN 1 ELSE 0 END) AS is_sf001
+  FROM documents),
+t1("cell", "n_vectors") AS (VALUES
+  (0,51),
+  (1,60),
+  (2,58),
+  (3,70),
+  (4,66),
+  (5,71),
+  (6,52),
+  (7,72)),
+t2("cell", "n_vectors") AS (VALUES
+  (0,65),
+  (1,61),
+  (2,73),
+  (3,55),
+  (4,71),
+  (5,66),
+  (6,54),
+  (7,55))
+SELECT CAST("cell" AS INTEGER) AS "cell", CAST("n_vectors" AS BIGINT) AS "n_vectors" FROM t1 WHERE (SELECT is_sf0001 FROM which) = 1
+UNION ALL
+SELECT CAST("cell" AS INTEGER) AS "cell", CAST("n_vectors" AS BIGINT) AS "n_vectors" FROM t2 WHERE (SELECT is_sf001 FROM which) = 1
+UNION ALL
+SELECT CAST(-999999 AS INTEGER) AS "cell", CAST(-999999 AS BIGINT) AS "n_vectors" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
+"""
+
+    o["train_pq_distributed"] = """
+WITH which AS (
+  SELECT
+    max(CASE WHEN md5(text) = '3bf959bb4328351c94e543f4ec639ca2' THEN 1 ELSE 0 END) AS is_sf0001,
+    max(CASE WHEN md5(text) = '2f562b51617feb025bfa5d6d2e63d2f3' THEN 1 ELSE 0 END) AS is_sf001
+  FROM documents),
+t1("subspace", "code", "n_vectors") AS (VALUES
+  (0,0,53),
+  (0,1,72),
+  (0,2,46),
+  (0,3,64),
+  (0,4,82),
+  (0,5,65),
+  (0,6,66),
+  (0,7,52),
+  (1,0,56),
+  (1,1,78),
+  (1,2,56),
+  (1,3,48),
+  (1,4,72),
+  (1,5,75),
+  (1,6,55),
+  (1,7,60),
+  (2,0,49),
+  (2,1,63),
+  (2,2,77),
+  (2,3,91),
+  (2,4,47),
+  (2,5,34),
+  (2,6,68),
+  (2,7,71),
+  (3,0,59),
+  (3,1,55),
+  (3,2,57),
+  (3,3,59),
+  (3,4,72),
+  (3,5,77),
+  (3,6,44),
+  (3,7,77)),
+t2("subspace", "code", "n_vectors") AS (VALUES
+  (0,0,27),
+  (0,1,79),
+  (0,2,53),
+  (0,3,52),
+  (0,4,65),
+  (0,5,84),
+  (0,6,69),
+  (0,7,71),
+  (1,0,59),
+  (1,1,47),
+  (1,2,89),
+  (1,3,78),
+  (1,4,54),
+  (1,5,75),
+  (1,6,49),
+  (1,7,49),
+  (2,0,78),
+  (2,1,52),
+  (2,2,61),
+  (2,3,40),
+  (2,4,62),
+  (2,5,44),
+  (2,6,95),
+  (2,7,68),
+  (3,0,71),
+  (3,1,48),
+  (3,2,64),
+  (3,3,68),
+  (3,4,54),
+  (3,5,70),
+  (3,6,64),
+  (3,7,61))
+SELECT CAST("subspace" AS INTEGER) AS "subspace", CAST("code" AS INTEGER) AS "code", CAST("n_vectors" AS BIGINT) AS "n_vectors" FROM t1 WHERE (SELECT is_sf0001 FROM which) = 1
+UNION ALL
+SELECT CAST("subspace" AS INTEGER) AS "subspace", CAST("code" AS INTEGER) AS "code", CAST("n_vectors" AS BIGINT) AS "n_vectors" FROM t2 WHERE (SELECT is_sf001 FROM which) = 1
+UNION ALL
+SELECT CAST(-999999 AS INTEGER) AS "subspace", CAST(-999999 AS INTEGER) AS "code", CAST(-999999 AS BIGINT) AS "n_vectors" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
+"""
+
+    o["train_classifier_distributed"] = """
+WITH which AS (
+  SELECT
+    max(CASE WHEN md5(text) = '3bf959bb4328351c94e543f4ec639ca2' THEN 1 ELSE 0 END) AS is_sf0001,
+    max(CASE WHEN md5(text) = '2f562b51617feb025bfa5d6d2e63d2f3' THEN 1 ELSE 0 END) AS is_sf001
+  FROM documents),
+t1("n_docs", "n_positive", "tp", "fp", "fn", "tn", "accuracy") AS (VALUES
+  (500,193,0,0,193,307,0.614)),
+t2("n_docs", "n_positive", "tp", "fp", "fn", "tn", "accuracy") AS (VALUES
+  (500,218,0,0,218,282,0.564))
+SELECT CAST("n_docs" AS BIGINT) AS "n_docs", CAST("n_positive" AS BIGINT) AS "n_positive", CAST("tp" AS BIGINT) AS "tp", CAST("fp" AS BIGINT) AS "fp", CAST("fn" AS BIGINT) AS "fn", CAST("tn" AS BIGINT) AS "tn", CAST("accuracy" AS DOUBLE) AS "accuracy" FROM t1 WHERE (SELECT is_sf0001 FROM which) = 1
+UNION ALL
+SELECT CAST("n_docs" AS BIGINT) AS "n_docs", CAST("n_positive" AS BIGINT) AS "n_positive", CAST("tp" AS BIGINT) AS "tp", CAST("fp" AS BIGINT) AS "fp", CAST("fn" AS BIGINT) AS "fn", CAST("tn" AS BIGINT) AS "tn", CAST("accuracy" AS DOUBLE) AS "accuracy" FROM t2 WHERE (SELECT is_sf001 FROM which) = 1
+UNION ALL
+SELECT CAST(-999999 AS BIGINT) AS "n_docs", CAST(-999999 AS BIGINT) AS "n_positive", CAST(-999999 AS BIGINT) AS "tp", CAST(-999999 AS BIGINT) AS "fp", CAST(-999999 AS BIGINT) AS "fn", CAST(-999999 AS BIGINT) AS "tn", CAST(-999999.0 AS DOUBLE) AS "accuracy" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
 """
     o["sim_lsh_topk"] = """
 WITH which AS (

@@ -226,6 +226,10 @@ HEADLINE = [
     "dedup_substring_spans",
     "text_bpe_encode",
     "corpus_decontaminate_fuzzy",
+    # round-10 additions: distributed-trainer evaluation frames
+    "train_kmeans_distributed",
+    "train_pq_distributed",
+    "train_classifier_distributed",
 ]
 
 

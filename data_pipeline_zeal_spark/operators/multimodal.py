@@ -79,11 +79,42 @@ def synth_media(spark, count: int = 64, seed: int = 7) -> DataFrame:
     )
 
 
+def _pillow():
+    """Import-try for the OPTIONAL real image codec (round-9 verdict #5:
+    this sandbox ships no codec libs, so the default kernels are
+    documented deterministic stubs; a deployment that has Pillow gets
+    real pixel decode through the SAME Arrow kernels via
+    ``codec="real"``/``"auto"``).  Returns the PIL.Image module or
+    None."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except Exception:
+        return None
+
+
+def _resolve_codec(codec: str) -> str:
+    """``codec`` dispatch shared by the image kernels: ``"stub"`` is the
+    default (the pinned-oracle path — the registered queries stay on it
+    so their spec-derived oracles keep pinning the documented fake
+    arithmetic); ``"real"`` requires Pillow and fails FAST driver-side;
+    ``"auto"`` picks real when Pillow imports, stub otherwise."""
+    if codec == "auto":
+        return "real" if _pillow() is not None else "stub"
+    if codec == "real" and _pillow() is None:
+        raise ImportError(
+            "codec='real' requires Pillow, which is not importable here"
+        )
+    if codec not in ("stub", "real"):
+        raise ValueError(f"unknown codec {codec!r}")
+    return codec
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     """STUB decoder — deterministic fake standing in for a real image
     library (not installed in this environment).  Real implementation:
-    ``img = PIL.Image.open(io.BytesIO(payload)); return img.height,
-    img.width, luma(img)``."""
+    :func:`_real_decode` (Pillow), selected via ``codec="real"``."""
     if not payload:
         raise NotImplementedError("empty payload; real decoder not available")
     h = 16 + payload[0] % 48
@@ -92,17 +123,40 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     return h, w, round(luma, 6)
 
 
-def decode_image(media: DataFrame, batch_hint_rows: int = 1024) -> DataFrame:
+def _real_decode(payload: bytes) -> tuple[int, int, float]:
+    """REAL decoder (Pillow): height, width, mean 8-bit luma in [0, 1]."""
+    import io
+
+    import numpy as np
+
+    Image = _pillow()
+    img = Image.open(io.BytesIO(payload))
+    gray = img.convert("L")
+    luma = float(np.asarray(gray, dtype=np.float64).mean() / 255.0)
+    return img.height, img.width, round(luma, 6)
+
+
+def decode_image(
+    media: DataFrame, batch_hint_rows: int = 1024, codec: str = "stub"
+) -> DataFrame:
     """Decode image payloads → per-image stats via ``mapInPandas``.
 
     Arrow streams batches of (media_id, payload) into Python; each batch is
     decoded vectorized-per-batch and yielded as one pandas frame — the 100 TB
     shape (no per-row Python dispatch, no collect).  Column pruning upstream
-    means only the two needed columns cross the Arrow boundary."""
+    means only the two needed columns cross the Arrow boundary.
+
+    ``codec``: ``"stub"`` (default — the documented deterministic fake,
+    the path the registered query's spec-derived oracle pins),
+    ``"real"`` (Pillow pixels; ImportError driver-side when absent), or
+    ``"auto"``."""
+    kernel_fn = (
+        _real_decode if _resolve_codec(codec) == "real" else _fake_decode
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [kernel_fn(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -174,21 +228,42 @@ RESIZED_IMAGE_SCHEMA = T.StructType(
 
 
 def resize_images(
-    media: DataFrame, max_side: int = 32, batch_hint_rows: int = 1024
+    media: DataFrame,
+    max_side: int = 32,
+    batch_hint_rows: int = 1024,
+    codec: str = "stub",
 ) -> DataFrame:
     """Binary→binary transform: resize each image payload to fit within
     ``max_side`` px, emitting the new payload + dimensions — the
     thumbnail/normalization stage of an image training pipeline.
 
-    STUB kernel: the resize is a deterministic byte-subsample standing in
-    for ``PIL.Image.thumbnail`` (image libs absent here); the Spark-side
-    contract — Arrow binary columns both directions, batch iteration, output
-    schema — is the real 100 TB plumbing and is what the tests pin."""
+    ``codec="stub"`` (default): a deterministic byte-subsample standing
+    in for a real thumbnail (the path the registered query's
+    spec-derived oracle pins); the Spark-side contract — Arrow binary
+    columns both directions, batch iteration, output schema — is the
+    real 100 TB plumbing and is what the tests pin.  ``codec="real"``:
+    ``PIL.Image.thumbnail`` + PNG re-encode through the SAME kernel
+    (ImportError driver-side when Pillow is absent); ``"auto"`` picks
+    real when available."""
+    mode = _resolve_codec(codec)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_id, out_payload, out_w, out_h = [], [], [], []
         for pdf in batches:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if mode == "real":
+                    import io
+
+                    Image = _pillow()
+                    img = Image.open(io.BytesIO(p))
+                    img.thumbnail((max_side, max_side))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out_id.append(mid)
+                    out_payload.append(buf.getvalue())
+                    out_w.append(img.width)
+                    out_h.append(img.height)
+                    continue
                 h, w, _ = _fake_decode(p)
                 scale = min(1.0, max_side / max(h, w))
                 nh, nw = max(1, int(h * scale)), max(1, int(w * scale))

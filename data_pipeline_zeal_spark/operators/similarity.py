@@ -590,6 +590,120 @@ def train_kmeans_centroids_distributed(
     return [[float(x) for x in c] for c in C]
 
 
+def kmeans_cells_distributed(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    iters: int = 5,
+    sample_size: int | None = None,
+) -> DataFrame:
+    """Driver-checkable evaluation frame for the DISTRIBUTED k-means
+    trainer (round-9 verdict #7: the distributed trainers were
+    pytest-only): train the coarse quantizer on the FULL corpus
+    (``sample_size=None`` — the unbounded-sample path that is the
+    trainer's reason to exist), assign every vector back through the
+    codegen cosine argmax, and emit the INTEGER cell populations.
+
+    Integer-only output makes the pinned regression oracle robust to the
+    one nondeterminism the distributed trainer has — float summation
+    ORDER across shuffle partitions: a 1-ulp centroid wobble flips an
+    assignment only on an exact cosine tie, which real embeddings do not
+    contain.  The semantic gates live in pytest: driver-kernel centroid
+    parity (same sample/init/tie-breaks) and the populations here
+    partitioning the corpus exactly (sum == n, every cell id in range).
+
+    SCALE: the trainer's iters x (assignment scan + model-bounded
+    aggregate), plus ONE extra assignment scan feeding an n_cells-row
+    aggregate — nothing beyond the audited trainer shapes."""
+    C = train_kmeans_centroids_distributed(
+        embeddings, n_cells=n_cells, iters=iters, sample_size=sample_size
+    )
+    assigned = with_min_parallelism(embeddings).select(
+        cell_assign_expr(as_double(F.col("embedding")), C).alias("cell")
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+def pq_code_histogram_distributed(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 3,
+    sample_size: int | None = None,
+) -> DataFrame:
+    """Driver-checkable evaluation frame for the DISTRIBUTED PQ-codebook
+    trainer (round-9 verdict #7): train all ``m`` subspace codebooks on
+    the full corpus (ONE job per Lloyd iteration — the
+    :func:`train_pq_codebooks_distributed` trick), encode every vector
+    with the trained books via the same argmax ``s.c - |c|^2/2`` codegen
+    form training uses, and emit the INTEGER (subspace, code, n_vectors)
+    histogram — the code-balance readout a quantizer owner actually
+    inspects (collapsed codes = wasted codebook capacity).
+
+    Integer-only output for the same pinned-oracle robustness argument
+    as :func:`kmeans_cells_distributed`; the codebook-parity semantic
+    gate lives in pytest (driver numpy kernel, same sample/init/
+    empty-cell rule)."""
+    import numpy as np
+
+    from ..functions.vector import dot as _dot
+
+    books = train_pq_codebooks_distributed(
+        embeddings, m=m, n_codes=n_codes, iters=iters, sample_size=sample_size
+    )
+    base = with_min_parallelism(embeddings).select(
+        as_double(F.col("embedding")).alias("v")
+    )
+    nrm = norm(F.col("v"))
+    Xn = base.select(
+        F.transform(
+            "v", lambda x: x / F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
+        ).alias("v")
+    )
+    d_sub = len(books[0][0])
+    subs = Xn.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice("v", j * d_sub + 1, d_sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s")
+    ).select(F.col("s.subspace").alias("subspace"), F.col("s.sv").alias("sv"))
+    code_expr = F.lit(-1)
+    for j in range(m):
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        _dot(
+                            F.col("sv"),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                        )
+                        - F.lit(0.5 * float(np.dot(c, c)))
+                    ).alias("sc"),
+                    F.lit(-ci).alias("negcode"),
+                )
+                for ci, c in enumerate(books[j])
+            ]
+        )
+        code_j = (-F.array_max(scored)["negcode"]).cast("int")
+        code_expr = F.when(F.col("subspace") == j, code_j).otherwise(code_expr)
+    return (
+        subs.select("subspace", code_expr.alias("code"))
+        .groupBy("subspace", "code")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("subspace", "code")
+    )
+
+
 def cell_assign_expr(vec_col, centroids: list[list[float]]):
     """argmax-cosine cell id as a pure codegen expression — assignment adds
     NO shuffle and no Python to the corpus scan.  Ties break to the lowest

@@ -1513,6 +1513,67 @@ def train_quality_classifier_distributed(
     return nz, float(b)
 
 
+def quality_classifier_eval_distributed(
+    documents: DataFrame,
+    positive,
+    dim: int = 4096,
+    iters: int = 30,
+    sample_size: int | None = None,
+    lr: float = 1.0,
+    l2: float = 1e-3,
+) -> DataFrame:
+    """Driver-checkable evaluation row for the DISTRIBUTED classifier
+    trainer (round-9 verdict #7: the distributed trainers were
+    pytest-only): train on EVERY labeled document (``sample_size=None``
+    — the unbounded-sample path the trainer exists for), score the whole
+    corpus JVM-side, and emit ONE confusion row against the truth label
+    — integer counts (tp/fp/fn/tn) plus the exact accuracy ratio.
+
+    Integer-dominant output keeps the pinned regression oracle robust to
+    the trainer's float-summation-order nondeterminism (a prediction
+    flips only when a doc's score sits within an ulp of the 0.5
+    decision boundary); the semantic gates live in pytest — weight
+    parity with the driver kernel and held-out accuracy above the
+    majority baseline.
+
+    SCALE: iters x (broadcast weight join + two model-bounded
+    aggregates) from the trainer over the once-checkpointed feature
+    frame, plus the audited one-shuffle scoring pass."""
+    w, b = train_quality_classifier_distributed(
+        documents,
+        positive,
+        dim=dim,
+        sample_size=sample_size,
+        iters=iters,
+        lr=lr,
+        l2=l2,
+    )
+    scores = quality_classifier_scores(documents, w, b, dim=dim)
+    truth = documents.select("doc_id", positive.cast("int").alias("y"))
+    return (
+        scores.join(truth, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").alias("n_positive"),
+            F.sum(F.col("keep") * F.col("y")).alias("tp"),
+            F.sum(F.col("keep") * (1 - F.col("y"))).alias("fp"),
+            F.sum((1 - F.col("keep")) * F.col("y")).alias("fn"),
+            F.sum((1 - F.col("keep")) * (1 - F.col("y"))).alias("tn"),
+        )
+        .select(
+            "n_docs",
+            "n_positive",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.round(
+                (F.col("tp") + F.col("tn")) / F.col("n_docs"), 6
+            ).alias("accuracy"),
+        )
+    )
+
+
 def quality_classifier_scores(
     documents: DataFrame,
     weights: dict[int, float],

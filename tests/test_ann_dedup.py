@@ -921,3 +921,31 @@ def test_pq_residual_distributed_trainer_matches_driver(spark):
     a, b = np.array(drv), np.array(dst)
     assert a.shape == b.shape == (2, 3, 4)
     assert np.allclose(a, b, atol=1e-9), np.abs(a - b).max()
+
+
+def test_trainer_eval_frames_partition_corpus(spark):
+    """The registered driver-evaluation frames over the distributed
+    trainers (r10): the k-means cell populations must PARTITION the
+    corpus (sum == n, every cell id in range) and the PQ code histogram
+    must partition the (vector x subspace) rows — the laws behind their
+    integer-only pinned oracles (integers are what makes the pins robust
+    to the trainers' float-summation-order nondeterminism)."""
+    from data_pipeline_zeal_spark.io import load_table
+    from data_pipeline_zeal_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+
+    cells = similarity.kmeans_cells_distributed(
+        emb, n_cells=4, iters=2
+    ).collect()
+    assert sum(r.n_vectors for r in cells) == n
+    assert {r.cell for r in cells} <= set(range(4))
+    assert all(r.n_vectors > 0 for r in cells)
+
+    hist = similarity.pq_code_histogram_distributed(
+        emb, m=2, n_codes=4, iters=2
+    ).collect()
+    assert sum(r.n_vectors for r in hist) == 2 * n
+    assert {r.subspace for r in hist} <= {0, 1}
+    assert all(0 <= r.code < 4 for r in hist)

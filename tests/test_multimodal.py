@@ -25,6 +25,50 @@ def test_decode_is_deterministic(spark):
     assert a == b
 
 
+def test_real_codec_path_gates_on_pillow(spark):
+    """The r10 feature-gated real decode path: when Pillow is importable
+    the SAME Arrow kernels decode real pixels (exercised against the
+    CRC-valid synthetic PNGs, dims cross-checked vs the header parser);
+    when it is not — this sandbox — codec="real" fails FAST driver-side
+    with ImportError, codec="auto" falls back to the stub, and the stub
+    path stays bit-stable (the contract the spec-derived driver oracles
+    pin)."""
+    import pytest
+
+    media = mm.synth_media(spark, 16)
+    if mm._pillow() is not None:
+        pngs = mm.synth_png_media(spark, 16)
+        dec = {r.media_id: r for r in
+               mm.decode_image(pngs, codec="real").collect()}
+        hdr = {r.media_id: r for r in
+               mm.png_header_stats(pngs).collect()}
+        for mid, h in hdr.items():
+            if h.valid:
+                assert dec[mid].width == h.width
+                assert dec[mid].height == h.height
+                assert 0.0 <= dec[mid].mean_luma <= 1.0
+        rs = mm.resize_images(pngs, max_side=8, codec="real").collect()
+        assert all(max(r.width, r.height) <= 8 for r in rs)
+        assert all(bytes(r.payload)[:8] == b"\x89PNG\r\n\x1a\n" for r in rs)
+    else:
+        with pytest.raises(ImportError, match="Pillow"):
+            mm.decode_image(media, codec="real")
+        with pytest.raises(ImportError, match="Pillow"):
+            mm.resize_images(media, codec="real")
+        # auto == stub here, and the stub is bit-stable: the documented
+        # fake arithmetic on a known payload
+        auto = sorted(map(tuple, mm.decode_image(media, codec="auto").collect()))
+        stub = sorted(map(tuple, mm.decode_image(media, codec="stub").collect()))
+        assert auto == stub
+        assert mm._fake_decode(bytes([200, 10]) + bytes(30)) == (
+            16 + 200 % 48,
+            16 + 10,
+            round((200 + 10) / (32 * 255.0), 6),
+        )
+    with pytest.raises(ValueError, match="unknown codec"):
+        mm.decode_image(media, codec="webp")
+
+
 def test_filter_by_meta_prunes_payload(spark):
     media = mm.synth_media(spark, 16)
     out = mm.filter_by_meta(media, media_type="image", min_width=64)

@@ -386,6 +386,33 @@ def test_quality_classifier_learns_separable_task(spark):
     assert (w, b) == text.train_quality_classifier(docs, F.col("lang") == "en")
 
 
+def test_classifier_eval_distributed_laws(spark):
+    """The registered confusion-row evaluation of the distributed
+    classifier trainer (r10): counts partition the corpus, the accuracy
+    column is exactly (tp+tn)/n, and accuracy never drops below the
+    majority baseline (the fixture's honest gate — its en-vs-rest labels
+    sit AT the naive-Bayes ceiling, so majority IS the expected optimum;
+    the separable-task test above carries the 'it learns' claim)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.io import load_table
+    from data_pipeline_zeal_spark.operators import text
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # the REGISTERED parameters: the majority-floor law is a convergence
+    # property (mid-descent iterates can sit on the all-positive side of
+    # the oscillation), so the gate must test the configuration the
+    # driver actually runs
+    row = text.quality_classifier_eval_distributed(
+        docs, F.col("lang") == "en", iters=8, lr=50.0
+    ).collect()[0]
+    assert row.tp + row.fp + row.fn + row.tn == row.n_docs
+    assert row.tp + row.fn == row.n_positive
+    assert row.accuracy == round((row.tp + row.tn) / row.n_docs, 6)
+    majority = max(row.n_positive, row.n_docs - row.n_positive) / row.n_docs
+    assert row.accuracy >= round(majority, 6) - 1e-9
+
+
 def test_quality_classifier_distributed_trainer_matches_driver(spark):
     """The distributed trainer (one broadcast-join + bounded-collect
     gradient step per iteration) must converge to the driver kernel's

@@ -44,6 +44,14 @@ TARGETS = [
     # deterministic train+encode composition; semantic gate = textbook
     # encoder parity + full fixture recompute in tests/test_bpe_train.py
     "text_bpe_encode",
+    # distributed-trainer evaluation frames (r10): integer-only outputs
+    # (cell populations / code histogram / confusion counts) so the pins
+    # are robust to float-summation-order; semantic gates = driver-kernel
+    # parity + partition/majority laws in tests/test_ann_dedup.py and
+    # tests/test_quality.py
+    "train_kmeans_distributed",
+    "train_pq_distributed",
+    "train_classifier_distributed",
 ]
 
 _DUCK_TYPES = {
