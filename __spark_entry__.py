@@ -652,6 +652,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_ivf_topk"] = lambda s, d: similarity.ivf_topk(
         load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
     )
+
+    def _sim_ivf_index_search(s: SparkSession, d: str) -> DataFrame:
+        """Persisted IVF index (r10): build the index ONCE as a
+        cell-clustered versioned table + centroid companion, then probe
+        it — file-granular stats pruning turns nprobe cells into
+        skipped parquet files (the structural pin lives in
+        tests/test_ann_index.py; result parity with the in-plan
+        ivf_topk kernel is exact, so this shares its pinned-oracle
+        status and recall gate)."""
+        import shutil
+        import tempfile
+
+        from data_pipeline_zeal_spark.operators import ann_index
+
+        emb = load_table(s, d, "embeddings")
+        t = tempfile.mkdtemp(prefix="ivf_index_")
+        try:
+            ann_index.build_ivf_index(emb, t, n_cells=8)
+            out = ann_index.search_ivf_index(
+                s, t, _SIM_QUERY_IDS, k=10, nprobe=5
+            )
+            # materialize before the scratch table is deleted
+            rows = out.collect()
+            return s.createDataFrame(rows, out.schema)
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
+            shutil.rmtree(t + "_centroids", ignore_errors=True)
+
+    q["sim_ivf_index_search"] = _sim_ivf_index_search
     q["sim_filtered_topk"] = lambda s, d: similarity.filtered_topk(
         load_table(s, d, "embeddings"), _SIM_QUERY_IDS, labels=[0, 1, 2], k=10
     )
@@ -1822,6 +1851,7 @@ _DRIVER_FIRST = [
     "train_kmeans_distributed",
     "train_pq_distributed",
     "train_classifier_distributed",
+    "sim_ivf_index_search",
     "events_profile_drift",
     "hourly_agg_incremental",
     "asof_error_nearest_click_30m",
@@ -1868,7 +1898,6 @@ _DRIVER_FIRST = [
     "events_top_paths",
     "events_daily_anomaly_mad",
     "events_user_bursts",
-    "events_key_skew_profile",
 ]
 
 
@@ -8027,6 +8056,13 @@ SELECT CAST("query_id" AS BIGINT) AS "query_id", CAST("vec_id" AS BIGINT) AS "ve
 UNION ALL
 SELECT CAST(-999999 AS BIGINT) AS "query_id", CAST(-999999 AS BIGINT) AS "vec_id", CAST(-999999.0 AS DOUBLE) AS "cosine", CAST(-999999 AS INTEGER) AS "rank" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
 """
+    # sim_ivf_index_search: the persisted-index path is EXACTLY the
+    # in-plan ivf_topk kernel's output (same trainer sample/init/
+    # iters, same probe ranking + tie-breaks, same exact re-rank —
+    # parity pinned in tests/test_ann_index.py), so it shares the
+    # same pinned regression oracle; its own structural claim (file
+    # pruning at probe time) is pytest-pinned, not SQL-expressible.
+    o["sim_ivf_index_search"] = o["sim_ivf_topk"]
 
     o["sim_pq_topk"] = """
 WITH which AS (

@@ -226,10 +226,12 @@ HEADLINE = [
     "dedup_substring_spans",
     "text_bpe_encode",
     "corpus_decontaminate_fuzzy",
-    # round-10 additions: distributed-trainer evaluation frames
+    # round-10 additions: distributed-trainer evaluation frames + the
+    # persisted IVF index (build-once/probe-many over the versioned table)
     "train_kmeans_distributed",
     "train_pq_distributed",
     "train_classifier_distributed",
+    "sim_ivf_index_search",
 ]
 
 

@@ -1,0 +1,163 @@
+"""[EXT] Persisted IVF index over the commit-log versioned table —
+the vector-index-as-table production pattern (r10; no reference
+counterpart — the reference has no vector surface).
+
+The in-plan IVF kernel (:func:`~.similarity.ivf_topk`) re-trains and
+re-assigns cells on every query batch — self-contained, but at 100 TB
+the assignment pass alone is a full corpus scan per batch.  A real
+deployment builds the index ONCE and amortizes it across every probe
+batch, exactly like the admission sink's persisted signature index
+(r10) amortizes corpus shingling:
+
+* **build once** (:func:`build_ivf_index`): train the coarse quantizer
+  on a bounded deterministic sample (the faiss recipe — quantizer cost
+  is independent of corpus size), assign every vector its cell via the
+  codegen cosine argmax (one scan, no shuffle for assignment), and
+  write the corpus CELL-CLUSTERED into a versioned table —
+  ``repartition(n_cells, "cell")`` keeps each parquet file's ``cell``
+  min/max tight, so the table's two-tier stats skipping
+  (:func:`~..sources.versioned.pruned_paths`) can drop whole files at
+  probe time.  The centroids persist beside it in a companion table
+  (``<table>_centroids``) — the model IS data, versioned with the rows
+  it indexes.
+* **probe many times** (:func:`search_ivf_index`): read the centroids
+  back (model-bounded collect), rank cells per query vector
+  driver-side (the probe batch is the bounded side — the standard
+  vector-DB shape), and scan ONLY the files whose cell range
+  intersects the probe set via ``read_where`` — file-granular pruning,
+  then the exact cosine kernel on the surviving slice.
+
+At 100 TB the per-batch cost is ``~nprobe/n_cells`` of the FILES (not
+merely of the rows scored) — the difference between an index and a
+scan.  Rebuilds are ordinary versioned-table commits: time travel
+gives index-snapshot reproducibility, vacuum floors retire stale
+builds, and a stream can append new vectors with their cells through
+the same commit path.
+
+Recall honesty is inherited from ``ivf_topk``: the fixture embeddings
+are isotropic, so recall ~= probed fraction there (pytest-gated >= 0.8
+at the registered layout); the structural pruning claim — probing few
+cells SKIPS files — is pinned separately and holds on any data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, cosine
+from ..io import with_min_parallelism
+from ..sources import versioned as V
+from .similarity import cell_assign_expr, train_kmeans_centroids
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    table: str,
+    n_cells: int = 8,
+    train_iters: int = 10,
+    sample_size: int = 4096,
+    txn: str | None = None,
+) -> list[list[float]]:
+    """Build (or rebuild) the persisted IVF index: one assignment scan,
+    cell-clustered files, centroids in the companion table.  Both writes
+    are atomic versioned commits (pass ``txn`` for idempotent retries —
+    the suffix ``-centroids`` distinguishes the companion commit).
+    Returns the trained centroids."""
+    cents = train_kmeans_centroids(
+        embeddings, n_cells=n_cells, iters=train_iters, sample_size=sample_size
+    )
+    assigned = (
+        with_min_parallelism(embeddings)
+        .select("vec_id", as_double(F.col("embedding")).alias("embedding"))
+        .withColumn("cell", cell_assign_expr(F.col("embedding"), cents))
+        # one-or-two cells per file -> tight per-file cell min/max ->
+        # pruned_paths drops non-probed files wholesale
+        .repartition(n_cells, "cell")
+        .sortWithinPartitions("cell", "vec_id")
+    )
+    V.commit_write(assigned, table, mode="overwrite", txn=txn)
+    spark = embeddings.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    V.commit_write(
+        cents_df.coalesce(1),
+        table + "_centroids",
+        mode="overwrite",
+        txn=f"{txn}-centroids" if txn else None,
+    )
+    return cents
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    table: str,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 5,
+    version: int | None = None,
+) -> DataFrame:
+    """Probe the persisted index: per query, rank cells by centroid
+    cosine driver-side (queries x n_cells — both bounded), then scan
+    only the files whose ``cell`` range intersects the probe set and
+    run the exact cosine kernel there.  ``version`` time-travels the
+    index (snapshot-reproducible search).  Returns (query_id, vec_id,
+    cosine, rank) — the :func:`~.similarity.ivf_topk` contract."""
+    import numpy as np
+
+    cent_rows = V.read_version(spark, table + "_centroids", version).collect()
+    cents = np.array(
+        [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)],
+        dtype=np.float64,
+    )
+    cn = np.linalg.norm(cents, axis=1)
+    cn[cn == 0] = 1.0
+
+    # query vectors come from the index itself (bounded: len(query_ids)
+    # rows through the vec_id-pruned read)
+    qrows = V.read_where(
+        spark, table, [("vec_id", "in", sorted(query_ids))], version
+    ).select("vec_id", "embedding").collect()
+    probes = []
+    for r in sorted(qrows, key=lambda r: r.vec_id):
+        qv = np.array(r.embedding, dtype=np.float64)
+        qn = np.linalg.norm(qv) or 1.0
+        cos = (cents @ qv) / (cn * qn)
+        # nprobe best cells, ties to the lower cell id (argsort is stable
+        # on the negated scores)
+        order = np.argsort(-cos, kind="stable")[:nprobe]
+        probes.extend(
+            (int(r.vec_id), list(map(float, qv)), int(c)) for c in order
+        )
+    if not probes:
+        empty = V.read_version(spark, table, version).limit(0)
+        return empty.select(
+            F.col("vec_id").alias("query_id"),
+            "vec_id",
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).alias("rank"),
+        )
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, qv array<double>, cell int"
+    )
+    cells = sorted({c for _, _, c in probes})
+    cand = V.read_where(spark, table, [("cell", "in", cells)], version)
+    scored = (
+        cand.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
