@@ -743,6 +743,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_bm25_topk"] = _bm25
 
+    def _bm25_index_search(s: SparkSession, d: str) -> DataFrame:
+        """Persisted BM25 inverted index (r10): build the bucket-
+        clustered postings + df + stats versioned tables once, then
+        probe — query-vocabulary buckets prune to their posting FILES
+        (structural pin in tests/test_bm25_index.py).  Row-for-row
+        identical to bm25_search (parity pytest-pinned), so it shares
+        bm25's INDEPENDENT DuckDB oracle."""
+        import shutil
+        import tempfile
+
+        docs = load_table(s, d, "documents")
+        t = tempfile.mkdtemp(prefix="bm25_index_")
+        try:
+            retrieval.build_bm25_index(docs, t, n_buckets=16)
+            out = retrieval.search_bm25_index(
+                s, t, retrieval.corpus_queries(docs), k=10
+            )
+            rows = out.collect()  # materialize before scratch cleanup
+            return s.createDataFrame(rows, out.schema)
+        finally:
+            for sfx in ("", "_df", "_stats"):
+                shutil.rmtree(t + sfx, ignore_errors=True)
+
+    q["text_bm25_index_search"] = _bm25_index_search
+
     def _retrieval_quality(s: SparkSession, d: str) -> DataFrame:
         docs = load_table(s, d, "documents")
         run = retrieval.bm25_search(docs, retrieval.corpus_queries(docs), k=10)
@@ -1852,6 +1877,7 @@ _DRIVER_FIRST = [
     "train_pq_distributed",
     "train_classifier_distributed",
     "sim_ivf_index_search",
+    "text_bm25_index_search",
     "events_profile_drift",
     "hourly_agg_incremental",
     "asof_error_nearest_click_30m",
@@ -1897,7 +1923,6 @@ _DRIVER_FIRST = [
     "corpus_split_leakage",
     "events_top_paths",
     "events_daily_anomaly_mad",
-    "events_user_bursts",
 ]
 
 
@@ -5798,6 +5823,13 @@ WITH {_bm25_ranked}
 SELECT query_id, doc_id, score, rank::INTEGER AS rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
+    # text_bm25_index_search: the persisted-index probe is row-for-row
+    # identical to bm25_search (same tf/dl/df/stats arithmetic, same
+    # rounding + tie-breaks — parity pytest-pinned in
+    # tests/test_bm25_index.py), so it shares bm25's INDEPENDENT DuckDB
+    # recompute; its own structural claim (posting-file pruning at probe
+    # time) is pytest-pinned, not SQL-expressible.
+    o["text_bm25_index_search"] = o["text_bm25_topk"]
     # graded retrieval metrics over the BM25 run: qrels rel 2 = same
     # (lang, source) as the query doc, rel 1 = same lang, self excluded;
     # linear-gain NDCG with log2 discount; zero denominators pinned to 0.0

@@ -232,6 +232,7 @@ HEADLINE = [
     "train_pq_distributed",
     "train_classifier_distributed",
     "sim_ivf_index_search",
+    "text_bm25_index_search",
 ]
 
 

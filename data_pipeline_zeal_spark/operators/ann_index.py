@@ -91,6 +91,47 @@ def build_ivf_index(
     return cents
 
 
+def ivf_index_sink(table: str, query_name: str = "ivf-append"):
+    """Streaming maintenance for the persisted index: a ``foreachBatch``
+    sink that assigns each micro-batch's vectors to cells using the
+    INDEX'S OWN centroids (model-bounded read per batch — the quantizer
+    is fixed at build time, the standard IVF maintenance contract) and
+    appends them cell-clustered as ONE txn-idempotent commit, so new
+    vectors become probe-visible atomically and a crash-replayed
+    micro-batch adopts its existing commit (the ``versioned_sink``
+    contract shared with the dedup admission sink).
+
+    Appends inherit the build's file-pruning property: each appended
+    commit's files carry their own tight cell bounds, so probes keep
+    skipping non-probed files across the live + appended data.  Re-train
+    drift is the operator's documented limit — when the vector
+    distribution moves, rebuild with :func:`build_ivf_index` (an
+    overwrite commit; time travel keeps pre-rebuild probes
+    reproducible)."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        cent_rows = V.read_version(spark, table + "_centroids").collect()
+        cents = [
+            list(r.centroid) for r in sorted(cent_rows, key=lambda r: r.cell)
+        ]
+        assigned = (
+            batch.select(
+                "vec_id", as_double(F.col("embedding")).alias("embedding")
+            )
+            .withColumn("cell", cell_assign_expr(F.col("embedding"), cents))
+            .repartition(len(cents), "cell")
+            .sortWithinPartitions("cell", "vec_id")
+        )
+        V.commit_write(
+            assigned, table, mode="append", txn=f"{query_name}-{batch_id}"
+        )
+
+    return _sink
+
+
 def search_ivf_index(
     spark: SparkSession,
     table: str,

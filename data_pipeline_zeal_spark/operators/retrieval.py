@@ -509,3 +509,148 @@ def release_pipeline_cache(result: DataFrame) -> bool:
             setattr(result, attr, None)
             released = True
     return released
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 inverted index (r10) — build once, probe many
+# ---------------------------------------------------------------------------
+
+
+def build_bm25_index(
+    documents: DataFrame,
+    table: str,
+    n_buckets: int = 16,
+    txn: str | None = None,
+) -> None:
+    """Persist the inverted index :func:`bm25_search` otherwise rebuilds
+    per run — the lexical twin of the persisted IVF index
+    (:mod:`..operators.ann_index`): the corpus tokenizes ONCE, into
+    three versioned tables —
+
+    * ``<table>``          postings (doc_id, token, tf, dl, bucket),
+      BUCKET-CLUSTERED on ``pmod(xxhash64(token), n_buckets)`` so each
+      parquet file's bucket min/max is tight and a probe's query terms
+      prune to their buckets' FILES via the two-tier stats skipping;
+    * ``<table>_df``       per-token document frequencies, same
+      bucketing (df derives from the PERSISTED postings — no second
+      corpus pass);
+    * ``<table>_stats``    one row: (n_docs, avgdl, n_buckets) — the
+      model constants, read back as literals at probe time (no 1-row
+      broadcast join in the probe plan at all).
+
+    All three commits are atomic and txn-idempotent (suffixes ``-df`` /
+    ``-stats``).  At 100 TB a probe touches ~|query vocabulary| /
+    n_buckets of the postings FILES instead of scanning the corpus —
+    and rebuilds are overwrite commits with time-travel reproducibility."""
+    from ..sources import versioned as V
+
+    docs = with_min_parallelism(documents)
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("double")
+    )
+    bucket = F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
+    postings = (
+        tf.withColumn("bucket", bucket)
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("bucket", "token", "doc_id")
+    )
+    V.commit_write(postings, table, mode="overwrite", txn=txn)
+    spark = documents.sparkSession
+    # df from the persisted postings: the corpus is NOT re-tokenized
+    df_ = (
+        V.read_version(spark, table)
+        .groupBy("bucket", "token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("bucket", "token")
+    )
+    V.commit_write(
+        df_, table + "_df", mode="overwrite",
+        txn=f"{txn}-df" if txn else None,
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(tokens("text"))).alias("avgdl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    )
+    V.commit_write(
+        stats.coalesce(1), table + "_stats", mode="overwrite",
+        txn=f"{txn}-stats" if txn else None,
+    )
+
+
+def search_bm25_index(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_self: bool = True,
+    version: int | None = None,
+) -> DataFrame:
+    """Probe the persisted index: bucket the (bounded) query vocabulary,
+    scan ONLY the postings/df files whose bucket range intersects it
+    (``read_where`` file pruning), and score with the exact
+    :func:`bm25_search` formula — the corpus stats attach as LITERALS
+    from the 1-row stats table, so the probe plan carries no nested
+    loop at all.  ``version`` time-travels all three tables together
+    (snapshot-reproducible ranking).  Row-for-row identical to
+    ``bm25_search`` on the same corpus/queries (pytest-pinned)."""
+    from ..sources import versioned as V
+
+    srow = V.read_version(spark, table + "_stats", version).collect()[0]
+    n_docs, avgdl, n_buckets = (
+        float(srow.n_docs), float(srow.avgdl), int(srow.n_buckets)
+    )
+    qterms = queries.select("query_id", "token").distinct()
+    buckets = sorted(
+        r.b
+        for r in qterms.select(
+            F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("b")
+        ).distinct().collect()
+    )  # bounded: the query vocabulary is tiny by construction
+    if not buckets:
+        empty = V.read_version(spark, table, version).limit(0)
+        return empty.select(
+            F.col("doc_id").alias("query_id"),
+            "doc_id",
+            F.lit(0.0).alias("score"),
+            F.lit(0).alias("rank"),
+        )
+    post = V.read_where(spark, table, [("bucket", "in", buckets)], version)
+    dfr = V.read_where(
+        spark, table + "_df", [("bucket", "in", buckets)], version
+    ).select("token", "df")
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.lit(avgdl)
+    )
+    scored = (
+        post.join(F.broadcast(qterms), "token")
+        .join(dfr, "token")
+        .filter(
+            F.col("doc_id") != F.col("query_id") if exclude_self else F.lit(True)
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (k1 + 1.0) / denom), 6
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

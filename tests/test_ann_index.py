@@ -65,6 +65,116 @@ def test_probe_prunes_files(spark, index_table):
     assert {r.cell for r in rows.select("cell").distinct().collect()} == {0, 1}
 
 
+def test_streaming_index_maintenance(spark, index_table, tmp_path):
+    """New vectors stream into the index through foreachBatch: cells
+    come from the index's own centroids, each micro-batch is one atomic
+    append, replay adopts the existing commit, and a streamed vector is
+    immediately probe-visible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.operators.similarity import (
+        cell_assign_expr,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = ann_index.build_ivf_index(seed, index_table, n_cells=4)
+
+    # two micro-batch files of the held-out vectors
+    src = str(tmp_path / "incoming")
+    rest = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    half = rest.filter(F.col("vec_id") % 4 == 1)
+    other = rest.filter(F.col("vec_id") % 4 == 3)
+    half.coalesce(1).write.parquet(src + "/b1")
+    other.coalesce(1).write.parquet(src + "/b2")
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    os.utime(files[0], (1_700_000_000, 1_700_000_000))
+    os.utime(files[1], (1_700_000_100, 1_700_000_100))
+
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(ann_index.ivf_index_sink(index_table))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    live = V.read_version(spark, index_table)
+    assert live.count() == emb.count()  # every vector landed exactly once
+    # appended cells match the build-time quantizer's assignment rule
+    from data_pipeline_zeal_spark.functions.vector import as_double
+
+    expect = rest.select(
+        "vec_id",
+        cell_assign_expr(as_double(F.col("embedding")), cents).alias("cell"),
+    )
+    got = live.join(rest.select("vec_id"), "vec_id", "left_semi").select(
+        "vec_id", "cell"
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in expect.collect()
+    }
+    # a streamed vector is probe-visible: search FROM a streamed query id
+    sq = [r.vec_id for r in rest.limit(1).collect()]
+    hits = ann_index.search_ivf_index(spark, index_table, sq, k=5, nprobe=4)
+    assert hits.count() == 5
+    # replay adopts: re-running micro-batch 0's commit adds nothing
+    n_hist = len(V.history(index_table))
+    ann_index.ivf_index_sink(index_table)(
+        spark.read.parquet(files[0]), 0
+    )
+    assert len(V.history(index_table)) == n_hist
+    assert V.read_version(spark, index_table).count() == emb.count()
+
+
+def test_optimize_recompacts_appended_index(spark, index_table, tmp_path):
+    """Composition with OPTIMIZE: streamed appends fragment the index
+    (each micro-batch commits its own small files); `versioned.compact`
+    with cell clustering rewrites the snapshot into few cell-tight files
+    — probe pruning is restored to build-time granularity, results are
+    unchanged, and pre-compaction versions stay readable."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index.build_ivf_index(seed, index_table, n_cells=4)
+    sink = ann_index.ivf_index_sink(index_table)
+    rest = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    for i, m in enumerate((1, 3)):  # two appends fragment the table
+        sink(rest.filter(F.col("vec_id") % 4 == m), i)
+
+    qids = [r.vec_id for r in emb.limit(80).collect() if r.vec_id % 31 == 0]
+    before = ann_index.search_ivf_index(
+        spark, index_table, qids, k=5, nprobe=2
+    ).collect()
+    _, kept_before, _ = V.pruned_paths(index_table, [("cell", "in", [0])])
+
+    V.compact(
+        spark, index_table, cluster_by=["cell"], num_files=4, txn="opt-1"
+    )
+    _, kept_after, skipped_after = V.pruned_paths(
+        index_table, [("cell", "in", [0])]
+    )
+    assert kept_after <= kept_before  # fragmentation reclaimed
+    assert skipped_after > 0
+    after = ann_index.search_ivf_index(
+        spark, index_table, qids, k=5, nprobe=2
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    # pre-compaction snapshot still readable (time travel over appends)
+    assert V.read_version(spark, index_table, 3).count() == emb.count()
+
+
 def test_index_rebuild_time_travel(spark, index_table):
     """Rebuilds are ordinary overwrite commits: a probe pinned to
     version 1 reproduces the original search after a rebuild changed

@@ -1,0 +1,118 @@
+"""Persisted BM25 inverted index (r10): build-once/probe-many over the
+versioned table — exact parity with the in-plan bm25_search kernel,
+bucket-file pruning at probe time, snapshot-reproducible ranking."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_zeal_spark.io import load_table
+from data_pipeline_zeal_spark.operators import retrieval
+from data_pipeline_zeal_spark.sources import versioned as V
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def bm25_table():
+    t = tempfile.mkdtemp(prefix="bm25_idx_")
+    yield t
+    for s in ("", "_df", "_stats"):
+        shutil.rmtree(t + s, ignore_errors=True)
+
+
+def test_index_search_matches_inplan_bm25_exactly(spark, bm25_table):
+    """Same tf/dl/df/stats arithmetic, same idf/denominator expression,
+    same rounding and tie-breaks: the persisted probe must reproduce
+    bm25_search row-for-row — this is what lets the registered query
+    share bm25's INDEPENDENT DuckDB SQL oracle (not a pin)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    retrieval.build_bm25_index(docs, bm25_table, n_buckets=16)
+    q = retrieval.corpus_queries(docs)
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in retrieval.search_bm25_index(
+            spark, bm25_table, q, k=10
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in retrieval.bm25_search(docs, q, k=10).collect()
+    }
+    assert got == want and got
+
+
+def test_probe_prunes_posting_files(spark, bm25_table):
+    """The structural claim: bucket-clustered postings + per-file stats
+    mean a bounded query vocabulary opens only its buckets' files —
+    and pruning never changes results (I/O optimization, not
+    semantics)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    retrieval.build_bm25_index(docs, bm25_table, n_buckets=16)
+    _, n_all, _ = V.pruned_paths(bm25_table, [])
+    kept, n_kept, n_skipped = V.pruned_paths(
+        bm25_table, [("bucket", "in", [0, 1, 2])]
+    )
+    assert n_skipped > 0 and n_kept < n_all
+    rows = V.read_where(spark, bm25_table, [("bucket", "in", [0, 1, 2])])
+    assert {
+        r.bucket for r in rows.select("bucket").distinct().collect()
+    } <= {0, 1, 2}
+    # a one-query probe scans a strict subset of the posting files: the
+    # single query's vocabulary cannot cover every bucket at 16 buckets
+    one = retrieval.corpus_queries(docs).filter(F.col("query_id") == 0)
+    bks = sorted(
+        r.b
+        for r in one.select(
+            F.pmod(F.xxhash64("token"), F.lit(16)).cast("int").alias("b")
+        ).distinct().collect()
+    )
+    _, n_probe, n_skip = V.pruned_paths(bm25_table, [("bucket", "in", bks)])
+    assert n_probe < n_all or n_skip > 0
+
+
+def test_index_rebuild_time_travel(spark, bm25_table):
+    """Rebuilds are overwrite commits across all three tables: a probe
+    pinned to version 1 reproduces the original ranking after the
+    corpus (and therefore df/stats) changed under a rebuild."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    q = retrieval.corpus_queries(docs).filter(F.col("query_id") <= 62)
+    retrieval.build_bm25_index(docs, bm25_table, n_buckets=8, txn="b1")
+    v1 = retrieval.search_bm25_index(spark, bm25_table, q, k=5).collect()
+    # rebuild over HALF the corpus: scores/df/avgdl all change
+    retrieval.build_bm25_index(
+        docs.filter(F.col("doc_id") % 2 == 0), bm25_table,
+        n_buckets=8, txn="b2",
+    )
+    pinned = retrieval.search_bm25_index(
+        spark, bm25_table, q, k=5, version=1
+    ).collect()
+    assert [tuple(r) for r in pinned] == [tuple(r) for r in v1]
+    live = retrieval.search_bm25_index(spark, bm25_table, q, k=5).collect()
+    assert {r.doc_id for r in live} <= {
+        r.doc_id for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id").collect()
+    }
+    # txn idempotency: replaying build b2 adopts all three commits
+    hist = [len(V.history(bm25_table + s)) for s in ("", "_df", "_stats")]
+    retrieval.build_bm25_index(
+        docs.filter(F.col("doc_id") % 2 == 0), bm25_table,
+        n_buckets=8, txn="b2",
+    )
+    assert [
+        len(V.history(bm25_table + s)) for s in ("", "_df", "_stats")
+    ] == hist
+
+
+def test_empty_query_set(spark, bm25_table):
+    docs = load_table(spark, SF_SMALL, "documents")
+    retrieval.build_bm25_index(docs, bm25_table, n_buckets=8)
+    empty = retrieval.corpus_queries(docs).filter(F.lit(False))
+    out = retrieval.search_bm25_index(spark, bm25_table, empty, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "score", "rank"]
