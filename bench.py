@@ -19,6 +19,12 @@ Modes:
                  path (benching the anchors at sf0.1 measures the wrong
                  kernel — see SCALE.md).
   BENCH_ONLY=a,b comma-separated subset (isolation runs for drift checks)
+  BENCH_REPEAT=N run each query N times and report the MEDIAN (default 1
+                 — the committed artifacts are single-run so they stay
+                 comparable round-over-round; use N>=3 with BENCH_ONLY
+                 when deciding whether a row genuinely regressed, since
+                 single-run host variance is measured at +-20% on this
+                 box — see SCALE.md "bench row position effect")
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect overhead).  A warmup run of the smallest query absorbs
@@ -285,6 +291,7 @@ def main() -> None:
         "retrieval_hybrid_rrf",
     }
 
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "1")))
     timings: dict[str, float] = {}
     for name in suite:
         if is_full or name not in WARM:
@@ -308,9 +315,13 @@ def main() -> None:
             # the cleanup would evict the run frame clearCache spares.
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist(False)
-        t0 = time.perf_counter()
-        _force(queries[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        reps = []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            _force(queries[name](spark, SF_DIR))
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        timings[name] = round(reps[len(reps) // 2], 3)
 
     if is_full:
         # Completeness gate (round-5 verdict #3): the full-suite artifact

@@ -541,7 +541,15 @@ def build_bm25_index(
     All three commits are atomic and txn-idempotent (suffixes ``-df`` /
     ``-stats``).  At 100 TB a probe touches ~|query vocabulary| /
     n_buckets of the postings FILES instead of scanning the corpus —
-    and rebuilds are overwrite commits with time-travel reproducibility."""
+    and rebuilds are overwrite commits with time-travel reproducibility.
+
+    MAINTENANCE CONTRACT: the index is rebuild-maintained.  df and avgdl
+    are GLOBAL statistics, so appending new documents' postings alone
+    would serve stale idf/length normalization — the same reason real
+    inverted indexes maintain per-segment stats and merge segments.
+    Incremental ingestion therefore lands in a staging table and
+    periodic rebuilds (cheap: one corpus pass) refresh all three tables
+    atomically; time travel keeps pre-rebuild rankings reproducible."""
     from ..sources import versioned as V
 
     docs = with_min_parallelism(documents)
