@@ -1133,6 +1133,40 @@ def _select_bpe_encoder(n_merges_in_table: int) -> str:
     return "expr" if n_merges_in_table <= _BPE_EXPR_CHAIN_MAX else "arrow"
 
 
+def _bpe_encode_word_len(
+    word: str, ranks: dict[tuple[str, str], int], max_word_len: int
+) -> int:
+    """The Arrow kernel's per-word encoder, factored pure so its
+    equivalence law — min-rank-pair iteration == rank-order one-pass
+    application, for rank-consistent tables — is Hypothesis-testable
+    without a SparkSession (tests/test_bpe_train.py).  GPT-2 ``bpe()``
+    shape: repeatedly merge every occurrence of the lowest-ranked
+    adjacent pair present; words over ``max_word_len`` bypass and count
+    as raw characters (the O(len^2) guard shared with training)."""
+    if len(word) > max_word_len:
+        return len(word)
+    sym = list(word)
+    while len(sym) > 1:
+        best, best_rank = None, None
+        for i in range(len(sym) - 1):
+            rk = ranks.get((sym[i], sym[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best = rk, (sym[i], sym[i + 1])
+        if best is None:
+            break
+        a, b = best
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return len(sym)
+
+
 def _bpe_encode_vocab_arrow(
     vocab: DataFrame, merges: list[tuple[str, str]], max_word_len: int
 ) -> DataFrame:
@@ -1158,34 +1192,7 @@ def _bpe_encode_vocab_arrow(
     @F.pandas_udf("long")
     def n_sym_udf(words: pd.Series) -> pd.Series:
         r = bc.value
-
-        def one(w: str) -> int:
-            if len(w) > max_word_len:
-                return len(w)
-            sym = list(w)
-            while len(sym) > 1:
-                best, best_rank = None, None
-                for i in range(len(sym) - 1):
-                    rk = r.get((sym[i], sym[i + 1]))
-                    if rk is not None and (
-                        best_rank is None or rk < best_rank
-                    ):
-                        best_rank, best = rk, (sym[i], sym[i + 1])
-                if best is None:
-                    break
-                a, b = best
-                out, i = [], 0
-                while i < len(sym):
-                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(sym[i])
-                        i += 1
-                sym = out
-            return len(sym)
-
-        return words.map(one)
+        return words.map(lambda w: _bpe_encode_word_len(w, r, max_word_len))
 
     return vocab.select(
         "word",

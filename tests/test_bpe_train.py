@@ -239,6 +239,44 @@ def _synthetic_rank_consistent_merges(n: int) -> list[tuple[str, str]]:
     return merges
 
 
+def test_bpe_min_rank_loop_equals_rank_order_hypothesis():
+    """The Arrow kernel's equivalence LAW, fuzzed without Spark: for any
+    rank-consistent merge table (i.e. one produced by training) and any
+    word — including words with characters training never saw — the
+    min-rank-pair loop must equal applying every merge in rank order
+    with one greedy left-to-right pass each.  Rank-consistency is what
+    makes them equal: a merge only creates adjacencies involving its own
+    output symbol, whose consuming merges are later-ranked."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_zeal_spark.operators.text import _bpe_encode_word_len
+
+    alphabet = "abcd"
+    words_strategy = st.text(alphabet=alphabet + "xyz", min_size=0, max_size=24)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        corpus=st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=10),
+            min_size=1,
+            max_size=30,
+        ),
+        n_merges=st.integers(min_value=1, max_value=25),
+        words=st.lists(words_strategy, min_size=1, max_size=10),
+    )
+    def law(corpus, n_merges, words):
+        wc = Counter(corpus)
+        merges = [(a, b) for _, a, b, _ in _reference_bpe(dict(wc), n_merges)]
+        ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+        for w in words:
+            assert _bpe_encode_word_len(w, ranks, 64) == _reference_encode(
+                w, merges
+            ), (w, merges)
+
+    law()
+
+
 def test_bpe_encode_arrow_at_tokenizer_depth(spark):
     """The weak-mark fix: a 1000-merge table must encode through the
     Arrow kernel (auto-dispatch), match the textbook encoder exactly,
