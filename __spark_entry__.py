@@ -827,6 +827,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), n_merges=10, encoder="arrow"
     )
 
+    # TOKENIZER-DEPTH encode (r11, round-10 directive #3): the merge
+    # table comes from the in-memory trainer over the distributed
+    # word-count stage (bpe_train_merges_inmem — one corpus-proportional
+    # job, bounded-vocab collect, identical tables to the distributed
+    # loop, pytest-pinned), at a depth (48) 3x past the expr-chain cap
+    # so encoder="auto" provably routes to the Arrow pandas_udf kernel
+    # (chain form NOT built — structurally pinned in
+    # tests/test_bpe_train.py).  The fixture vocabulary saturates at 89
+    # merges, so 48 is deep AND non-degenerate.  Deterministic ->
+    # regression pin; per-source integer aggregate keeps the pin small
+    # and float-order-proof.
+    def _bpe_encode_deep(s: SparkSession, d: str) -> DataFrame:
+        docs = load_table(s, d, "documents")
+        trained = text.bpe_train_merges_inmem(docs, n_merges=48)
+        enc = text.bpe_encode_lengths(
+            docs, merges=[(a, b) for a, b, _ in trained], encoder="auto"
+        )
+        return (
+            enc.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_words").alias("total_words"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            )
+            .orderBy("source")
+        )
+
+    q["text_bpe_encode_deep"] = _bpe_encode_deep
+
     def _bcubed_norm(s: SparkSession, d: str) -> DataFrame:
         docs = load_table(s, d, "documents")
         pred = text.normalize_text(docs).select(
@@ -7579,6 +7610,66 @@ UNION ALL
 SELECT CAST("doc_id" AS BIGINT) AS "doc_id", CAST("n_words" AS BIGINT) AS "n_words", CAST("n_chars" AS BIGINT) AS "n_chars", CAST("n_bpe_tokens" AS BIGINT) AS "n_bpe_tokens", CAST("chars_per_token" AS DOUBLE) AS "chars_per_token" FROM t2 WHERE (SELECT is_sf001 FROM which) = 1
 UNION ALL
 SELECT CAST(-999999 AS BIGINT) AS "doc_id", CAST(-999999 AS BIGINT) AS "n_words", CAST(-999999 AS BIGINT) AS "n_chars", CAST(-999999 AS BIGINT) AS "n_bpe_tokens", CAST(-999999.0 AS DOUBLE) AS "chars_per_token" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
+"""
+
+    # text_bpe_encode_deep (r11): tokenizer-depth encode via the
+    # in-memory trainer + Arrow kernel (auto dispatch past the expr
+    # cap) -> REGRESSION PIN; semantic gates = inmem==distributed
+    # trainer parity and the arrow-plan structural pin in
+    # tests/test_bpe_train.py.
+    o["text_bpe_encode_deep"] = """
+WITH which AS (
+  SELECT
+    max(CASE WHEN md5(text) = '3bf959bb4328351c94e543f4ec639ca2' THEN 1 ELSE 0 END) AS is_sf0001,
+    max(CASE WHEN md5(text) = '2f562b51617feb025bfa5d6d2e63d2f3' THEN 1 ELSE 0 END) AS is_sf001
+  FROM documents),
+t1("source", "n_docs", "total_words", "total_chars", "total_bpe_tokens") AS (VALUES
+  ('src0',25,1533,6856,3458),
+  ('src1',25,1441,6483,3320),
+  ('src10',25,1376,6146,3170),
+  ('src11',25,1426,6352,3239),
+  ('src12',25,1479,6673,3419),
+  ('src13',25,1269,5682,2920),
+  ('src14',25,1657,7531,3831),
+  ('src15',25,1332,5948,2992),
+  ('src16',25,1414,6400,3186),
+  ('src17',25,1314,5989,3174),
+  ('src18',25,1271,5668,2827),
+  ('src19',25,1369,6282,3242),
+  ('src2',25,1267,5680,3009),
+  ('src3',25,1560,6945,3473),
+  ('src4',25,1316,5907,3036),
+  ('src5',25,1216,5567,2799),
+  ('src6',25,1466,6563,3311),
+  ('src7',25,1212,5419,2754),
+  ('src8',25,1632,7371,3816),
+  ('src9',25,1389,6255,3272)),
+t2("source", "n_docs", "total_words", "total_chars", "total_bpe_tokens") AS (VALUES
+  ('src0',25,1435,6539,3266),
+  ('src1',25,1540,7055,3583),
+  ('src10',25,1303,5883,3050),
+  ('src11',25,1522,6890,3511),
+  ('src12',25,1272,5680,2905),
+  ('src13',25,1553,6934,3559),
+  ('src14',25,1318,5923,3093),
+  ('src15',25,1298,5827,2990),
+  ('src16',25,1351,6158,3084),
+  ('src17',25,1373,6129,3160),
+  ('src18',25,1364,6217,3135),
+  ('src19',25,1147,5184,2582),
+  ('src2',25,1407,6307,3324),
+  ('src3',25,1384,6261,3170),
+  ('src4',25,1294,5829,3077),
+  ('src5',25,1329,5950,3042),
+  ('src6',25,1266,5723,2838),
+  ('src7',25,1507,6719,3428),
+  ('src8',25,1136,5166,2651),
+  ('src9',25,1366,6135,3179))
+SELECT CAST("source" AS VARCHAR) AS "source", CAST("n_docs" AS BIGINT) AS "n_docs", CAST("total_words" AS BIGINT) AS "total_words", CAST("total_chars" AS BIGINT) AS "total_chars", CAST("total_bpe_tokens" AS BIGINT) AS "total_bpe_tokens" FROM t1 WHERE (SELECT is_sf0001 FROM which) = 1
+UNION ALL
+SELECT CAST("source" AS VARCHAR) AS "source", CAST("n_docs" AS BIGINT) AS "n_docs", CAST("total_words" AS BIGINT) AS "total_words", CAST("total_chars" AS BIGINT) AS "total_chars", CAST("total_bpe_tokens" AS BIGINT) AS "total_bpe_tokens" FROM t2 WHERE (SELECT is_sf001 FROM which) = 1
+UNION ALL
+SELECT CAST('UNKNOWN_FIXTURE' AS VARCHAR) AS "source", CAST(-999999 AS BIGINT) AS "n_docs", CAST(-999999 AS BIGINT) AS "total_words", CAST(-999999 AS BIGINT) AS "total_chars", CAST(-999999 AS BIGINT) AS "total_bpe_tokens" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
 """
     # distributed-trainer evaluation pins (r10): REGRESSION PINS
     # (tools/gen_pinned_oracles.py honesty label applies) over

@@ -67,6 +67,24 @@ def build_ivf_index(
     cents = train_kmeans_centroids(
         embeddings, n_cells=n_cells, iters=train_iters, sample_size=sample_size
     )
+    # Centroids commit FIRST so the main-table commit can record which
+    # quantizer version its cell assignments came from (``meta``) — that
+    # pointer is what lets time-travel probes resolve the RIGHT centroid
+    # snapshot even after streaming appends advance only the main log.
+    # A crash between the two commits leaves the fresh centroid version
+    # merely unreferenced: every existing main entry still points at the
+    # quantizer it was actually assigned under.
+    spark = embeddings.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    cv = V.commit_write(
+        cents_df.coalesce(1),
+        table + "_centroids",
+        mode="overwrite",
+        txn=f"{txn}-centroids" if txn else None,
+    )
     assigned = (
         with_min_parallelism(embeddings)
         .select("vec_id", as_double(F.col("embedding")).alias("embedding"))
@@ -76,17 +94,8 @@ def build_ivf_index(
         .repartition(n_cells, "cell")
         .sortWithinPartitions("cell", "vec_id")
     )
-    V.commit_write(assigned, table, mode="overwrite", txn=txn)
-    spark = embeddings.sparkSession
-    cents_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>",
-    )
     V.commit_write(
-        cents_df.coalesce(1),
-        table + "_centroids",
-        mode="overwrite",
-        txn=f"{txn}-centroids" if txn else None,
+        assigned, table, mode="overwrite", txn=txn, meta={"centroid_version": cv}
     )
     return cents
 
@@ -113,7 +122,8 @@ def ivf_index_sink(table: str, query_name: str = "ivf-append"):
         if not batch.take(1):
             return
         spark = batch.sparkSession
-        cent_rows = V.read_version(spark, table + "_centroids").collect()
+        cv = V.latest_version(table + "_centroids")
+        cent_rows = V.read_version(spark, table + "_centroids", cv).collect()
         cents = [
             list(r.centroid) for r in sorted(cent_rows, key=lambda r: r.cell)
         ]
@@ -125,11 +135,49 @@ def ivf_index_sink(table: str, query_name: str = "ivf-append"):
             .repartition(len(cents), "cell")
             .sortWithinPartitions("cell", "vec_id")
         )
+        # stamp the quantizer version the batch was assigned under —
+        # time-travel probes at this main version resolve THESE centroids
         V.commit_write(
-            assigned, table, mode="append", txn=f"{query_name}-{batch_id}"
+            assigned,
+            table,
+            mode="append",
+            txn=f"{query_name}-{batch_id}",
+            meta={"centroid_version": cv},
         )
 
     return _sink
+
+
+def _dot_lr(a: list[float], b: list[float]) -> float:
+    """Left-to-right IEEE-double fold — the exact evaluation order of the
+    JVM-side ``F.aggregate(zip_with(a, b, *), 0.0, acc + x)`` dot product
+    (:func:`~..functions.vector.dot`), so driver-side cell ranking is
+    bit-identical to the Spark expression :func:`~.similarity.ivf_topk`
+    ranks with (numpy's pairwise/SIMD summation can flip nprobe cutoffs
+    on near-ties; a Python fold cannot)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _centroid_version_at(table: str, version: int | None) -> int | None:
+    """Resolve which ``<table>_centroids`` version a main-table snapshot
+    was assigned under: the newest main commit at-or-below ``version``
+    carries the pointer in its commit ``meta`` (build and sink both stamp
+    it).  Legacy tables (built before the pointer existed) advanced both
+    logs in lockstep on rebuilds, so clamping to the newest companion
+    version at-or-below the target reproduces their old behavior."""
+    target = V.latest_version(table) if version is None else version
+    for v in range(target, 0, -1):
+        try:
+            cv = V.commit_meta(table, v).get("centroid_version")
+        except FileNotFoundError:  # pragma: no cover - sparse legacy log
+            continue
+        if cv is not None:
+            return cv
+    companion_latest = V.latest_version(table + "_centroids")
+    return min(target, companion_latest) if companion_latest else None
 
 
 def search_ivf_index(
@@ -144,17 +192,20 @@ def search_ivf_index(
     cosine driver-side (queries x n_cells — both bounded), then scan
     only the files whose ``cell`` range intersects the probe set and
     run the exact cosine kernel there.  ``version`` time-travels the
-    index (snapshot-reproducible search).  Returns (query_id, vec_id,
-    cosine, rank) — the :func:`~.similarity.ivf_topk` contract."""
-    import numpy as np
+    index (snapshot-reproducible search); the centroid snapshot is
+    resolved from the main commit's recorded pointer, NOT by reusing the
+    main version number verbatim — streaming appends advance only the
+    main log, so verbatim pass-through broke time travel after any sink
+    batch (round-10 advice).  Returns (query_id, vec_id, cosine, rank)
+    — the :func:`~.similarity.ivf_topk` contract."""
+    import math
 
-    cent_rows = V.read_version(spark, table + "_centroids", version).collect()
-    cents = np.array(
-        [r.centroid for r in sorted(cent_rows, key=lambda r: r.cell)],
-        dtype=np.float64,
-    )
-    cn = np.linalg.norm(cents, axis=1)
-    cn[cn == 0] = 1.0
+    cv = _centroid_version_at(table, version)
+    cent_rows = V.read_version(spark, table + "_centroids", cv).collect()
+    cents = [
+        list(r.centroid) for r in sorted(cent_rows, key=lambda r: r.cell)
+    ]
+    cnorms = [math.sqrt(_dot_lr(c, c)) for c in cents]
 
     # query vectors come from the index itself (bounded: len(query_ids)
     # rows through the vec_id-pruned read)
@@ -163,14 +214,17 @@ def search_ivf_index(
     ).select("vec_id", "embedding").collect()
     probes = []
     for r in sorted(qrows, key=lambda r: r.vec_id):
-        qv = np.array(r.embedding, dtype=np.float64)
-        qn = np.linalg.norm(qv) or 1.0
-        cos = (cents @ qv) / (cn * qn)
-        # nprobe best cells, ties to the lower cell id (argsort is stable
-        # on the negated scores)
-        order = np.argsort(-cos, kind="stable")[:nprobe]
+        qv = [float(x) for x in r.embedding]
+        qn = math.sqrt(_dot_lr(qv, qv))
+        ranked = []
+        for i, c in enumerate(cents):
+            nn = qn * cnorms[i]
+            cos = 0.0 if nn == 0 else _dot_lr(qv, c) / nn
+            # ties to the lower cell id — F.desc(cos), F.asc(cell)
+            ranked.append((-cos, i))
+        ranked.sort()
         probes.extend(
-            (int(r.vec_id), list(map(float, qv)), int(c)) for c in order
+            (int(r.vec_id), qv, cell) for _, cell in ranked[:nprobe]
         )
     if not probes:
         empty = V.read_version(spark, table, version).limit(0)

@@ -51,6 +51,21 @@ def _minhash_signatures(
     )
 
 
+def _hash_shingles(sig: DataFrame) -> DataFrame:
+    """Replace a signature frame's raw shingle-string set with its
+    xxhash64 image (``array<bigint>``): the exact-confirm Jaccard in
+    :func:`_cross_frame_dup_ids` needs shingle IDENTITY, not text, so a
+    persisted index stores ~8 bytes per shingle instead of the shingle's
+    full n-gram text — several-fold fewer bytes at 100 TB.  Exactness
+    contract: a false shingle equality needs an xxhash64 collision,
+    ~2^-64 per compared pair.  ``array_distinct`` keeps strict set
+    semantics should a within-doc collision ever occur (the set shrinks
+    by one instead of double-counting in the Jaccard sizes)."""
+    return sig.withColumn(
+        "sh", F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
+    )
+
+
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Exact dedup via full-text md5: one row per distinct text with the
     surviving representative (min doc_id) and the duplicate count.
@@ -1417,6 +1432,26 @@ def dedup_admission_sink(
     and commit nothing.  doc_ids are assumed unique stream-wide (they
     are the documents' key).
 
+    The index stores HASHED shingles (``xxhash64`` images, not the raw
+    strings — :func:`_hash_shingles`): the exact-confirm Jaccard needs
+    shingle IDENTITY, not text, so hashing cuts the persisted index's
+    bytes several-fold at corpus scale; collision odds ~2^-64 per
+    compared shingle pair are the documented exactness contract.
+
+    The seed commit's txn is a CONTENT FINGERPRINT of the corpus (row
+    count + order-independent xor of per-row xxhash64) plus the
+    signature layout (num_hashes, shingle_n) — a stream restart with the
+    SAME seed adopts the commit (signed exactly once, pinned by a call
+    counter), while a changed/grown seed or different layout re-signs
+    under a fresh txn instead of silently adopting stale signatures
+    (round-10 advice: the old ``{query_name}-sigseed`` txn let a grown
+    seed's new docs skip signing, admitting their near-dups, and two
+    sinks with different query_names double-signed the same seed).  A
+    re-signed grown seed appends its FULL signature set; the prior
+    seed's rows remain — admission-neutral (the kernel verifies distinct
+    id pairs) but byte-redundant, so point a changed seed at a fresh
+    ``index_table`` when bytes matter.
+
     SCALE: the per-batch cost is the admission kernel's band-keyed
     equality joins against the signature table's parquet scan; at 100 TB
     the index table is the thing to bucket by (band, bucket) so the join
@@ -1429,12 +1464,23 @@ def dedup_admission_sink(
         index_table = table + "_sigidx"
     # Seed: sign the corpus ONCE.  This is the only time corpus text is
     # tokenized/shingled for the life of the sink (pinned in
-    # tests/test_streaming_admission.py by a call counter).
+    # tests/test_streaming_admission.py by a call counter).  The
+    # fingerprint job is one map-only aggregate scan — paid per sink
+    # creation so seed-change detection never depends on the caller
+    # remembering to rotate a txn string.
+    fp = corpus.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("doc_id", "text")).alias("x"),
+    ).first()
+    seed_txn = (
+        f"sigseed-{num_hashes}x{shingle_n}-{fp.n}-"
+        f"{(fp.x or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    )
     V.commit_write(
-        _minhash_signatures(corpus, num_hashes, shingle_n),
+        _hash_shingles(_minhash_signatures(corpus, num_hashes, shingle_n)),
         index_table,
         mode="append",
-        txn=f"{query_name}-sigseed",
+        txn=seed_txn,
     )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -1454,9 +1500,12 @@ def dedup_admission_sink(
             )
         )
         selfdeduped = batch.join(keep, "doc_id")
-        # batch side signed once; index side READ BACK, never recomputed
-        new_sig = _minhash_signatures(
-            selfdeduped, num_hashes, shingle_n
+        # batch side signed once (shingles hashed to match the index's
+        # representation — Jaccard over xxhash64 images is exact up to
+        # the documented 2^-64 collision odds); index side READ BACK,
+        # never recomputed
+        new_sig = _hash_shingles(
+            _minhash_signatures(selfdeduped, num_hashes, shingle_n)
         ).persist(StorageLevel.MEMORY_AND_DISK)
         idx_sig = V.read_version(spark, index_table)
         dupes = _cross_frame_dup_ids(

@@ -99,7 +99,13 @@ def bm25_search(
     # the tf shuffle just to produce one row (the r9 regression).
     stats = docs.select(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size(tokens("text"))).alias("avgdl"),
+        F.avg(
+            # greatest(·, 0) keeps the zero-contribution semantics
+            # for null/absent text: tokens(NULL) is NULL, so bare
+            # size() yields -1 (legacy) or NULL (ANSI) and skews
+            # avgdl; greatest skips NULL and floors -1 (r10 advice)
+            F.greatest(F.size(tokens("text")), F.lit(0)).cast("double")
+        ).alias("avgdl"),
     )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     qterms = queries.select("query_id", "token").distinct()
@@ -534,8 +540,9 @@ def build_bm25_index(
     * ``<table>_df``       per-token document frequencies, same
       bucketing (df derives from the PERSISTED postings — no second
       corpus pass);
-    * ``<table>_stats``    one row: (n_docs, avgdl, n_buckets) — the
-      model constants, read back as literals at probe time (no 1-row
+    * ``<table>_stats``    one SEGMENT row per commit:
+      (n_docs, sum_dl, n_buckets) — sum-decomposable corpus stats, read
+      back and merged driver-side into literals at probe time (no 1-row
       broadcast join in the probe plan at all).
 
     All three commits are atomic and txn-idempotent (suffixes ``-df`` /
@@ -543,13 +550,25 @@ def build_bm25_index(
     n_buckets of the postings FILES instead of scanning the corpus —
     and rebuilds are overwrite commits with time-travel reproducibility.
 
-    MAINTENANCE CONTRACT: the index is rebuild-maintained.  df and avgdl
-    are GLOBAL statistics, so appending new documents' postings alone
-    would serve stale idf/length normalization — the same reason real
-    inverted indexes maintain per-segment stats and merge segments.
-    Incremental ingestion therefore lands in a staging table and
-    periodic rebuilds (cheap: one corpus pass) refresh all three tables
-    atomically; time travel keeps pre-rebuild rankings reproducible."""
+    MAINTENANCE (r11 — segment staging, symmetric with
+    :func:`~.ann_index.ivf_index_sink`): df and avgdl are GLOBAL
+    statistics, so appending new documents' postings ALONE would serve
+    stale idf/length normalization.  The sum-decomposable factoring
+    fixes that exactly the way real inverted indexes do — per-SEGMENT
+    stats that merge at probe time:
+
+    * df adds across segments (disjoint doc_ids), so
+      :func:`bm25_index_sink` appends each micro-batch's own
+      (bucket, token, df) rows and probes ``sum(df)`` over the pruned
+      df slice;
+    * avgdl = Σsum_dl / Σn_docs, and both numerator and denominator are
+      INTEGER-VALUED doubles (token counts), so the merged value is
+      bit-identical to a from-scratch rebuild's ``avg`` — no float
+      drift, pytest-pinned exact;
+    * :func:`optimize_bm25_index` merges segments back to the
+      build-time layout (compact postings, re-sum df, fold stats to one
+      row) restoring file-pruning granularity without changing scores.
+    """
     from ..sources import versioned as V
 
     docs = with_min_parallelism(documents)
@@ -581,13 +600,138 @@ def build_bm25_index(
         df_, table + "_df", mode="overwrite",
         txn=f"{txn}-df" if txn else None,
     )
-    stats = docs.select(
+    V.commit_write(
+        _bm25_segment_stats(docs, n_buckets).coalesce(1),
+        table + "_stats",
+        mode="overwrite",
+        txn=f"{txn}-stats" if txn else None,
+    )
+
+
+def _bm25_segment_stats(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """One (n_docs, sum_dl, n_buckets) segment-stats row for a document
+    slice.  sum_dl uses greatest(·, 0) to keep the zero-contribution
+    semantics for null/absent text: tokens(NULL) is NULL, so bare
+    size() yields -1 (legacy) or NULL (ANSI) and skews the corpus stats
+    (round-10 advice).  Both values are integer-valued doubles, so
+    segment sums merge EXACTLY — the probe's Σsum_dl/Σn_docs is
+    bit-identical to a one-pass ``avg`` over the union."""
+    return docs.select(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size(tokens("text"))).alias("avgdl"),
+        F.sum(
+            F.greatest(F.size(tokens("text")), F.lit(0)).cast("double")
+        ).alias("sum_dl"),
         F.lit(n_buckets).alias("n_buckets"),
     )
+
+
+def bm25_index_sink(table: str, query_name: str = "bm25-append"):
+    """Streaming maintenance for the persisted BM25 index — the lexical
+    twin of :func:`~.ann_index.ivf_index_sink`: a ``foreachBatch`` sink
+    that tokenizes ONLY the micro-batch and appends one SEGMENT to each
+    of the three index tables as txn-idempotent commits —
+
+    * postings: the batch's (doc_id, token, tf, dl, bucket) rows,
+      bucket-clustered with the index's OWN n_buckets so appended files
+      inherit the build's file-pruning property;
+    * df: the segment's per-token document frequencies (doc_ids are the
+      stream key, unique stream-wide, so per-segment df rows ADD — the
+      probe merges with ``sum(df)``);
+    * stats: one (n_docs, sum_dl, n_buckets) row — integer-valued
+      doubles, so the probe's merged avgdl is bit-identical to a
+      from-scratch rebuild (pytest-pinned).
+
+    Crash contract: the three commits are not cross-table atomic, but a
+    replayed micro-batch adopts each committed piece by txn and lands
+    only the missing ones; a probe racing the window sees at worst one
+    segment's postings without its df rows (those tokens score as if
+    the segment had not arrived yet — bounded staleness, never a wrong
+    formula).  OPTIMIZE (:func:`optimize_bm25_index`) merges segments
+    back to build-time granularity."""
+    from pyspark import StorageLevel
+
+    from ..sources import versioned as V
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        n_buckets = int(
+            V.read_version(spark, table + "_stats").collect()[0].n_buckets
+        )
+        tf = (
+            batch.select("doc_id", F.explode(tokens("text")).alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                "dl",
+                F.sum("tf").over(Window.partitionBy("doc_id")).cast("double"),
+            )
+        )
+        bucket = F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
+        seg = (
+            tf.withColumn("bucket", bucket)
+            .repartition(n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "token", "doc_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        V.commit_write(seg, table, mode="append", txn=f"{query_name}-{batch_id}")
+        seg_df = (
+            seg.groupBy("bucket", "token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .repartition(n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "token")
+        )
+        V.commit_write(
+            seg_df, table + "_df", mode="append",
+            txn=f"{query_name}-df-{batch_id}",
+        )
+        V.commit_write(
+            _bm25_segment_stats(batch, n_buckets).coalesce(1),
+            table + "_stats",
+            mode="append",
+            txn=f"{query_name}-stats-{batch_id}",
+        )
+        seg.unpersist(blocking=False)
+
+    return _sink
+
+
+def optimize_bm25_index(
+    spark: SparkSession, table: str, txn: str | None = None
+) -> None:
+    """Merge appended segments back to the build-time layout: compact
+    the postings into bucket-tight files, re-sum the df segments to one
+    row per token, and fold the stats segments to a single row.  Pure
+    integer sums — probe scores are unchanged (pytest-pinned), only the
+    file-pruning granularity and per-probe df-merge work are restored.
+    Pre-optimize versions stay readable (time travel over appends)."""
+    from ..sources import versioned as V
+
+    n_buckets = int(
+        V.read_version(spark, table + "_stats").collect()[0].n_buckets
+    )
+    V.compact(
+        spark, table, cluster_by=["bucket"], num_files=n_buckets, txn=txn
+    )
+    merged_df = (
+        V.read_version(spark, table + "_df")
+        .groupBy("bucket", "token")
+        .agg(F.sum("df").alias("df"))
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("bucket", "token")
+    )
     V.commit_write(
-        stats.coalesce(1), table + "_stats", mode="overwrite",
+        merged_df, table + "_df", mode="overwrite",
+        txn=f"{txn}-df" if txn else None,
+    )
+    merged_stats = V.read_version(spark, table + "_stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_dl").alias("sum_dl"),
+        F.max("n_buckets").alias("n_buckets"),
+    )
+    V.commit_write(
+        merged_stats.coalesce(1), table + "_stats", mode="overwrite",
         txn=f"{txn}-stats" if txn else None,
     )
 
@@ -609,13 +753,22 @@ def search_bm25_index(
     from the 1-row stats table, so the probe plan carries no nested
     loop at all.  ``version`` time-travels all three tables together
     (snapshot-reproducible ranking).  Row-for-row identical to
-    ``bm25_search`` on the same corpus/queries (pytest-pinned)."""
+    ``bm25_search`` on the same corpus/queries (pytest-pinned).
+
+    Segment merge (r11): the stats table holds one row per commit
+    (build + streamed appends), so the corpus constants are folded
+    driver-side — df rows likewise merge with ``sum(df)`` over the
+    pruned slice.  Both are exact: n_docs/sum_dl/df are integers, and
+    the single-segment case reduces to the same division the one-pass
+    ``avg`` performs, so scores match a from-scratch rebuild
+    bit-for-bit."""
     from ..sources import versioned as V
 
-    srow = V.read_version(spark, table + "_stats", version).collect()[0]
-    n_docs, avgdl, n_buckets = (
-        float(srow.n_docs), float(srow.avgdl), int(srow.n_buckets)
-    )
+    srows = V.read_version(spark, table + "_stats", version).collect()
+    n_docs = sum(float(r.n_docs) for r in srows)
+    sum_dl = sum(float(r.sum_dl) for r in srows)
+    n_buckets = int(srows[0].n_buckets)
+    avgdl = sum_dl / n_docs if n_docs else 0.0
     qterms = queries.select("query_id", "token").distinct()
     buckets = sorted(
         r.b
@@ -632,9 +785,16 @@ def search_bm25_index(
             F.lit(0).alias("rank"),
         )
     post = V.read_where(spark, table, [("bucket", "in", buckets)], version)
-    dfr = V.read_where(
-        spark, table + "_df", [("bucket", "in", buckets)], version
-    ).select("token", "df")
+    dfr = (
+        V.read_where(
+            spark, table + "_df", [("bucket", "in", buckets)], version
+        )
+        # per-segment df rows ADD (disjoint doc_ids per segment); the
+        # merge runs on the already-pruned slice, so its cost tracks the
+        # query vocabulary, not the corpus
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"))
+    )
     idf = F.log(
         1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )

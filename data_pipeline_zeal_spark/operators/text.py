@@ -1119,6 +1119,98 @@ def bpe_train_merges(
     return spark.createDataFrame(merges, schema).orderBy("merge_rank")
 
 
+def bpe_train_merges_inmem(
+    documents: DataFrame, n_merges: int = 512, max_word_len: int = 64
+) -> list[tuple[str, str, int]]:
+    """The classic in-memory BPE trainer over the distributed word-count
+    stage — the production path for tokenizer-DEPTH merge counts that
+    :func:`bpe_train_merges`' docstring prescribes: the corpus is
+    touched ONCE (the word-count shuffle, the only data-proportional
+    stage); the (word, count) vocabulary is BOUNDED (the collect is
+    vocab-sized, never corpus-sized — the same bounded-model contract as
+    the IVF quantizer's sample train), and the merge loop runs
+    in-process with a lazy-deletion heap plus an inverted pair→words
+    index, so each round touches only the words containing the winning
+    pair instead of paying two Spark jobs per merge.  At 512+ merges the
+    distributed loop's per-round scheduling dominates its own compute —
+    this trainer exists so tokenizer-depth tables are practical.
+
+    Semantics match :func:`bpe_train_merges` EXACTLY — same word-count
+    weighting, same greedy left-to-right merge application, same
+    tie-break (max pair count, then lexicographic (left, right); byte
+    order equals code-point order on ASCII vocabularies) — so the two
+    trainers produce identical tables on the same corpus
+    (pytest-pinned).  Returns rank-ordered (left, right, pair_count)
+    triples; feed ``[(a, b) for a, b, _ in ...]`` to
+    :func:`bpe_encode_lengths`."""
+    import heapq
+    from collections import defaultdict
+
+    rows = (
+        with_min_parallelism(documents)
+        .select(F.explode(tokens("text")).alias("word"))
+        .filter((F.length("word") > 0) & (F.length("word") <= max_word_len))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .collect()
+    )
+    words: dict[str, list[str]] = {}
+    wc: dict[str, int] = {}
+    for r in rows:
+        words[r.word] = list(r.word)
+        wc[r.word] = int(r.wc)
+    pair_n: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[str]] = defaultdict(set)
+    for w, sym in words.items():
+        c = wc[w]
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            pair_n[p] += c
+            pair_words[p].add(w)
+    # lazy-deletion heap: (-count, pair) entries; stale entries (count
+    # changed since push) are skipped on pop.  Tuple order gives the
+    # tie-break for free: max count first, then ascending (left, right).
+    heap = [(-n, p) for p, n in pair_n.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        negn, p = heapq.heappop(heap)
+        n = pair_n.get(p, 0)
+        if n != -negn or n <= 0:
+            continue  # stale
+        a, b = p
+        merges.append((a, b, n))
+        ab = a + b
+        touched: set[tuple[str, str]] = set()
+        for w in list(pair_words.get(p, ())):
+            sym = words[w]
+            c = wc[w]
+            for i in range(len(sym) - 1):
+                q = (sym[i], sym[i + 1])
+                pair_n[q] -= c
+                pair_words[q].discard(w)
+                touched.add(q)
+            # greedy left-to-right application — the same fold as the
+            # expression chain and the Arrow kernel
+            out: list[str] = []
+            for x in sym:
+                if out and out[-1] == a and x == b:
+                    out[-1] = ab
+                else:
+                    out.append(x)
+            words[w] = out
+            for i in range(len(out) - 1):
+                q = (out[i], out[i + 1])
+                pair_n[q] += c
+                pair_words[q].add(w)
+                touched.add(q)
+        for q in touched:  # refresh heap entries for every changed count
+            if pair_n.get(q, 0) > 0:
+                heapq.heappush(heap, (-pair_n[q], q))
+    return merges
+
+
 #: merge-table size above which ``encoder="auto"`` abandons the nested
 #: expression-chain form: each merge wraps the previous ``aggregate`` in
 #: another, so Catalyst analysis/codegen cost grows with table DEPTH —

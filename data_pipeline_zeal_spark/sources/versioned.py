@@ -332,11 +332,18 @@ def commit_write(
     txn: str | None = None,
     max_retries: int = 20,
     read_version: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Write ``df`` into the table as one atomic commit; returns the
     committed version.  ``mode`` is ``append`` or ``overwrite``.  With
     ``txn`` set, a commit whose id already appears in the log is skipped
     (idempotent retry) and the existing version is returned.
+
+    ``meta`` is an optional JSON-serializable dict recorded verbatim in
+    the commit entry (read back via :func:`commit_meta`) — the hook for
+    writer-supplied provenance, e.g. the persisted IVF index recording
+    which companion-table centroid version each commit was assigned
+    under so time-travel probes resolve the matching quantizer.
 
     Concurrency: the snapshot basis is captured at entry (or passed as
     ``read_version`` by read-modify-write callers like
@@ -371,6 +378,8 @@ def commit_write(
         "stats": stats,
         "file_stats": file_stats,
     }
+    if meta:
+        entry["meta"] = meta
     return _publish_entry(table, entry, txn, max_retries, read_version)
 
 
@@ -598,6 +607,18 @@ def history(table: str) -> list[dict]:
             }
         )
     return out
+
+
+def latest_version(table: str) -> int:
+    """Newest committed version (0 for a table with no commits) —
+    metadata-only (one directory listing)."""
+    return (_list_versions(table) or [0])[-1]
+
+
+def commit_meta(table: str, version: int) -> dict:
+    """The writer-supplied ``meta`` dict recorded in a commit entry
+    (empty dict when the writer attached none) — metadata-only."""
+    return _read_entry(table, version).get("meta") or {}
 
 
 def read_changes_since(

@@ -204,3 +204,38 @@ def test_index_rebuild_time_travel(spark, index_table):
     hist_before = len(V.history(index_table))
     ann_index.build_ivf_index(emb, index_table, n_cells=4, txn="build-2")
     assert len(V.history(index_table)) == hist_before
+
+
+def test_time_travel_after_streamed_append(spark, index_table, tmp_path):
+    """r10 advice (medium): streaming appends advance only the MAIN log,
+    so passing the main version verbatim to the centroids companion
+    raised ValueError on any post-append time-travel probe.  The commit
+    meta pointer (``centroid_version``) resolves the quantizer each main
+    snapshot was actually assigned under."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index.build_ivf_index(seed, index_table, n_cells=4, txn="b1")
+    sink = ann_index.ivf_index_sink(index_table)
+    rest = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    sink(rest, 0)  # main log now at v2; centroids companion still at v1
+
+    qids = [r.vec_id for r in emb.limit(60).collect() if r.vec_id % 31 == 0]
+    # the r10 repro: a probe pinned at the post-append version must work
+    pinned = ann_index.search_ivf_index(
+        spark, index_table, qids, k=5, nprobe=3, version=2
+    ).collect()
+    live = ann_index.search_ivf_index(
+        spark, index_table, qids, k=5, nprobe=3
+    ).collect()
+    assert [tuple(r) for r in pinned] == [tuple(r) for r in live] and live
+    # a rebuild changes the quantizer; a probe pinned BEFORE the rebuild
+    # still resolves the OLD centroids through the meta pointer
+    ann_index.build_ivf_index(emb, index_table, n_cells=8, txn="b2")
+    assert ann_index._centroid_version_at(index_table, 2) == 1
+    assert ann_index._centroid_version_at(index_table, None) == 2
+    re_pinned = ann_index.search_ivf_index(
+        spark, index_table, qids, k=5, nprobe=3, version=2
+    ).collect()
+    assert [tuple(r) for r in re_pinned] == [tuple(r) for r in pinned]

@@ -116,3 +116,79 @@ def test_empty_query_set(spark, bm25_table):
     out = retrieval.search_bm25_index(spark, bm25_table, empty, k=5)
     assert out.count() == 0
     assert out.columns == ["query_id", "doc_id", "score", "rank"]
+
+
+def test_streaming_segment_maintenance_exact(spark, bm25_table, tmp_path):
+    """r11 segment staging: documents stream into the index through
+    foreachBatch — per-segment postings/df/stats append, probes merge
+    the segments, and the merged ranking is EXACTLY a from-scratch
+    rebuild's (df adds; avgdl folds from integer-valued sums)."""
+    import os
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    retrieval.build_bm25_index(seed, bm25_table, n_buckets=8, txn="seed")
+
+    src = str(tmp_path / "incoming")
+    rest.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(src + "/b1")
+    rest.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(src + "/b2")
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    os.utime(files[0], (1_700_000_000, 1_700_000_000))
+    os.utime(files[1], (1_700_000_100, 1_700_000_100))
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(retrieval.bm25_index_sink(bm25_table))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    queries = retrieval.corpus_queries(docs).filter(F.col("query_id") <= 93)
+    got = retrieval.search_bm25_index(spark, bm25_table, queries, k=10)
+
+    fresh_table = bm25_table + "_fresh"
+    try:
+        retrieval.build_bm25_index(docs, fresh_table, n_buckets=8)
+        want = retrieval.search_bm25_index(spark, fresh_table, queries, k=10)
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ] and got.count() > 0
+    finally:
+        import shutil
+
+        for s in ("", "_df", "_stats"):
+            shutil.rmtree(fresh_table + s, ignore_errors=True)
+
+    # the pruning pin survives appends: appended segment files carry
+    # their own tight bucket bounds
+    _, n_all, _ = V.pruned_paths(bm25_table, [])
+    _, n_kept, n_skipped = V.pruned_paths(bm25_table, [("bucket", "in", [0])])
+    assert n_skipped > 0 and n_kept < n_all
+
+    # replay adopts all three segment commits — no growth
+    hist = [len(V.history(bm25_table + s)) for s in ("", "_df", "_stats")]
+    retrieval.bm25_index_sink(bm25_table)(spark.read.parquet(files[0]), 0)
+    assert [
+        len(V.history(bm25_table + s)) for s in ("", "_df", "_stats")
+    ] == hist
+
+    # OPTIMIZE folds the segments: scores unchanged, df/stats one row per
+    # key again, postings pruning restored to build-time granularity
+    before = [tuple(r) for r in got.collect()]
+    retrieval.optimize_bm25_index(spark, bm25_table, txn="opt-1")
+    after = retrieval.search_bm25_index(spark, bm25_table, queries, k=10)
+    assert [tuple(r) for r in after.collect()] == before
+    assert (
+        V.read_version(spark, bm25_table + "_stats").count() == 1
+        and V.read_version(spark, bm25_table + "_df")
+        .groupBy("token").count().filter("count > 1").count() == 0
+    )

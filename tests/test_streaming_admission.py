@@ -110,3 +110,58 @@ def test_streaming_admission_evolving_index(spark, tmp_path, monkeypatch):
     )
     assert v == hist[-1]["version"]  # adopted, not re-appended
     assert {r.doc_id for r in V.read_version(spark, table).collect()} == {2, 5}
+
+
+def test_admission_index_hashes_shingles(spark, tmp_path):
+    """r11: the persisted signature index stores xxhash64 shingle images
+    (array<bigint>), not raw n-gram text — same admitted set, several-
+    fold fewer persisted bytes (8 bytes/shingle vs the shingle string)."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "adm")
+    X = _text("longword", 40)  # long words -> long raw shingle strings
+    corpus = spark.createDataFrame([(1000, X)], SCHEMA)
+    dedup.dedup_admission_sink(corpus, table)
+
+    idx = table + "_sigidx"
+    idx_df = V.read_version(spark, idx)
+    assert dict(idx_df.dtypes)["sh"] == "array<bigint>"
+    # size claim: 8 bytes per hashed shingle vs the raw shingle text
+    raw = dedup._minhash_signatures(corpus, 32, 3)
+    raw_bytes = raw.select(
+        F.sum(
+            F.aggregate(
+                F.transform("sh", lambda s: F.length(s).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+        )
+    ).first()[0]
+    hashed_bytes = idx_df.select(F.sum(F.size("sh") * 8)).first()[0]
+    assert hashed_bytes < raw_bytes / 2, (hashed_bytes, raw_bytes)
+
+
+def test_admission_seed_fingerprint_txn(spark, tmp_path):
+    """r10 advice: the seed commit's txn is a corpus content fingerprint,
+    not '{query_name}-sigseed' — a grown seed re-signs instead of
+    silently adopting stale signatures, and a different query_name over
+    the same table does NOT duplicate the seed."""
+    table = str(tmp_path / "adm2")
+    idx = table + "_sigidx"
+    X, Y, Y_near = _text("x"), _text("y"), _text("y").replace("y15", "sw")
+    c1 = spark.createDataFrame([(1, X)], SCHEMA)
+    dedup.dedup_admission_sink(c1, table)
+    assert len(V.history(idx)) == 1
+    # same seed content under a different query_name: adopted, not doubled
+    dedup.dedup_admission_sink(c1, table, query_name="other-sink")
+    assert len(V.history(idx)) == 1
+    # grown seed: fresh fingerprint txn -> the new doc IS signed, and its
+    # near-dups are rejected by a subsequent batch
+    c2 = spark.createDataFrame([(1, X), (2, Y)], SCHEMA)
+    sink = dedup.dedup_admission_sink(c2, table)
+    assert len(V.history(idx)) == 2
+    assert {r.doc_id for r in V.read_version(spark, idx).collect()} == {1, 2}
+    sink(spark.createDataFrame([(3, Y_near)], SCHEMA), 0)
+    assert V.latest_version(table) == 1  # commit exists...
+    admitted = {r.doc_id for r in V.read_version(spark, table).collect()}
+    assert admitted == set()  # ...but the grown seed's near-dup was rejected
