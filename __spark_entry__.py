@@ -763,10 +763,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows = out.collect()  # materialize before scratch cleanup
             return s.createDataFrame(rows, out.schema)
         finally:
-            for sfx in ("", "_df", "_stats"):
+            for sfx in ("", "_df", "_stats", "_manifest"):
                 shutil.rmtree(t + sfx, ignore_errors=True)
 
     q["text_bm25_index_search"] = _bm25_index_search
+
+    def _bm25_segment_search(s: SparkSession, d: str) -> DataFrame:
+        """Segment-maintained BM25 index (r11): build on HALF the
+        corpus, append the other half through the streaming sink's
+        per-segment postings/df/stats commits, then probe — the merged
+        segments must score EXACTLY like one full-corpus index
+        (sum-decomposable stats: df adds, avgdl folds from
+        integer-valued sums), so this row shares bm25's INDEPENDENT
+        DuckDB oracle over the WHOLE corpus.  A green hash here is the
+        driver seeing incremental maintenance produce the from-scratch
+        answer."""
+        import shutil
+        import tempfile
+
+        docs = load_table(s, d, "documents")
+        t = tempfile.mkdtemp(prefix="bm25_seg_")
+        try:
+            retrieval.build_bm25_index(
+                docs.filter(F.col("doc_id") % 2 == 0), t, n_buckets=16
+            )
+            # one appended segment (2 segments total at probe time) keeps
+            # the registered row's cost at build+append+probe; the
+            # multi-batch merge is pinned in tests/test_bm25_index.py
+            retrieval.bm25_index_sink(t)(
+                docs.filter(F.col("doc_id") % 2 == 1), 0
+            )
+            out = retrieval.search_bm25_index(
+                s, t, retrieval.corpus_queries(docs), k=10
+            )
+            rows = out.collect()  # materialize before scratch cleanup
+            return s.createDataFrame(rows, out.schema)
+        finally:
+            for sfx in ("", "_df", "_stats", "_manifest"):
+                shutil.rmtree(t + sfx, ignore_errors=True)
+
+    q["text_bm25_segment_search"] = _bm25_segment_search
 
     def _retrieval_quality(s: SparkSession, d: str) -> DataFrame:
         docs = load_table(s, d, "documents")
@@ -1904,56 +1940,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: dq_audit, customer_spend_deciles, and the r4 sim/corpus rows.
 #: 44/50 re-verification (>=50 % directive met).
 _DRIVER_FIRST = [
-    "train_kmeans_distributed",
-    "train_pq_distributed",
-    "train_classifier_distributed",
-    "sim_ivf_index_search",
-    "text_bm25_index_search",
-    "events_profile_drift",
-    "hourly_agg_incremental",
-    "asof_error_nearest_click_30m",
-    "events_scd2_pit_join",
-    "orders_snapshot_diff",
-    "orders_snapshot_rebuild",
-    "dedup_incremental_survivors",
-    "events_first_touch",
-    "events_linear_attribution",
-    "events_decay_attribution",
-    "events_hourly_gapfill",
-    "events_hourly_interpolate",
-    "events_daily_trend",
-    "order_ship_latency",
-    "supplier_scorecard",
-    "corpus_effective_tokens",
-    "corpus_shuffle_shards",
-    "part_degree_histogram",
-    "part_triangle_census",
-    "orders_backlog_timeline",
-    "text_duplicated_spans",
-    "text_gopher_flags",
-    "text_bpe_token_estimate",
-    "dedup_best_quality",
-    "text_bigram_logprob",
-    "corpus_decontaminate",
-    "events_audience_overlap",
-    "corpus_temperature_mix",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume",
-    "events_funnel_rates",
-    "orders_pareto_share",
-    "sim_centroid_drift",
-    "text_readability",
-    "text_top_terms_per_source",
-    "text_feature_hash",
-    "text_chunk_overlap",
-    "text_ngram_novelty",
-    "text_doc_similarity",
-    "text_zipf_fit",
-    "dedup_rate_by_source",
-    "dedup_simhash",
-    "corpus_split_leakage",
-    "events_top_paths",
-    "events_daily_anomaly_mad",
+    "text_bm25_segment_search",
+    "text_bpe_encode_deep",
+    "events_user_bursts",
+    "events_key_skew_profile",
+    "generator_profile",
+    "basket_rules",
+    "orders_cohort_ltv",
+    "orders_seasonality",
+    "text_source_fair_quality",
+    "text_compression_ratio",
+    "text_bm25_topk",
+    "retrieval_quality",
+    "retrieval_hard_negatives",
+    "text_bpe_train_merges",
+    "dedup_bcubed_norm_vs_jaccard",
+    "corpus_containment",
+    "multimodal_pcm_energy",
+    "multimodal_image_phash",
+    "multimodal_wav_headers",
+    "multimodal_png_headers",
+    "multimodal_jpeg_headers",
+    "dq_functional_deps",
+    "dedup_best_quality_lsh",
+    "corpus_epoch_plan",
+    "corpus_perplexity_filter",
+    "corpus_dsir_weights",
+    "dq_k_anonymity",
+    "dq_l_diversity",
+    "hourly_agg",
+    "agg_filtered_page",
+    "agg_latest",
+    "agg_stats",
+    "agg_event_types",
+    "agg_rollup_by_type",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_revenue_forecast",
+    "top_orders_per_customer",
+    "customer_order_stats",
+    "nations_without_suppliers",
+    "nations_with_both",
+    "order_priority_rollup",
+    "part_type_stats",
+    "order_lineitem_detail",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_revenue",
+    "price_quantiles_sketch",
+    "sim_pca_project",
 ]
 
 
@@ -5861,6 +5897,12 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
     # recompute; its own structural claim (posting-file pruning at probe
     # time) is pytest-pinned, not SQL-expressible.
     o["text_bm25_index_search"] = o["text_bm25_topk"]
+    # segment-maintained index scores EXACTLY equal the from-scratch
+    # full-corpus ranking (sum-decomposable df/avgdl; pytest-pinned in
+    # tests/test_bm25_index.py), so the segment row shares the same
+    # INDEPENDENT full-corpus oracle — a green hash IS the driver
+    # checking incremental maintenance against the rebuild answer.
+    o["text_bm25_segment_search"] = o["text_bm25_topk"]
     # graded retrieval metrics over the BM25 run: qrels rel 2 = same
     # (lang, source) as the query doc, rel 1 = same lang, self excluded;
     # linear-gain NDCG with log2 discount; zero denominators pinned to 0.0

@@ -239,6 +239,10 @@ HEADLINE = [
     "train_classifier_distributed",
     "sim_ivf_index_search",
     "text_bm25_index_search",
+    # round-11 addition: tokenizer-depth encode (in-memory trainer over
+    # the word-count stage + Arrow kernel through auto dispatch)
+    "text_bpe_encode_deep",
+    "text_bm25_segment_search",
 ]
 
 

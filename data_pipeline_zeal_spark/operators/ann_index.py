@@ -148,6 +148,84 @@ def ivf_index_sink(table: str, query_name: str = "ivf-append"):
     return _sink
 
 
+def ivf_index_drift(spark: SparkSession, table: str) -> DataFrame:
+    """Per-cell drift between the index's STORED quantizer (the
+    companion centroids table) and the live vectors' actual cell means
+    — the canary that fires when appended vectors came from a shifted
+    distribution and the fixed-at-build-time quantizer no longer
+    describes its own cells.  Returns (cell, n_vectors, centroid_cosine,
+    centroid_l2_shift), the :func:`~.similarity.centroid_drift` metric
+    shape re-aimed at index maintenance.
+
+    Cost: ONE map-side-combinable aggregate over the index (cell x dim
+    partials — the same conditional-average shape as centroid_drift, no
+    join of two corpus passes) against the bounded centroid table.  At
+    100 TB this is the cheap scheduled check; the rebuild it recommends
+    is the expensive step it exists to gate."""
+    live = V.read_version(spark, table).select(
+        "cell", F.posexplode("embedding").alias("pos", "x")
+    )
+    means = live.groupBy("cell", "pos").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    stored = V.read_version(spark, table + "_centroids").select(
+        "cell", F.posexplode("centroid").alias("pos", "c")
+    )
+    j = means.join(F.broadcast(stored), ["cell", "pos"])
+    return (
+        j.groupBy("cell")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.sum(F.col("m") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("na"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nb"),
+            F.sqrt(
+                F.sum((F.col("m") - F.col("c")) * (F.col("m") - F.col("c")))
+            ).alias("l2"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(
+                F.when(
+                    F.col("na") * F.col("nb") == 0, F.lit(0.0)
+                ).otherwise(F.col("dot") / (F.col("na") * F.col("nb"))),
+                6,
+            ).alias("centroid_cosine"),
+            F.round("l2", 6).alias("centroid_l2_shift"),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivf_rebuild_if_drifted(
+    spark: SparkSession,
+    table: str,
+    min_cosine: float = 0.9,
+    n_cells: int | None = None,
+    txn: str | None = None,
+) -> dict:
+    """Drift-triggered index maintenance (round-10 directive #6): run
+    :func:`ivf_index_drift`; when any populated cell's mean has rotated
+    past ``min_cosine`` against its stored centroid, rebuild the index
+    from its own live vectors with :func:`build_ivf_index` (an ordinary
+    overwrite commit — time travel keeps pre-rebuild probes
+    reproducible).  Returns ``{"worst_cell_cosine", "rebuilt",
+    "n_cells"}`` so a scheduler can log the decision.  The drift frame
+    is bounded (n_cells rows), so the collect is model-sized."""
+    drift = ivf_index_drift(spark, table).collect()
+    worst = min((r.centroid_cosine for r in drift), default=1.0)
+    cells = n_cells or len(
+        V.read_version(spark, table + "_centroids").collect()
+    )
+    rebuilt = False
+    if worst < min_cosine:
+        emb = V.read_version(spark, table).select("vec_id", "embedding")
+        build_ivf_index(emb, table, n_cells=cells, txn=txn)
+        rebuilt = True
+    return {"worst_cell_cosine": worst, "rebuilt": rebuilt, "n_cells": cells}
+
+
 def _dot_lr(a: list[float], b: list[float]) -> float:
     """Left-to-right IEEE-double fold — the exact evaluation order of the
     JVM-side ``F.aggregate(zip_with(a, b, *), 0.0, acc + x)`` dot product

@@ -546,7 +546,16 @@ def build_bm25_index(
       broadcast join in the probe plan at all).
 
     All three commits are atomic and txn-idempotent (suffixes ``-df`` /
-    ``-stats``).  At 100 TB a probe touches ~|query vocabulary| /
+    ``-stats``), and a fourth, ``<table>_manifest``, is the COMMIT POINT
+    (Lucene's ``segments_N``, re-expressed as a versioned table): one
+    row naming the exact (postings, df, stats) version triple that forms
+    a consistent snapshot, committed LAST.  Probes resolve versions
+    through the manifest, so they only ever see complete snapshots — a
+    crash between the table commits leaves probes on the previous
+    commit point, and replay adopts the landed pieces then publishes the
+    manifest.  ``version`` in :func:`search_bm25_index` is therefore a
+    MANIFEST version: one number time-travels all three tables
+    coherently.  At 100 TB a probe touches ~|query vocabulary| /
     n_buckets of the postings FILES instead of scanning the corpus —
     and rebuilds are overwrite commits with time-travel reproducibility.
 
@@ -606,6 +615,31 @@ def build_bm25_index(
         mode="overwrite",
         txn=f"{txn}-stats" if txn else None,
     )
+    _commit_manifest(spark, table, txn=f"{txn}-manifest" if txn else None)
+
+
+def _commit_manifest(
+    spark: SparkSession, table: str, txn: str | None = None
+) -> None:
+    """Publish the index's COMMIT POINT: one overwrite commit to
+    ``<table>_manifest`` naming the current (postings, df, stats)
+    version triple.  Because it is written LAST and each manifest
+    version holds exactly one row, a probe that resolves through the
+    manifest sees an atomic index snapshot — the versioned-table answer
+    to Lucene's ``segments_N`` file.  On a txn-adopted replay the
+    latest-version reads below pick up the adopted commits, so the
+    published triple is always internally consistent."""
+    from ..sources import versioned as V
+
+    row = [(
+        V.latest_version(table),
+        V.latest_version(table + "_df"),
+        V.latest_version(table + "_stats"),
+    )]
+    df = spark.createDataFrame(
+        row, "postings_version int, df_version int, stats_version int"
+    )
+    V.commit_write(df.coalesce(1), table + "_manifest", mode="overwrite", txn=txn)
 
 
 def _bm25_segment_stats(docs: DataFrame, n_buckets: int) -> DataFrame:
@@ -641,13 +675,15 @@ def bm25_index_sink(table: str, query_name: str = "bm25-append"):
       doubles, so the probe's merged avgdl is bit-identical to a
       from-scratch rebuild (pytest-pinned).
 
-    Crash contract: the three commits are not cross-table atomic, but a
-    replayed micro-batch adopts each committed piece by txn and lands
-    only the missing ones; a probe racing the window sees at worst one
-    segment's postings without its df rows (those tokens score as if
-    the segment had not arrived yet — bounded staleness, never a wrong
-    formula).  OPTIMIZE (:func:`optimize_bm25_index`) merges segments
-    back to build-time granularity."""
+    Crash contract: the three table commits are not themselves
+    cross-table atomic, but the manifest COMMIT POINT published last
+    (:func:`_commit_manifest`) makes that invisible to readers — a probe
+    resolves its version triple through the manifest, so it either sees
+    the complete new segment or the previous complete snapshot, never a
+    torn hybrid; a replayed micro-batch adopts each landed piece by txn,
+    lands the missing ones, and republishes the manifest.  OPTIMIZE
+    (:func:`optimize_bm25_index`) merges segments back to build-time
+    granularity."""
     from pyspark import StorageLevel
 
     from ..sources import versioned as V
@@ -692,6 +728,7 @@ def bm25_index_sink(table: str, query_name: str = "bm25-append"):
             mode="append",
             txn=f"{query_name}-stats-{batch_id}",
         )
+        _commit_manifest(spark, table, txn=f"{query_name}-manifest-{batch_id}")
         seg.unpersist(blocking=False)
 
     return _sink
@@ -734,6 +771,7 @@ def optimize_bm25_index(
         merged_stats.coalesce(1), table + "_stats", mode="overwrite",
         txn=f"{txn}-stats" if txn else None,
     )
+    _commit_manifest(spark, table, txn=f"{txn}-manifest" if txn else None)
 
 
 def search_bm25_index(
@@ -761,10 +799,27 @@ def search_bm25_index(
     pruned slice.  Both are exact: n_docs/sum_dl/df are integers, and
     the single-segment case reduces to the same division the one-pass
     ``avg`` performs, so scores match a from-scratch rebuild
-    bit-for-bit."""
+    bit-for-bit.
+
+    ``version`` is a MANIFEST version (the commit point written last by
+    every build/append/optimize): the manifest row pins the
+    (postings, df, stats) triple, so one number snapshots all three
+    tables coherently and a probe can never observe a torn write.
+    Tables built before the manifest existed fall back to applying
+    ``version`` to each table directly (their commits were lockstep)."""
     from ..sources import versioned as V
 
-    srows = V.read_version(spark, table + "_stats", version).collect()
+    man = table + "_manifest"
+    if V.latest_version(man):
+        mrow = V.read_version(spark, man, version).collect()[0]
+        pv, dv, sv = (
+            int(mrow.postings_version),
+            int(mrow.df_version),
+            int(mrow.stats_version),
+        )
+    else:  # pragma: no cover - legacy pre-manifest index layout
+        pv = dv = sv = version
+    srows = V.read_version(spark, table + "_stats", sv).collect()
     n_docs = sum(float(r.n_docs) for r in srows)
     sum_dl = sum(float(r.sum_dl) for r in srows)
     n_buckets = int(srows[0].n_buckets)
@@ -777,17 +832,17 @@ def search_bm25_index(
         ).distinct().collect()
     )  # bounded: the query vocabulary is tiny by construction
     if not buckets:
-        empty = V.read_version(spark, table, version).limit(0)
+        empty = V.read_version(spark, table, pv).limit(0)
         return empty.select(
             F.col("doc_id").alias("query_id"),
             "doc_id",
             F.lit(0.0).alias("score"),
             F.lit(0).alias("rank"),
         )
-    post = V.read_where(spark, table, [("bucket", "in", buckets)], version)
+    post = V.read_where(spark, table, [("bucket", "in", buckets)], pv)
     dfr = (
         V.read_where(
-            spark, table + "_df", [("bucket", "in", buckets)], version
+            spark, table + "_df", [("bucket", "in", buckets)], dv
         )
         # per-segment df rows ADD (disjoint doc_ids per segment); the
         # merge runs on the already-pruned slice, so its cost tracks the

@@ -239,3 +239,56 @@ def test_time_travel_after_streamed_append(spark, index_table, tmp_path):
         spark, index_table, qids, k=5, nprobe=3, version=2
     ).collect()
     assert [tuple(r) for r in re_pinned] == [tuple(r) for r in pinned]
+
+
+def test_drift_triggered_rebuild(spark, index_table):
+    """r10 directive #6: inject drifted appends (a constant offset — an
+    upstream embedding-model shift), assert the drift check fires, the
+    hook rebuilds, and the rebuilt index restores the recall gate >= 0.8
+    against the exact kernel on the drifted corpus."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index.build_ivf_index(seed, index_table, n_cells=4, txn="b1")
+    # undrifted index: the hook must NOT rebuild
+    res0 = ann_index.ivf_rebuild_if_drifted(
+        spark, index_table, min_cosine=0.9
+    )
+    assert not res0["rebuilt"] and res0["worst_cell_cosine"] >= 0.9
+
+    # drifted appends: shift every component by +3 (cosine geometry of
+    # the cells rotates hard toward the all-ones direction)
+    maxid = emb.agg(F.max("vec_id")).first()[0]
+    drifted = emb.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + maxid + 1).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + 3.0
+        ).alias("embedding"),
+    )
+    ann_index.ivf_index_sink(index_table)(drifted, 0)
+
+    res1 = ann_index.ivf_rebuild_if_drifted(
+        spark, index_table, min_cosine=0.9, txn="drift-rebuild-1"
+    )
+    assert res1["rebuilt"] and res1["worst_cell_cosine"] < 0.9
+    # post-rebuild: drift cleared and recall restored on the NEW corpus
+    res2 = ann_index.ivf_rebuild_if_drifted(spark, index_table, min_cosine=0.9)
+    assert not res2["rebuilt"], res2
+
+    live = V.read_version(spark, index_table).select("vec_id", "embedding")
+    qids = [r.vec_id for r in live.orderBy("vec_id").limit(10).collect()]
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(live, qids, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ann_index.search_ivf_index(
+            spark, index_table, qids, k=10, nprobe=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"post-rebuild recall {recall:.2f} < 0.8"

@@ -22,7 +22,7 @@ SF_SMALL = "/root/testdata/sf0.001"
 def bm25_table():
     t = tempfile.mkdtemp(prefix="bm25_idx_")
     yield t
-    for s in ("", "_df", "_stats"):
+    for s in ("", "_df", "_stats", "_manifest"):
         shutil.rmtree(t + s, ignore_errors=True)
 
 
@@ -99,13 +99,13 @@ def test_index_rebuild_time_travel(spark, bm25_table):
         .select("doc_id").collect()
     }
     # txn idempotency: replaying build b2 adopts all three commits
-    hist = [len(V.history(bm25_table + s)) for s in ("", "_df", "_stats")]
+    hist = [len(V.history(bm25_table + s)) for s in ("", "_df", "_stats", "_manifest")]
     retrieval.build_bm25_index(
         docs.filter(F.col("doc_id") % 2 == 0), bm25_table,
         n_buckets=8, txn="b2",
     )
     assert [
-        len(V.history(bm25_table + s)) for s in ("", "_df", "_stats")
+        len(V.history(bm25_table + s)) for s in ("", "_df", "_stats", "_manifest")
     ] == hist
 
 
@@ -165,7 +165,7 @@ def test_streaming_segment_maintenance_exact(spark, bm25_table, tmp_path):
     finally:
         import shutil
 
-        for s in ("", "_df", "_stats"):
+        for s in ("", "_df", "_stats", "_manifest"):
             shutil.rmtree(fresh_table + s, ignore_errors=True)
 
     # the pruning pin survives appends: appended segment files carry
@@ -175,10 +175,10 @@ def test_streaming_segment_maintenance_exact(spark, bm25_table, tmp_path):
     assert n_skipped > 0 and n_kept < n_all
 
     # replay adopts all three segment commits — no growth
-    hist = [len(V.history(bm25_table + s)) for s in ("", "_df", "_stats")]
+    hist = [len(V.history(bm25_table + s)) for s in ("", "_df", "_stats", "_manifest")]
     retrieval.bm25_index_sink(bm25_table)(spark.read.parquet(files[0]), 0)
     assert [
-        len(V.history(bm25_table + s)) for s in ("", "_df", "_stats")
+        len(V.history(bm25_table + s)) for s in ("", "_df", "_stats", "_manifest")
     ] == hist
 
     # OPTIMIZE folds the segments: scores unchanged, df/stats one row per
@@ -192,3 +192,67 @@ def test_streaming_segment_maintenance_exact(spark, bm25_table, tmp_path):
         and V.read_version(spark, bm25_table + "_df")
         .groupBy("token").count().filter("count > 1").count() == 0
     )
+
+
+def test_manifest_commit_point_atomicity(spark, bm25_table):
+    """r11 commit point: the manifest (written LAST) makes the
+    three-table index snapshot-atomic for readers — a torn write
+    (postings + df landed, stats + manifest not) leaves probes on the
+    previous commit point, and completing the replay publishes the new
+    one; `version` time-travels all three tables coherently through one
+    manifest number."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    retrieval.build_bm25_index(seed, bm25_table, n_buckets=8, txn="seed")
+    queries = retrieval.corpus_queries(docs).filter(F.col("query_id") <= 93)
+    at_build = [
+        tuple(r)
+        for r in retrieval.search_bm25_index(
+            spark, bm25_table, queries, k=5
+        ).collect()
+    ]
+
+    # simulate a crash mid-sink: replay the sink's first two commits only
+    # (postings + df), no stats segment, no manifest
+    from pyspark.sql import Window as W
+
+    tf = (
+        rest.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")).cast("double"))
+        .withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(8)).cast("int"))
+    )
+    V.commit_write(tf, bm25_table, mode="append", txn="bm25-append-0")
+    V.commit_write(
+        tf.groupBy("bucket", "token").agg(F.count(F.lit(1)).alias("df")),
+        bm25_table + "_df", mode="append", txn="bm25-append-df-0",
+    )
+    # a probe in the torn window sees the OLD complete snapshot exactly
+    torn = [
+        tuple(r)
+        for r in retrieval.search_bm25_index(
+            spark, bm25_table, queries, k=5
+        ).collect()
+    ]
+    assert torn == at_build
+
+    # the replayed micro-batch adopts the landed pieces, lands the rest,
+    # republishes the manifest — and the probe flips to the merged answer
+    retrieval.bm25_index_sink(bm25_table)(rest, 0)
+    assert len(V.history(bm25_table)) == 2  # postings adopted, not doubled
+    merged = [
+        tuple(r)
+        for r in retrieval.search_bm25_index(
+            spark, bm25_table, queries, k=5
+        ).collect()
+    ]
+    assert merged != at_build
+    # one manifest number snapshots all three tables coherently
+    pinned = [
+        tuple(r)
+        for r in retrieval.search_bm25_index(
+            spark, bm25_table, queries, k=5, version=1
+        ).collect()
+    ]
+    assert pinned == at_build

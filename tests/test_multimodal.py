@@ -383,3 +383,63 @@ def test_jpeg_parser_accepts_trailer_after_eoi():
     assert parsed is not None and (parsed["width"], parsed["height"]) == (20, 10)
     # but a stream with NO EOI anywhere after SOS is still rejected
     assert parse_jpeg_header(good[:-2] + b"\x00\x00") is None
+
+
+def _png_gray_const(width: int, height: int, value: int) -> bytes:
+    """Minimal valid 8-bit GRAYSCALE PNG with every pixel == value (no
+    filtering): real-decoder oracle material — mean luma is EXACTLY
+    value/255 and dims are the IHDR dims."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([value]) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_codec_exact_pixel_oracles(spark):
+    """r10 directive #7, Pillow leg: codec='real' decode/resize against
+    EXACT pixel oracles — constant-fill grayscale PNGs decode to their
+    IHDR dims and mean luma value/255 precisely, and a real thumbnail's
+    payload re-decodes to the same constant luma at bounded dims.
+    Skips cleanly until the environment ships Pillow (the
+    ImportError-fast contract is pinned in
+    test_real_codec_path_gates_on_pillow)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+
+    rows = [
+        (1, _png_gray_const(7, 5, 0)),
+        (2, _png_gray_const(4, 4, 255)),
+        (3, _png_gray_const(33, 9, 100)),
+    ]
+    pngs = spark.createDataFrame(rows, "media_id long, payload binary")
+    dec = {r.media_id: r for r in mm.decode_image(pngs, codec="real").collect()}
+    assert (dec[1].width, dec[1].height, dec[1].mean_luma) == (7, 5, 0.0)
+    assert (dec[2].width, dec[2].height, dec[2].mean_luma) == (4, 4, 1.0)
+    assert (dec[3].width, dec[3].height) == (33, 9)
+    assert dec[3].mean_luma == round(100 / 255.0, 6)
+
+    rs = {r.media_id: r for r in
+          mm.resize_images(pngs, max_side=8, codec="real").collect()}
+    assert all(max(r.width, r.height) <= 8 for r in rs.values())
+    assert (rs[3].width, rs[3].height) == (8, 2)  # 33x9 -> aspect-kept
+    # a real thumbnail of a constant image is the same constant image
+    from data_pipeline_zeal_spark.operators.multimodal import _real_decode
+
+    h, w, luma = _real_decode(bytes(rs[3].payload))
+    assert (w, h) == (8, 2) and luma == round(100 / 255.0, 6)
