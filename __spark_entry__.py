@@ -785,13 +785,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = tempfile.mkdtemp(prefix="bm25_seg_")
         try:
             retrieval.build_bm25_index(
-                docs.filter(F.col("doc_id") % 2 == 0), t, n_buckets=16
+                docs.filter(F.col("doc_id") % 4 != 1), t, n_buckets=16
             )
-            # one appended segment (2 segments total at probe time) keeps
-            # the registered row's cost at build+append+probe; the
-            # multi-batch merge is pinned in tests/test_bm25_index.py
+            # one appended quarter-corpus segment (2 segments total at
+            # probe time) keeps the registered row's cost at
+            # build+append+probe; the multi-batch merge is pinned in
+            # tests/test_bm25_index.py
             retrieval.bm25_index_sink(t)(
-                docs.filter(F.col("doc_id") % 2 == 1), 0
+                docs.filter(F.col("doc_id") % 4 == 1), 0
             )
             out = retrieval.search_bm25_index(
                 s, t, retrieval.corpus_queries(docs), k=10
@@ -1164,6 +1165,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(t, ignore_errors=True)
 
     q["versioned_delete_where"] = _versioned_delete
+
+    def _versioned_delete_dv(s: SparkSession, d: str) -> DataFrame:
+        """Merge-on-read DELETE via positional deletion vectors (r11 —
+        the Delta-DV/Iceberg-positional-delete pattern, the other half
+        of the COW/MOR tradeoff versioned_delete_where anchors): same
+        three single-file commits, but the delete records (file URI,
+        row index) tombstones as ONE delete_dv commit.  files_scanned=1
+        pins that the per-file stats routed exactly one file through
+        the tombstone scan; files_physical=3 pins that NO data file was
+        rewritten (MOR's write-side cheapness); reads anti-join the
+        tombstones, so n_rows/total_cents equal the plain anti-filter
+        — the read-side correctness MOR must pay for."""
+        import os
+        import shutil
+        import tempfile
+
+        from data_pipeline_zeal_spark.sources import versioned as V
+
+        o = load_table(s, d, "orders").filter(F.col("o_orderkey") % 10 == 0)
+        c1 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+        c2 = F.lit("1999-01-01 00:00:00").cast("timestamp")
+        t = tempfile.mkdtemp(prefix="versioned_dv_")
+        try:
+            V.commit_write(
+                o.filter(F.col("o_orderdate") < c1).coalesce(1),
+                t,
+                mode="overwrite",
+            )
+            V.commit_write(
+                o.filter(
+                    (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2)
+                ).coalesce(1),
+                t,
+                mode="append",
+            )
+            V.commit_write(
+                o.filter(F.col("o_orderdate") >= c2).coalesce(1),
+                t,
+                mode="append",
+            )
+            rep = V.delete_where_dv(
+                s, t, [("o_orderdate", ">=", "1999-01-01 00:00:00")]
+            )
+            files_physical = sum(
+                1
+                for p in V.live_dirs(t)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+            cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            agg = (
+                V.read_version(s, t)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.coalesce(F.sum(cents), F.lit(0)).alias("total_cents"),
+                )
+                .select(
+                    F.lit(rep["files_scanned"]).alias("files_scanned"),
+                    F.lit(files_physical).alias("files_physical"),
+                    F.lit(rep["rows_deleted"]).cast("long").alias("rows_deleted"),
+                    "n_rows",
+                    "total_cents",
+                )
+            )
+            return _eager(agg)
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
+
+    q["versioned_delete_dv"] = _versioned_delete_dv
 
     def _versioned_update(s: SparkSession, d: str) -> DataFrame:
         """Copy-on-write UPDATE (round-8): same three-commit layout as
@@ -1940,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: dq_audit, customer_spend_deciles, and the r4 sim/corpus rows.
 #: 44/50 re-verification (>=50 % directive met).
 _DRIVER_FIRST = [
+    "versioned_delete_dv",
     "text_bm25_segment_search",
     "text_bpe_encode_deep",
     "events_user_bursts",
@@ -1989,7 +2060,6 @@ _DRIVER_FIRST = [
     "tpch_q8_market_share",
     "tpch_q9_product_revenue",
     "price_quantiles_sketch",
-    "sim_pca_project",
 ]
 
 
@@ -6191,6 +6261,22 @@ FROM orders WHERE o_orderdate >= TIMESTAMP '1999-06-01'
     o["versioned_delete_where"] = """
 SELECT CAST(1 AS INTEGER) AS files_rewritten,
        CAST(2 AS INTEGER) AS files_linked,
+       (SELECT count(*) FROM orders
+        WHERE o_orderkey % 10 = 0
+          AND o_orderdate >= TIMESTAMP '1999-01-01')::BIGINT AS rows_deleted,
+       count(*)::BIGINT AS n_rows,
+       coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
+                0)::BIGINT AS total_cents
+FROM orders
+WHERE o_orderkey % 10 = 0 AND o_orderdate < TIMESTAMP '1999-01-01'
+"""
+    # versioned_delete_dv: the MOR twin — files_scanned=1 pins stats
+    # pruning on the tombstone scan, files_physical=3 pins zero rewritten
+    # data files, and the surviving snapshot (read through the tombstone
+    # anti-join) must equal the same plain anti-filter as the COW twin
+    o["versioned_delete_dv"] = """
+SELECT CAST(1 AS INTEGER) AS files_scanned,
+       CAST(3 AS INTEGER) AS files_physical,
        (SELECT count(*) FROM orders
         WHERE o_orderkey % 10 = 0
           AND o_orderdate >= TIMESTAMP '1999-01-01')::BIGINT AS rows_deleted,

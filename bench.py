@@ -243,6 +243,7 @@ HEADLINE = [
     # the word-count stage + Arrow kernel through auto dispatch)
     "text_bpe_encode_deep",
     "text_bm25_segment_search",
+    "versioned_delete_dv",
 ]
 
 

@@ -408,6 +408,58 @@ def live_dirs(table: str, version: int | None = None) -> list[str]:
     return [os.path.join(table, d) for d in live]
 
 
+def live_dv_dirs(table: str, version: int | None = None) -> list[str]:
+    """Positional-delete (deletion-vector) tombstone directories visible
+    at ``version`` — log replay over ``delete_dv`` commits.  An
+    ``overwrite`` commit resets them: the rewrite read through
+    :func:`read_version` already applied every prior tombstone, so the
+    new files are clean (DVs are MATERIALIZED by any overwrite —
+    compact, merge, COW DML).  Empty list = the fast path: reads carry
+    zero merge-on-read overhead unless deletes actually exist."""
+    versions = _list_versions(table)
+    if not versions:
+        return []
+    _check_not_expired(table, version)
+    if version is None:
+        version = versions[-1]
+    dvs: list[str] = []
+    for v in versions:
+        if v > version:
+            break
+        entry = _read_entry(table, v)
+        if entry["action"] == "overwrite":
+            dvs = []
+        elif entry["action"] == "delete_dv":
+            dvs.extend(entry.get("dv_dirs", []))
+    return [os.path.join(table, d) for d in dvs]
+
+
+def _apply_dv(spark: SparkSession, df: DataFrame, dv_dirs: list[str]) -> DataFrame:
+    """Merge-on-read: anti-join a parquet-scan frame against the live
+    positional tombstones on (file URI, row index).  ``df`` must be the
+    scan itself (the ``_metadata`` pseudo-column resolves only there).
+    Tombstone sets are usually small (broadcast); at worst this is one
+    file-keyed shuffle — the read-side price MOR pays for write-side
+    cheapness, exactly Delta's deletion-vector tradeoff."""
+    from pyspark.sql import functions as F
+
+    tomb = spark.read.parquet(*dv_dirs).select(
+        F.col("file_path").alias("__dv_fp"),
+        F.col("row_index").alias("__dv_ri"),
+    )
+    return (
+        df.withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+        .join(
+            tomb,
+            (F.col("__fp") == F.col("__dv_fp"))
+            & (F.col("__ri") == F.col("__dv_ri")),
+            "left_anti",
+        )
+        .drop("__fp", "__ri")
+    )
+
+
 def read_version(
     spark: SparkSession,
     table: str,
@@ -417,11 +469,18 @@ def read_version(
     """Snapshot read of the table at ``version`` (latest by default).
     ``merge_schema=True`` unions the schemas of every live directory —
     the schema-evolution read for tables whose appends added columns
-    over time (older commits surface new columns as NULL)."""
+    over time (older commits surface new columns as NULL).  Live
+    positional deletes (:func:`delete_where_dv`) apply as a
+    merge-on-read anti-join; tables without them read exactly as
+    before."""
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*live_dirs(table, version))
+    df = reader.parquet(*live_dirs(table, version))
+    dvs = live_dv_dirs(table, version)
+    if dvs:
+        df = _apply_dv(spark, df, dvs)
+    return df
 
 
 def _predicate_may_match(bounds, op: str, value) -> bool:
@@ -583,6 +642,11 @@ def read_where(
     }
     for col, op, value in predicates:
         df = df.filter(_OPS[op](F.col(col), F.lit(value) if op not in ("between", "in") else value))
+    dvs = live_dv_dirs(table, version)
+    if dvs:
+        # merge-on-read over the pruned slice: tombstones for skipped
+        # files anti-join to nothing, so pruning and DVs compose freely
+        df = _apply_dv(spark, df, dvs)
     return df
 
 
@@ -652,6 +716,12 @@ def read_changes_since(
             raise ValueError(
                 f"version {v} is an overwrite: the range is not append-only"
                 " — use change_feed() for a keyed diff across rewrites"
+            )
+        if entry["action"] == "delete_dv":
+            raise ValueError(
+                f"version {v} is a positional delete: the range is not"
+                " append-only — use change_feed() for a keyed diff that"
+                " surfaces the deletes"
             )
         new_dirs.extend(entry["dirs"])
     if not new_dirs:
@@ -803,6 +873,93 @@ def delete_where(
     )
 
 
+def delete_where_dv(
+    spark: SparkSession,
+    table: str,
+    predicates: list[tuple],
+    txn: str | None = None,
+) -> dict:
+    """Merge-on-read DELETE — positional deletion vectors (the Delta
+    DV / Iceberg positional-delete pattern), the other half of the
+    COW/MOR write-amplification tradeoff :func:`delete_where` anchors:
+
+    * **COW** rewrites every may-match FILE to drop a few rows — write
+      cost ∝ touched file bytes, reads stay plain scans;
+    * **MOR (this)** records only the matching rows' (file URI, row
+      index) tombstones as ONE ``delete_dv`` commit — write cost ∝
+      deleted rows, and every read anti-joins the tombstones out
+      (:func:`_apply_dv`) until an overwrite commit (OPTIMIZE/compact,
+      MERGE, COW DML) materializes them back into clean files.
+
+    Right for small, frequent deletes over large clustered files (the
+    GDPR drip); wrong for bulk deletes, where COW's rewrite is paid once
+    instead of taxing every read.  Uses the same two-tier stats pruning
+    as the COW path to SCAN only may-match files; rows already
+    tombstoned are excluded from the new commit (re-deleting is
+    idempotent and counts report true logical deletions).  Time travel:
+    a read below the delete's version ignores it (replay collects only
+    dv commits <= the target).  Returns ``{"version", "rows_deleted",
+    "files_scanned"}``."""
+    from pyspark.sql import functions as F
+
+    existing = _txn_committed_version(table, txn)
+    if existing is not None:
+        return {
+            "version": existing,
+            "rows_deleted": None,
+            "files_scanned": None,
+        }
+    if not _list_versions(table):
+        return {"version": None, "rows_deleted": 0, "files_scanned": 0}
+    basis = _list_versions(table)[-1]
+    kept, n_kept, _ = pruned_paths(table, predicates, None)
+    if not kept:
+        return {"version": basis, "rows_deleted": 0, "files_scanned": 0}
+    pred = _predicate_column(predicates)
+    matches = (
+        spark.read.parquet(*kept)
+        .filter(_coalesce_false(pred))
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+    )
+    dvs = live_dv_dirs(table, None)
+    if dvs:
+        tomb = spark.read.parquet(*dvs).select("file_path", "row_index")
+        matches = matches.join(tomb, ["file_path", "row_index"], "left_anti")
+    staging = f"dv{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(table, _DATA_DIR, staging)
+    matches.write.mode("error").parquet(data_dir)
+    import pyarrow.parquet as pq
+
+    n_del = sum(
+        pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    if n_del == 0:
+        import shutil
+
+        shutil.rmtree(data_dir)
+        return {"version": basis, "rows_deleted": 0, "files_scanned": n_kept}
+    entry = {
+        "action": "delete_dv",
+        "dirs": [],  # no data dirs — replay-neutral for every data reader
+        "dv_dirs": [f"{_DATA_DIR}/{staging}"],
+        "n_rows": 0,
+        "n_deleted": n_del,
+        "stats": {},
+        "file_stats": {},
+    }
+    version = _publish_entry(table, entry, txn, read_version=basis)
+    return {
+        "version": version,
+        "rows_deleted": n_del,
+        "files_scanned": n_kept,
+    }
+
+
 def update_where(
     spark: SparkSession,
     table: str,
@@ -910,6 +1067,32 @@ def _cow_rewrite(
             "files_linked": 0,
         }
     basis = _list_versions(table)[-1]
+    dvs = live_dv_dirs(table, None)
+    if dvs:
+        # live positional deletes: hard-linking an untouched file into
+        # the new commit would RESURRECT its tombstoned rows (tombstones
+        # key on the OLD path; links get a new one), so COW DML over a
+        # DV-bearing table MATERIALIZES — read the snapshot DV-applied,
+        # transform everything, land one clean overwrite (replay resets
+        # the DVs).  The link optimization resumes on the next call.
+        snap = read_version(spark, table)
+        pred = _predicate_column(predicates)
+        out = transform(snap, pred)
+        n_in = snap.count()
+        version = commit_write(
+            out, table, mode="overwrite", txn=txn, read_version=basis
+        )
+        n_new = _read_entry(table, version).get("n_rows")
+        n_files = sum(
+            len(payload["file_stats"] or {1: None})
+            for payload in _live_stats(table, basis).values()
+        )
+        return {
+            "version": version,
+            count_key: affected(snap, pred, n_in, n_new),
+            "files_rewritten": n_files,
+            "files_linked": 0,
+        }
     rewrite: list[str] = []  # file paths (or whole pre-stats dirs) to scan
     linked: list[tuple[str, dict]] = []  # (path, per-file bounds) to link
     for d, payload in _live_stats(table, None).items():
@@ -1034,6 +1217,11 @@ def table_stats(table: str) -> list[dict]:
         n = entry.get("n_rows")
         if entry["action"] == "overwrite":
             live = {}
+        elif entry["action"] == "delete_dv":
+            # positional deletes subtract LOGICALLY: snapshot_rows stays
+            # the count a read_version would return, while the physical
+            # files keep the rows until an overwrite materializes
+            n = -(entry.get("n_deleted") or 0)
         live[v] = n
         counts = list(live.values())
         total = None if any(c is None for c in counts) else sum(counts)
@@ -1115,6 +1303,12 @@ def vacuum(
             # from the start, so pre-floor append dirs still count
             referenced.update(
                 os.path.relpath(p, table) for p in live_dirs(table, v)
+            )
+            # positional-delete tombstone dirs reachable from a retained
+            # snapshot are load-bearing for its correctness — a vacuumed
+            # DV would silently resurrect deleted rows
+            referenced.update(
+                os.path.relpath(p, table) for p in live_dv_dirs(table, v)
             )
         # below the floor: the entry's own dirs are protected only if
         # some retained snapshot still reaches them (handled above)

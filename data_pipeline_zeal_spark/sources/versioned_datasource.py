@@ -224,6 +224,17 @@ def _infer_schema(table: str, version: int | None) -> StructType:
 
 class VersionedBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, table: str, version: int | None):
+        if V.live_dv_dirs(table, version):
+            # the Python DataSource reads raw file batches with no
+            # _metadata pseudo-column to key the tombstone anti-join on —
+            # serving such a table here would silently RESURRECT deleted
+            # rows.  Loud beats wrong; the DataFrame path applies DVs.
+            raise NotImplementedError(
+                f"{table} has live positional deletes (delete_where_dv); "
+                "the zeal_versioned DataSource cannot apply them — read "
+                "via versioned.read_version, or materialize with "
+                "compact() first"
+            )
         self._schema = schema
         self._table = table
         self._version = version
@@ -286,6 +297,17 @@ class VersionedStreamReader(DataSourceStreamReader):
                     f"version {v} is an overwrite — a rewrite is not "
                     "consumable as a delta; set skipChangeCommits=true "
                     "to pass over rewrite commits"
+                )
+            if entry["action"] == "delete_dv":
+                # positional deletes carry no appended rows; like
+                # overwrites they are not an append delta — skippable
+                # under the same flag, loud otherwise
+                if self._skip_changes:
+                    continue
+                raise ValueError(
+                    f"version {v} is a positional delete — not consumable "
+                    "as an append delta; set skipChangeCommits=true to "
+                    "pass over delete commits"
                 )
             for d in entry["dirs"]:
                 full = os.path.join(self._table, d)

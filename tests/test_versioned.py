@@ -857,3 +857,135 @@ def test_vacuum_expiry_keeps_append_only_history_readable(spark, tmp_path):
     assert V.read_changes_since(spark, t, 2, to_version=3).count() == 4
     with pytest.raises(V.VersionExpiredError):
         V.read_version(spark, t, 2)
+
+
+def test_delete_where_dv_merge_on_read(spark):
+    """r11 positional deletes (MOR): a delete_dv commit records (file,
+    row index) tombstones instead of rewriting files — reads anti-join
+    them out, content equals COW's answer, physical files are untouched,
+    time travel below the delete ignores it, pruning still composes,
+    stats report the LOGICAL count, and an overwrite (OPTIMIZE)
+    materializes the deletes back into clean files."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.io import load_table
+    from data_pipeline_zeal_spark.sources import versioned as V
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    c1 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    c2 = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    t = tempfile.mkdtemp(prefix="del_dv_")
+    try:
+        V.commit_write(o.filter(F.col("o_orderdate") < c1).coalesce(1), t, mode="overwrite")
+        V.commit_write(
+            o.filter((F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2)).coalesce(1),
+            t, mode="append",
+        )
+        V.commit_write(o.filter(F.col("o_orderdate") >= c2).coalesce(1), t, mode="append")
+        before = V.read_version(spark, t).count()
+        files_before = sorted(
+            os.path.join(r, f) for r, _, fs in os.walk(t) for f in fs
+            if f.endswith(".parquet")
+        )
+
+        rep = V.delete_where_dv(
+            spark, t, [("o_orderdate", ">=", "1999-01-01 00:00:00")]
+        )
+        want = o.filter(F.col("o_orderdate") < c2)
+        assert rep["rows_deleted"] == before - want.count()
+        assert rep["files_scanned"] == 1  # stats pruned the other two
+        # merge-on-read: logical content == COW's answer
+        got = V.read_version(spark, t).orderBy("o_orderkey").collect()
+        assert got == want.orderBy("o_orderkey").collect()
+        # ... with ZERO data files rewritten, moved, or removed
+        files_after = sorted(
+            os.path.join(r, f) for r, _, fs in os.walk(t) for f in fs
+            if f.endswith(".parquet") and "/dv" not in r.rsplit("/", 1)[-1]
+        )
+        assert set(files_before) <= set(files_after)
+        # time travel below the delete ignores it
+        assert V.read_version(spark, t, 3).count() == before
+        # logical accounting: snapshot_rows subtracts the tombstones
+        assert V.table_stats(t)[-1]["snapshot_rows"] == want.count()
+        # pruned predicate reads compose with the anti-join
+        sliced = V.read_where(spark, t, [("o_orderdate", ">=", "1998-01-01 00:00:00")])
+        assert sliced.count() == want.filter(
+            F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+        ).count()
+
+        # re-deleting the same predicate is a logical no-op (no commit)
+        rep2 = V.delete_where_dv(
+            spark, t, [("o_orderdate", ">=", "1999-01-01 00:00:00")]
+        )
+        assert rep2["rows_deleted"] == 0
+        assert V.latest_version(t) == rep["version"]
+
+        # second DV over a different slice stacks
+        rep3 = V.delete_where_dv(
+            spark, t, [("o_orderdate", "<", "1997-01-01 00:00:00")]
+        )
+        want2 = want.filter(F.col("o_orderdate") >= c1)
+        assert rep3["rows_deleted"] == want.count() - want2.count()
+        assert V.read_version(spark, t).count() == want2.count()
+
+        # OPTIMIZE materializes: overwrite resets the DVs, content kept
+        V.compact(spark, t, num_files=2, txn="opt")
+        assert V.live_dv_dirs(t) == []
+        got2 = V.read_version(spark, t).orderBy("o_orderkey").collect()
+        assert got2 == want2.orderBy("o_orderkey").collect()
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+
+
+def test_delete_where_dv_cow_interplay_and_vacuum(spark):
+    """COW DML over a DV-bearing table must MATERIALIZE (hard-linking
+    would resurrect tombstoned rows via the new path); vacuum keeps
+    tombstone dirs referenced by retained snapshots; the DataSource
+    refuses loudly instead of silently resurrecting."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.io import load_table
+    from data_pipeline_zeal_spark.sources import versioned as V
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    t = tempfile.mkdtemp(prefix="dv_cow_")
+    try:
+        half1 = o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1)
+        half2 = o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1)
+        V.commit_write(half1, t, mode="overwrite")
+        V.commit_write(half2, t, mode="append")
+        V.delete_where_dv(spark, t, [("o_orderkey", "<=", 64)])
+        live = V.read_version(spark, t)
+        expect = o.filter(F.col("o_orderkey") > 64)
+        assert live.count() == expect.count()
+
+        # vacuum must NOT remove the live tombstone dir
+        removed = V.vacuum(t, retention_seconds=0)
+        assert V.read_version(spark, t).count() == expect.count(), removed
+
+        # the raw-file DataSource refuses a DV-bearing table
+        from data_pipeline_zeal_spark.sources import versioned_datasource as DS
+
+        DS.register(spark)
+        with pytest.raises(Exception, match="positional deletes"):
+            spark.read.format("zeal_versioned").load(t).collect()
+
+        # COW delete now materializes: no links, DVs gone, content right
+        rep = V.delete_where(spark, t, [("o_orderkey", ">", 5000)])
+        assert rep["files_linked"] == 0
+        assert V.live_dv_dirs(t) == []
+        want = o.filter((F.col("o_orderkey") > 64) & (F.col("o_orderkey") <= 5000))
+        got = V.read_version(spark, t).orderBy("o_orderkey").collect()
+        assert got == want.orderBy("o_orderkey").collect()
+        assert rep["rows_deleted"] == expect.count() - want.count()
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
