@@ -704,6 +704,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings"), _SIM_QUERY_IDS, k=10
     )
 
+    def _sim_ivfadc_index_search(s: SparkSession, d: str) -> DataFrame:
+        """Persisted IVFADC index (r11): the compressed sibling of
+        sim_ivf_index_search — m int32 PQ codes per vector land
+        cell-clustered in a versioned table (8x+ smaller files than the
+        full-vector IVF index, measured in tests/test_ivfadc_index.py),
+        probes decode only inside the file-pruned cell slice, and the
+        rerank-deep shortlist is re-scored exactly against the source.
+        Shared encoder arithmetic makes the result row-for-row equal to
+        the in-plan ivf_pq_topk kernel, so this shares its pinned
+        oracle and recall gate (test_index_search_matches_inplan_ivf_pq
+        _exactly)."""
+        import shutil
+        import tempfile
+
+        from data_pipeline_zeal_spark.operators import ann_index
+
+        emb = load_table(s, d, "embeddings")
+        t = tempfile.mkdtemp(prefix="ivfadc_index_")
+        try:
+            ann_index.build_ivfadc_index(emb, t, n_cells=8, m=8, n_codes=32)
+            out = ann_index.search_ivfadc_index(
+                s, t, emb, _SIM_QUERY_IDS, k=10, nprobe=6, rerank=200
+            )
+            # materialize before the scratch table is deleted
+            rows = out.collect()
+            return s.createDataFrame(rows, out.schema)
+        finally:
+            for suffix in ("", "_centroids", "_codebooks"):
+                shutil.rmtree(t + suffix, ignore_errors=True)
+
+    q["sim_ivfadc_index_search"] = _sim_ivfadc_index_search
+
     # --- [EXT] round-3 additions: journeys, baskets, LM scoring, sets ---
     q["events_type_transitions"] = lambda s, d: events_ext.type_transitions(
         load_table(s, d, "events")
@@ -1994,25 +2026,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
-#: ROUND-9 WINDOW (tools/rotate_registry.py stalest-first; verified with
-#: `python tools/driver_sim.py <names>` before commit): 3 never-sampled
-#: (dedup_substring_spans — the new exact-substring cross-doc dedup —
-#: text_bpe_encode, the trained-table BPE encoder, and
-#: corpus_decontaminate_fuzzy, the near-dup decontamination tier), 3
-#: oracle-upgraded rows (multimodal_decode/resize/scene_detect — rows-only
-#: since r1, now hash-checked against spec-derived DuckDB oracles, the
-#: round-8 verdict's #1 directive), and 44 re-verifications drawn from the
-#: r3/r4 staleness tail the same directive names: the r3 text trio
-#: (text_fingerprint/normalize/scrub_pii), the r3/r4 events analytics
-#: ladder (sessionize, type_share, top_users, hour_profile,
-#: cohort_retention, windows, transitions, cdc/scd2, markov, drift...),
-#: orders_grouping_sets, orders_rfm, part_pagerank, sim_knn_label,
-#: dq_audit, customer_spend_deciles, and the r4 sim/corpus rows.
-#: 44/50 re-verification (>=50 % directive met).
+#: ROUND-11 WINDOW (tools/rotate_registry.py stalest-first; verified with
+#: `python tools/driver_sim.py <names>` before commit): 4 never-sampled —
+#: versioned_delete_dv (merge-on-read positional deletes),
+#: text_bm25_segment_search (incremental BM25 index maintenance checked
+#: against the full-corpus oracle), text_bpe_encode_deep (the Arrow
+#: tokenizer-depth encode kernel through auto dispatch, round-10 verdict
+#: directive #3), and sim_ivfadc_index_search (the persisted compressed
+#: IVFADC index, parity-pinned to ivf_pq_topk) — plus 46 re-verifications
+#: drawn from the r6 staleness tail the round-10 verdict's directive #1
+#: names: the multimodal gate quintet, the retrieval/BM25 family, the
+#: corpus mixture/decontamination rows, dq k-anonymity/l-diversity, the
+#: flagship hourly/agg and TPC-H ladders.  After this window no registered
+#: query's last green is older than r7.
 _DRIVER_FIRST = [
     "versioned_delete_dv",
     "text_bm25_segment_search",
     "text_bpe_encode_deep",
+    "sim_ivfadc_index_search",
     "events_user_bursts",
     "events_key_skew_profile",
     "generator_profile",
@@ -2059,7 +2090,6 @@ _DRIVER_FIRST = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_revenue",
-    "price_quantiles_sketch",
 ]
 
 
@@ -8743,6 +8773,16 @@ SELECT CAST("query_id" AS BIGINT) AS "query_id", CAST("vec_id" AS BIGINT) AS "ve
 UNION ALL
 SELECT CAST(-999999 AS BIGINT) AS "query_id", CAST(-999999 AS BIGINT) AS "vec_id", CAST(-999999.0 AS DOUBLE) AS "cosine", CAST(-999999 AS INTEGER) AS "rank" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
 """
+    # sim_ivfadc_index_search: same sharing argument as
+    # sim_ivf_index_search, for the compressed index — decode(codes) is
+    # bit-identical to the in-plan kernel's transient reconstruction
+    # (shared encoder arithmetic, tests/test_ivfadc_index.py), cell
+    # ranking uses the bit-identical driver fold, and the exact rerank
+    # equalizes the rest, so the persisted search reproduces
+    # ivf_pq_topk row for row and shares its pinned regression oracle.
+    # Its own structural claims (code files 8x+ smaller, file pruning
+    # at probe time) are pytest-pinned, not SQL-expressible.
+    o["sim_ivfadc_index_search"] = o["sim_ivf_pq_topk"]
 
     o["sim_pca_project"] = """
 WITH which AS (

@@ -244,6 +244,8 @@ HEADLINE = [
     "text_bpe_encode_deep",
     "text_bm25_segment_search",
     "versioned_delete_dv",
+    # round-11: persisted IVFADC index (compressed codes + exact rerank)
+    "sim_ivfadc_index_search",
 ]
 
 

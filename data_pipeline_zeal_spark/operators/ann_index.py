@@ -48,7 +48,14 @@ from pyspark.sql import functions as F
 from ..functions.vector import as_double, cosine
 from ..io import with_min_parallelism
 from ..sources import versioned as V
-from .similarity import cell_assign_expr, train_kmeans_centroids
+from .similarity import (
+    _query_set,
+    cell_assign_expr,
+    ivfadc_decoder,
+    ivfadc_encoder,
+    train_kmeans_centroids,
+    train_pq_codebooks_residual,
+)
 
 
 def build_ivf_index(
@@ -239,8 +246,10 @@ def _dot_lr(a: list[float], b: list[float]) -> float:
     return acc
 
 
-def _centroid_version_at(table: str, version: int | None) -> int | None:
-    """Resolve which ``<table>_centroids`` version a main-table snapshot
+def _meta_pointer_at(
+    table: str, version: int | None, key: str, companion: str
+) -> int | None:
+    """Resolve which ``companion`` (model) version a main-table snapshot
     was assigned under: the newest main commit at-or-below ``version``
     carries the pointer in its commit ``meta`` (build and sink both stamp
     it).  Legacy tables (built before the pointer existed) advanced both
@@ -249,13 +258,19 @@ def _centroid_version_at(table: str, version: int | None) -> int | None:
     target = V.latest_version(table) if version is None else version
     for v in range(target, 0, -1):
         try:
-            cv = V.commit_meta(table, v).get("centroid_version")
+            cv = V.commit_meta(table, v).get(key)
         except FileNotFoundError:  # pragma: no cover - sparse legacy log
             continue
         if cv is not None:
             return cv
-    companion_latest = V.latest_version(table + "_centroids")
+    companion_latest = V.latest_version(companion)
     return min(target, companion_latest) if companion_latest else None
+
+
+def _centroid_version_at(table: str, version: int | None) -> int | None:
+    return _meta_pointer_at(
+        table, version, "centroid_version", table + "_centroids"
+    )
 
 
 def search_ivf_index(
@@ -334,3 +349,267 @@ def search_ivf_index(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVFADC index (r11): the IVF index above stores full vectors —
+# scan pruning without the memory-wall win.  At 100 TB of embeddings the
+# index ITSELF must be compressed: faiss IndexIVFPQ stores m code bytes per
+# vector (~dim*4/m x smaller), keeps full precision only for the
+# rerank-deep shortlist, and that is exactly what the in-plan
+# :func:`~.similarity.ivf_pq_topk` computes transiently per query batch.
+# These functions persist that computation: codes land cell-clustered in a
+# versioned table (file-granular cell pruning, same as the IVF index), the
+# two trained models (coarse centroids + residual codebooks) live in
+# companion tables, and every main commit records which model versions its
+# codes were encoded under — the same pointer discipline that fixed the
+# IVF index's post-append time travel (round-10 advice).
+# ---------------------------------------------------------------------------
+
+
+def build_ivfadc_index(
+    embeddings: DataFrame,
+    table: str,
+    n_cells: int = 8,
+    m: int = 8,
+    n_codes: int = 32,
+    train_iters: int = 10,
+    sample_size: int = 4096,
+    txn: str | None = None,
+) -> dict:
+    """Build (or rebuild) the persisted IVFADC index: train the coarse
+    quantizer and residual PQ codebooks on bounded deterministic samples
+    (identical trainer calls to :func:`~.similarity.ivf_pq_topk`, so the
+    models — and therefore the codes — are identical too), encode every
+    vector in ONE Arrow scan (cell + m residual codes, no full vectors
+    stored), and commit cell-clustered.  Three atomic commits, models
+    first, main last with both model-version pointers in its ``meta`` —
+    a crash between commits leaves fresh model versions merely
+    unreferenced.  Returns ``{"centroids", "codebooks"}``."""
+    cents = train_kmeans_centroids(
+        embeddings, n_cells=n_cells, iters=train_iters, sample_size=sample_size
+    )
+    books = train_pq_codebooks_residual(
+        embeddings, cents, m, n_codes, train_iters, sample_size
+    )
+    spark = embeddings.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    cv = V.commit_write(
+        cents_df.coalesce(1),
+        table + "_centroids",
+        mode="overwrite",
+        txn=f"{txn}-centroids" if txn else None,
+    )
+    books_df = spark.createDataFrame(
+        [(j, i, c) for j, b in enumerate(books) for i, c in enumerate(b)],
+        "sub int, code int, vec array<double>",
+    )
+    bv = V.commit_write(
+        books_df.coalesce(1),
+        table + "_codebooks",
+        mode="overwrite",
+        txn=f"{txn}-codebooks" if txn else None,
+    )
+    encode = ivfadc_encoder(cents, books, emit="codes")
+    encoded = (
+        with_min_parallelism(embeddings)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+        .repartition(n_cells, "cell")
+        .sortWithinPartitions("cell", "vec_id")
+    )
+    V.commit_write(
+        encoded,
+        table,
+        mode="overwrite",
+        txn=txn,
+        meta={"centroid_version": cv, "codebook_version": bv},
+    )
+    return {"centroids": cents, "codebooks": books}
+
+
+def _load_ivfadc_models(
+    spark: SparkSession, table: str, version: int | None
+) -> tuple[list, list]:
+    """Read back the (centroids, codebooks) snapshot a main-table version
+    was encoded under, via the commit-meta pointers."""
+    cv = _centroid_version_at(table, version)
+    bv = _meta_pointer_at(
+        table, version, "codebook_version", table + "_codebooks"
+    )
+    cent_rows = V.read_version(spark, table + "_centroids", cv).collect()
+    cents = [list(r.centroid) for r in sorted(cent_rows, key=lambda r: r.cell)]
+    book_rows = V.read_version(spark, table + "_codebooks", bv).collect()
+    n_sub = max(r.sub for r in book_rows) + 1
+    books: list[list] = [[] for _ in range(n_sub)]
+    for r in sorted(book_rows, key=lambda r: (r.sub, r.code)):
+        books[r.sub].append(list(r.vec))
+    return cents, books
+
+
+def ivfadc_index_sink(table: str, query_name: str = "ivfadc-append"):
+    """Streaming maintenance for the persisted IVFADC index, symmetric
+    with :func:`ivf_index_sink`: each micro-batch's vectors are encoded
+    with the index's OWN frozen models (model-bounded read per batch)
+    and appended cell-clustered as one txn-idempotent commit stamping
+    both model-version pointers.  Distribution drift is the documented
+    rebuild trigger, same contract as the IVF sink."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        cv = V.latest_version(table + "_centroids")
+        bv = V.latest_version(table + "_codebooks")
+        cents, books = _load_ivfadc_models(spark, table, None)
+        encode = ivfadc_encoder(cents, books, emit="codes")
+        assigned = (
+            batch.select("vec_id", as_double(F.col("embedding")).alias("v"))
+            .mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+            .repartition(len(cents), "cell")
+            .sortWithinPartitions("cell", "vec_id")
+        )
+        V.commit_write(
+            assigned,
+            table,
+            mode="append",
+            txn=f"{query_name}-{batch_id}",
+            meta={"centroid_version": cv, "codebook_version": bv},
+        )
+
+    return _sink
+
+
+def search_ivfadc_index(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 6,
+    rerank: int = 200,
+    version: int | None = None,
+) -> DataFrame:
+    """Probe the persisted IVFADC index: rank cells per query
+    driver-side (bit-identical :func:`_dot_lr` fold — the round-10
+    parity discipline), scan ONLY the probed cells' code files
+    (file-granular stats pruning), decode codes back to reconstructions
+    inside the pruned slice, ADC-score, and exact-rerank the
+    ``rerank``-deep shortlist against full vectors from ``source``
+    (fixed-size fetch per query).  The decoded reconstructions are
+    bit-identical to :func:`~.similarity.ivf_pq_topk`'s transient
+    ``rv`` (shared encoder arithmetic), so with the same layout the
+    result matches the in-plan kernel row for row — the persisted query
+    shares its pinned oracle.  ``version`` time-travels the index; the
+    model snapshot comes from the commit's recorded pointers, never the
+    version number verbatim.  Returns (query_id, vec_id, cosine, rank)."""
+    import math
+
+    cents, books = _load_ivfadc_models(spark, table, version)
+    cnorms = [math.sqrt(_dot_lr(c, c)) for c in cents]
+
+    qrows = (
+        _query_set(source, query_ids)
+        .select("query_id", "qv")
+        .collect()
+    )
+    probes = []
+    for r in sorted(qrows, key=lambda r: r.query_id):
+        qv = [float(x) for x in r.qv]
+        qn = math.sqrt(_dot_lr(qv, qv))
+        ranked = []
+        for i, c in enumerate(cents):
+            nn = qn * cnorms[i]
+            cos = 0.0 if nn == 0 else _dot_lr(qv, c) / nn
+            # ties to the lower cell id — F.desc(cos), F.asc(cell)
+            ranked.append((-cos, i))
+        ranked.sort()
+        probes.extend(
+            (int(r.query_id), qv, cell) for _, cell in ranked[:nprobe]
+        )
+    if not probes:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
+    probe_df = spark.createDataFrame(
+        probes, "query_id long, qv array<double>, cell int"
+    )
+    cells = sorted({c for _, _, c in probes})
+    cand = V.read_where(spark, table, [("cell", "in", cells)], version)
+    decoded = cand.mapInPandas(
+        ivfadc_decoder(cents, books), "vec_id long, cell int, rv array<double>"
+    )
+    scored = (
+        decoded.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("rv")), 6).alias("pq_cosine"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_cosine"), F.asc("vec_id")
+    )
+    shortlist = (
+        scored.withColumn("pq_rank", F.row_number().over(ws))
+        .filter(F.col("pq_rank") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    q = _query_set(source, query_ids)
+    full = source.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    refined = (
+        full.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivfadc_index_stats(spark: SparkSession, table: str) -> dict:
+    """Measured compression evidence for the persisted IVFADC index:
+    bytes actually on disk for the live code files vs the fp32 bytes the
+    same vectors would occupy uncompressed (``n * dim * 4``).  The model
+    tables are counted in ``index_bytes`` too — at scale they are noise
+    (n_cells + m*n_codes rows), but honesty says include them."""
+    import os as _os
+
+    def _dir_bytes(dirs: list[str]) -> int:
+        total = 0
+        for d in dirs:
+            for root, _, names in _os.walk(d):
+                total += sum(
+                    _os.path.getsize(_os.path.join(root, f))
+                    for f in names
+                    if f.endswith(".parquet")
+                )
+        return total
+
+    n = V.read_version(spark, table).count()
+    cents, _ = _load_ivfadc_models(spark, table, None)
+    dim = len(cents[0]) if cents else 0
+    index_bytes = (
+        _dir_bytes(V.live_dirs(table))
+        + _dir_bytes(V.live_dirs(table + "_centroids"))
+        + _dir_bytes(V.live_dirs(table + "_codebooks"))
+    )
+    raw = n * dim * 4
+    return {
+        "n_vectors": n,
+        "dim": dim,
+        "index_bytes": index_bytes,
+        "raw_fp32_bytes": raw,
+        "compression_x": round(raw / index_bytes, 3) if index_bytes else 0.0,
+    }

@@ -1321,6 +1321,100 @@ def train_pq_codebooks_residual(
     return books
 
 
+def ivfadc_encoder(cents, books, emit: str = "rv"):
+    """Build the IVFADC encode kernel shared by the in-plan
+    :func:`ivf_pq_topk` and the persisted index
+    (:func:`~.ann_index.build_ivfadc_index`): normalize, coarse-assign
+    each vector to its nearest centroid cell, PQ-encode the residual per
+    subspace.  ``emit="rv"`` yields the decoded reconstruction
+    ``centroid[cell] + decode(codes)`` (the in-plan scoring input);
+    ``emit="codes"`` yields the raw code vector (the persisted,
+    m-bytes-per-vector index payload).  Both paths run the SAME float64
+    arithmetic over the SAME centroid/codebook matrices, so a persisted
+    index's ``decode(codes)`` is bit-identical to the in-plan ``rv`` —
+    the foundation of the two kernels' exact result parity."""
+    import numpy as np
+
+    C = np.array(cents, dtype=np.float64)  # (n_cells, dim)
+    B = [np.array(b, dtype=np.float64) for b in books]  # (n_codes, d_sub)
+    d_sub = B[0].shape[1]
+    half_sq = [0.5 * (b**2).sum(axis=1) for b in B]
+    n_sub = len(B)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            Xn = X / nrm
+            cell = (Xn @ C.T).argmax(axis=1)
+            R = Xn - C[cell]
+            if emit == "codes":
+                codes = np.empty((len(Xn), n_sub), dtype=np.int32)
+                for j in range(n_sub):
+                    S = R[:, j * d_sub : (j + 1) * d_sub]
+                    codes[:, j] = (S @ B[j].T - half_sq[j]).argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cell": cell.astype(np.int32),
+                        "codes": list(codes),
+                    }
+                )
+                continue
+            out = np.empty_like(Xn)
+            for j in range(n_sub):
+                S = R[:, j * d_sub : (j + 1) * d_sub]
+                codes = (S @ B[j].T - half_sq[j]).argmax(axis=1)
+                out[:, j * d_sub : (j + 1) * d_sub] = B[j][codes]
+            rv = C[cell] + out  # reconstructed vector, cell + decoded residual
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell.astype(np.int32),
+                    "rv": list(rv),
+                }
+            )
+
+    return encode
+
+
+def ivfadc_decoder(cents, books):
+    """Inverse of :func:`ivfadc_encoder`'s ``emit="codes"`` path:
+    ``rv = centroid[cell] + concat_j(codebook[j][code_j])`` — pure
+    float64 indexing + add over the SAME matrices the encoder used, so
+    the output is bit-identical to what ``emit="rv"`` would have
+    yielded for the same vectors (pytest-pinned)."""
+    import numpy as np
+
+    C = np.array(cents, dtype=np.float64)
+    B = [np.array(b, dtype=np.float64) for b in books]
+    d_sub = B[0].shape[1]
+    n_sub = len(B)
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cell = pdf["cell"].to_numpy()
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            out = np.empty((len(cell), n_sub * d_sub), dtype=np.float64)
+            for j in range(n_sub):
+                out[:, j * d_sub : (j + 1) * d_sub] = B[j][codes[:, j]]
+            rv = C[cell] + out
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell,
+                    "rv": list(rv),
+                }
+            )
+
+    return decode
+
+
 def ivf_pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -1361,43 +1455,12 @@ def ivf_pq_topk(
     corpora do better at much lower nprobe.  ``n_cells="auto"`` opts into
     the sqrt(n) growth rule (:func:`auto_n_cells`), same as
     :func:`ivf_topk`; the registered query pins the integer default."""
-    import numpy as np
-
     n_cells = _resolve_n_cells(embeddings, n_cells)
     cents = train_kmeans_centroids(embeddings, n_cells, train_iters, sample_size)
     books = train_pq_codebooks_residual(
         embeddings, cents, m, n_codes, train_iters, sample_size
     )
-    C = np.array(cents, dtype=np.float64)  # (n_cells, dim)
-    B = [np.array(b, dtype=np.float64) for b in books]  # (n_codes, d_sub)
-    d_sub = B[0].shape[1]
-    half_sq = [0.5 * (b**2).sum(axis=1) for b in B]
-    n_sub = len(B)
-
-    def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.array(pdf["v"].tolist(), dtype=np.float64)
-            nrm = np.linalg.norm(X, axis=1, keepdims=True)
-            nrm[nrm == 0] = 1.0
-            Xn = X / nrm
-            cell = (Xn @ C.T).argmax(axis=1)
-            R = Xn - C[cell]
-            out = np.empty_like(Xn)
-            for j in range(n_sub):
-                S = R[:, j * d_sub : (j + 1) * d_sub]
-                codes = (S @ B[j].T - half_sq[j]).argmax(axis=1)
-                out[:, j * d_sub : (j + 1) * d_sub] = B[j][codes]
-            rv = C[cell] + out  # reconstructed vector, cell + decoded residual
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cell": cell.astype(np.int32),
-                    "rv": list(rv),
-                }
-            )
-
+    encode = ivfadc_encoder(cents, books, emit="rv")
     encoded = (
         with_min_parallelism(embeddings)
         .select("vec_id", as_double(F.col("embedding")).alias("v"))

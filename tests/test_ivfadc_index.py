@@ -1,0 +1,216 @@
+"""Persisted IVFADC index (r11): the compressed-codes sibling of the r10
+IVF index — m code ints per vector instead of dim doubles, decode inside
+the pruned probe slice, exact rerank from the full-precision source, and
+row-for-row parity with the in-plan ivf_pq_topk kernel (which is what
+lets the registered query share its pinned oracle and recall gate)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_zeal_spark.functions.vector import as_double
+from data_pipeline_zeal_spark.io import load_table
+from data_pipeline_zeal_spark.operators import ann_index, similarity
+from data_pipeline_zeal_spark.sources import versioned as V
+
+SF_SMALL = "/root/testdata/sf0.001"
+LAYOUT = dict(n_cells=8, m=8, n_codes=32)
+PROBE = dict(k=10, nprobe=6, rerank=200)
+
+
+@pytest.fixture()
+def index_table():
+    t = tempfile.mkdtemp(prefix="ivfadc_idx_")
+    yield t
+    for suffix in ("", "_centroids", "_codebooks"):
+        shutil.rmtree(t + suffix, ignore_errors=True)
+
+
+def _qids(emb):
+    return [r.vec_id for r in emb.limit(200).collect() if r.vec_id % 31 == 0]
+
+
+def test_decoder_is_exact_inverse_of_encoder(spark, index_table):
+    """decode(codes) must be BIT-identical to the encoder's transient
+    reconstruction (same float64 matrices, pure indexing + add) — the
+    arithmetic foundation of the persisted/in-plan parity."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = similarity.train_kmeans_centroids(emb, n_cells=8)
+    books = similarity.train_pq_codebooks_residual(emb, cents, 8, 32)
+    src = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    rv = {
+        r.vec_id: tuple(r.rv)
+        for r in src.mapInPandas(
+            similarity.ivfadc_encoder(cents, books, emit="rv"),
+            "vec_id long, cell int, rv array<double>",
+        ).collect()
+    }
+    codes = src.mapInPandas(
+        similarity.ivfadc_encoder(cents, books, emit="codes"),
+        "vec_id long, cell int, codes array<int>",
+    )
+    decoded = {
+        r.vec_id: tuple(r.rv)
+        for r in codes.mapInPandas(
+            similarity.ivfadc_decoder(cents, books),
+            "vec_id long, cell int, rv array<double>",
+        ).collect()
+    }
+    assert decoded == rv and len(decoded) == emb.count()
+
+
+def test_index_search_matches_inplan_ivf_pq_exactly(spark, index_table):
+    """Same trainers, same encode arithmetic, same cell ranking
+    tie-breaks, same ADC scoring and exact rerank — the persisted path
+    reproduces ivf_pq_topk row-for-row, so the registered query shares
+    its pinned oracle and inherits its recall gate."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qids = _qids(emb)
+    ann_index.build_ivfadc_index(emb, index_table, **LAYOUT)
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in ann_index.search_ivfadc_index(
+            spark, index_table, emb, qids, **PROBE
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in similarity.ivf_pq_topk(emb, qids, **PROBE, **LAYOUT).collect()
+    }
+    assert got == want and got
+
+
+def test_probe_prunes_code_files(spark, index_table):
+    """Cell-clustered code files + per-file stats: a small probe set
+    skips parquet files outright, same structural claim as the IVF
+    index but over the compressed payload."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    ann_index.build_ivfadc_index(emb, index_table, **LAYOUT)
+    _, n_all, _ = V.pruned_paths(index_table, [])
+    _, n_kept, n_skipped = V.pruned_paths(index_table, [("cell", "in", [0, 1])])
+    assert n_skipped > 0 and n_kept < n_all
+
+
+def test_codes_index_is_smaller_than_vector_index(spark, index_table):
+    """The memory-wall claim, measured: the IVFADC main table stores m
+    int32 codes per vector, the IVF main table stores dim doubles — on
+    the same corpus the code files must be materially smaller, and the
+    stats helper must report >1x compression vs raw fp32."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    ann_index.build_ivfadc_index(emb, index_table, **LAYOUT)
+    assert "embedding" not in V.read_version(spark, index_table).columns
+
+    ivf_t = tempfile.mkdtemp(prefix="ivf_ref_")
+    try:
+        ann_index.build_ivf_index(emb, ivf_t, n_cells=8)
+        import os
+
+        def dir_bytes(d):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(d)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        assert dir_bytes(index_table) < dir_bytes(ivf_t) / 2
+    finally:
+        shutil.rmtree(ivf_t, ignore_errors=True)
+        shutil.rmtree(ivf_t + "_centroids", ignore_errors=True)
+
+    stats = ann_index.ivfadc_index_stats(spark, index_table)
+    assert stats["n_vectors"] == emb.count() and stats["dim"] == 64
+    assert stats["compression_x"] > 1.0
+
+
+def test_streaming_sink_appends_frozen_model_codes(spark, index_table):
+    """Micro-batch appends encode with the index's OWN frozen models:
+    appended codes equal a direct encode under those models, the commit
+    is txn-idempotent on replay, and appended vectors are immediately
+    probe-visible."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    built = ann_index.build_ivfadc_index(seed, index_table, **LAYOUT)
+    rest = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    sink = ann_index.ivfadc_index_sink(index_table)
+    sink(rest, 0)
+
+    live = V.read_version(spark, index_table)
+    assert live.count() == emb.count()
+    expect = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in rest.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ).mapInPandas(
+            similarity.ivfadc_encoder(
+                built["centroids"], built["codebooks"], emit="codes"
+            ),
+            "vec_id long, cell int, codes array<int>",
+        ).collect()
+    }
+    got = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in live.join(rest.select("vec_id"), "vec_id", "left_semi")
+        .collect()
+    }
+    assert got == expect
+
+    # replay adopts the existing commit — no new version, no duplicates
+    n_hist = len(V.history(index_table))
+    sink(rest, 0)
+    assert len(V.history(index_table)) == n_hist
+    assert V.read_version(spark, index_table).count() == emb.count()
+
+    # a streamed vector is probe-visible
+    sq = [r.vec_id for r in rest.limit(1).collect()]
+    hits = ann_index.search_ivfadc_index(
+        spark, index_table, emb, sq, k=5, nprobe=4
+    )
+    assert hits.count() == 5
+
+
+def test_time_travel_resolves_models_after_append_and_rebuild(
+    spark, index_table
+):
+    """The round-10 pointer discipline, applied to BOTH models: appends
+    advance only the main log, so a post-append time-travel probe must
+    resolve centroids AND codebooks through the commit-meta pointers;
+    after a rebuild retrains both models, a probe pinned below the
+    rebuild still reproduces the old search exactly."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index.build_ivfadc_index(seed, index_table, **LAYOUT, txn="b1")
+    rest = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    ann_index.ivfadc_index_sink(index_table)(rest, 0)  # main v2, models v1
+
+    qids = _qids(emb)
+    pinned = ann_index.search_ivfadc_index(
+        spark, index_table, emb, qids, k=5, nprobe=3, version=2
+    ).collect()
+    live = ann_index.search_ivfadc_index(
+        spark, index_table, emb, qids, k=5, nprobe=3
+    ).collect()
+    assert [tuple(r) for r in pinned] == [tuple(r) for r in live] and live
+
+    # rebuild retrains both models (coarser layout)
+    ann_index.build_ivfadc_index(
+        emb, index_table, n_cells=4, m=8, n_codes=16, txn="b2"
+    )
+    assert ann_index._centroid_version_at(index_table, 2) == 1
+    assert (
+        ann_index._meta_pointer_at(
+            index_table, 2, "codebook_version", index_table + "_codebooks"
+        )
+        == 1
+    )
+    re_pinned = ann_index.search_ivfadc_index(
+        spark, index_table, emb, qids, k=5, nprobe=3, version=2
+    ).collect()
+    assert [tuple(r) for r in re_pinned] == [tuple(r) for r in pinned]
+    # the live index serves the new layout: codes are m=8 ints < 16
+    row = V.read_version(spark, index_table).limit(1).collect()[0]
+    assert len(row.codes) == 8 and max(row.codes) < 16
