@@ -244,8 +244,11 @@ HEADLINE = [
     "text_bpe_encode_deep",
     "text_bm25_segment_search",
     "versioned_delete_dv",
-    # round-11: persisted IVFADC index (compressed codes + exact rerank)
+    # round-11: persisted IVFADC index (compressed codes + exact rerank),
+    # incremental materialized views, write-time expectations
     "sim_ivfadc_index_search",
+    "versioned_matview_refresh",
+    "versioned_expectations",
 ]
 
 

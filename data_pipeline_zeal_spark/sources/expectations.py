@@ -1,0 +1,173 @@
+"""[EXT] Write-time expectations on the versioned table — the Delta
+CHECK-constraint / DLT-expectations pattern (r11; no reference
+counterpart — the reference validates per-record in the consumer,
+``processor/src/infrastructure/kafka_consumer.py``'s bad-record drop,
+but has no table-level write gate).
+
+The 100 TB argument: data quality enforced at READ time is paid by
+every consumer forever; enforced at WRITE time it is paid once, and the
+commit log becomes the quality ledger — every commit records how many
+rows each expectation rejected, so freshness/quality dashboards are
+metadata-only reads (:func:`~.versioned.commit_meta`), never rescans.
+
+An expectation is ``(name, sql_predicate)``; a row PASSES when the
+predicate evaluates TRUE — NULL counts as a violation (the DLT rule:
+``value > 0`` must not admit NULL values by three-valued-logic
+accident).  ``on_violation`` picks the policy:
+
+* ``"fail"`` — one metrics aggregate runs first; any violation raises
+  :class:`ExpectationViolation` and NOTHING is committed (the Delta
+  CHECK-constraint contract).
+* ``"drop"`` — valid rows commit, violation counts land in the commit
+  meta (DLT ``expect_or_drop``).
+* ``"quarantine"`` — valid rows commit to the table, violating rows
+  commit to ``<table>_quarantine`` with a ``__violated`` name array,
+  both txn-idempotent (the dead-letter pattern, same shape as the
+  Kafka sink's bad-record topic but replayable from a table).
+
+Cost shape: the metrics are ONE map-side-combinable aggregate (a sum of
+codegen boolean casts per expectation — no shuffle wider than one row);
+the split paths are plain codegen filters on the same scan.  The input
+frame is evaluated twice on drop/quarantine (once per side) — pass a
+checkpointed frame if upstream is expensive, same guidance as every
+multi-consumer plan in this repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import versioned as V
+
+
+class ExpectationViolation(ValueError):
+    """Raised by ``on_violation="fail"`` — carries the per-expectation
+    violation counts so the caller can log them without re-running."""
+
+    def __init__(self, table: str, counts: dict):
+        self.counts = counts
+        super().__init__(
+            f"commit to {table} rejected: expectation violations {counts}"
+        )
+
+
+def _ok(pred: str):
+    # NULL predicate == violation: coalesce the three-valued result
+    return F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+
+
+def check_metrics(df: DataFrame, expectations: list[tuple]) -> dict:
+    """One aggregate over ``df``: total rows + per-expectation violation
+    counts.  This is the whole read-side cost of ``"fail"`` mode."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for name, pred in expectations:
+        aggs.append(
+            F.sum((~_ok(pred)).cast("long")).alias(name)
+        )
+    row = df.agg(*aggs).collect()[0]
+    return {
+        "rows_checked": row["__rows"],
+        "violations": {name: row[name] for name, _ in expectations},
+    }
+
+
+def commit_with_expectations(
+    df: DataFrame,
+    table: str,
+    expectations: list[tuple],
+    on_violation: str = "fail",
+    mode: str = "append",
+    txn: str | None = None,
+    quarantine_table: str | None = None,
+) -> dict:
+    """Gate a versioned-table commit behind expectations.  Returns
+    ``{"version", "rows_checked", "rows_written", "violations",
+    "quarantined"}``; the same metrics are recorded in the commit's
+    meta, making the commit log the quality ledger."""
+    if on_violation not in ("fail", "drop", "quarantine"):
+        raise ValueError(f"unknown on_violation: {on_violation!r}")
+    metrics = check_metrics(df, expectations)
+    n_bad = sum(metrics["violations"].values())
+    if on_violation == "fail" and n_bad:
+        raise ExpectationViolation(table, metrics["violations"])
+
+    all_ok = None
+    for name, pred in expectations:
+        ok = _ok(pred)
+        all_ok = ok if all_ok is None else (all_ok & ok)
+    valid = df.filter(all_ok) if all_ok is not None else df
+    # rows failing >=1 expectation (per-expectation counts can overlap)
+    n_bad_rows = (
+        df.filter(~all_ok).count()
+        if all_ok is not None and on_violation != "fail" and n_bad
+        else 0
+    )
+
+    quarantined = 0
+    if on_violation == "quarantine" and n_bad_rows:
+        qt = quarantine_table or (table + "_quarantine")
+        names = F.filter(
+            F.array(
+                *[
+                    F.when(~_ok(pred), F.lit(name))
+                    for name, pred in expectations
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        bad = df.filter(~all_ok).withColumn("__violated", names)
+        # quarantine commits FIRST: a crash between the two commits
+        # loses no rows (the main txn replays; the quarantine txn
+        # adopts its existing commit)
+        V.commit_write(
+            bad,
+            qt,
+            mode="append",
+            txn=f"{txn}-quarantine" if txn else None,
+        )
+        quarantined = n_bad_rows
+
+    meta = {
+        "expectations": {
+            "on_violation": on_violation,
+            "rows_checked": metrics["rows_checked"],
+            "violations": metrics["violations"],
+        }
+    }
+    version = V.commit_write(valid, table, mode=mode, txn=txn, meta=meta)
+    return {
+        "version": version,
+        "rows_checked": metrics["rows_checked"],
+        "rows_written": metrics["rows_checked"] - n_bad_rows,
+        "violations": metrics["violations"],
+        "quarantined": quarantined,
+    }
+
+
+def expectations_sink(
+    table: str,
+    expectations: list[tuple],
+    on_violation: str = "quarantine",
+    query_name: str = "expect",
+):
+    """Streaming enforcement: a ``foreachBatch`` sink committing each
+    micro-batch through :func:`commit_with_expectations`,
+    txn-idempotent per batch — the versioned_sink contract with a
+    quality gate in front.  ``"fail"`` mode poisons the stream on a bad
+    batch (at-least-once semantics make silent drops worse), which is
+    exactly Delta's constraint behavior under streaming writes."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        commit_with_expectations(
+            batch,
+            table,
+            expectations,
+            on_violation=on_violation,
+            mode="append",
+            txn=f"{query_name}-{batch_id}",
+        )
+
+    return _sink

@@ -1,0 +1,205 @@
+"""[EXT] Incrementally-maintained materialized aggregate views over the
+commit-log versioned table (r11; no reference counterpart — the
+reference has no table format).
+
+The 100 TB problem: a serving aggregate (events per type, revenue per
+day) cannot be recomputed from the base table on every refresh — the
+recompute cost is O(base), the CHANGE is O(delta).  The production
+answer (Materialize, Delta Live Tables, BigQuery MVs) maintains the
+view from the table's change stream instead, which our table format
+already exposes in two tiers:
+
+* **append-delta** (:func:`~.versioned.read_changes_since`): when the
+  refresh range is pure appends, read ONLY the new commits' files —
+  table history size and base size are both irrelevant;
+* **keyed-diff** (:func:`~.versioned.change_feed`): when the range
+  contains deletes/updates/rewrites, the keyed change feed yields the
+  minimal signed row set (insert +, delete −, update = − old + new).
+
+Either way the maintenance step is the SAME re-aggregation: the stored
+view rows are already group partials, so ``(view ∪ signed-delta
+partials) → groupBy → sum`` merges them with no join at all — groupBy
+is null-safe on group keys for free, and emptied groups drop out when
+their maintained row count hits zero.  Refresh cost is O(delta +
+|view|), never O(base).
+
+Exactness contract: ``count`` and integer-valued ``sum`` measures are
+EXACTLY equal to a from-scratch recompute at any point (integer
+addition is associative); float sums would drift by summation order —
+callers who need exact money math must pre-scale to integers or use
+decimals, and the registered query does exactly that
+(``sum(floor(value*100))``).  Each view commit records its spec + the
+base version it reflects in commit ``meta``, so refresh is stateless
+and the view itself time-travels like any versioned table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import versioned as V
+
+#: measure spec: (output column, "count" | "sum", SQL expression or None)
+Measure = tuple
+
+_N = "__n"  # maintained row count — drops emptied groups, never exposed
+
+
+def _partials(
+    df: DataFrame,
+    group_cols: list[str],
+    measures: list[Measure],
+    sign=None,
+) -> DataFrame:
+    """One map-side-combinable aggregation producing the view's partial
+    rows; ``sign`` (±1 column) turns the same shape into signed deltas
+    for the keyed-diff path."""
+    s = F.lit(1) if sign is None else sign
+    aggs = [F.sum(s).alias(_N)]
+    for name, kind, expr in measures:
+        if kind == "count":
+            aggs.append(F.sum(s).alias(name))
+        elif kind == "sum":
+            col = F.expr(expr)
+            aggs.append(F.sum(s * F.coalesce(col, F.lit(0))).alias(name))
+        else:
+            raise ValueError(f"non-decomposable measure kind: {kind!r}")
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def create_matview(
+    spark: SparkSession,
+    base_table: str,
+    view_table: str,
+    group_cols: list[str],
+    measures: list[Measure],
+    keys: list[str] | None = None,
+    txn: str | None = None,
+) -> int:
+    """Materialize the view from the base table's CURRENT snapshot and
+    record (spec, base_version) in the view commit's meta — everything
+    :func:`refresh_matview` needs later, so refresh takes no arguments
+    but the view table.  ``keys`` (the base table's row identity)
+    enables the keyed-diff path across deletes/updates; without it the
+    view can only follow pure appends."""
+    base_v = V.latest_version(base_table)
+    snap = V.read_version(spark, base_table, base_v)
+    view = _partials(snap, group_cols, measures)
+    return V.commit_write(
+        view.coalesce(1),
+        view_table,
+        mode="overwrite",
+        txn=txn,
+        meta={
+            "matview": {
+                "base_table": base_table,
+                "base_version": base_v,
+                "group_cols": group_cols,
+                "measures": [list(m) for m in measures],
+                "keys": keys,
+            }
+        },
+    )
+
+
+def _signed_rows_from_feed(
+    feed: DataFrame, keys: list[str], payload_cols: list[str]
+) -> DataFrame:
+    """Explode a keyed change feed into signed full rows: insert → new
+    row +1; delete → old row −1; update → both.  Row width is the
+    columns the view actually reads, size is bounded by CHANGED keys."""
+    old_side = feed.filter(F.col("change").isin("delete", "update")).select(
+        *keys,
+        *[F.col(f"old_values.{c}").alias(c) for c in payload_cols],
+        F.lit(-1).alias("__sign"),
+    )
+    new_side = feed.filter(F.col("change").isin("insert", "update")).select(
+        *keys,
+        *[F.col(f"new_values.{c}").alias(c) for c in payload_cols],
+        F.lit(1).alias("__sign"),
+    )
+    return old_side.unionByName(new_side)
+
+
+def refresh_matview(
+    spark: SparkSession, view_table: str, txn: str | None = None
+) -> dict:
+    """Advance the view to the base table's latest version by applying
+    the delta — never by rescanning the base.  Picks the cheapest legal
+    path: pure-append ranges read only the new commits' files; ranges
+    crossing deletes/updates/rewrites fall back to the keyed change
+    feed (requires the spec's ``keys``).  Returns a summary dict
+    ``{"path", "from_version", "to_version", "view_version"}``."""
+    vv = V.latest_version(view_table)
+    spec = V.commit_meta(view_table, vv)["matview"]
+    base_table = spec["base_table"]
+    base_old = spec["base_version"]
+    group_cols = list(spec["group_cols"])
+    measures = [tuple(m) for m in spec["measures"]]
+    keys = spec.get("keys")
+    base_new = V.latest_version(base_table)
+    if base_new == base_old:
+        return {
+            "path": "noop",
+            "from_version": base_old,
+            "to_version": base_new,
+            "view_version": vv,
+        }
+
+    try:
+        delta = V.read_changes_since(spark, base_table, base_old, base_new)
+        signed = _partials(delta, group_cols, measures)
+        path = "append-delta"
+    except ValueError:
+        if not keys:
+            raise ValueError(
+                f"refresh range ({base_old}, {base_new}] of {base_table} "
+                "contains deletes/updates/rewrites and the view spec has "
+                "no keys — recreate the view with keys=[...] to enable "
+                "the keyed-diff path"
+            )
+        feed = V.change_feed(spark, base_table, base_old, base_new, keys)
+        # ship every payload column the feed carries — column pruning
+        # below the struct happens in the optimizer; the row COUNT
+        # (changed keys only) is what bounds the work
+        payload_cols = [
+            f.name for f in feed.schema["old_values"].dataType.fields
+        ]
+        rows = _signed_rows_from_feed(feed, keys, payload_cols)
+        signed = _partials(rows, group_cols, measures, sign=F.col("__sign"))
+        path = "keyed-diff"
+
+    current = V.read_version(spark, view_table, vv)
+    merged = (
+        current.unionByName(signed)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(_N).alias(_N),
+            *[F.sum(name).alias(name) for name, _, _ in measures],
+        )
+        .filter(F.col(_N) > 0)
+    )
+    new_spec = dict(spec, base_version=base_new)
+    view_version = V.commit_write(
+        merged.coalesce(1),
+        view_table,
+        mode="overwrite",
+        txn=txn,
+        meta={"matview": new_spec},
+    )
+    return {
+        "path": path,
+        "from_version": base_old,
+        "to_version": base_new,
+        "view_version": view_version,
+    }
+
+
+def read_matview(
+    spark: SparkSession, view_table: str, version: int | None = None
+) -> DataFrame:
+    """The view's serving read: group columns + declared measures (the
+    internal row-count guard stays internal)."""
+    df = V.read_version(spark, view_table, version)
+    return df.drop(_N)

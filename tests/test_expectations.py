@@ -1,0 +1,157 @@
+"""Write-time expectations on the versioned table (r11): fail blocks
+the commit atomically, drop filters, quarantine dead-letters violating
+rows to a companion table — and every commit's meta carries the
+violation counts, making the commit log the quality ledger."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_zeal_spark.io import load_table
+from data_pipeline_zeal_spark.sources import expectations as E
+from data_pipeline_zeal_spark.sources import versioned as V
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+EXPECT = [
+    ("value_non_negative", "value >= 0"),  # NULL value -> violation
+    ("type_known", "event_type IS NOT NULL AND event_type != 'bogus'"),
+]
+
+
+@pytest.fixture()
+def table():
+    t = tempfile.mkdtemp(prefix="expect_")
+    yield t
+    shutil.rmtree(t, ignore_errors=True)
+    shutil.rmtree(t + "_quarantine", ignore_errors=True)
+
+
+def _events(spark):
+    return load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+
+def test_fail_mode_blocks_commit_atomically(spark, table):
+    ev = _events(spark)
+    bad = ev.withColumn(
+        "value", F.when(F.col("event_id") % 50 == 0, F.lit(-1.0)).otherwise(
+            F.col("value")
+        )
+    )
+    with pytest.raises(E.ExpectationViolation) as exc:
+        E.commit_with_expectations(bad, table, EXPECT, on_violation="fail")
+    assert exc.value.counts["value_non_negative"] > 0
+    # NOTHING committed — not even a log directory entry
+    with pytest.raises(FileNotFoundError):
+        V.read_version(spark, table)
+
+    # an all-clean frame commits and records zero violations
+    clean = ev.filter(F.col("value") >= 0)
+    rep = E.commit_with_expectations(clean, table, EXPECT, on_violation="fail")
+    assert rep["violations"] == {"value_non_negative": 0, "type_known": 0}
+    assert V.read_version(spark, table).count() == rep["rows_written"]
+    meta = V.commit_meta(table, rep["version"])["expectations"]
+    assert meta["violations"]["value_non_negative"] == 0
+
+
+def test_null_predicate_counts_as_violation(spark, table):
+    # inject NULL values: three-valued logic would silently ADMIT them
+    # through `value >= 0` without the coalesce-to-violation rule
+    ev = _events(spark).withColumn(
+        "value",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    n_null = ev.filter(F.col("value").isNull()).count()
+    assert n_null > 0
+    rep = E.commit_with_expectations(ev, table, EXPECT, on_violation="drop")
+    assert rep["violations"]["value_non_negative"] == n_null
+    got = V.read_version(spark, table)
+    assert got.filter(F.col("value").isNull()).count() == 0
+    assert got.count() == rep["rows_written"]
+
+
+def test_quarantine_dead_letters_with_violation_names(spark, table):
+    ev = _events(spark)
+    poisoned = ev.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 97 == 0, F.lit("bogus")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    rep = E.commit_with_expectations(
+        poisoned, table, EXPECT, on_violation="quarantine", txn="q1"
+    )
+    assert rep["quarantined"] > 0
+    assert rep["rows_written"] + rep["quarantined"] == rep["rows_checked"]
+    main = V.read_version(spark, table)
+    q = V.read_version(spark, table + "_quarantine")
+    assert main.count() == rep["rows_written"]
+    assert q.count() == rep["quarantined"]
+    # every quarantined row names what it violated
+    named = {
+        n for r in q.select("__violated").collect() for n in r["__violated"]
+    }
+    assert "type_known" in named
+    # no lost rows: main + quarantine == input (keyed)
+    ids_in = {r.event_id for r in poisoned.select("event_id").collect()}
+    ids_out = {r.event_id for r in main.select("event_id").collect()} | {
+        r.event_id for r in q.select("event_id").collect()
+    }
+    assert ids_out == ids_in
+
+    # txn idempotency covers BOTH commits: replay adds nothing anywhere
+    h_main = len(V.history(table))
+    h_q = len(V.history(table + "_quarantine"))
+    E.commit_with_expectations(
+        poisoned, table, EXPECT, on_violation="quarantine", txn="q1"
+    )
+    assert len(V.history(table)) == h_main
+    assert len(V.history(table + "_quarantine")) == h_q
+
+
+def test_streaming_sink_gates_each_batch(spark, table, tmp_path):
+    import os
+
+    ev = _events(spark).filter(F.col("value").isNotNull())
+    src = str(tmp_path / "in")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    os.utime(files[0], (1_700_000_000,) * 2)
+    os.utime(files[1], (1_700_000_100,) * 2)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    sink = E.expectations_sink(table, EXPECT, on_violation="drop")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = V.read_version(spark, table)
+    want = ev.filter(F.col("value") >= 0)
+    assert got.count() == want.count()
+    # per-batch quality ledger in the commit log
+    for v in range(1, len(V.history(table)) + 1):
+        assert "expectations" in V.commit_meta(table, v)

@@ -1,0 +1,134 @@
+"""Incrementally-maintained materialized views (r11): refresh applies
+the base table's delta (append-files or keyed change feed), never a
+base rescan, and the result is EXACTLY a from-scratch recompute for
+count / integer-sum measures."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_zeal_spark.io import load_table
+from data_pipeline_zeal_spark.sources import matview as MV
+from data_pipeline_zeal_spark.sources import versioned as V
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+GROUPS = ["event_type"]
+MEASURES = [
+    ("n_events", "count", None),
+    ("sum_cents", "sum", "CAST(FLOOR(value * 100) AS BIGINT)"),
+]
+
+
+@pytest.fixture()
+def tables():
+    base = tempfile.mkdtemp(prefix="mv_base_")
+    view = tempfile.mkdtemp(prefix="mv_view_")
+    yield base, view
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(view, ignore_errors=True)
+
+
+def _events(spark):
+    return load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+
+def _recompute(spark, base):
+    return {
+        tuple(r)
+        for r in MV._partials(
+            V.read_version(spark, base), GROUPS, MEASURES
+        ).drop(MV._N).collect()
+    }
+
+
+def _view_rows(spark, view):
+    return {tuple(r) for r in MV.read_matview(spark, view).collect()}
+
+
+def test_append_delta_refresh_equals_recompute(spark, tables):
+    base, view = tables
+    ev = _events(spark)
+    V.commit_write(ev.filter(F.col("event_id") % 3 == 0), base, "overwrite")
+    MV.create_matview(spark, base, view, GROUPS, MEASURES)
+    # two more appends land before the refresh
+    V.commit_write(ev.filter(F.col("event_id") % 3 == 1), base, "append")
+    V.commit_write(ev.filter(F.col("event_id") % 3 == 2), base, "append")
+
+    res = MV.refresh_matview(spark, view)
+    assert res["path"] == "append-delta"
+    assert res["from_version"] == 1 and res["to_version"] == 3
+    assert _view_rows(spark, view) == _recompute(spark, base)
+
+    # idempotent: nothing new -> noop, view untouched
+    before = V.latest_version(view)
+    assert MV.refresh_matview(spark, view)["path"] == "noop"
+    assert V.latest_version(view) == before
+
+
+def test_keyed_diff_refresh_across_update_and_delete(spark, tables):
+    base, view = tables
+    ev = _events(spark)
+    V.commit_write(ev, base, "overwrite")
+    MV.create_matview(spark, base, view, GROUPS, MEASURES, keys=["event_id"])
+
+    # an update that MOVES rows between groups (the hard case: -old +new)
+    moved = (
+        V.read_version(spark, base)
+        .filter((F.col("event_id") % 7 == 0) & F.col("value").isNotNull())
+        .withColumn("event_type", F.lit("migrated"))
+        .withColumn("value", F.col("value") + 10.0)
+    )
+    V.merge_upsert(spark, base, moved, keys=["event_id"], order_col="value")
+    # and a merge-on-read delete
+    V.delete_where_dv(spark, base, [("event_id", "in", [1, 2, 3, 4, 5])])
+
+    res = MV.refresh_matview(spark, view)
+    assert res["path"] == "keyed-diff"
+    assert _view_rows(spark, view) == _recompute(spark, base)
+
+
+def test_emptied_group_disappears(spark, tables):
+    base, view = tables
+    ev = _events(spark)
+    V.commit_write(ev, base, "overwrite")
+    MV.create_matview(spark, base, view, GROUPS, MEASURES, keys=["event_id"])
+    victim = V.read_version(spark, base).limit(1).collect()[0].event_type
+    assert any(r[0] == victim for r in _view_rows(spark, view))
+    V.delete_where(spark, base, [("event_type", "=", victim)])
+    MV.refresh_matview(spark, view)
+    rows = _view_rows(spark, view)
+    assert rows == _recompute(spark, base)
+    assert not any(r[0] == victim for r in rows)
+
+
+def test_refresh_without_keys_rejects_non_append_range(spark, tables):
+    base, view = tables
+    ev = _events(spark)
+    V.commit_write(ev, base, "overwrite")
+    MV.create_matview(spark, base, view, GROUPS, MEASURES)  # no keys
+    V.delete_where_dv(spark, base, [("event_id", "in", [10, 11])])
+    with pytest.raises(ValueError, match="keyed-diff"):
+        MV.refresh_matview(spark, view)
+
+
+def test_view_itself_time_travels(spark, tables):
+    base, view = tables
+    ev = _events(spark)
+    V.commit_write(ev.filter(F.col("event_id") % 2 == 0), base, "overwrite")
+    MV.create_matview(spark, base, view, GROUPS, MEASURES)
+    v1_rows = _view_rows(spark, view)
+    V.commit_write(ev.filter(F.col("event_id") % 2 == 1), base, "append")
+    MV.refresh_matview(spark, view)
+    assert _view_rows(spark, view) != v1_rows  # the view moved
+    pinned = {
+        tuple(r)
+        for r in MV.read_matview(spark, view, version=1).collect()
+    }
+    assert pinned == v1_rows  # but version 1 still serves the old state
