@@ -1415,6 +1415,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["versioned_expectations"] = _versioned_expectations
 
+    def _versioned_maintain(s: SparkSession, d: str) -> DataFrame:
+        """Auto-OPTIMIZE (r11 — the scheduled table-health decision,
+        metadata-only until it fires): eight single-file appends build
+        the table, a 20% merge-on-read delete puts it over the
+        tombstone-debt ratio, and maintain_table settles the debt with
+        ONE materializing compact.  Structural pins: files_before=8 (the
+        append layout), files_after=2 (num_files honored by the plain
+        bin-packing rewrite), fragmented=0/dv_debt=1 (the RIGHT trigger
+        fired), dv_live_after=0 (tombstones materialized).  The
+        surviving snapshot content is the oracle's anti-filter recompute
+        (sources/versioned.py maintain_table; triggers + settle laws in
+        tests/test_versioned.py)."""
+        import shutil
+        import tempfile
+
+        from data_pipeline_zeal_spark.sources import versioned as V
+
+        o = load_table(s, d, "orders").filter(F.col("o_orderkey") % 10 == 0)
+        t = tempfile.mkdtemp(prefix="maintain_")
+        try:
+            for b in range(8):
+                V.commit_write(
+                    o.filter(F.pmod(F.floor(F.col("o_orderkey") / 10), 8) == b)
+                    .coalesce(1),
+                    t,
+                    mode="append",
+                )
+            V.delete_where_dv(
+                s, t, [("o_orderdate", ">=", "1997-07-01 00:00:00")]
+            )
+            rec = V.maintain_table(
+                s, t, max_live_files=32, max_dv_ratio=0.1, num_files=2
+            )
+            cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            agg = (
+                V.read_version(s, t)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.coalesce(F.sum(cents), F.lit(0)).alias("total_cents"),
+                )
+                .select(
+                    F.lit(rec["files_before"]).alias("files_before"),
+                    F.lit(rec.get("files_after", -1)).alias("files_after"),
+                    F.lit(int(rec["fragmented"])).alias("fragmented"),
+                    F.lit(int(rec["dv_debt"])).alias("dv_debt"),
+                    F.lit(rec["dv_rows"]).cast("long").alias("dv_rows"),
+                    F.lit(len(V.live_dv_dirs(t))).alias("dv_live_after"),
+                    "n_rows",
+                    "total_cents",
+                )
+            )
+            return _eager(agg)
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
+
+    q["versioned_maintain"] = _versioned_maintain
+
     def _versioned_update(s: SparkSession, d: str) -> DataFrame:
         """Copy-on-write UPDATE (round-8): same three-commit layout as
         the delete query, then SET o_orderstatus='R' on the matching
@@ -2175,7 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
 #: ROUND-11 WINDOW (tools/rotate_registry.py stalest-first; verified with
-#: `python tools/driver_sim.py <names>` before commit): 6 never-sampled —
+#: `python tools/driver_sim.py <names>` before commit): 7 never-sampled —
 #: versioned_delete_dv (merge-on-read positional deletes),
 #: text_bm25_segment_search (incremental BM25 index maintenance checked
 #: against the full-corpus oracle), text_bpe_encode_deep (the Arrow
@@ -2185,7 +2242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: versioned_matview_refresh (incrementally-maintained materialized view:
 #: append-delta then keyed-diff refresh equals the from-scratch recompute)
 #: and versioned_expectations (write-time quality gate with quarantine
-#: dead-lettering, counts recomputed by the oracle) — plus 44
+#: dead-lettering, counts recomputed by the oracle) and
+#: versioned_maintain (auto-OPTIMIZE: metadata-only fragmentation +
+#: tombstone-debt triggers gating one materializing compact) — plus 43
 #: re-verifications
 #: drawn from the r6 staleness tail the round-10 verdict's directive #1
 #: names: the multimodal gate quintet, the retrieval/BM25 family, the
@@ -2199,6 +2258,7 @@ _DRIVER_FIRST = [
     "sim_ivfadc_index_search",
     "versioned_matview_refresh",
     "versioned_expectations",
+    "versioned_maintain",
     "events_user_bursts",
     "events_key_skew_profile",
     "generator_profile",
@@ -2242,7 +2302,6 @@ _DRIVER_FIRST = [
     "order_priority_rollup",
     "part_type_stats",
     "order_lineitem_detail",
-    "tpch_q7_volume_shipping",
 ]
 
 
@@ -6517,6 +6576,27 @@ SELECT count(*)::BIGINT AS rows_checked,
        coalesce(sum(CAST(floor(value * 100) AS BIGINT))
                   FILTER (WHERE pass), 0)::BIGINT AS total_cents
 FROM ok
+"""
+    # versioned_maintain: files_before=8 / files_after=2 pin the append
+    # layout and the bin-packing rewrite honoring num_files;
+    # fragmented=0 / dv_debt=1 pin WHICH trigger fired (8 files is under
+    # the 32 cap; ~17% deleted is over the 10% ratio); dv_live_after=0
+    # pins that the compact materialized the tombstones.  dv_rows and
+    # the surviving snapshot recompute from the same date predicate.
+    o["versioned_maintain"] = """
+SELECT CAST(8 AS INTEGER) AS files_before,
+       CAST(2 AS INTEGER) AS files_after,
+       CAST(0 AS INTEGER) AS fragmented,
+       CAST(1 AS INTEGER) AS dv_debt,
+       (SELECT count(*) FROM orders
+        WHERE o_orderkey % 10 = 0
+          AND o_orderdate >= TIMESTAMP '1997-07-01')::BIGINT AS dv_rows,
+       CAST(0 AS INTEGER) AS dv_live_after,
+       count(*)::BIGINT AS n_rows,
+       coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
+                0)::BIGINT AS total_cents
+FROM orders
+WHERE o_orderkey % 10 = 0 AND o_orderdate < TIMESTAMP '1997-07-01'
 """
     # versioned_update_where: a string SET carries no float hazard, so
     # the post-update status census is a pure SQL recompute; the COW

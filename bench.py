@@ -249,6 +249,7 @@ HEADLINE = [
     "sim_ivfadc_index_search",
     "versioned_matview_refresh",
     "versioned_expectations",
+    "versioned_maintain",
 ]
 
 

@@ -788,7 +788,83 @@ def compact(
             snap = snap.repartitionByRange(
                 num_files, *cluster_by
             ).sortWithinPartitions(*cluster_by)
+    else:
+        # plain bin-packing OPTIMIZE: without a clustering key the point
+        # is fewer, larger files — honor num_files instead of inheriting
+        # the fragmented source partitioning
+        snap = snap.coalesce(num_files)
     return commit_write(snap, table, mode="overwrite", txn=txn)
+
+
+def maintain_table(
+    spark: SparkSession,
+    table: str,
+    max_live_files: int = 32,
+    max_dv_ratio: float = 0.1,
+    cluster_by: list[str] | None = None,
+    zorder: bool = False,
+    num_files: int = 8,
+    txn: str | None = None,
+) -> dict:
+    """Auto-OPTIMIZE (the Databricks predictive-optimization shape, r11):
+    decide from METADATA ALONE whether the table has accumulated enough
+    debt to earn a rewrite, and pay it with one :func:`compact` when it
+    has.  Two debts, both read from log replay without opening a file:
+
+    * **fragmentation** — live parquet file count
+      (:func:`pruned_paths` with no predicates) above ``max_live_files``:
+      streamed micro-batch appends each commit their own small files,
+      and at 100 TB per-file overheads (open cost, footer reads, task
+      scheduling) dominate once files shrink below ~100 MB;
+    * **tombstone debt** — live merge-on-read delete rows
+      (:func:`delete_where_dv`) above ``max_dv_ratio`` of the live
+      physical rows: every read pays the anti-join until an overwrite
+      materializes the deletes, so MOR's write-side savings must be
+      repaid before the read tax compounds.
+
+    The rewrite settles BOTH debts at once (compaction rewrites the
+    current snapshot, which drops the tombstones by construction) and
+    restores file-granular stats pruning when ``cluster_by`` is given.
+    Scheduled alongside :func:`~..operators.ann_index.ivf_rebuild_if_
+    drifted`, these make table health a cheap cron decision, not an
+    operator judgment call.  Returns the decision record either way."""
+    _, n_files, _ = pruned_paths(table, [])
+    version = latest_version(table)
+    live_rel = {os.path.relpath(d, table) for d in live_dirs(table, version)}
+    dv_rel = {
+        os.path.relpath(d, table) for d in live_dv_dirs(table, version)
+    }
+    data_rows = dv_rows = 0
+    for v in _list_versions(table):
+        e = _read_entry(table, v)
+        if set(e.get("dirs") or []) & live_rel:
+            data_rows += e.get("n_rows") or 0
+        if set(e.get("dv_dirs") or []) & dv_rel:
+            dv_rows += e.get("n_deleted") or 0
+    ratio = (dv_rows / data_rows) if data_rows else 0.0
+    fragmented = n_files > max_live_files
+    dv_debt = ratio > max_dv_ratio
+    rec = {
+        "files_before": n_files,
+        "dv_rows": dv_rows,
+        "dv_ratio": round(ratio, 6),
+        "fragmented": fragmented,
+        "dv_debt": dv_debt,
+        "compacted": False,
+    }
+    if not (fragmented or dv_debt):
+        return rec
+    compact(
+        spark,
+        table,
+        txn=txn,
+        cluster_by=cluster_by,
+        zorder=zorder,
+        num_files=num_files,
+    )
+    rec["compacted"] = True
+    rec["files_after"] = pruned_paths(table, [])[1]
+    return rec
 
 
 def merge_upsert(

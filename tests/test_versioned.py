@@ -989,3 +989,42 @@ def test_delete_where_dv_cow_interplay_and_vacuum(spark):
         assert rep["rows_deleted"] == expect.count() - want.count()
     finally:
         shutil.rmtree(t, ignore_errors=True)
+
+
+def test_maintain_table_defragments_on_file_count(spark, tmp_path):
+    """Auto-OPTIMIZE (r11): the fragmentation trigger reads only the
+    log; below threshold it refuses to rewrite, above it one compact
+    restores the file count and content."""
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 40, 5):  # eight single-file appends
+        V.commit_write(_df(spark, lo, lo + 5).coalesce(1), t, mode="append")
+    noop = V.maintain_table(spark, t, max_live_files=32)
+    assert not noop["compacted"] and noop["files_before"] == 8
+
+    rec = V.maintain_table(spark, t, max_live_files=4, num_files=2)
+    assert rec["compacted"] and rec["fragmented"]
+    assert rec["files_after"] <= 2 < rec["files_before"]
+    assert sorted(r.id for r in V.read_version(spark, t).collect()) == list(
+        range(40)
+    )
+    # settled: the next check owes nothing
+    assert not V.maintain_table(spark, t, max_live_files=4)["compacted"]
+
+
+def test_maintain_table_settles_tombstone_debt(spark, tmp_path):
+    """The DV-debt trigger: merge-on-read deletes above the ratio earn a
+    materializing rewrite (tombstones gone, logical content kept); a
+    small DV stays below threshold and keeps MOR's cheap write."""
+    t = str(tmp_path / "tbl")
+    V.commit_write(_df(spark, 0, 100).coalesce(1), t, mode="overwrite")
+    V.delete_where_dv(spark, t, [("id", "<", 3)])  # 3% deleted
+    small = V.maintain_table(spark, t, max_dv_ratio=0.1)
+    assert not small["compacted"] and small["dv_rows"] == 3
+
+    V.delete_where_dv(spark, t, [("id", "<", 20)])  # now 20% deleted
+    rec = V.maintain_table(spark, t, max_dv_ratio=0.1, num_files=1)
+    assert rec["compacted"] and rec["dv_debt"]
+    assert V.live_dv_dirs(t) == []  # materialized
+    assert sorted(r.id for r in V.read_version(spark, t).collect()) == list(
+        range(20, 100)
+    )
