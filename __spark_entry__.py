@@ -1472,6 +1472,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["versioned_maintain"] = _versioned_maintain
 
+    def _versioned_bloom_skipping(s: SparkSession, d: str) -> DataFrame:
+        """Per-file Bloom skipping (r11 — the Delta bloom-filter-index
+        analog): the orders slice lands HASH-partitioned into 8 files,
+        so every file's o_orderkey [min,max] spans the whole range and
+        zone maps keep all 8 on a point probe (zone_kept=8, pinned via
+        the bloom-blind `between` form of the same probe); the per-file
+        Bloom bitmaps prove 7 files absent (bloom_kept=1) and prove an
+        in-range-but-absent key absent EVERYWHERE (absent_kept=0).  The
+        read result over the pruned slice equals the plain filter — the
+        oracle recomputes it.  Driver-side probe positions come from the
+        pure-Python XXH64 whose JVM bit-parity is pinned in
+        tests/test_bloom_skipping.py."""
+        import shutil
+        import tempfile
+
+        from data_pipeline_zeal_spark.sources import versioned as V
+
+        o = load_table(s, d, "orders").filter(
+            F.col("o_orderkey") % 10 == 0
+        ).select("o_orderkey", "o_totalprice")
+        t = tempfile.mkdtemp(prefix="bloom_q_")
+        try:
+            V.commit_write(
+                o.repartition(8, "o_orderkey"),
+                t,
+                mode="overwrite",
+                bloom_cols=["o_orderkey"],
+            )
+            # a MID-RANGE key: inside every hash-partitioned file's
+            # [min,max] (a max-key probe would let zone maps prune
+            # trivially and prove nothing about the bitmaps)
+            hi = o.agg(F.max("o_orderkey")).first()[0]
+            key = o.filter(F.col("o_orderkey") <= hi / 2).agg(
+                F.max("o_orderkey")
+            ).first()[0]
+            zone = V.pruned_paths(
+                t, [("o_orderkey", "between", (key, key))]
+            )[1]
+            _, bloom_kept, _ = V.pruned_paths(t, [("o_orderkey", "=", key)])
+            _, absent_kept, _ = V.pruned_paths(
+                t, [("o_orderkey", "=", key + 1)]  # in-range, not %10==0
+            )
+            cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            agg = (
+                V.read_where(s, t, [("o_orderkey", "=", key)])
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.coalesce(F.sum(cents), F.lit(0)).alias("total_cents"),
+                )
+                .select(
+                    F.lit(zone).alias("zone_kept"),
+                    F.lit(bloom_kept).alias("bloom_kept"),
+                    F.lit(absent_kept).alias("absent_kept"),
+                    "n_rows",
+                    "total_cents",
+                )
+            )
+            return _eager(agg)
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
+
+    q["versioned_bloom_skipping"] = _versioned_bloom_skipping
+
     def _versioned_update(s: SparkSession, d: str) -> DataFrame:
         """Copy-on-write UPDATE (round-8): same three-commit layout as
         the delete query, then SET o_orderstatus='R' on the matching
@@ -2232,7 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
 #: ROUND-11 WINDOW (tools/rotate_registry.py stalest-first; verified with
-#: `python tools/driver_sim.py <names>` before commit): 7 never-sampled —
+#: `python tools/driver_sim.py <names>` before commit): 8 never-sampled —
 #: versioned_delete_dv (merge-on-read positional deletes),
 #: text_bm25_segment_search (incremental BM25 index maintenance checked
 #: against the full-corpus oracle), text_bpe_encode_deep (the Arrow
@@ -2244,7 +2307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: and versioned_expectations (write-time quality gate with quarantine
 #: dead-lettering, counts recomputed by the oracle) and
 #: versioned_maintain (auto-OPTIMIZE: metadata-only fragmentation +
-#: tombstone-debt triggers gating one materializing compact) — plus 43
+#: tombstone-debt triggers gating one materializing compact) and
+#: versioned_bloom_skipping (per-file Bloom bitmaps prove point-lookup
+#: absence where hash-layout zone maps keep everything; driver-side
+#: probe hashing is the JVM-parity-pinned pure-Python XXH64) — plus 42
 #: re-verifications
 #: drawn from the r6 staleness tail the round-10 verdict's directive #1
 #: names: the multimodal gate quintet, the retrieval/BM25 family, the
@@ -2259,6 +2325,7 @@ _DRIVER_FIRST = [
     "versioned_matview_refresh",
     "versioned_expectations",
     "versioned_maintain",
+    "versioned_bloom_skipping",
     "events_user_bursts",
     "events_key_skew_profile",
     "generator_profile",
@@ -2301,7 +2368,6 @@ _DRIVER_FIRST = [
     "nations_with_both",
     "order_priority_rollup",
     "part_type_stats",
-    "order_lineitem_detail",
 ]
 
 
@@ -6597,6 +6663,26 @@ SELECT CAST(8 AS INTEGER) AS files_before,
                 0)::BIGINT AS total_cents
 FROM orders
 WHERE o_orderkey % 10 = 0 AND o_orderdate < TIMESTAMP '1997-07-01'
+"""
+    # versioned_bloom_skipping: zone_kept=8 pins that hash layout makes
+    # min/max useless for the point probe; bloom_kept=1 / absent_kept=0
+    # pin the bitmap's absence proofs (deterministic — same data, same
+    # hashes; false-positive odds per file ~(fill)^k ~ 1e-5 at these row
+    # counts); the surviving read recomputes as the plain point filter.
+    o["versioned_bloom_skipping"] = """
+SELECT CAST(8 AS INTEGER) AS zone_kept,
+       CAST(1 AS INTEGER) AS bloom_kept,
+       CAST(0 AS INTEGER) AS absent_kept,
+       count(*)::BIGINT AS n_rows,
+       coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
+                0)::BIGINT AS total_cents
+FROM orders
+WHERE o_orderkey % 10 = 0
+  AND o_orderkey = (SELECT max(o_orderkey) FROM orders
+                    WHERE o_orderkey % 10 = 0
+                      AND o_orderkey <= (SELECT max(o_orderkey) / 2
+                                         FROM orders
+                                         WHERE o_orderkey % 10 = 0))
 """
     # versioned_update_where: a string SET carries no float hazard, so
     # the post-update status census is a pure SQL recompute; the COW

@@ -250,6 +250,7 @@ HEADLINE = [
     "versioned_matview_refresh",
     "versioned_expectations",
     "versioned_maintain",
+    "versioned_bloom_skipping",
 ]
 
 
@@ -369,6 +370,11 @@ def main() -> None:
         "queries": timings,
         "warm_rows": warm_rows,
         "sf": sf_val,
+        # methodology (round-10 directive #5): per-row value is the
+        # MEDIAN of `repeat` runs; repeat=1 artifacts are single-run and
+        # carry the measured +-20-60% host variance (SCALE.md "bench row
+        # position effect") — compare rounds only at equal repeat
+        "repeat": repeat,
     }
     print(json.dumps(detail))
     detail_name = "BENCH_SUBSET.json" if is_subset else "BENCH_DETAIL.json"

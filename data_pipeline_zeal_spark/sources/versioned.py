@@ -222,6 +222,112 @@ def _staged_stats(spark: SparkSession, data_dir: str):
     return n_rows, dir_stats, file_stats
 
 
+def _staged_bloom(
+    spark: SparkSession, data_dir: str, cols: list[str], m_bits: int, k: int
+) -> dict:
+    """Per-file Bloom bitmaps for the designated point-lookup columns —
+    the Delta bloom-filter-index analog, computed over the freshly
+    staged directory and recorded in the commit entry so that
+    :func:`pruned_paths` can skip files on ``=`` / ``in`` probes that
+    min/max bounds cannot prune (unsorted high-cardinality keys: row
+    ids, user ids, content hashes).
+
+    Bit positions are ``pmod(xxhash64(col, CAST(i AS BIGINT)), m_bits)``
+    for i in 0..k-1 — the JVM expression the driver-side prober
+    (:mod:`..functions.xxh64`) replicates bit-for-bit.  The aggregation
+    is map-side-combinable and BOUNDED: positions fold to (file, word)
+    ``bit_or`` partials, at most ``m_bits/64`` rows per file regardless
+    of row count, so the driver collect is ~``n_files x 128`` longs at
+    the default 8192-bit layout (1 KiB per file per column in the log).
+    NULL keys set no bits — an equality probe can never match NULL, so
+    an all-NULL file correctly proves absent."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    staged = spark.read.parquet(data_dir)
+    n_words = m_bits // 64
+    files: dict[str, dict] = {}
+    for c in cols:
+        pos = F.array(
+            *[
+                F.pmod(
+                    F.xxhash64(F.col(c), F.lit(i).cast("long")),
+                    F.lit(m_bits).cast("long"),
+                )
+                for i in range(k)
+            ]
+        )
+        rows = (
+            staged.where(F.col(c).isNotNull())
+            .select(F.input_file_name().alias("__file"), F.explode(pos).alias("p"))
+            .select(
+                "__file",
+                F.shiftright(F.col("p"), 6).alias("w"),
+                # shiftleft's bit count must be a SQL expression: the
+                # Python API only takes a literal int
+                F.expr("shiftleft(1L, CAST(pmod(p, 64) AS INT))").alias("b"),
+            )
+            .groupBy("__file", "w")
+            .agg(F.bit_or("b").alias("bits"))
+            .collect()
+        )
+        maps: dict[str, bytearray] = {}
+        for r in rows:
+            base = r["__file"].rstrip("/").rsplit("/", 1)[-1]
+            buf = maps.setdefault(base, bytearray(n_words * 8))
+            w = int(r["w"])
+            buf[w * 8 : (w + 1) * 8] = (int(r["bits"]) & _U64).to_bytes(
+                8, "little"
+            )
+        for base, buf in maps.items():
+            files.setdefault(base, {})[c] = base64.b64encode(bytes(buf)).decode()
+    return {"m": m_bits, "k": k, "files": files}
+
+
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _bloom_may_contain(b64: str, m_bits: int, k: int, value) -> bool:
+    """Driver-side membership probe against one file's persisted bitmap
+    — no false negatives (absent bits PROVE the value never hashed in),
+    false positives only cost a kept file."""
+    import base64
+
+    from ..functions.xxh64 import bloom_positions
+
+    bits = base64.b64decode(b64)
+    for p in bloom_positions(value, k, m_bits):
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def _bloom_keeps_file(bloom: dict | None, base: str, predicates) -> bool:
+    """Apply every ``=`` / ``in`` predicate's Bloom test to one staged
+    file.  Conservative on every gap: no bloom recorded, column not
+    indexed, or file missing a bitmap (pre-bloom commit) all keep."""
+    if not bloom:
+        return True
+    per_file = (bloom.get("files") or {}).get(base)
+    if not per_file:
+        return True
+    m_bits, k = bloom["m"], bloom["k"]
+    for col, op, value in predicates:
+        b64 = per_file.get(col)
+        if b64 is None:
+            continue
+        if op == "=":
+            if not _bloom_may_contain(b64, m_bits, k, value):
+                return False
+        elif op == "in":
+            if not any(
+                _bloom_may_contain(b64, m_bits, k, v) for v in value
+            ):
+                return False
+    return True
+
+
 class ConcurrentWriteConflict(RuntimeError):
     """Optimistic-concurrency conflict (round-7 directive #4): the log
     gained commits this writer never read, and they do not commute with
@@ -333,11 +439,22 @@ def commit_write(
     max_retries: int = 20,
     read_version: int | None = None,
     meta: dict | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
+    bloom_hashes: int = 6,
 ) -> int:
     """Write ``df`` into the table as one atomic commit; returns the
     committed version.  ``mode`` is ``append`` or ``overwrite``.  With
     ``txn`` set, a commit whose id already appears in the log is skipped
     (idempotent retry) and the existing version is returned.
+
+    ``bloom_cols`` opts designated point-lookup columns into per-file
+    Bloom bitmaps (:func:`_staged_bloom`) recorded in the commit entry:
+    ``=`` / ``in`` reads then skip files min/max bounds cannot prune —
+    the unsorted-high-cardinality-key case zone maps are blind to.  Like
+    the min/max stats, the bitmap is paid once at write time and read
+    from metadata forever after; each writer declares its own columns
+    (mixed commits degrade conservatively to kept files).
 
     ``meta`` is an optional JSON-serializable dict recorded verbatim in
     the commit entry (read back via :func:`commit_meta`) — the hook for
@@ -378,6 +495,10 @@ def commit_write(
         "stats": stats,
         "file_stats": file_stats,
     }
+    if bloom_cols:
+        entry["bloom"] = _staged_bloom(
+            df.sparkSession, data_dir, bloom_cols, bloom_bits, bloom_hashes
+        )
     if meta:
         entry["meta"] = meta
     return _publish_entry(table, entry, txn, max_retries, read_version)
@@ -543,6 +664,7 @@ def _live_stats(table: str, version: int | None) -> dict[str, dict]:
             live[d] = {
                 "stats": entry.get("stats", {}),
                 "file_stats": entry.get("file_stats"),
+                "bloom": entry.get("bloom"),
             }
     return live
 
@@ -598,11 +720,14 @@ def pruned_paths(
             paths.append(os.path.join(table, d))
             n_kept += 1
             continue
+        bloom = payload.get("bloom")
         for base, bounds in sorted(fs.items()):
             if all(
                 _predicate_may_match(bounds.get(col), op, value)
                 for col, op, value in predicates
-            ):
+                # third tier: per-file Bloom bitmaps prove point-lookup
+                # absence where min/max ranges overlap (unsorted keys)
+            ) and _bloom_keeps_file(bloom, base, predicates):
                 paths.append(os.path.join(table, d, base))
                 n_kept += 1
             else:
