@@ -102,7 +102,15 @@ def build_ivf_index(
         .sortWithinPartitions("cell", "vec_id")
     )
     V.commit_write(
-        assigned, table, mode="overwrite", txn=txn, meta={"centroid_version": cv}
+        assigned,
+        table,
+        mode="overwrite",
+        txn=txn,
+        meta={"centroid_version": cv},
+        # vec_id point fetches (the probe's query-row read) are exactly
+        # the unsorted-key shape zone maps cannot prune on a
+        # cell-clustered layout — per-file Blooms can (r11)
+        bloom_cols=["vec_id"],
     )
     return cents
 
@@ -150,6 +158,7 @@ def ivf_index_sink(table: str, query_name: str = "ivf-append"):
             mode="append",
             txn=f"{query_name}-{batch_id}",
             meta={"centroid_version": cv},
+            bloom_cols=["vec_id"],
         )
 
     return _sink
@@ -427,6 +436,7 @@ def build_ivfadc_index(
         mode="overwrite",
         txn=txn,
         meta={"centroid_version": cv, "codebook_version": bv},
+        bloom_cols=["vec_id"],
     )
     return {"centroids": cents, "codebooks": books}
 
@@ -478,6 +488,7 @@ def ivfadc_index_sink(table: str, query_name: str = "ivfadc-append"):
             mode="append",
             txn=f"{query_name}-{batch_id}",
             meta={"centroid_version": cv, "codebook_version": bv},
+            bloom_cols=["vec_id"],
         )
 
     return _sink

@@ -883,6 +883,7 @@ def compact(
     cluster_by: list[str] | None = None,
     zorder: bool = False,
     num_files: int = 32,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot as one fresh commit (new
     compacted files, one atomic overwrite) — readers never see a partial
@@ -918,7 +919,12 @@ def compact(
         # is fewer, larger files — honor num_files instead of inheriting
         # the fragmented source partitioning
         snap = snap.coalesce(num_files)
-    return commit_write(snap, table, mode="overwrite", txn=txn)
+    # an overwrite replaces the file set, so per-file Bloom bitmaps must
+    # be re-declared or they are gone — same re-declare-on-rewrite
+    # contract as the clustering itself
+    return commit_write(
+        snap, table, mode="overwrite", txn=txn, bloom_cols=bloom_cols
+    )
 
 
 def maintain_table(
@@ -930,6 +936,7 @@ def maintain_table(
     zorder: bool = False,
     num_files: int = 8,
     txn: str | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Auto-OPTIMIZE (the Databricks predictive-optimization shape, r11):
     decide from METADATA ALONE whether the table has accumulated enough
@@ -986,6 +993,7 @@ def maintain_table(
         cluster_by=cluster_by,
         zorder=zorder,
         num_files=num_files,
+        bloom_cols=bloom_cols,
     )
     rec["compacted"] = True
     rec["files_after"] = pruned_paths(table, [])[1]

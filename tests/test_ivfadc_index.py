@@ -214,3 +214,33 @@ def test_time_travel_resolves_models_after_append_and_rebuild(
     # the live index serves the new layout: codes are m=8 ints < 16
     row = V.read_version(spark, index_table).limit(1).collect()[0]
     assert len(row.codes) == 8 and max(row.codes) < 16
+
+
+def test_query_row_fetch_is_bloom_pruned(spark, index_table):
+    """The probe's query-row fetch reads by vec_id — an unsorted key on
+    the cell-clustered layout, so zone maps keep every file; the
+    per-file Bloom bitmaps (r11) pinpoint the file actually holding the
+    query vector, and the search result is unchanged."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    ann_index.build_ivfadc_index(emb, index_table, **LAYOUT)
+    # a MID-RANGE id: inside every cell-clustered file's vec_id span (an
+    # extreme id would let zone maps prune trivially, proving nothing)
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    qid = ids[len(ids) // 2]
+    _, n_all, _ = V.pruned_paths(index_table, [])
+    _, zone_kept, _ = V.pruned_paths(
+        index_table, [("vec_id", "between", (qid, qid))]  # bloom-blind
+    )
+    _, bloom_kept, skipped = V.pruned_paths(
+        index_table, [("vec_id", "in", [qid])]
+    )
+    assert zone_kept == n_all  # zone maps prune NOTHING here
+    assert bloom_kept <= 2 and skipped >= n_all - 2
+    # parity with the in-plan kernel is untouched by the pruning tier
+    got = ann_index.search_ivfadc_index(
+        spark, index_table, emb, [qid], k=5, nprobe=6, rerank=200
+    )
+    want = similarity.ivf_pq_topk(emb, [qid], k=5, **LAYOUT)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
