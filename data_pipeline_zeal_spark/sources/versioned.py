@@ -660,12 +660,23 @@ def _live_stats(table: str, version: int | None) -> dict[str, dict]:
         entry = _read_entry(table, v)
         if entry["action"] == "overwrite":
             live = {}
+        per = entry.get("per_dir") or {}
         for d in entry["dirs"]:
-            live[d] = {
-                "stats": entry.get("stats", {}),
-                "file_stats": entry.get("file_stats"),
-                "bloom": entry.get("bloom"),
-            }
+            if d in per:
+                # multi-dir entries (RESTORE/CLONE) carry each referenced
+                # dir's ORIGINAL stats payload — pruning keeps per-file
+                # granularity across a metadata-only restore
+                live[d] = {
+                    "stats": per[d].get("stats") or {},
+                    "file_stats": per[d].get("file_stats"),
+                    "bloom": per[d].get("bloom"),
+                }
+            else:
+                live[d] = {
+                    "stats": entry.get("stats", {}),
+                    "file_stats": entry.get("file_stats"),
+                    "bloom": entry.get("bloom"),
+                }
     return live
 
 
@@ -1549,3 +1560,144 @@ def vacuum(
                     os.unlink(path)
                     removed.append(path)
     return removed
+
+
+def _snapshot_payloads(table: str, version: int | None):
+    """(per-dir payloads, total rows) of a snapshot — the pieces a
+    metadata-only RESTORE/CLONE re-references.  Row counts come from the
+    log (each data commit stages exactly the dirs it counts)."""
+    payloads = _live_stats(table, version)
+    target = latest_version(table) if version is None else version
+    n_rows = 0
+    for v in _list_versions(table):
+        if v > target:
+            break
+        e = _read_entry(table, v)
+        dirs = e.get("dirs") or []
+        if dirs and any(d in payloads for d in dirs):
+            n_rows += e.get("n_rows") or 0
+    return payloads, n_rows
+
+
+def _snapshot_entry(payloads: dict, n_rows: int, meta: dict) -> dict:
+    """Assemble the multi-dir overwrite entry both RESTORE and CLONE
+    publish: dir-level bounds merge conservatively for legacy readers of
+    ``entry["stats"]``; full per-file stats and Bloom bitmaps ride the
+    ``per_dir`` payloads so pruning granularity survives."""
+    merged: dict[str, list] = {}
+    for p in payloads.values():
+        for c, b in (p.get("stats") or {}).items():
+            if not b:
+                continue
+            lo, hi = b
+            m = merged.setdefault(c, [None, None])
+            if lo is not None and (m[0] is None or lo < m[0]):
+                m[0] = lo
+            if hi is not None and (m[1] is None or hi > m[1]):
+                m[1] = hi
+    return {
+        "action": "overwrite",
+        "dirs": sorted(payloads),
+        "n_rows": n_rows,
+        "stats": merged,
+        "file_stats": {},  # per-dir fidelity lives in per_dir
+        "per_dir": {
+            d: {
+                "stats": p.get("stats") or {},
+                "file_stats": p.get("file_stats"),
+                "bloom": p.get("bloom"),
+            }
+            for d, p in payloads.items()
+        },
+        "meta": meta,
+    }
+
+
+def restore_table(
+    spark: SparkSession, table: str, version: int, txn: str | None = None
+) -> dict:
+    """RESTORE TO VERSION (Delta's ``RESTORE``, r11): make an old
+    snapshot the new head by publishing ONE commit that re-references
+    its data directories — metadata-only, instant, zero data copied or
+    moved.  The bad deploy's overwrite stays in history (time travel
+    still reads it); vacuum keeps the re-referenced dirs alive because
+    they are reachable from the new head.  Per-file stats and Bloom
+    bitmaps travel with the restored dirs (``per_dir``), so pruning
+    granularity is exactly what the restored version had.
+
+    One honest carve-out: a snapshot with LIVE deletion vectors cannot
+    be re-referenced by an overwrite entry (overwrite resets DV replay,
+    which would resurrect the tombstoned rows), so restore MATERIALIZES
+    it — one rewrite commit, flagged in the return and the commit meta.
+    Returns ``{"version", "restored_from", "metadata_only"}``."""
+    versions = _list_versions(table)
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    _check_not_expired(table, version)
+    if live_dv_dirs(table, version):
+        snap = read_version(spark, table, version)
+        v = commit_write(
+            snap,
+            table,
+            mode="overwrite",
+            txn=txn,
+            meta={"restore_of": version, "materialized": True},
+        )
+        return {"version": v, "restored_from": version, "metadata_only": False}
+    payloads, n_rows = _snapshot_payloads(table, version)
+    entry = _snapshot_entry(payloads, n_rows, {"restore_of": version})
+    v = _publish_entry(table, entry, txn, read_version=versions[-1])
+    return {"version": v, "restored_from": version, "metadata_only": True}
+
+
+def clone_table(
+    spark: SparkSession,
+    table: str,
+    target: str,
+    version: int | None = None,
+    txn: str | None = None,
+) -> int:
+    """SHALLOW-style CLONE (r11): fork a snapshot into a NEW table by
+    hard-linking its live parquet files — O(files) metadata operations,
+    zero bytes copied (same inodes; ``shutil.copy2`` fallback only if
+    the target crosses a filesystem), and the clone's first commit
+    carries the source's per-dir stats + Bloom payloads verbatim, so
+    pruning works identically.  Writes to either side never affect the
+    other: the clone has its own log, and an overwrite there merely
+    drops its links.  Snapshots with live deletion vectors materialize
+    (same carve-out and reasoning as :func:`restore_table`).  Returns
+    the clone's first committed version."""
+    import shutil as _shutil
+
+    if os.path.isdir(_log_path(target)) and _list_versions(target):
+        raise ValueError(f"clone target {target} already has commits")
+    if live_dv_dirs(table, version):
+        snap = read_version(spark, table, version)
+        return commit_write(
+            snap,
+            target,
+            mode="overwrite",
+            txn=txn,
+            meta={"clone_of": table, "clone_version": version,
+                  "materialized": True},
+        )
+    payloads, n_rows = _snapshot_payloads(table, version)
+    for d in payloads:
+        src_dir = os.path.join(table, d)
+        dst_dir = os.path.join(target, d)
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in os.listdir(src_dir):
+            src = os.path.join(src_dir, f)
+            dst = os.path.join(dst_dir, f)
+            if not os.path.isfile(src) or os.path.exists(dst):
+                continue
+            try:
+                os.link(src, dst)
+            except OSError:  # pragma: no cover - cross-device fallback
+                _shutil.copy2(src, dst)
+    entry = _snapshot_entry(
+        payloads,
+        n_rows,
+        {"clone_of": table, "clone_version": version},
+    )
+    return _publish_entry(target, entry, txn, read_version=0)
