@@ -895,6 +895,7 @@ def compact(
     zorder: bool = False,
     num_files: int = 32,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot as one fresh commit (new
     compacted files, one atomic overwrite) — readers never see a partial
@@ -934,7 +935,12 @@ def compact(
     # be re-declared or they are gone — same re-declare-on-rewrite
     # contract as the clustering itself
     return commit_write(
-        snap, table, mode="overwrite", txn=txn, bloom_cols=bloom_cols
+        snap,
+        table,
+        mode="overwrite",
+        txn=txn,
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
     )
 
 
@@ -948,6 +954,7 @@ def maintain_table(
     num_files: int = 8,
     txn: str | None = None,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
 ) -> dict:
     """Auto-OPTIMIZE (the Databricks predictive-optimization shape, r11):
     decide from METADATA ALONE whether the table has accumulated enough
@@ -1005,6 +1012,7 @@ def maintain_table(
         zorder=zorder,
         num_files=num_files,
         bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
     )
     rec["compacted"] = True
     rec["files_after"] = pruned_paths(table, [])[1]
