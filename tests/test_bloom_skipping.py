@@ -155,3 +155,33 @@ def test_pre_bloom_commits_stay_conservative(spark, table):
     _, kept, _ = V.pruned_paths(table, [("k", "=", 55)])
     assert kept >= 1
     assert V.read_where(spark, table, [("k", "=", 55)]).count() == 1
+
+
+def test_xxh64_randomized_parity_law(spark):
+    """Beyond the fixture vectors: a seeded random batch of longs and
+    strings (varied lengths crossing every XXH64 tail path: <4, <8,
+    8-31, >=32 bytes, multi-byte unicode) must hash identically through
+    the JVM and the pure-Python prober.  Parity is load-bearing for
+    bloom pruning correctness, so the law gets breadth, not just
+    points."""
+    import random
+
+    rng = random.Random(0xB10053ED)
+    longs = [rng.randrange(-(2**63), 2**63) for _ in range(200)]
+    alphabet = "abcdefghij0123456789 _-√ü漢字"
+    strings = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 70)))
+        for _ in range(200)
+    ]
+    lv = spark.createDataFrame([(i, v) for i, v in enumerate(longs)],
+                               "i int, v long")
+    got = {r.i: r.h for r in lv.select(
+        "i", F.xxhash64("v", F.lit(3).cast("long")).alias("h")).collect()}
+    for i, v in enumerate(longs):
+        assert X.spark_xxhash64([v, 3]) == got[i], v
+    sv = spark.createDataFrame([(i, s) for i, s in enumerate(strings)],
+                               "i int, s string")
+    got_s = {r.i: r.h for r in sv.select(
+        "i", F.xxhash64("s").alias("h")).collect()}
+    for i, s in enumerate(strings):
+        assert X.spark_xxhash64([s]) == got_s[i], repr(s)
