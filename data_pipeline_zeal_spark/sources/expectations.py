@@ -171,3 +171,17 @@ def expectations_sink(
         )
 
     return _sink
+
+
+def quality_history(table: str) -> list[dict]:
+    """The commit log as quality ledger, read back: one dict per commit
+    that carried expectation metrics (version, rows_checked, violation
+    counts, policy) — METADATA-ONLY log replay, the freshness/quality
+    dashboard primitive that never rescans data."""
+    out = []
+    for h in V.history(table):
+        meta = V.commit_meta(table, h["version"])
+        exp = meta.get("expectations")
+        if exp:
+            out.append({"version": h["version"], **exp})
+    return out

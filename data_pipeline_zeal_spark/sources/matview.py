@@ -203,3 +203,29 @@ def read_matview(
     internal row-count guard stays internal)."""
     df = V.read_version(spark, view_table, version)
     return df.drop(_N)
+
+
+def maintained_matview_sink(
+    base_table: str, view_table: str, query_name: str = "mv-stream"
+):
+    """Streaming maintenance for the view, symmetric with the IVF/BM25
+    index sinks: a ``foreachBatch`` sink that appends each micro-batch
+    to the BASE table (txn-idempotent — the versioned_sink contract)
+    and immediately advances the view from the commit log's delta, so
+    the serving aggregate is fresh within one trigger of the data.
+    Crash replay is safe on both steps: a replayed batch adopts its
+    existing base commit, and the refresh txn is keyed on the batch id
+    so the view adopts too (a refresh that already happened is also a
+    natural noop — the base version pointer caught up)."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        V.commit_write(
+            batch, base_table, mode="append", txn=f"{query_name}-{batch_id}"
+        )
+        refresh_matview(
+            batch.sparkSession, view_table, txn=f"{query_name}-mv-{batch_id}"
+        )
+
+    return _sink

@@ -155,3 +155,27 @@ def test_streaming_sink_gates_each_batch(spark, table, tmp_path):
     # per-batch quality ledger in the commit log
     for v in range(1, len(V.history(table)) + 1):
         assert "expectations" in V.commit_meta(table, v)
+
+
+def test_quality_history_is_metadata_only_ledger(spark, table):
+    """quality_history reads the violation counts back from log replay
+    alone — one entry per gated commit, none for plain commits."""
+    ev = _events(spark)
+    V.commit_write(ev.limit(10), table, mode="append")  # ungated
+    E.commit_with_expectations(
+        ev.filter(F.col("event_id") % 2 == 0), table, EXPECT,
+        on_violation="drop",
+    )
+    E.commit_with_expectations(
+        ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "value", F.lit(-1.0)
+        ),
+        table,
+        EXPECT,
+        on_violation="drop",
+    )
+    hist = E.quality_history(table)
+    assert len(hist) == 2  # the ungated commit carries no metrics
+    assert hist[0]["violations"]["value_non_negative"] == 0
+    assert hist[1]["violations"]["value_non_negative"] > 0
+    assert all(h["on_violation"] == "drop" for h in hist)

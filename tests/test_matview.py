@@ -132,3 +132,55 @@ def test_view_itself_time_travels(spark, tables):
         for r in MV.read_matview(spark, view, version=1).collect()
     }
     assert pinned == v1_rows  # but version 1 still serves the old state
+
+
+def test_streaming_maintained_view(spark, tables, tmp_path):
+    """foreachBatch maintenance: each micro-batch appends to the base
+    and advances the view in the same sink call — the serving aggregate
+    is fresh within one trigger, equals a recompute, and crash replay
+    of a batch adopts both commits (base AND view) without drift."""
+    import os
+
+    base, view = tables
+    ev = _events(spark)
+    V.commit_write(ev.filter(F.col("event_id") % 3 == 0), base, "overwrite")
+    MV.create_matview(spark, base, view, GROUPS, MEASURES, keys=["event_id"])
+
+    src = str(tmp_path / "in")
+    rest = ev.filter(F.col("event_id") % 3 != 0)
+    rest.filter(F.col("event_id") % 3 == 1).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    rest.filter(F.col("event_id") % 3 == 2).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    os.utime(files[0], (1_700_000_000,) * 2)
+    os.utime(files[1], (1_700_000_100,) * 2)
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            MV.maintained_matview_sink(base, view)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert V.read_version(spark, base).count() == ev.count()
+    assert _view_rows(spark, view) == _recompute(spark, base)
+    # replay adopts BOTH commits: no new base or view version
+    hb, hv = len(V.history(base)), len(V.history(view))
+    MV.maintained_matview_sink(base, view)(spark.read.parquet(files[0]), 0)
+    assert len(V.history(base)) == hb and len(V.history(view)) == hv
+    assert _view_rows(spark, view) == _recompute(spark, base)
