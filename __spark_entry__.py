@@ -2373,81 +2373,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
-#: ROUND-11 WINDOW (tools/rotate_registry.py stalest-first; verified with
-#: `python tools/driver_sim.py <names>` before commit): 9 never-sampled —
-#: versioned_delete_dv (merge-on-read positional deletes),
-#: text_bm25_segment_search (incremental BM25 index maintenance checked
-#: against the full-corpus oracle), text_bpe_encode_deep (the Arrow
-#: tokenizer-depth encode kernel through auto dispatch, round-10 verdict
-#: directive #3), and sim_ivfadc_index_search (the persisted compressed
-#: IVFADC index, parity-pinned to ivf_pq_topk),
-#: versioned_matview_refresh (incrementally-maintained materialized view:
-#: append-delta then keyed-diff refresh equals the from-scratch recompute)
-#: and versioned_expectations (write-time quality gate with quarantine
-#: dead-lettering, counts recomputed by the oracle) and
-#: versioned_maintain (auto-OPTIMIZE: metadata-only fragmentation +
-#: tombstone-debt triggers gating one materializing compact) and
-#: versioned_bloom_skipping (per-file Bloom bitmaps prove point-lookup
-#: absence where hash-layout zone maps keep everything; driver-side
-#: probe hashing is the JVM-parity-pinned pure-Python XXH64) and
-#: versioned_restore (RESTORE TO VERSION + shallow CLONE — metadata-only
-#: re-references with zero-copy pins) — plus 41 re-verifications
-#: drawn from the r6 staleness tail the round-10 verdict's directive #1
-#: names: the multimodal gate quintet, the retrieval/BM25 family, the
-#: corpus mixture/decontamination rows, dq k-anonymity/l-diversity, the
-#: flagship hourly/agg and TPC-H ladders.  After this window no registered
-#: query's last green is older than r7.
+#: ROUND-12 WINDOW (tools/rotate_registry.py stalest-first; verified with
+#: `python tools/driver_sim.py <names>` before commit): 50 re-verifications
+#: — the entire r7-stale tail named by the round-11 verdict's directive #1
+#: (the dedup ladder, embedding near-dup/SemDeDup, the similarity topk
+#: family, the events sketch rows, the TPC-H Q7/Q8/Q9 trio, versioned
+#: stats-skipping/DataSource) plus the r8 tail (the remaining TPC-H
+#: ladder, as-of join, funnel, pivot, order gaps).  After this window no
+#: registered query's last green is older than r8.
 _DRIVER_FIRST = [
-    "versioned_delete_dv",
-    "text_bm25_segment_search",
-    "text_bpe_encode_deep",
-    "sim_ivfadc_index_search",
-    "versioned_matview_refresh",
-    "versioned_expectations",
-    "versioned_maintain",
-    "versioned_bloom_skipping",
-    "versioned_restore",
-    "events_user_bursts",
-    "events_key_skew_profile",
-    "generator_profile",
-    "basket_rules",
-    "orders_cohort_ltv",
-    "orders_seasonality",
-    "text_source_fair_quality",
-    "text_compression_ratio",
-    "text_bm25_topk",
-    "retrieval_quality",
-    "retrieval_hard_negatives",
-    "text_bpe_train_merges",
-    "dedup_bcubed_norm_vs_jaccard",
-    "corpus_containment",
-    "multimodal_pcm_energy",
-    "multimodal_image_phash",
-    "multimodal_wav_headers",
-    "multimodal_png_headers",
-    "multimodal_jpeg_headers",
-    "dq_functional_deps",
-    "dedup_best_quality_lsh",
-    "corpus_epoch_plan",
-    "corpus_perplexity_filter",
-    "corpus_dsir_weights",
-    "dq_k_anonymity",
-    "dq_l_diversity",
-    "hourly_agg",
-    "agg_filtered_page",
-    "agg_latest",
-    "agg_stats",
-    "agg_event_types",
-    "agg_rollup_by_type",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_revenue_forecast",
-    "top_orders_per_customer",
-    "customer_order_stats",
-    "nations_without_suppliers",
-    "nations_with_both",
-    "order_priority_rollup",
+    "part_type_stats",
+    "order_lineitem_detail",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_revenue",
+    "price_quantiles_sketch",
+    "sim_pca_project",
+    "dedup_exact_survivors",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_clusters",
+    "dedup_embedding_near",
+    "dedup_embedding_near_lsh",
+    "dedup_embedding_near_cells",
+    "semdedup_survivors",
+    "semdedup_cells_survivors",
+    "events_approx_distinct",
+    "events_hll_weekly_users",
+    "inactive_customers",
+    "priority_with_returns",
+    "returned_item_revenue",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "price_quantiles",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "retrieval_pipeline",
+    "versioned_stats_skipping",
+    "versioned_datasource_read",
+    "orders_priority_anova",
+    "part_supplier_hhi",
+    "events_stickiness_28d",
+    "events_gap_distribution",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_suppliers",
+    "tpch_q16_part_variety",
+    "tpch_q17_small_quantity",
+    "tpch_q19_bracket_revenue",
+    "tpch_q22_idle_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_priority",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_orders",
+    "events_type_hour_pivot",
+    "asof_events_last_order",
+    "order_gaps",
+    "events_funnel",
 ]
 
 

@@ -135,8 +135,37 @@ def spark_xxhash64(values, seed: int = 42) -> int:
     return _to_signed(h)
 
 
-def bloom_positions(value, k: int, m_bits: int) -> list[int]:
+def bloom_positions(value, k: int, m_bits: int, kind: str = "auto") -> list[int]:
     """The ``k`` Bloom bit positions of one literal — MUST mirror the
     write side's ``pmod(xxhash64(col, CAST(i AS BIGINT)), m_bits)``
-    exactly (Python's ``%`` on a signed value IS pmod)."""
-    return [spark_xxhash64([value, i]) % m_bits for i in range(k)]
+    exactly (Python's ``%`` on a signed value IS pmod).
+
+    ``kind`` is the JVM column type's hash family, recorded by the write
+    side in the commit entry (``bloom["types"]``): the JVM dispatches
+    ``xxhash64`` on the COLUMN type — int/short/byte columns take the
+    4-byte ``hashInt`` path even though the Python probe literal is a
+    plain ``int`` — so without the hint a probe against an int column
+    would hash via ``hashLong`` and produce false NEGATIVES (wrong
+    results, not just kept files).  ``"auto"`` keeps the legacy mapping
+    (Python int → hashLong) for pre-``types`` commits, which only ever
+    bloomed bigint/string columns."""
+    if kind == "int":
+        if not isinstance(value, int) or isinstance(value, bool):
+            raise TypeError(
+                f"int-typed bloom column probed with {type(value).__name__}"
+            )
+        h0 = xxh64_int(value, 42)
+    elif kind in ("auto", "long", "string", "binary"):
+        if isinstance(value, bool) or not isinstance(
+            value, (int, str, bytes, bytearray)
+        ):
+            raise TypeError(f"unsupported bloom literal type: {type(value)}")
+        if isinstance(value, int):
+            h0 = xxh64_long(value, 42)
+        elif isinstance(value, str):
+            h0 = xxh64_bytes(value.encode("utf-8"), 42)
+        else:
+            h0 = xxh64_bytes(bytes(value), 42)
+    else:
+        raise ValueError(f"unknown bloom hash kind: {kind!r}")
+    return [_to_signed(xxh64_long(i, h0)) % m_bits for i in range(k)]

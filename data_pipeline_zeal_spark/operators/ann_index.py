@@ -42,6 +42,8 @@ cells SKIPS files — is pinned separately and holds on any data.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -255,6 +257,75 @@ def _dot_lr(a: list[float], b: list[float]) -> float:
     return acc
 
 
+#: queries x n_cells products above which cell ranking switches from the
+#: exact interpreted fold to one numpy matmul (r11 verdict directive #2).
+#: Below it (every parity-pinned fixture: <=32 cells, <=tens of queries)
+#: the fold's bit-identical tie behavior is worth more than speed; above
+#: it the O(queries x n_cells x dim) interpreted loop becomes a real
+#: driver bottleneck (n_cells="auto" is ~sqrt(n): 10^4-10^5 at 100 TB).
+#: Measured (``python tools/ivfadc_scale_probe.py rank``, dim 64): the
+#: fold ranks ~4k query-cell pairs in ~10 ms — the largest spend that is
+#: still driver-noise — and falls ~20x behind numpy by n_cells=4096
+#: (867 ms vs 38 ms at 64 queries); both paths produce identical
+#: shortlists at every measured size.
+_RANK_VECTORIZE_CROSSOVER = 4096
+
+
+def _rank_cells(
+    qvecs: list[list[float]],
+    cents: list[list[float]],
+    cnorms: list[float],
+    nprobe: int,
+    force: str | None = None,
+) -> list[list[int]]:
+    """Per-query nprobe cell shortlist by centroid cosine, descending,
+    ties to the LOWER cell id (the ``F.desc(cos), F.asc(cell)`` order
+    every probe path shares).  Two implementations, one contract:
+
+    * ``"exact"`` — the interpreted :func:`_dot_lr` fold, bit-identical
+      to the JVM expression; default below the crossover.
+    * ``"numpy"`` — one ``Q @ C.T`` matmul + stable argsort (stable sort
+      on descending cosine == ties to the lower cell id); default above
+      the crossover.  BLAS summation order can differ from the fold in
+      the last ulp, so this path is reserved for model sizes where exact
+      near-tie reproduction is statistically irrelevant and the fold is
+      a real bottleneck — the parity pin
+      (tests/test_ivfadc_index.py::test_rank_cells_numpy_parity) shows
+      identical shortlists on the fixture layouts.
+    """
+    if force not in (None, "exact", "numpy"):
+        raise ValueError(f"unknown force: {force!r}")
+    mode = force or (
+        "numpy"
+        if len(qvecs) * len(cents) > _RANK_VECTORIZE_CROSSOVER
+        else "exact"
+    )
+    if mode == "numpy":
+        import numpy as np
+
+        Q = np.asarray(qvecs, dtype=np.float64)
+        C = np.asarray(cents, dtype=np.float64)
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        nn = qn[:, None] * np.asarray(cnorms, dtype=np.float64)[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(nn == 0, 0.0, (Q @ C.T) / nn)
+        # stable argsort over -cos: equal cosines keep index (= cell id)
+        # order — the F.desc(cos), F.asc(cell) tie-break
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        return [[int(c) for c in row] for row in order]
+    out = []
+    for qv in qvecs:
+        qn = math.sqrt(_dot_lr(qv, qv))
+        ranked = []
+        for i, c in enumerate(cents):
+            nn = qn * cnorms[i]
+            cos = 0.0 if nn == 0 else _dot_lr(qv, c) / nn
+            ranked.append((-cos, i))
+        ranked.sort()
+        out.append([cell for _, cell in ranked[:nprobe]])
+    return out
+
+
 def _meta_pointer_at(
     table: str, version: int | None, key: str, companion: str
 ) -> int | None:
@@ -291,7 +362,9 @@ def search_ivf_index(
     version: int | None = None,
 ) -> DataFrame:
     """Probe the persisted index: per query, rank cells by centroid
-    cosine driver-side (queries x n_cells — both bounded), then scan
+    cosine driver-side (:func:`_rank_cells` — exact fold for bounded
+    models, numpy past the crossover so n_cells="auto" at 100 TB never
+    bottlenecks the driver), then scan
     only the files whose ``cell`` range intersects the probe set and
     run the exact cosine kernel there.  ``version`` time-travels the
     index (snapshot-reproducible search); the centroid snapshot is
@@ -300,8 +373,6 @@ def search_ivf_index(
     main log, so verbatim pass-through broke time travel after any sink
     batch (round-10 advice).  Returns (query_id, vec_id, cosine, rank)
     — the :func:`~.similarity.ivf_topk` contract."""
-    import math
-
     cv = _centroid_version_at(table, version)
     cent_rows = V.read_version(spark, table + "_centroids", cv).collect()
     cents = [
@@ -314,20 +385,14 @@ def search_ivf_index(
     qrows = V.read_where(
         spark, table, [("vec_id", "in", sorted(query_ids))], version
     ).select("vec_id", "embedding").collect()
-    probes = []
-    for r in sorted(qrows, key=lambda r: r.vec_id):
-        qv = [float(x) for x in r.embedding]
-        qn = math.sqrt(_dot_lr(qv, qv))
-        ranked = []
-        for i, c in enumerate(cents):
-            nn = qn * cnorms[i]
-            cos = 0.0 if nn == 0 else _dot_lr(qv, c) / nn
-            # ties to the lower cell id — F.desc(cos), F.asc(cell)
-            ranked.append((-cos, i))
-        ranked.sort()
-        probes.extend(
-            (int(r.vec_id), qv, cell) for _, cell in ranked[:nprobe]
-        )
+    qrows = sorted(qrows, key=lambda r: r.vec_id)
+    qvecs = [[float(x) for x in r.embedding] for r in qrows]
+    shortlists = _rank_cells(qvecs, cents, cnorms, nprobe)
+    probes = [
+        (int(r.vec_id), qv, cell)
+        for r, qv, cells_ in zip(qrows, qvecs, shortlists)
+        for cell in cells_
+    ]
     if not probes:
         empty = V.read_version(spark, table, version).limit(0)
         return empty.select(
@@ -441,6 +506,21 @@ def build_ivfadc_index(
     return {"centroids": cents, "codebooks": books}
 
 
+def _ivfadc_models_at(
+    spark: SparkSession, table: str, cv: int, bv: int
+) -> tuple[list, list]:
+    """Materialize the (centroids, codebooks) model pair at EXPLICIT
+    companion-table versions — model-bounded collects."""
+    cent_rows = V.read_version(spark, table + "_centroids", cv).collect()
+    cents = [list(r.centroid) for r in sorted(cent_rows, key=lambda r: r.cell)]
+    book_rows = V.read_version(spark, table + "_codebooks", bv).collect()
+    n_sub = max(r.sub for r in book_rows) + 1
+    books: list[list] = [[] for _ in range(n_sub)]
+    for r in sorted(book_rows, key=lambda r: (r.sub, r.code)):
+        books[r.sub].append(list(r.vec))
+    return cents, books
+
+
 def _load_ivfadc_models(
     spark: SparkSession, table: str, version: int | None
 ) -> tuple[list, list]:
@@ -450,14 +530,7 @@ def _load_ivfadc_models(
     bv = _meta_pointer_at(
         table, version, "codebook_version", table + "_codebooks"
     )
-    cent_rows = V.read_version(spark, table + "_centroids", cv).collect()
-    cents = [list(r.centroid) for r in sorted(cent_rows, key=lambda r: r.cell)]
-    book_rows = V.read_version(spark, table + "_codebooks", bv).collect()
-    n_sub = max(r.sub for r in book_rows) + 1
-    books: list[list] = [[] for _ in range(n_sub)]
-    for r in sorted(book_rows, key=lambda r: (r.sub, r.code)):
-        books[r.sub].append(list(r.vec))
-    return cents, books
+    return _ivfadc_models_at(spark, table, cv, bv)
 
 
 def ivfadc_index_sink(table: str, query_name: str = "ivfadc-append"):
@@ -474,7 +547,12 @@ def ivfadc_index_sink(table: str, query_name: str = "ivfadc-append"):
         spark = batch.sparkSession
         cv = V.latest_version(table + "_centroids")
         bv = V.latest_version(table + "_codebooks")
-        cents, books = _load_ivfadc_models(spark, table, None)
+        # encode with the models AT the exact versions stamped below —
+        # resolving through the last main commit's pointers instead
+        # could diverge after a rebuild crash between the model commits
+        # and the main commit, stamping NEW versions on codes encoded
+        # with the OLD models (silently wrong decodes at that snapshot)
+        cents, books = _ivfadc_models_at(spark, table, cv, bv)
         encode = ivfadc_encoder(cents, books, emit="codes")
         assigned = (
             batch.select("vec_id", as_double(F.col("embedding")).alias("v"))
@@ -505,8 +583,9 @@ def search_ivfadc_index(
     version: int | None = None,
 ) -> DataFrame:
     """Probe the persisted IVFADC index: rank cells per query
-    driver-side (bit-identical :func:`_dot_lr` fold — the round-10
-    parity discipline), scan ONLY the probed cells' code files
+    driver-side (:func:`_rank_cells` — the bit-identical :func:`_dot_lr`
+    fold below the vectorization crossover, one numpy matmul above it),
+    scan ONLY the probed cells' code files
     (file-granular stats pruning), decode codes back to reconstructions
     inside the pruned slice, ADC-score, and exact-rerank the
     ``rerank``-deep shortlist against full vectors from ``source``
@@ -517,8 +596,6 @@ def search_ivfadc_index(
     shares its pinned oracle.  ``version`` time-travels the index; the
     model snapshot comes from the commit's recorded pointers, never the
     version number verbatim.  Returns (query_id, vec_id, cosine, rank)."""
-    import math
-
     cents, books = _load_ivfadc_models(spark, table, version)
     cnorms = [math.sqrt(_dot_lr(c, c)) for c in cents]
 
@@ -527,20 +604,14 @@ def search_ivfadc_index(
         .select("query_id", "qv")
         .collect()
     )
-    probes = []
-    for r in sorted(qrows, key=lambda r: r.query_id):
-        qv = [float(x) for x in r.qv]
-        qn = math.sqrt(_dot_lr(qv, qv))
-        ranked = []
-        for i, c in enumerate(cents):
-            nn = qn * cnorms[i]
-            cos = 0.0 if nn == 0 else _dot_lr(qv, c) / nn
-            # ties to the lower cell id — F.desc(cos), F.asc(cell)
-            ranked.append((-cos, i))
-        ranked.sort()
-        probes.extend(
-            (int(r.query_id), qv, cell) for _, cell in ranked[:nprobe]
-        )
+    qrows = sorted(qrows, key=lambda r: r.query_id)
+    qvecs = [[float(x) for x in r.qv] for r in qrows]
+    shortlists = _rank_cells(qvecs, cents, cnorms, nprobe)
+    probes = [
+        (int(r.query_id), qv, cell)
+        for r, qv, cells_ in zip(qrows, qvecs, shortlists)
+        for cell in cells_
+    ]
     if not probes:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double, rank int"

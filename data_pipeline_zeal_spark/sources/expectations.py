@@ -63,7 +63,11 @@ def check_metrics(df: DataFrame, expectations: list[tuple]) -> dict:
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for name, pred in expectations:
         aggs.append(
-            F.sum((~_ok(pred)).cast("long")).alias(name)
+            # coalesce: SUM over zero rows is NULL — an empty frame must
+            # report zero violations, not crash the int sum (r11 advice)
+            F.coalesce(
+                F.sum((~_ok(pred)).cast("long")), F.lit(0)
+            ).alias(name)
         )
     row = df.agg(*aggs).collect()[0]
     return {

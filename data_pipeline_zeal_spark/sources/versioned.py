@@ -247,6 +247,28 @@ def _staged_bloom(
 
     staged = spark.read.parquet(data_dir)
     n_words = m_bits // 64
+    # The JVM dispatches xxhash64 on the COLUMN type: int/short/byte take
+    # the 4-byte hashInt path, bigint the 8-byte hashLong path.  Record
+    # each column's hash family so the driver-side prober replicates the
+    # right one (a hashLong probe of a hashInt bitmap yields false
+    # NEGATIVES — silently wrong results); refuse types whose probe
+    # literal cannot be mapped (float/date/timestamp/decimal/bool).
+    _KINDS = {
+        "bigint": "long", "int": "int", "smallint": "int", "tinyint": "int",
+        "string": "string", "binary": "binary",
+    }
+    types: dict[str, str] = {}
+    for c in cols:
+        sql_type = staged.schema[c].dataType.simpleString()
+        kind = _KINDS.get(sql_type)
+        if kind is None:
+            raise TypeError(
+                f"bloom_cols[{c!r}] has type {sql_type}: only bigint/int/"
+                "smallint/tinyint/string/binary columns can be Bloom-"
+                "indexed (the driver-side prober must replicate the JVM "
+                "hash path bit-for-bit)"
+            )
+        types[c] = kind
     files: dict[str, dict] = {}
     for c in cols:
         pos = F.array(
@@ -282,22 +304,25 @@ def _staged_bloom(
             )
         for base, buf in maps.items():
             files.setdefault(base, {})[c] = base64.b64encode(bytes(buf)).decode()
-    return {"m": m_bits, "k": k, "files": files}
+    return {"m": m_bits, "k": k, "types": types, "files": files}
 
 
 _U64 = 0xFFFFFFFFFFFFFFFF
 
 
-def _bloom_may_contain(b64: str, m_bits: int, k: int, value) -> bool:
+def _bloom_may_contain(
+    b64: str, m_bits: int, k: int, value, kind: str = "auto"
+) -> bool:
     """Driver-side membership probe against one file's persisted bitmap
     — no false negatives (absent bits PROVE the value never hashed in),
-    false positives only cost a kept file."""
+    false positives only cost a kept file.  ``kind`` selects the JVM
+    hash family recorded for the column at write time."""
     import base64
 
     from ..functions.xxh64 import bloom_positions
 
     bits = base64.b64decode(b64)
-    for p in bloom_positions(value, k, m_bits):
+    for p in bloom_positions(value, k, m_bits, kind):
         if not (bits[p >> 3] >> (p & 7)) & 1:
             return False
     return True
@@ -313,16 +338,18 @@ def _bloom_keeps_file(bloom: dict | None, base: str, predicates) -> bool:
     if not per_file:
         return True
     m_bits, k = bloom["m"], bloom["k"]
+    kinds = bloom.get("types") or {}
     for col, op, value in predicates:
         b64 = per_file.get(col)
         if b64 is None:
             continue
+        kind = kinds.get(col, "auto")
         if op == "=":
-            if not _bloom_may_contain(b64, m_bits, k, value):
+            if not _bloom_may_contain(b64, m_bits, k, value, kind):
                 return False
         elif op == "in":
             if not any(
-                _bloom_may_contain(b64, m_bits, k, v) for v in value
+                _bloom_may_contain(b64, m_bits, k, v, kind) for v in value
             ):
                 return False
     return True
@@ -670,12 +697,20 @@ def _live_stats(table: str, version: int | None) -> dict[str, dict]:
                     "stats": per[d].get("stats") or {},
                     "file_stats": per[d].get("file_stats"),
                     "bloom": per[d].get("bloom"),
+                    "n_rows": per[d].get("n_rows"),
                 }
             else:
                 live[d] = {
                     "stats": entry.get("stats", {}),
                     "file_stats": entry.get("file_stats"),
                     "bloom": entry.get("bloom"),
+                    # a data commit stages exactly one dir and counts
+                    # exactly its rows; a legacy multi-dir entry's total
+                    # cannot be attributed per-dir (None → caller falls
+                    # back to counting that ENTRY once)
+                    "n_rows": entry.get("n_rows")
+                    if len(entry["dirs"]) == 1
+                    else None,
                 }
     return live
 
@@ -980,15 +1015,16 @@ def maintain_table(
     operator judgment call.  Returns the decision record either way."""
     _, n_files, _ = pruned_paths(table, [])
     version = latest_version(table)
-    live_rel = {os.path.relpath(d, table) for d in live_dirs(table, version)}
     dv_rel = {
         os.path.relpath(d, table) for d in live_dv_dirs(table, version)
     }
-    data_rows = dv_rows = 0
+    # per-dir attribution: a dir referenced by several commits (a head
+    # that is itself a restore) must count its rows once, not once per
+    # referencing entry — the same law _snapshot_payloads enforces
+    _, data_rows = _snapshot_payloads(table, version)
+    dv_rows = 0
     for v in _list_versions(table):
         e = _read_entry(table, v)
-        if set(e.get("dirs") or []) & live_rel:
-            data_rows += e.get("n_rows") or 0
         if set(e.get("dv_dirs") or []) & dv_rel:
             dv_rows += e.get("n_deleted") or 0
     ratio = (dv_rows / data_rows) if data_rows else 0.0
@@ -1572,18 +1608,34 @@ def vacuum(
 
 def _snapshot_payloads(table: str, version: int | None):
     """(per-dir payloads, total rows) of a snapshot — the pieces a
-    metadata-only RESTORE/CLONE re-references.  Row counts come from the
-    log (each data commit stages exactly the dirs it counts)."""
+    metadata-only RESTORE/CLONE re-references.  Each live dir's rows
+    are counted exactly ONCE (from its payload's per-dir count — a data
+    commit stages exactly the dir it counts, and snapshot entries record
+    per-dir counts in ``per_dir``), never once per referencing commit:
+    a snapshot whose head is itself a restore re-references the original
+    append's dirs, and summing every intersecting entry would double-
+    count them (r11 advice).  Legacy multi-dir entries without per-dir
+    counts fall back to counting the staging ENTRY once."""
     payloads = _live_stats(table, version)
-    target = latest_version(table) if version is None else version
     n_rows = 0
-    for v in _list_versions(table):
-        if v > target:
-            break
-        e = _read_entry(table, v)
-        dirs = e.get("dirs") or []
-        if dirs and any(d in payloads for d in dirs):
-            n_rows += e.get("n_rows") or 0
+    unattributed = [d for d, p in payloads.items() if p.get("n_rows") is None]
+    for d, p in payloads.items():
+        n_rows += p.get("n_rows") or 0
+    if unattributed:
+        target = latest_version(table) if version is None else version
+        counted: set[int] = set()
+        stager: dict[str, tuple[int, int]] = {}
+        for v in _list_versions(table):
+            if v > target:
+                break
+            e = _read_entry(table, v)
+            for d in e.get("dirs") or []:
+                stager.setdefault(d, (v, e.get("n_rows") or 0))
+        for d in unattributed:
+            s = stager.get(d)
+            if s and s[0] not in counted:
+                counted.add(s[0])
+                n_rows += s[1]
     return payloads, n_rows
 
 
@@ -1614,6 +1666,9 @@ def _snapshot_entry(payloads: dict, n_rows: int, meta: dict) -> dict:
                 "stats": p.get("stats") or {},
                 "file_stats": p.get("file_stats"),
                 "bloom": p.get("bloom"),
+                # per-dir row count travels with the snapshot so chained
+                # restores/clones never re-attribute rows per entry
+                "n_rows": p.get("n_rows"),
             }
             for d, p in payloads.items()
         },

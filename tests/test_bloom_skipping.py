@@ -185,3 +185,58 @@ def test_xxh64_randomized_parity_law(spark):
         "i", F.xxhash64("s").alias("h")).collect()}
     for i, s in enumerate(strings):
         assert X.spark_xxhash64([s]) == got_s[i], repr(s)
+
+
+def test_xxh64_int_parity_with_spark(spark):
+    """Int/short/byte columns take the JVM's 4-byte hashInt path, NOT
+    hashLong — the r11 advisor's latent hazard.  The write side records
+    the hash family per column and the prober dispatches on it; this
+    pins the int leg bit-for-bit against the exact write expression."""
+    ints = [0, 1, -1, 42, -42, 2**31 - 1, -(2**31), 123456, -987654]
+    iv = spark.createDataFrame([(v,) for v in ints], "v int")
+    for i in range(6):
+        got = {
+            r.v: r.h
+            for r in iv.select(
+                "v", F.xxhash64("v", F.lit(i).cast("long")).alias("h")
+            ).collect()
+        }
+        for v in ints:
+            mine = X._to_signed(X.xxh64_long(i, X.xxh64_int(v, 42)))
+            assert mine == got[v], (v, i)
+            # and the packaged prober agrees with itself via kind="int"
+            assert X.bloom_positions(v, 6, 1 << 62, "int")[i] == mine % (1 << 62)
+
+
+def test_bloom_int_column_end_to_end(spark, table):
+    """An IntegerType bloom column must prune AND stay false-negative-
+    free — before the typed dispatch, the probe hashed via hashLong and
+    could silently skip a file containing the key."""
+    df = spark.range(2000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    V.commit_write(
+        df.repartition(8, "k"), table, mode="overwrite", bloom_cols=["k"]
+    )
+    # the commit entry records the hash family
+    head = V._read_entry(table, V.latest_version(table))
+    assert (head.get("bloom") or {}).get("types") == {"k": "int"}
+    # every present key is found (no false negatives through hashInt)
+    for k in range(0, 2000, 83):
+        rows = V.read_where(spark, table, [("k", "=", k)]).collect()
+        assert len(rows) == 1 and rows[0].payload == k * 3, k
+    # and pruning still bites on the hash layout
+    _, kept, skipped = V.pruned_paths(table, [("k", "=", 777)])
+    assert kept == 1 and skipped == 7, (kept, skipped)
+
+
+def test_bloom_rejects_unhashable_column_types(spark, table):
+    """Declaring bloom_cols on a type whose probe literal cannot replicate
+    the JVM hash path (double/date/bool) must fail LOUDLY at write time —
+    the alternative is silent false negatives at read time."""
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("x")
+    )
+    with pytest.raises(TypeError, match="Bloom-indexed"):
+        V.commit_write(df, table, mode="overwrite", bloom_cols=["x"])

@@ -179,3 +179,18 @@ def test_quality_history_is_metadata_only_ledger(spark, table):
     assert hist[0]["violations"]["value_non_negative"] == 0
     assert hist[1]["violations"]["value_non_negative"] > 0
     assert all(h["on_violation"] == "drop" for h in hist)
+
+
+def test_empty_frame_commits_cleanly_with_zero_violations(spark, table):
+    """SUM over zero rows is NULL — before the r12 coalesce, an empty
+    input crashed commit_with_expectations with a TypeError instead of
+    committing an empty frame with a zero-violation ledger entry."""
+    ev = _events(spark).filter(F.lit(False))
+    m = E.check_metrics(ev, [("value_ok", "value >= 0")])
+    assert m == {"rows_checked": 0, "violations": {"value_ok": 0}}
+    rep = E.commit_with_expectations(
+        ev, table, [("value_ok", "value >= 0")], on_violation="fail"
+    )
+    assert rep["rows_checked"] == 0 and rep["rows_written"] == 0
+    assert rep["violations"] == {"value_ok": 0}
+    assert V.read_version(spark, table).count() == 0

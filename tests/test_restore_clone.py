@@ -132,3 +132,40 @@ def test_clone_is_zero_copy_and_independent(spark, table):
             V.clone_table(spark, table, clone)
     finally:
         shutil.rmtree(clone, ignore_errors=True)
+
+
+def test_chained_restore_counts_rows_once(spark, table):
+    """r11 advice: a snapshot whose head is itself a restore re-references
+    dirs that TWO commits (the original append and the restore entry)
+    both list — summing every intersecting commit double-counted n_rows,
+    corrupting history()/table_stats() and maintain_table's dv-ratio
+    trigger.  Each live dir must count exactly once through restore →
+    restore and restore → clone chains."""
+    V.commit_write(_df(spark, 0, 10).coalesce(1), table, mode="append")
+    V.commit_write(_df(spark, 10, 30).coalesce(1), table, mode="append")
+    V.commit_write(_df(spark, 900, 905).coalesce(1), table, mode="overwrite")
+    V.restore_table(spark, table, 2)                       # v4: head = restore
+    assert V._read_entry(table, 4)["n_rows"] == 30
+
+    # restore ON TOP of the restore head: still 30, not 60
+    V.commit_write(_df(spark, 950, 955).coalesce(1), table, mode="overwrite")
+    rep = V.restore_table(spark, table, 4)
+    assert V._read_entry(table, rep["version"])["n_rows"] == 30
+    assert V.read_version(spark, table).count() == 30
+
+    # clone of a restore head carries the exact count too
+    dst = tempfile.mkdtemp(prefix="restore_clone_dst_")
+    shutil.rmtree(dst, ignore_errors=True)
+    try:
+        V.clone_table(spark, table, dst)
+        assert V._read_entry(dst, 1)["n_rows"] == 30
+        assert V.read_version(spark, dst).count() == 30
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+    # maintain_table's dv-ratio denominator uses the same attribution:
+    # 3 deletes against 30 live rows is 0.1, not 0.05 against a doubled 60
+    V.delete_where_dv(spark, table, [("id", "<", 3)])
+    rec = V.maintain_table(spark, table, max_live_files=10**6,
+                           max_dv_ratio=1.0)
+    assert abs(rec["dv_ratio"] - 3 / 30) < 1e-9, rec

@@ -14,7 +14,9 @@ exists exactly for this probe.
 Deterministic end-to-end (hash-derived data, hash-ordered trainers) —
 re-run to reproduce the SCALE.md table verbatim:
 
-    python tools/ivfadc_scale_probe.py
+    python tools/ivfadc_scale_probe.py          # cell-growth law
+    python tools/ivfadc_scale_probe.py rank     # cell-RANKING crossover
+                                                # (r11 verdict directive #2)
 """
 
 from __future__ import annotations
@@ -69,5 +71,46 @@ def main() -> None:
     spark.stop()
 
 
+def rank_crossover() -> None:
+    """Driver-side cell-ranking cost: the exact interpreted _dot_lr fold
+    vs the numpy matmul path of ann_index._rank_cells, at model sizes up
+    to the n_cells="auto" regime (sqrt(100 TB / row) ~ 10^4-10^5 cells).
+    No Spark needed — the loop under test runs on the driver.  Also
+    asserts both paths produce IDENTICAL nprobe shortlists on every
+    measured size (the seeded geometry has no near-ties; the parity pin
+    for near-tie behavior lives in tests/test_ivfadc_index.py)."""
+    import random
+    import time
+
+    from data_pipeline_zeal_spark.operators import ann_index
+
+    rng = random.Random(0xCE11)
+    dim, n_q, nprobe = 64, 64, 8
+    print("| n_cells | queries | exact fold | numpy | speedup |")
+    print("|---|---|---|---|---|")
+    for n_cells in (32, 256, 1024, 4096, 16384):
+        cents = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_cells)]
+        qvecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_q)]
+        import math as m
+
+        cnorms = [m.sqrt(ann_index._dot_lr(c, c)) for c in cents]
+        t0 = time.perf_counter()
+        exact = ann_index._rank_cells(qvecs, cents, cnorms, nprobe, "exact")
+        t_exact = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        vec = ann_index._rank_cells(qvecs, cents, cnorms, nprobe, "numpy")
+        t_vec = time.perf_counter() - t0
+        assert exact == vec, f"shortlist mismatch at n_cells={n_cells}"
+        print(
+            f"| {n_cells} | {n_q} | {t_exact*1000:.1f} ms "
+            f"| {t_vec*1000:.2f} ms | {t_exact/t_vec:.0f}x |"
+        )
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) > 1 and _sys.argv[1] == "rank":
+        rank_crossover()
+    else:
+        main()
