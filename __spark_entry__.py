@@ -1274,10 +1274,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         then a merge-on-read DV delete forces refresh #2 onto the keyed
         change-feed path (signed −old/+new partials).  The final view
         must equal a from-scratch recompute of the surviving base —
-        count and integer-cents sums are exactly decomposable, which is
-        the operator's exactness contract (sources/matview.py; path
-        selection and emptied-group retirement pinned in
-        tests/test_matview.py)."""
+        count and integer-cents sums are exactly decomposable, avg is
+        derived exactly from its maintained sum/count internals, and
+        min/max survive the delete through targeted group recompute
+        (r12, the full measure surface of sources/matview.py; path
+        selection, emptied-group retirement and the delete-widens-max
+        law pinned in tests/test_matview.py)."""
         import shutil
         import tempfile
 
@@ -1295,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 base,
                 mode="overwrite",
             )
+            cents = "CAST(FLOOR(value * 100) AS BIGINT)"
             MV.create_matview(
                 s,
                 base,
@@ -1302,7 +1305,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ["event_type"],
                 [
                     ("n_events", "count", None),
-                    ("sum_cents", "sum", "CAST(FLOOR(value * 100) AS BIGINT)"),
+                    ("sum_cents", "sum", cents),
+                    ("avg_cents", "avg", cents),
+                    ("min_cents", "min", cents),
+                    ("max_cents", "max", cents),
                 ],
                 keys=["event_id"],
             )
@@ -1325,6 +1331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "event_type",
                     "n_events",
                     "sum_cents",
+                    F.round(F.col("avg_cents"), 6).alias("avg_cents"),
+                    "min_cents",
+                    "max_cents",
                     F.lit(r1["path"]).alias("path1"),
                     F.lit(r2["path"]).alias("path2"),
                 )
@@ -2379,7 +2388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (the dedup ladder, embedding near-dup/SemDeDup, the similarity topk
 #: family, the events sketch rows, the TPC-H Q7/Q8/Q9 trio, versioned
 #: stats-skipping/DataSource) plus the r8 tail (the remaining TPC-H
-#: ladder, as-of join, funnel, pivot, order gaps).  After this window no
+#: ladder, as-of join, pivot, order gaps) and versioned_matview_refresh
+#: (r11-green but its kernel gained avg/min/max measures this round —
+#: changed code outranks staleness for a slot).  After this window no
 #: registered query's last green is older than r8.
 _DRIVER_FIRST = [
     "part_type_stats",
@@ -2431,7 +2442,7 @@ _DRIVER_FIRST = [
     "events_type_hour_pivot",
     "asof_events_last_order",
     "order_gaps",
-    "events_funnel",
+    "versioned_matview_refresh",
 ]
 
 
@@ -6661,16 +6672,24 @@ WHERE o_orderkey % 10 = 0 AND o_orderdate < TIMESTAMP '1999-01-01'
     # versioned_matview_refresh: after both refresh paths (append-delta,
     # then keyed-diff across the DV delete) the view must equal a
     # from-scratch recompute of the surviving base rows — count and
-    # integer-cents sums are exactly decomposable, so the incremental
-    # result hash-matches the plain GROUP BY; the path literals pin that
-    # each refresh took the tier the commit history dictates.  NULL
-    # values contribute 0 cents by the view's coalesce contract, hence
-    # the COALESCE inside the oracle SUM.
+    # integer-cents sums are exactly decomposable, avg divides the SAME
+    # two maintained integers the oracle divides (IEEE-identical double
+    # division, then both sides round to 6 dp), and min/max survive the
+    # delete via targeted group recompute (r12); the path literals pin
+    # that each refresh took the tier the commit history dictates.  NULL
+    # values contribute 0 cents to the sum by the view's coalesce
+    # contract (hence COALESCE in the oracle SUM) but are EXCLUDED from
+    # avg/min/max per SQL aggregate semantics — which plain avg/min/max
+    # already do.
     o["versioned_matview_refresh"] = """
 SELECT event_type,
        count(*)::BIGINT AS n_events,
        sum(COALESCE(CAST(floor(value * 100) AS BIGINT), 0))::BIGINT
          AS sum_cents,
+       round(sum(COALESCE(CAST(floor(value * 100) AS BIGINT), 0))::DOUBLE
+             / count(CAST(floor(value * 100) AS BIGINT)), 6) AS avg_cents,
+       min(CAST(floor(value * 100) AS BIGINT))::BIGINT AS min_cents,
+       max(CAST(floor(value * 100) AS BIGINT))::BIGINT AS max_cents,
        'append-delta' AS path1,
        'keyed-diff' AS path2
 FROM events

@@ -31,6 +31,22 @@ decimals, and the registered query does exactly that
 (``sum(floor(value*100))``).  Each view commit records its spec + the
 base version it reflects in commit ``meta``, so refresh is stateless
 and the view itself time-travels like any versioned table.
+
+Measure kinds (r12, verdict directive #3):
+
+* ``count`` / ``sum`` — fully decomposable, signed deltas on every path.
+* ``avg`` — stored as two decomposable internals (``<name>__sum``,
+  ``<name>__cnt`` of NON-NULL values, SQL AVG semantics) and derived
+  exactly at read time — never maintained as a ratio.
+* ``min`` / ``max`` — decomposable on pure-append ranges (merge is just
+  ``min``/``max``); a range containing deletes/updates can WIDEN a
+  group's extreme, which no stored partial can repair, so refresh
+  recomputes ONLY the groups that lost rows (the keyed feed names
+  them) from the base snapshot — one group-pruned base scan, bounded
+  by changed groups, while every untouched group keeps its maintained
+  row.  This is the Materialize/DBSP answer to non-invertible
+  aggregates: incremental where algebra allows, targeted recompute
+  where it does not.
 """
 
 from __future__ import annotations
@@ -40,10 +56,15 @@ from pyspark.sql import functions as F
 
 from . import versioned as V
 
-#: measure spec: (output column, "count" | "sum", SQL expression or None)
+#: measure spec: (output column, kind, SQL expression or None) with kind
+#: in "count" | "sum" | "avg" | "min" | "max"
 Measure = tuple
 
 _N = "__n"  # maintained row count — drops emptied groups, never exposed
+
+#: kinds whose partials are signed-decomposable (deletes subtract)
+_SIGNED_KINDS = ("count", "sum", "avg")
+_KINDS = _SIGNED_KINDS + ("min", "max")
 
 
 def _partials(
@@ -54,7 +75,9 @@ def _partials(
 ) -> DataFrame:
     """One map-side-combinable aggregation producing the view's partial
     rows; ``sign`` (±1 column) turns the same shape into signed deltas
-    for the keyed-diff path."""
+    for the keyed-diff path.  Signed partials are only legal for the
+    invertible kinds — min/max measures require ``sign=None`` (callers
+    route their delete-side work through targeted recompute instead)."""
     s = F.lit(1) if sign is None else sign
     aggs = [F.sum(s).alias(_N)]
     for name, kind, expr in measures:
@@ -63,9 +86,55 @@ def _partials(
         elif kind == "sum":
             col = F.expr(expr)
             aggs.append(F.sum(s * F.coalesce(col, F.lit(0))).alias(name))
+        elif kind == "avg":
+            col = F.expr(expr)
+            aggs.append(
+                F.sum(s * F.coalesce(col, F.lit(0))).alias(name + "__sum")
+            )
+            aggs.append(
+                F.sum(s * col.isNotNull().cast("long")).alias(name + "__cnt")
+            )
+        elif kind in ("min", "max"):
+            if sign is not None:
+                raise ValueError(
+                    f"min/max measure {name!r} cannot take signed partials"
+                )
+            col = F.expr(expr)
+            agg = F.min(col) if kind == "min" else F.max(col)
+            aggs.append(agg.alias(name))
         else:
-            raise ValueError(f"non-decomposable measure kind: {kind!r}")
+            raise ValueError(f"unknown measure kind: {kind!r}")
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def _storage_cols(measures: list[Measure]) -> list[str]:
+    """The view's internal measure columns, in storage order."""
+    cols = []
+    for name, kind, _ in measures:
+        if kind == "avg":
+            cols.extend([name + "__sum", name + "__cnt"])
+        else:
+            cols.append(name)
+    return cols
+
+
+def _merge_aggs(measures: list[Measure]) -> list:
+    """Per-measure merge functions for re-aggregating (view ∪ partials):
+    sum for the invertible family, min/max for the extremes (exact on
+    append-only contributions; delete-touched groups are replaced by
+    recompute before this merge's result is committed)."""
+    aggs = [F.sum(_N).alias(_N)]
+    for name, kind, _ in measures:
+        if kind in ("count", "sum"):
+            aggs.append(F.sum(name).alias(name))
+        elif kind == "avg":
+            aggs.append(F.sum(name + "__sum").alias(name + "__sum"))
+            aggs.append(F.sum(name + "__cnt").alias(name + "__cnt"))
+        elif kind == "min":
+            aggs.append(F.min(name).alias(name))
+        else:
+            aggs.append(F.max(name).alias(name))
+    return aggs
 
 
 def create_matview(
@@ -83,6 +152,12 @@ def create_matview(
     but the view table.  ``keys`` (the base table's row identity)
     enables the keyed-diff path across deletes/updates; without it the
     view can only follow pure appends."""
+    for name, kind, _ in measures:
+        if kind not in _KINDS:
+            raise ValueError(
+                f"unknown measure kind {kind!r} for {name!r}: "
+                f"supported kinds are {_KINDS}"
+            )
     base_v = V.latest_version(base_table)
     snap = V.read_version(spark, base_table, base_v)
     view = _partials(snap, group_cols, measures)
@@ -147,9 +222,13 @@ def refresh_matview(
             "view_version": vv,
         }
 
+    current = V.read_version(spark, view_table, vv)
+    shrunk = None  # groups that lost rows — min/max recompute targets
     try:
         delta = V.read_changes_since(spark, base_table, base_old, base_new)
-        signed = _partials(delta, group_cols, measures)
+        # pure appends: EVERY kind is decomposable (min/max merge is
+        # just min/max when no row ever leaves a group)
+        parts = [_partials(delta, group_cols, measures)]
         path = "append-delta"
     except ValueError:
         if not keys:
@@ -167,19 +246,76 @@ def refresh_matview(
             f.name for f in feed.schema["old_values"].dataType.fields
         ]
         rows = _signed_rows_from_feed(feed, keys, payload_cols)
-        signed = _partials(rows, group_cols, measures, sign=F.col("__sign"))
+        has_minmax = any(kind in ("min", "max") for _, kind, _ in measures)
+        if not has_minmax:
+            parts = [
+                _partials(rows, group_cols, measures, sign=F.col("__sign"))
+            ]
+        else:
+            # min/max present: split the signed work.  New-side rows
+            # (inserts / update-new) contribute unsigned partials — they
+            # can only TIGHTEN an extreme, so the min/max merge absorbs
+            # them.  Old-side rows (deletes / update-old) subtract from
+            # the invertible internals; their min/max columns ride as
+            # NULL (ignored by min/max merge) and their groups are
+            # collected for targeted recompute below.
+            pos = _partials(
+                rows.filter(F.col("__sign") == 1), group_cols, measures
+            )
+            signed_kinds = [
+                m for m in measures if m[1] in _SIGNED_KINDS
+            ]
+            neg = _partials(
+                rows.filter(F.col("__sign") == -1),
+                group_cols,
+                signed_kinds,
+                sign=F.lit(-1),
+            )
+            for name, kind, _ in measures:
+                if kind in ("min", "max"):
+                    neg = neg.withColumn(name, F.lit(None))
+            parts = [pos, neg.select(pos.columns)]
+            shrunk = (
+                rows.filter(F.col("__sign") == -1)
+                .select(*group_cols)
+                .distinct()
+            )
         path = "keyed-diff"
 
-    current = V.read_version(spark, view_table, vv)
+    merged = current
+    for p in parts:
+        merged = merged.unionByName(p)
     merged = (
-        current.unionByName(signed)
-        .groupBy(*group_cols)
-        .agg(
-            F.sum(_N).alias(_N),
-            *[F.sum(name).alias(name) for name, _, _ in measures],
-        )
+        merged.groupBy(*group_cols)
+        .agg(*_merge_aggs(measures))
         .filter(F.col(_N) > 0)
     )
+    if shrunk is not None:
+        # a group that lost a row may have lost its extreme — no stored
+        # partial can repair that, so recompute EXACTLY those groups
+        # from the base snapshot: one scan pruned to the shrunk-group
+        # join (broadcast — bounded by changed groups; group-clustered
+        # layouts additionally file-prune it), every other group keeps
+        # its maintained row untouched
+        def _on(a: DataFrame, b: DataFrame):
+            cond = None
+            for c in group_cols:
+                e = a[c].eqNullSafe(b[c])  # NULL is a group too
+                cond = e if cond is None else (cond & e)
+            return cond
+
+        base_snap = V.read_version(spark, base_table, base_new)
+        recomputed = _partials(
+            base_snap.join(
+                F.broadcast(shrunk), _on(base_snap, shrunk), "left_semi"
+            ),
+            group_cols,
+            measures,
+        )
+        kept = merged.join(
+            F.broadcast(shrunk), _on(merged, shrunk), "left_anti"
+        )
+        merged = kept.unionByName(recomputed.select(kept.columns))
     new_spec = dict(spec, base_version=base_new)
     view_version = V.commit_write(
         merged.coalesce(1),
@@ -199,9 +335,21 @@ def refresh_matview(
 def read_matview(
     spark: SparkSession, view_table: str, version: int | None = None
 ) -> DataFrame:
-    """The view's serving read: group columns + declared measures (the
-    internal row-count guard stays internal)."""
+    """The view's serving read: group columns + declared measures.  The
+    internal row-count guard stays internal, and ``avg`` measures are
+    derived here — exactly — from their maintained sum/count internals
+    (NULL when every contributing value was NULL, SQL AVG semantics)."""
     df = V.read_version(spark, view_table, version)
+    spec = V.commit_meta(
+        view_table, V.latest_version(view_table) if version is None else version
+    ).get("matview")
+    measures = [tuple(m) for m in (spec or {}).get("measures", [])]
+    for name, kind, _ in measures:
+        if kind == "avg":
+            s, c = F.col(name + "__sum"), F.col(name + "__cnt")
+            df = df.withColumn(
+                name, F.when(c > 0, s / c)
+            ).drop(name + "__sum", name + "__cnt")
     return df.drop(_N)
 
 

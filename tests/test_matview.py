@@ -184,3 +184,146 @@ def test_streaming_maintained_view(spark, tables, tmp_path):
     MV.maintained_matview_sink(base, view)(spark.read.parquet(files[0]), 0)
     assert len(V.history(base)) == hb and len(V.history(view)) == hv
     assert _view_rows(spark, view) == _recompute(spark, base)
+
+
+RICH_MEASURES = [
+    ("n_events", "count", None),
+    ("sum_cents", "sum", "CAST(FLOOR(value * 100) AS BIGINT)"),
+    ("avg_cents", "avg", "CAST(FLOOR(value * 100) AS BIGINT)"),
+    ("min_cents", "min", "CAST(FLOOR(value * 100) AS BIGINT)"),
+    ("max_cents", "max", "CAST(FLOOR(value * 100) AS BIGINT)"),
+]
+
+
+def _rich_recompute(spark, base):
+    """From-scratch GROUP BY over the live base — the oracle every
+    refresh must equal, avg derived exactly as sum/count."""
+    snap = V.read_version(spark, base)
+    rows = snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)")).alias("sum_cents"),
+        F.avg(F.expr("CAST(FLOOR(value * 100) AS BIGINT)")).alias("avg_cents"),
+        F.min(F.expr("CAST(FLOOR(value * 100) AS BIGINT)")).alias("min_cents"),
+        F.max(F.expr("CAST(FLOOR(value * 100) AS BIGINT)")).alias("max_cents"),
+    ).collect()
+    return {
+        (r.event_type, r.n_events, r.sum_cents,
+         round(r.avg_cents, 9), r.min_cents, r.max_cents)
+        for r in rows
+    }
+
+
+def _rich_view(spark, view):
+    return {
+        (r.event_type, r.n_events, r.sum_cents,
+         round(r.avg_cents, 9), r.min_cents, r.max_cents)
+        for r in MV.read_matview(spark, view)
+        .select("event_type", "n_events", "sum_cents",
+                "avg_cents", "min_cents", "max_cents")
+        .collect()
+    }
+
+
+def test_avg_min_max_append_path(spark, tables):
+    """r12 (verdict directive #3): avg is maintained as decomposable
+    sum/count internals and derived at read; min/max merge decomposably
+    across pure-append refreshes.  View == from-scratch GROUP BY after
+    two appends."""
+    base, view = tables
+    ev = _events(spark)
+    V.commit_write(
+        ev.filter(F.col("event_id") % 3 == 0).coalesce(1), base,
+        mode="overwrite",
+    )
+    MV.create_matview(spark, base, view, GROUPS, RICH_MEASURES,
+                      keys=["event_id"])
+    V.commit_write(
+        ev.filter(F.col("event_id") % 3 == 1).coalesce(1), base, mode="append"
+    )
+    V.commit_write(
+        ev.filter(F.col("event_id") % 3 == 2).coalesce(1), base, mode="append"
+    )
+    rep = MV.refresh_matview(spark, view)
+    assert rep["path"] == "append-delta"
+    assert _rich_view(spark, view) == _rich_recompute(spark, base)
+    # the avg internals never leave the view table
+    assert "avg_cents__sum" not in MV.read_matview(spark, view).columns
+
+
+def test_delete_forces_group_recompute_for_minmax(spark, tables):
+    """A delete can WIDEN a group's min/max — no stored partial can
+    repair it, so the keyed-diff refresh recomputes exactly the shrunk
+    groups from the base.  Pin: delete every row holding one group's
+    maximum; the refreshed view must surface the NEXT max (provably not
+    derivable from the old view row + signed partials), and every
+    measure still equals the from-scratch recompute."""
+    base, view = tables
+    ev = _events(spark)
+    V.commit_write(ev.coalesce(1), base, mode="overwrite")
+    MV.create_matview(spark, base, view, GROUPS, RICH_MEASURES,
+                      keys=["event_id"])
+
+    # the current max row(s) of one group
+    target = "click"
+    mx = (
+        V.read_version(spark, base)
+        .filter(F.col("event_type") == target)
+        .agg(F.max(F.expr("CAST(FLOOR(value * 100) AS BIGINT)")).alias("m"))
+        .collect()[0]["m"]
+    )
+    V.delete_where_dv(
+        spark, base,
+        [("event_type", "=", target)],
+    ) if mx is None else V.delete_where_dv(
+        spark, base,
+        [("event_type", "=", target), ("value", ">=", (mx) / 100.0)],
+    )
+    rep = MV.refresh_matview(spark, view)
+    assert rep["path"] == "keyed-diff"
+    got = _rich_view(spark, view)
+    assert got == _rich_recompute(spark, base)
+    new_mx = next(r[5] for r in got if r[0] == target)
+    assert new_mx is not None and new_mx < mx
+
+
+def test_minmax_delete_without_keys_still_raises(spark, tables):
+    """min/max change nothing about the keys contract: a delete-crossing
+    refresh without keys fails loudly."""
+    base, view = tables
+    ev = _events(spark)
+    V.commit_write(ev.coalesce(1), base, mode="overwrite")
+    MV.create_matview(spark, base, view, GROUPS, RICH_MEASURES)
+    V.delete_where_dv(spark, base, [("event_id", "<", 100)])
+    with pytest.raises(ValueError, match="keys"):
+        MV.refresh_matview(spark, view)
+
+
+def test_unknown_measure_kind_rejected_at_create(spark, tables):
+    base, view = tables
+    ev = _events(spark)
+    V.commit_write(ev.coalesce(1), base, mode="overwrite")
+    with pytest.raises(ValueError, match="unknown measure kind"):
+        MV.create_matview(
+            spark, base, view, GROUPS, [("p50", "median", "value")]
+        )
+
+
+def test_avg_all_null_group_reads_null(spark, tables):
+    """SQL AVG semantics end-to-end: a group whose every value is NULL
+    serves avg NULL (not 0), count still counts rows."""
+    base, view = tables
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None), (3, "b", 4.0)],
+        "event_id long, event_type string, value double",
+    )
+    V.commit_write(df.coalesce(1), base, mode="overwrite")
+    MV.create_matview(
+        spark, base, view, GROUPS,
+        [("n", "count", None), ("avg_v", "avg", "value")],
+        keys=["event_id"],
+    )
+    rows = {
+        r.event_type: (r.n, r.avg_v)
+        for r in MV.read_matview(spark, view).collect()
+    }
+    assert rows == {"a": (2, None), "b": (1, 4.0)}
