@@ -660,6 +660,97 @@ def search_ivfadc_index(
     )
 
 
+def ivfadc_index_drift(spark: SparkSession, table: str) -> DataFrame:
+    """Per-cell drift for the COMPRESSED index: the main table stores m
+    codes per vector, not embeddings, so the live cell means come from
+    the DECODED reconstructions (one Arrow decode scan — the same
+    kernel every probe runs over its pruned slice, here over the whole
+    index because drift is a global question).  Residual quantization
+    clips each vector to its codebook span, so measured drift is a
+    LOWER bound on true drift — saturated codes mean the quantizer is
+    already failing to describe the data, which is exactly when the
+    canary should fire.  Same output shape as :func:`ivf_index_drift`."""
+    cents, books = _load_ivfadc_models(spark, table, None)
+    live = (
+        V.read_version(spark, table)
+        .mapInPandas(
+            ivfadc_decoder(cents, books),
+            "vec_id long, cell int, rv array<double>",
+        )
+        .select("cell", F.posexplode("rv").alias("pos", "x"))
+    )
+    means = live.groupBy("cell", "pos").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    stored = V.read_version(spark, table + "_centroids").select(
+        "cell", F.posexplode("centroid").alias("pos", "c")
+    )
+    j = means.join(F.broadcast(stored), ["cell", "pos"])
+    return (
+        j.groupBy("cell")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.sum(F.col("m") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("na"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nb"),
+            F.sqrt(
+                F.sum((F.col("m") - F.col("c")) * (F.col("m") - F.col("c")))
+            ).alias("l2"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(
+                F.when(
+                    F.col("na") * F.col("nb") == 0, F.lit(0.0)
+                ).otherwise(F.col("dot") / (F.col("na") * F.col("nb"))),
+                6,
+            ).alias("centroid_cosine"),
+            F.round("l2", 6).alias("centroid_l2_shift"),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivfadc_rebuild_if_drifted(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame | None = None,
+    min_cosine: float = 0.9,
+    n_cells: int | None = None,
+    m: int | None = None,
+    n_codes: int | None = None,
+    txn: str | None = None,
+) -> dict:
+    """Drift-gated rebuild for the compressed index, symmetric with
+    :func:`ivf_rebuild_if_drifted` — with one honest difference: the
+    index stores codes, not vectors, so a rebuild needs the full-
+    precision ``source`` embeddings.  When drift crosses the gate and
+    no source is given, the decision dict reports ``rebuild_required``
+    instead of silently doing nothing — the scheduler escalates."""
+    drift = ivfadc_index_drift(spark, table).collect()
+    worst = min((r.centroid_cosine for r in drift), default=1.0)
+    cents, books = _load_ivfadc_models(spark, table, None)
+    layout = dict(
+        n_cells=n_cells or len(cents),
+        m=m or len(books),
+        n_codes=n_codes or len(books[0]),
+    )
+    rec = {
+        "worst_cell_cosine": worst,
+        "rebuilt": False,
+        "rebuild_required": worst < min_cosine,
+        **layout,
+    }
+    if worst < min_cosine and source is not None:
+        build_ivfadc_index(
+            source.select("vec_id", "embedding"), table, **layout, txn=txn
+        )
+        rec["rebuilt"] = True
+        rec["rebuild_required"] = False
+    return rec
+
+
 def ivfadc_index_stats(spark: SparkSession, table: str) -> dict:
     """Measured compression evidence for the persisted IVFADC index:
     bytes actually on disk for the live code files vs the fp32 bytes the

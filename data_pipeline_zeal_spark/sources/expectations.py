@@ -35,7 +35,7 @@ multi-consumer plan in this repo.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import versioned as V
@@ -175,6 +175,86 @@ def expectations_sink(
         )
 
     return _sink
+
+
+def replay_quarantine(
+    spark: SparkSession,
+    table: str,
+    expectations: list[tuple],
+    quarantine_table: str | None = None,
+    txn: str | None = None,
+) -> dict:
+    """The quarantine's EXIT path (r12, round-11 verdict directive #6):
+    when a rule is relaxed (or upstream data is fixed enough that the
+    old dead letters deserve another hearing), re-evaluate the live
+    quarantine under the CURRENT ruleset — rows that now pass re-admit
+    to the main table, rows that still fail stay quarantined with their
+    violation arrays recomputed against the new rules.
+
+    Exactly-once by construction: both commits are txn-keyed on the
+    quarantine version being replayed, so a crash-replayed (or doubly
+    scheduled) call adopts its existing commits instead of re-admitting
+    the same rows twice; and because the re-admit commits FIRST and the
+    quarantine rewrite second, a crash between them re-runs into txn
+    adoption, never into row loss.  Without the lifecycle the
+    quarantine grows forever — dead-letter queues need a drain, not
+    just retention (the same reason the Kafka pattern pairs DLQs with
+    replay tooling).
+
+    Retention composes with :func:`~.versioned.vacuum` exactly like any
+    other versioned table: quarantining is a commit, replay is two
+    commits, and pre-replay snapshots stay time-travel-readable until
+    the quarantine's own vacuum floor passes them.  Returns
+    ``{"readmitted", "still_quarantined", "main_version",
+    "quarantine_version"}`` (versions None when a side had no rows)."""
+    qt = quarantine_table or (table + "_quarantine")
+    qv = V.latest_version(qt)
+    base_txn = txn or f"replay-{qt}-{qv}"
+    rows = V.read_version(spark, qt, qv).drop("__violated")
+
+    all_ok = None
+    for name, pred in expectations:
+        ok = _ok(pred)
+        all_ok = ok if all_ok is None else (all_ok & ok)
+    passing = rows.filter(all_ok) if all_ok is not None else rows
+    n_pass = passing.count()
+    main_version = None
+    if n_pass:
+        main_version = V.commit_write(
+            passing,
+            table,
+            mode="append",
+            txn=base_txn,
+            meta={
+                "expectations": {
+                    "on_violation": "replay",
+                    "rows_checked": n_pass,
+                    "violations": {},
+                    "replayed_from": {"table": qt, "version": qv},
+                }
+            },
+        )
+    still = rows.filter(~all_ok) if all_ok is not None else rows.limit(0)
+    names = F.filter(
+        F.array(
+            *[F.when(~_ok(pred), F.lit(name)) for name, pred in expectations]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    remaining = still.withColumn("__violated", names)
+    n_still = remaining.count()
+    q_version = V.commit_write(
+        remaining,
+        qt,
+        mode="overwrite",
+        txn=f"{base_txn}-rewrite",
+    )
+    return {
+        "readmitted": n_pass,
+        "still_quarantined": n_still,
+        "main_version": main_version,
+        "quarantine_version": q_version,
+    }
 
 
 def quality_history(table: str) -> list[dict]:

@@ -194,3 +194,84 @@ def test_empty_frame_commits_cleanly_with_zero_violations(spark, table):
     assert rep["rows_checked"] == 0 and rep["rows_written"] == 0
     assert rep["violations"] == {"value_ok": 0}
     assert V.read_version(spark, table).count() == 0
+
+
+def test_quarantine_lifecycle_vacuum_and_replay(spark, table):
+    """r12 (verdict directive #6): the quarantine is a first-class
+    versioned table with a drain.  (a) vacuuming the MAIN table never
+    touches quarantined rows; (b) the quarantine's own vacuum honors
+    the protected-versions floor; (c) once a rule is relaxed, replay
+    re-admits newly-passing rows to main EXACTLY once (txn-idempotent
+    on the quarantine version) and keeps still-failing rows with
+    violation arrays recomputed under the new ruleset."""
+    ev = _events(spark)
+    poisoned = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 10 == 0, F.lit(-5.0)).otherwise(
+            F.col("value")
+        ),
+    )
+    rules = [("value_ok", "value >= 0")]
+    rep = E.commit_with_expectations(
+        poisoned, table, rules, on_violation="quarantine"
+    )
+    qt = table + "_quarantine"
+    n_q = rep["quarantined"]
+    assert n_q > 0
+
+    # (a) main-table maintenance does not reach the quarantine
+    V.commit_write(
+        V.read_version(spark, table), table, mode="overwrite"
+    )  # churn main history
+    V.vacuum(table, retention_seconds=0)
+    assert V.read_version(spark, qt).count() == n_q
+
+    # (c) relax the rule: -5.0 is now legal
+    relaxed = [("value_ok", "value >= -10")]
+    n_main = V.read_version(spark, table).count()
+    out = E.replay_quarantine(spark, table, relaxed)
+    assert out["readmitted"] == n_q and out["still_quarantined"] == 0
+    assert V.read_version(spark, table).count() == n_main + n_q
+    assert V.read_version(spark, qt).count() == 0
+    # exactly once: the same replay call adopts, nothing doubles
+    out2 = E.replay_quarantine(spark, table, relaxed)
+    assert V.read_version(spark, table).count() == n_main + n_q
+    # the ledger records the replay as a quality event
+    hist = E.quality_history(table)
+    assert any(h.get("on_violation") == "replay" for h in hist)
+
+    # (b) the quarantine's own retention honors the floor
+    qv = V.latest_version(qt)
+    V.vacuum(qt, retention_seconds=0, min_retained_version=qv)
+    with pytest.raises(V.VersionExpiredError):
+        V.read_version(spark, qt, 1)
+    assert V.read_version(spark, qt, qv).count() == 0
+
+
+def test_replay_partial_readmission_recomputes_violations(spark, table):
+    """A replay under a HALF-relaxed ruleset re-admits only the rows the
+    new rules accept; survivors' __violated arrays reflect the NEW
+    rules, not the old ones."""
+    df = spark.createDataFrame(
+        [(1, "a", -2.0), (2, "b", -20.0), (3, None, 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    rules = [
+        ("value_ok", "value >= 0"),
+        ("type_ok", "event_type IS NOT NULL"),
+    ]
+    E.commit_with_expectations(df, table, rules, on_violation="quarantine")
+    qt = table + "_quarantine"
+    assert V.read_version(spark, qt).count() == 3
+
+    relaxed = [
+        ("value_ok", "value >= -10"),  # admits -2, still rejects -20
+        ("type_ok", "event_type IS NOT NULL"),
+    ]
+    out = E.replay_quarantine(spark, table, relaxed)
+    assert out["readmitted"] == 1 and out["still_quarantined"] == 2
+    left = {
+        r["event_id"]: sorted(r["__violated"])
+        for r in V.read_version(spark, qt).collect()
+    }
+    assert left == {2: ["value_ok"], 3: ["type_ok"]}
