@@ -223,7 +223,11 @@ def _staged_stats(spark: SparkSession, data_dir: str):
 
 
 def _staged_bloom(
-    spark: SparkSession, data_dir: str, cols: list[str], m_bits: int, k: int
+    spark: SparkSession,
+    data_dir: str,
+    cols: list[str],
+    m_bits,
+    k: int,
 ) -> dict:
     """Per-file Bloom bitmaps for the designated point-lookup columns —
     the Delta bloom-filter-index analog, computed over the freshly
@@ -240,12 +244,31 @@ def _staged_bloom(
     of row count, so the driver collect is ~``n_files x 128`` longs at
     the default 8192-bit layout (1 KiB per file per column in the log).
     NULL keys set no bits — an equality probe can never match NULL, so
-    an all-NULL file correctly proves absent."""
+    an all-NULL file correctly proves absent.
+
+    ``m_bits="auto"`` (r12) sizes the bitmap from the staged layout: a
+    fixed 8192-bit bitmap saturates past ~1.4k keys/file (measured —
+    tools/lakehouse_scale_probe.py showed present-key probes keeping
+    EVERY file at 6.25k keys/file because the false-positive rate hits
+    ~1), so auto picks the smallest power of two >= 10 bits per key of
+    the largest file (~0.8% FP at k=6), clamped to [8192, 2^23] —
+    at most 1 MiB/file/column in the log, the same bound Delta's
+    bloom-filter numItems knob trades against."""
     import base64
 
     from pyspark.sql import functions as F
 
     staged = spark.read.parquet(data_dir)
+    if m_bits == "auto":
+        per_file = (
+            staged.groupBy(F.input_file_name())
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        need = 10 * max((int(r["c"]) for r in per_file), default=1)
+        m_bits = 8192
+        while m_bits < need and m_bits < (1 << 23):
+            m_bits *= 2
     n_words = m_bits // 64
     # The JVM dispatches xxhash64 on the COLUMN type: int/short/byte take
     # the 4-byte hashInt path, bigint the 8-byte hashLong path.  Record
@@ -467,7 +490,7 @@ def commit_write(
     read_version: int | None = None,
     meta: dict | None = None,
     bloom_cols: list[str] | None = None,
-    bloom_bits: int = 8192,
+    bloom_bits: "int | str" = 8192,
     bloom_hashes: int = 6,
 ) -> int:
     """Write ``df`` into the table as one atomic commit; returns the
@@ -930,7 +953,7 @@ def compact(
     zorder: bool = False,
     num_files: int = 32,
     bloom_cols: list[str] | None = None,
-    bloom_bits: int = 8192,
+    bloom_bits: "int | str" = 8192,
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot as one fresh commit (new
     compacted files, one atomic overwrite) — readers never see a partial
@@ -989,7 +1012,7 @@ def maintain_table(
     num_files: int = 8,
     txn: str | None = None,
     bloom_cols: list[str] | None = None,
-    bloom_bits: int = 8192,
+    bloom_bits: "int | str" = 8192,
 ) -> dict:
     """Auto-OPTIMIZE (the Databricks predictive-optimization shape, r11):
     decide from METADATA ALONE whether the table has accumulated enough

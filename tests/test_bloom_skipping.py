@@ -240,3 +240,32 @@ def test_bloom_rejects_unhashable_column_types(spark, table):
     )
     with pytest.raises(TypeError, match="Bloom-indexed"):
         V.commit_write(df, table, mode="overwrite", bloom_cols=["x"])
+
+
+def test_auto_sized_bloom_recovers_selectivity_on_big_files(spark, table):
+    """r12: a fixed 8192-bit bitmap saturates past ~1.4k keys/file (the
+    lakehouse scale probe measured present-key probes keeping EVERY
+    file at 6.25k keys/file).  bloom_bits="auto" sizes ~10 bits per key
+    of the largest file, restoring ~single-file point lookups at any
+    file size, still absence-proof-only."""
+    n, files = 50_000, 8
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    V.commit_write(
+        df.repartition(files, "k"), table, mode="overwrite",
+        bloom_cols=["k"], bloom_bits="auto",
+    )
+    head = V._read_entry(table, V.latest_version(table))
+    m = head["bloom"]["m"]
+    # 50k/8 = 6250 keys/file -> need >= 62500 bits -> 65536
+    assert m == 65536
+    # present keys: near-single-file (allow a stray false positive)
+    for key in (0, n // 2, n - 1):
+        _, kept, _ = V.pruned_paths(table, [("k", "=", key)])
+        assert kept <= 2, (key, kept)
+        got = V.read_where(spark, table, [("k", "=", key)]).collect()
+        assert len(got) == 1 and got[0].v == key * 7
+    # absent keys still prove absent everywhere
+    _, kept_a, _ = V.pruned_paths(table, [("k", "=", -5)])
+    assert kept_a == 0
