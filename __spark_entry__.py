@@ -1544,6 +1544,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["versioned_bloom_skipping"] = _versioned_bloom_skipping
 
+    def _versioned_auto_bloom(s: SparkSession, d: str) -> DataFrame:
+        """Auto-sized Bloom bitmaps (r12): the fixed 8192-bit default
+        SATURATES past ~1.4k keys/file — on a 10k-keys-per-file hash
+        layout a present-key probe keeps ALL 4 files (sat_kept=4, the
+        measured failure tools/lakehouse_scale_probe.py exposed) while
+        bloom_bits="auto" sizes ~10 bits/key of the largest staged file
+        (auto_m=131072 here) and restores the single-file point lookup
+        (auto_kept=1).  Absent keys stay proven-absent on BOTH layouts
+        (absence proofs never regress — the zero-false-negative law).
+        The frame is a fixture-independent deterministic range (the
+        generator_profile precedent), so the structural constants hold
+        at every sf and the oracle recomputes the content leg from
+        range() arithmetic; saturation-recovery is pytest-pinned in
+        tests/test_bloom_skipping.py."""
+        import shutil
+        import tempfile
+
+        from data_pipeline_zeal_spark.sources import versioned as V
+
+        df = s.range(40_000).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        )
+        key = 12_345
+        out = {}
+        for tag, bits in (("sat", 8192), ("auto", "auto")):
+            t = tempfile.mkdtemp(prefix="abloom_q_")
+            try:
+                V.commit_write(
+                    df.repartition(4, "k"),
+                    t,
+                    mode="overwrite",
+                    bloom_cols=["k"],
+                    bloom_bits=bits,
+                )
+                out[tag + "_m"] = V._read_entry(
+                    t, V.latest_version(t)
+                )["bloom"]["m"]
+                out[tag + "_kept"] = V.pruned_paths(t, [("k", "=", key)])[1]
+                out[tag + "_absent"] = V.pruned_paths(t, [("k", "=", -5)])[1]
+                if tag == "auto":
+                    probe = V.read_where(s, t, [("k", "=", key)]).agg(
+                        F.count(F.lit(1)).alias("n_rows"),
+                        F.coalesce(F.sum("v"), F.lit(0)).alias("v_sum"),
+                    ).first()
+                    out["n_rows"], out["v_sum"] = probe[0], probe[1]
+            finally:
+                shutil.rmtree(t, ignore_errors=True)
+        return _eager(
+            s.createDataFrame(
+                [(
+                    out["sat_m"], out["sat_kept"], out["sat_absent"],
+                    out["auto_m"], out["auto_kept"], out["auto_absent"],
+                    out["n_rows"], out["v_sum"],
+                )],
+                "sat_m long, sat_kept int, sat_absent int, auto_m long, "
+                "auto_kept int, auto_absent int, n_rows long, v_sum long",
+            )
+        )
+
+    q["versioned_auto_bloom"] = _versioned_auto_bloom
+
     def _versioned_restore(s: SparkSession, d: str) -> DataFrame:
         """RESTORE TO VERSION + shallow CLONE (r11 — both metadata-only
         re-references of live parquet): two commits build the good
@@ -2388,10 +2449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (the dedup ladder, embedding near-dup/SemDeDup, the similarity topk
 #: family, the events sketch rows, the TPC-H Q7/Q8/Q9 trio, versioned
 #: stats-skipping/DataSource) plus the r8 tail (the remaining TPC-H
-#: ladder, as-of join, pivot, order gaps) and versioned_matview_refresh
-#: (r11-green but its kernel gained avg/min/max measures this round —
-#: changed code outranks staleness for a slot).  After this window no
-#: registered query's last green is older than r8.
+#: ladder, pivot, order gaps), versioned_matview_refresh (r11-green but
+#: its kernel gained avg/min/max measures this round — changed code
+#: outranks staleness for a slot), and the never-sampled r12 addition
+#: versioned_auto_bloom (auto-sized bitmaps past the measured
+#: saturation point).  After this window no registered query's last
+#: green is older than r8.
 _DRIVER_FIRST = [
     "part_type_stats",
     "order_lineitem_detail",
@@ -2440,9 +2503,9 @@ _DRIVER_FIRST = [
     "tpch_q20_promotion_suppliers",
     "tpch_q21_waiting_orders",
     "events_type_hour_pivot",
-    "asof_events_last_order",
     "order_gaps",
     "versioned_matview_refresh",
+    "versioned_auto_bloom",
 ]
 
 
@@ -6696,6 +6759,19 @@ FROM events
 WHERE event_id >= 500
 GROUP BY event_type
 ORDER BY event_type
+"""
+    # versioned_auto_bloom: the structural constants are deterministic
+    # for the fixture-independent range frame (hash layout and XXH64
+    # bit positions are pure functions of the data): the default-bitmap
+    # leg saturates (sat_kept=4 of 4), auto sizing restores the single
+    # -file lookup (auto_kept=1, m=2^17 = 10 bits/key rounded up), and
+    # absence proofs hold on both.  The content leg recomputes from
+    # range arithmetic: one row at k=12345, v = 7k.
+    o["versioned_auto_bloom"] = """
+SELECT 8192::BIGINT AS sat_m, 4 AS sat_kept, 0 AS sat_absent,
+       131072::BIGINT AS auto_m, 1 AS auto_kept, 0 AS auto_absent,
+       count(*)::BIGINT AS n_rows, sum(range * 7)::BIGINT AS v_sum
+FROM range(40000) WHERE range = 12345
 """
     # versioned_expectations: every count recomputes from the same
     # deterministic poison rule; NULL predicates count as violations

@@ -251,6 +251,7 @@ HEADLINE = [
     "versioned_expectations",
     "versioned_maintain",
     "versioned_bloom_skipping",
+    "versioned_auto_bloom",
     "versioned_restore",
 ]
 
