@@ -20,7 +20,8 @@ same convention every builder already follows:
 * ``<table>_manifest`` (+ ``_df``/``_stats``)  → BM25 inverted index
 * ``<table>_codebooks`` (+ ``_centroids``)     → IVFADC (compressed)
 * ``<table>_centroids`` alone                  → IVF index
-* no companions                                → plain versioned table
+* ``matview`` spec in the head commit's meta   → materialized view
+* none of the above                            → plain versioned table
 
 and gates each repair behind a METADATA-ONLY debt check, so the
 steady-state cron tick costs log replay, never a data scan:
@@ -32,6 +33,9 @@ steady-state cron tick costs log replay, never a data scan:
   last overwrite (build).  Only when appends exist does the (data-scan)
   drift canary run — it is the gate for the expensive rebuild, and the
   metadata trigger is the gate for the canary.
+* matview: freshness debt = base-log commits past the version the view
+  reflects (two ``latest_version`` reads) → ``refresh_matview``, which
+  itself applies only the delta.
 * plain: delegate wholesale to ``maintain_table`` (fragmentation +
   DV-debt triggers, one materializing compact).
 
@@ -63,13 +67,18 @@ def _appends_since_rebuild(table: str) -> int:
 
 
 def classify_index(table: str) -> str:
-    """``"bm25" | "ivfadc" | "ivf" | "plain"`` from companion logs."""
+    """``"bm25" | "ivfadc" | "ivf" | "matview" | "plain"`` from
+    companion logs and commit meta — both metadata-only reads."""
     if _is_table(table + "_manifest"):
         return "bm25"
     if _is_table(table + "_codebooks"):
         return "ivfadc"
     if _is_table(table + "_centroids"):
         return "ivf"
+    if _is_table(table) and V.commit_meta(
+        table, V.latest_version(table)
+    ).get("matview"):
+        return "matview"
     return "plain"
 
 
@@ -96,6 +105,18 @@ def maintain_index(
             "action": "compact" if rec.get("compacted") else "none",
             **rec,
         }
+    if kind == "matview":
+        # freshness debt: the base log advanced past the version the
+        # view reflects (two latest_version reads — metadata only)
+        from ..sources import matview as MV
+
+        spec = V.commit_meta(table, V.latest_version(table))["matview"]
+        lag = V.latest_version(spec["base_table"]) - spec["base_version"]
+        rec = {"kind": kind, "base_lag_commits": lag}
+        if lag <= 0:
+            return {"action": "none", **rec}
+        r = MV.refresh_matview(spark, table, txn=txn)
+        return {"action": "refresh", **rec, **r}
     if kind == "bm25":
         segments = 1 + _appends_since_rebuild(table + "_stats")
         rec = {"kind": kind, "segments": segments,

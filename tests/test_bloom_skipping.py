@@ -269,3 +269,35 @@ def test_auto_sized_bloom_recovers_selectivity_on_big_files(spark, table):
     # absent keys still prove absent everywhere
     _, kept_a, _ = V.pruned_paths(table, [("k", "=", -5)])
     assert kept_a == 0
+
+
+def test_bloom_binary_column_parity(spark, table):
+    """Binary bloom columns hash through hashUnsafeBytes — same path as
+    strings but without UTF-8 encoding; pin the parity and the
+    end-to-end point lookup."""
+    bvals = [b"", b"a", b"\x00\x01\x02", b"x" * 9, bytes(range(40))]
+    bv = spark.createDataFrame([(v,) for v in bvals], "b binary")
+    got = {
+        bytes(r.b): r.h
+        for r in bv.select("b", F.xxhash64("b", F.lit(2).cast("long"))
+                           .alias("h")).collect()
+    }
+    for v in bvals:
+        assert X.spark_xxhash64([v, 2]) == got[v], v
+
+    df = spark.createDataFrame(
+        [(i, ("key-%04d" % i).encode()) for i in range(500)],
+        "n long, k binary",
+    )
+    V.commit_write(
+        df.repartition(4, "k"), table, mode="overwrite", bloom_cols=["k"]
+    )
+    head = V._read_entry(table, V.latest_version(table))
+    assert head["bloom"]["types"] == {"k": "binary"}
+    probe = [("k", "=", b"key-0123")]
+    _, kept, skipped = V.pruned_paths(table, probe)
+    assert kept <= 2 and skipped >= 2
+    rows = V.read_where(spark, table, probe).collect()
+    assert len(rows) == 1 and rows[0].n == 123
+    _, kept_a, _ = V.pruned_paths(table, [("k", "=", b"absent")])
+    assert kept_a == 0

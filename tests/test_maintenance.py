@@ -134,3 +134,52 @@ def test_ivfadc_requires_source_for_rebuild(spark, table):
     assert (rec["n_cells"], rec["m"], rec["n_codes"]) == (8, 8, 16)
     rec2 = maintenance.maintain_index(spark, table, min_cosine=0.98)
     assert rec2["action"] == "none" and rec2["appends_since_rebuild"] == 0
+
+
+def test_matview_freshness_debt_fires_refresh_only(spark, table):
+    """A materialized view is the fifth maintained structure: its debt
+    is base-log lag (metadata-only — two latest_version reads), its
+    repair is refresh_matview, and a fresh view is a strict no-op."""
+    from data_pipeline_zeal_spark.sources import matview as MV
+
+    base = table  # plain base table
+    view = tempfile.mkdtemp(prefix="maint_mv_")
+    shutil.rmtree(view, ignore_errors=True)
+    try:
+        df = spark.range(1000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).cast("string").alias("event_type"),
+            (F.col("id") % 100).cast("double").alias("value"),
+        )
+        V.commit_write(df.coalesce(1), base, mode="overwrite")
+        MV.create_matview(
+            spark, base, view, ["event_type"],
+            [("n", "count", None)], keys=["event_id"],
+        )
+        assert maintenance.classify_index(view) == "matview"
+        assert maintenance.classify_index(base) == "plain"
+        # fresh: nothing fires
+        rec = maintenance.maintain_index(spark, view)
+        assert rec == {"action": "none", "kind": "matview",
+                       "base_lag_commits": 0}
+        # base advances -> one tick refreshes and clears the debt
+        V.commit_write(
+            spark.range(1000, 1400).select(
+                F.col("id").alias("event_id"),
+                (F.col("id") % 7).cast("string").alias("event_type"),
+                (F.col("id") % 100).cast("double").alias("value"),
+            ).coalesce(1),
+            base, mode="append",
+        )
+        rec = maintenance.maintain_index(spark, view)
+        assert rec["action"] == "refresh" and rec["base_lag_commits"] == 1
+        assert rec["path"] == "append-delta"
+        got = {
+            r.event_type: r.n
+            for r in MV.read_matview(spark, view).collect()
+        }
+        assert sum(got.values()) == 1400
+        rec2 = maintenance.maintain_index(spark, view)
+        assert rec2["action"] == "none" and rec2["base_lag_commits"] == 0
+    finally:
+        shutil.rmtree(view, ignore_errors=True)
