@@ -146,6 +146,31 @@ def main() -> None:
               f"rows={n}; clone rows={V.read_version(spark, clone).count()}")
         assert rr["metadata_only"] and n == len(ids)
 
+        # 7. (r12) relax a rule and drain the quarantine exactly once
+        n_q = V.read_version(spark, table + "_quarantine").count()
+        if n_q:
+            n_before = V.read_version(spark, table).count()
+            out = E.replay_quarantine(
+                spark, table, [("value_ok", "value >= -1000")],
+            )
+            out2 = E.replay_quarantine(  # replay adopts, nothing doubles
+                spark, table, [("value_ok", "value >= -1000")],
+            )
+            n_after = V.read_version(spark, table).count()
+            print(f"[7] quarantine drain: {out['readmitted']} re-admitted, "
+                  f"{out['still_quarantined']} kept; idempotent="
+                  f"{n_after == n_before + out['readmitted']}")
+            assert n_after == n_before + out["readmitted"]
+
+        # 8. (r12) one unified maintenance tick per structure
+        from data_pipeline_zeal_spark.operators import maintenance
+
+        for path, want in ((table, "plain"), (view, "matview")):
+            rec = maintenance.maintain_index(spark, path)
+            print(f"[8] maintain_index({want}): kind={rec['kind']} "
+                  f"action={rec['action']}")
+            assert rec["kind"] == want
+
         # the commit log as quality ledger
         for h in V.history(table):
             meta = V.commit_meta(table, h["version"])
