@@ -327,3 +327,55 @@ def test_avg_all_null_group_reads_null(spark, tables):
         for r in MV.read_matview(spark, view).collect()
     }
     assert rows == {"a": (2, None), "b": (1, 4.0)}
+
+
+def test_randomized_op_sequence_refresh_equals_recompute(spark, tables):
+    """Soak law for the full measure surface: a seeded random sequence
+    of appends and DV deletes, refreshing after every step — the view
+    must equal the from-scratch GROUP BY at EVERY intermediate state,
+    whichever path each refresh takes.  This is the associativity/
+    targeted-recompute argument exercised as a trajectory, not a
+    single transition."""
+    import random
+
+    rng = random.Random(0x5EED12)
+    base, view = tables
+    next_id = 2000
+    V.commit_write(
+        spark.range(0, next_id).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 13).cast("string").alias("event_type"),
+            ((F.col("id") * 37) % 500).cast("double").alias("value"),
+        ).coalesce(1),
+        base, mode="overwrite",
+    )
+    MV.create_matview(spark, base, view, GROUPS, RICH_MEASURES,
+                      keys=["event_id"])
+    paths = []
+    for step in range(6):
+        op = rng.choice(["append", "delete", "delete"])
+        if op == "append":
+            lo, hi = next_id, next_id + rng.randrange(200, 600)
+            next_id = hi
+            V.commit_write(
+                spark.range(lo, hi).select(
+                    F.col("id").alias("event_id"),
+                    (F.col("id") % 13).cast("string").alias("event_type"),
+                    ((F.col("id") * 37) % 500).cast("double").alias("value"),
+                ).coalesce(1),
+                base, mode="append",
+            )
+        else:
+            # delete a random id stripe (may hit group extremes)
+            lo = rng.randrange(0, next_id)
+            V.delete_where_dv(
+                spark, base,
+                [("event_id", ">=", lo), ("event_id", "<", lo + 150)],
+            )
+        rep = MV.refresh_matview(spark, view)
+        paths.append(rep["path"])
+        assert _rich_view(spark, view) == _rich_recompute(spark, base), (
+            step, op, paths
+        )
+    # the trajectory exercised BOTH refresh tiers
+    assert "append-delta" in paths and "keyed-diff" in paths, paths
