@@ -945,6 +945,20 @@ def change_feed(
     )
 
 
+def _live_parquet_bytes(table: str, version: int | None = None) -> int:
+    """On-disk bytes of the live snapshot's parquet files — filesystem
+    stat calls over the live dirs, no file opened."""
+    total = 0
+    for d in live_dirs(table, version):
+        for root, _, names in os.walk(d):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in names
+                if f.endswith(".parquet")
+            )
+    return total
+
+
 def compact(
     spark: SparkSession,
     table: str,
@@ -952,6 +966,7 @@ def compact(
     cluster_by: list[str] | None = None,
     zorder: bool = False,
     num_files: int = 32,
+    target_file_bytes: int | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: "int | str" = 8192,
 ) -> int:
@@ -968,7 +983,21 @@ def compact(
     tightens each new file's recorded bounds, so the NEXT predicate read
     (:func:`read_where`) skips at file granularity — the same
     write-once/skip-forever contract as Delta's OPTIMIZE ZORDER BY, one
-    range exchange per rewrite."""
+    range exchange per rewrite.
+
+    ``target_file_bytes`` (r12 — Delta's ``targetFileSize`` analog)
+    derives the file count from the live snapshot's on-disk bytes
+    instead of a fixed ``num_files``: at 100 TB the knob an operator
+    actually owns is bytes per file (~128 MiB-1 GiB for scan
+    efficiency), not a count that silently drifts as the table grows.
+    The size probe is metadata-cheap (stat calls, no file opened) and
+    the estimate is input-compressed bytes — output files land near the
+    target because compaction preserves encoding."""
+    if target_file_bytes is not None:
+        if target_file_bytes <= 0:
+            raise ValueError(f"target_file_bytes={target_file_bytes}")
+        live = _live_parquet_bytes(table)
+        num_files = max(1, -(-live // target_file_bytes))
     snap = read_version(spark, table)
     if cluster_by:
         if zorder:
@@ -987,8 +1016,13 @@ def compact(
     else:
         # plain bin-packing OPTIMIZE: without a clustering key the point
         # is fewer, larger files — honor num_files instead of inheriting
-        # the fragmented source partitioning
-        snap = snap.coalesce(num_files)
+        # the fragmented source partitioning.  coalesce only SHRINKS;
+        # re-splitting an over-compacted snapshot (target_file_bytes on
+        # a few big files) needs the shuffle repartition takes.
+        if snap.rdd.getNumPartitions() < num_files:
+            snap = snap.repartition(num_files)
+        else:
+            snap = snap.coalesce(num_files)
     # an overwrite replaces the file set, so per-file Bloom bitmaps must
     # be re-declared or they are gone — same re-declare-on-rewrite
     # contract as the clustering itself
@@ -1010,6 +1044,7 @@ def maintain_table(
     cluster_by: list[str] | None = None,
     zorder: bool = False,
     num_files: int = 8,
+    target_file_bytes: int | None = None,
     txn: str | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: "int | str" = 8192,
@@ -1070,6 +1105,7 @@ def maintain_table(
         cluster_by=cluster_by,
         zorder=zorder,
         num_files=num_files,
+        target_file_bytes=target_file_bytes,
         bloom_cols=bloom_cols,
         bloom_bits=bloom_bits,
     )

@@ -1028,3 +1028,45 @@ def test_maintain_table_settles_tombstone_debt(spark, tmp_path):
     assert sorted(r.id for r in V.read_version(spark, t).collect()) == list(
         range(20, 100)
     )
+
+
+def test_compact_by_target_file_bytes(spark):
+    """r12 — Delta targetFileSize analog: OPTIMIZE derives the output
+    file count from the live snapshot's on-disk bytes, so the operator
+    owns bytes-per-file and the count tracks table growth."""
+    import math
+    import tempfile
+
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_zeal_spark.sources import versioned as V2
+
+    t = tempfile.mkdtemp(prefix="tfb_")
+    try:
+        df = spark.range(50_000).select(
+            F.col("id"), (F.col("id") * 3).alias("v")
+        )
+        V2.commit_write(df.repartition(16), t, mode="overwrite")
+        live = V2._live_parquet_bytes(t)
+        assert live > 0
+        # huge target -> single file
+        V2.compact(spark, t, target_file_bytes=live * 10)
+        assert V2.pruned_paths(t, [])[1] == 1
+        # quarter-of-live target -> ceil(live/target) files (re-measure:
+        # the compact rewrote the snapshot)
+        live2 = V2._live_parquet_bytes(t)
+        target = max(1, live2 // 4)
+        V2.compact(spark, t, target_file_bytes=target)
+        want = math.ceil(live2 / target)
+        got = V2.pruned_paths(t, [])[1]
+        assert got == want, (got, want)
+        # content untouched by either rewrite
+        assert V2.read_version(spark, t).count() == 50_000
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            V2.compact(spark, t, target_file_bytes=0)
+    finally:
+        _sh.rmtree(t, ignore_errors=True)
