@@ -837,6 +837,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_bm25_segment_search"] = _bm25_segment_search
 
+    def _bm25_delete_search(s: SparkSession, d: str) -> DataFrame:
+        """EXACT BM25 document deletion (r12): build on the even half of
+        the corpus, delete the doc_id%20==2 stripe (`delete_bm25_docs` — DV
+        tombstones on the postings + NEGATIVE df/stats segments), then
+        probe with the surviving corpus's query set.  The probe's
+        integer segment sums must yield the survivors' df/N/avgdl
+        EXACTLY, so this row scores against the INDEPENDENT DuckDB
+        recompute over `documents WHERE doc_id % 2 = 0 AND doc_id % 20 <> 2` — a green
+        hash is the driver seeing deletion produce the from-scratch
+        rebuild answer (Lucene's stale-df tombstones would fail this
+        oracle until a merge)."""
+        import shutil
+        import tempfile
+
+        docs = load_table(s, d, "documents").filter(
+            F.col("doc_id") % 2 == 0
+        )
+        t = tempfile.mkdtemp(prefix="bm25_del_")
+        try:
+            retrieval.build_bm25_index(docs, t, n_buckets=16)
+            doomed = [
+                r.doc_id
+                for r in docs.filter(F.col("doc_id") % 20 == 2)
+                .select("doc_id")
+                .collect()
+            ]
+            retrieval.delete_bm25_docs(s, t, doomed, txn="del-q")
+            out = retrieval.search_bm25_index(
+                s,
+                t,
+                retrieval.corpus_queries(
+                    docs.filter(F.col("doc_id") % 20 != 2)
+                ),
+                k=10,
+            )
+            rows = out.collect()  # materialize before scratch cleanup
+            return s.createDataFrame(rows, out.schema)
+        finally:
+            for sfx in ("", "_df", "_stats", "_manifest"):
+                shutil.rmtree(t + sfx, ignore_errors=True)
+
+    q["text_bm25_delete_search"] = _bm25_delete_search
+
     def _retrieval_quality(s: SparkSession, d: str) -> DataFrame:
         docs = load_table(s, d, "documents")
         run = retrieval.bm25_search(docs, retrieval.corpus_queries(docs), k=10)
@@ -2449,12 +2492,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (the dedup ladder, embedding near-dup/SemDeDup, the similarity topk
 #: family, the events sketch rows, the TPC-H Q7/Q8/Q9 trio, versioned
 #: stats-skipping/DataSource) plus the r8 tail (the remaining TPC-H
-#: ladder, pivot, order gaps), versioned_matview_refresh (r11-green but
-#: its kernel gained avg/min/max measures this round — changed code
-#: outranks staleness for a slot), and the never-sampled r12 addition
+#: ladder, pivot), versioned_matview_refresh (r11-green but its kernel
+#: gained avg/min/max measures this round — changed code outranks
+#: staleness for a slot), and the never-sampled r12 additions
 #: versioned_auto_bloom (auto-sized bitmaps past the measured
-#: saturation point).  After this window no registered query's last
-#: green is older than r8.
+#: saturation point) and text_bm25_delete_search (exact BM25 document
+#: deletion probed against the independent surviving-corpus oracle).
+#: After this window no registered query's last green is older than
+#: r8.
 _DRIVER_FIRST = [
     "part_type_stats",
     "order_lineitem_detail",
@@ -2503,9 +2548,9 @@ _DRIVER_FIRST = [
     "tpch_q20_promotion_suppliers",
     "tpch_q21_waiting_orders",
     "events_type_hour_pivot",
-    "order_gaps",
     "versioned_matview_refresh",
     "versioned_auto_bloom",
+    "text_bm25_delete_search",
 ]
 
 
@@ -6419,6 +6464,16 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
     # INDEPENDENT full-corpus oracle — a green hash IS the driver
     # checking incremental maintenance against the rebuild answer.
     o["text_bm25_segment_search"] = o["text_bm25_topk"]
+    # post-delete probe == from-scratch rebuild over the SURVIVORS: the
+    # oracle recomputes the full BM25 pipeline over the filtered corpus
+    # (independent — DV tombstones and negative segments are ours
+    # alone).  Same arithmetic as _bm25_ranked with the survivor filter
+    # pushed into toks.
+    o["text_bm25_delete_search"] = f"""
+WITH {_bm25_ranked.replace("FROM documents", "FROM documents WHERE doc_id % 2 = 0 AND doc_id % 20 <> 2")}
+SELECT query_id, doc_id, score, rank::INTEGER AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
     # graded retrieval metrics over the BM25 run: qrels rel 2 = same
     # (lang, source) as the query doc, rel 1 = same lang, self excluded;
     # linear-gain NDCG with log2 discount; zero denominators pinned to 0.0

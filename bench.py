@@ -243,6 +243,7 @@ HEADLINE = [
     # the word-count stage + Arrow kernel through auto dispatch)
     "text_bpe_encode_deep",
     "text_bm25_segment_search",
+    "text_bm25_delete_search",
     "versioned_delete_dv",
     # round-11: persisted IVFADC index (compressed codes + exact rerank),
     # incremental materialized views, write-time expectations

@@ -119,9 +119,12 @@ def maintain_index(
         return {"action": "refresh", **rec, **r}
     if kind == "bm25":
         segments = 1 + _appends_since_rebuild(table + "_stats")
+        # document deletions (delete_bm25_docs) leave DV tombstones on
+        # the postings — a second, independent reason to fold the index
+        dv_debt = bool(V.live_dv_dirs(table))
         rec = {"kind": kind, "segments": segments,
-               "max_segments": max_segments}
-        if segments <= max_segments:
+               "max_segments": max_segments, "dv_debt": dv_debt}
+        if segments <= max_segments and not dv_debt:
             return {"action": "none", **rec}
         retrieval.optimize_bm25_index(spark, table, txn=txn)
         return {"action": "optimize", **rec}

@@ -734,6 +734,78 @@ def bm25_index_sink(table: str, query_name: str = "bm25-append"):
     return _sink
 
 
+def delete_bm25_docs(
+    spark: SparkSession,
+    table: str,
+    doc_ids: list[int],
+    txn: str | None = None,
+) -> dict:
+    """DELETE documents from the persisted BM25 index — EXACTLY, not the
+    Lucene way.  Lucene marks deleted docs in a bitset and serves STALE
+    df / corpus stats until a segment merge; here the sum-decomposable
+    segment factoring lets the correction be exact at probe time:
+
+    1. the doomed postings rows are tombstoned with one merge-on-read
+       ``delete_dv`` commit (cost ∝ deleted rows — probes anti-join
+       them out, so a deleted doc can never score);
+    2. a NEGATIVE df segment (−count per (bucket, token) over the
+       doomed rows) appends to ``<table>_df`` — the probe's
+       ``sum(df)`` over segments then yields the surviving corpus's df
+       exactly (integer sums);
+    3. a NEGATIVE stats segment (−n_docs, −Σdl) appends to
+       ``<table>_stats`` — Σn_docs/Σsum_dl stay integer-valued doubles,
+       so the merged N and avgdl are bit-identical to a from-scratch
+       build over the survivors;
+    4. the manifest commits LAST: probes cut over atomically from the
+       pre-delete snapshot to the fully-corrected one, never observing
+       a partial delete.
+
+    Scores after deletion therefore match a from-scratch rebuild on the
+    surviving corpus row for row (pytest-pinned).
+    :func:`optimize_bm25_index` folds the tombstones and negative
+    segments away (compaction materializes the DV; df re-sum drops
+    zeroed tokens).  Txn-idempotent end-to-end: every commit is keyed
+    off ``txn``, so a crash replay adopts the landed pieces and
+    republishes the manifest."""
+    from ..sources import versioned as V
+
+    ids = sorted(int(d) for d in doc_ids)
+    doomed = V.read_version(spark, table).filter(F.col("doc_id").isin(ids))
+    stats = doomed.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0.0)).alias("sum_dl"),
+    ).collect()[0]
+    n_del = int(stats["n_docs"])
+    if n_del == 0:
+        return {"docs_deleted": 0, "postings_deleted": 0}
+    n_buckets = int(
+        V.read_version(spark, table + "_stats").collect()[0].n_buckets
+    )
+    neg_df = doomed.groupBy("bucket", "token").agg(
+        (-F.count(F.lit(1))).alias("df")
+    )
+    V.commit_write(
+        neg_df.coalesce(1), table + "_df", mode="append",
+        txn=f"{txn}-df" if txn else None,
+    )
+    neg_stats = spark.createDataFrame(
+        [(-float(stats["n_docs"]), -float(stats["sum_dl"]), n_buckets)],
+        "n_docs double, sum_dl double, n_buckets int",
+    )
+    V.commit_write(
+        neg_stats.coalesce(1), table + "_stats", mode="append",
+        txn=f"{txn}-stats" if txn else None,
+    )
+    rep = V.delete_where_dv(
+        spark, table, [("doc_id", "in", ids)], txn=txn
+    )
+    _commit_manifest(spark, table, txn=f"{txn}-manifest" if txn else None)
+    return {
+        "docs_deleted": n_del,
+        "postings_deleted": rep.get("rows_deleted", 0),
+    }
+
+
 def optimize_bm25_index(
     spark: SparkSession, table: str, txn: str | None = None
 ) -> None:
@@ -755,6 +827,9 @@ def optimize_bm25_index(
         V.read_version(spark, table + "_df")
         .groupBy("bucket", "token")
         .agg(F.sum("df").alias("df"))
+        # negative delete segments can zero a token out entirely —
+        # drop it rather than carry a df=0 row forever
+        .filter(F.col("df") > 0)
         .repartition(n_buckets, "bucket")
         .sortWithinPartitions("bucket", "token")
     )

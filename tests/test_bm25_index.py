@@ -256,3 +256,90 @@ def test_manifest_commit_point_atomicity(spark, bm25_table):
         ).collect()
     ]
     assert pinned == at_build
+
+
+def test_delete_docs_matches_rebuild_on_survivors(spark, bm25_table):
+    """r12 — EXACT document deletion, not Lucene's stale-df tombstones:
+    after delete_bm25_docs, every probe score must match a from-scratch
+    build over the surviving corpus row for row (the negative df /
+    stats segments are integer-exact corrections, and the DV anti-join
+    removes the deleted docs' postings), and deleted docs must never
+    appear as hits."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    retrieval.build_bm25_index(docs, bm25_table, n_buckets=8, txn="b1")
+    doomed = [r.doc_id for r in docs.select("doc_id").collect()
+              if r.doc_id % 3 == 0]
+    rep = retrieval.delete_bm25_docs(spark, bm25_table, doomed, txn="d1")
+    assert rep["docs_deleted"] == len(doomed) > 0
+    assert rep["postings_deleted"] > 0
+
+    survivors = docs.filter(~F.col("doc_id").isin(doomed))
+    q = retrieval.corpus_queries(survivors).filter(F.col("query_id") <= 90)
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in retrieval.search_bm25_index(
+            spark, bm25_table, q, k=10
+        ).collect()
+    }
+    ref = tempfile.mkdtemp(prefix="bm25_ref_")
+    try:
+        retrieval.build_bm25_index(survivors, ref, n_buckets=8)
+        want = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in retrieval.search_bm25_index(spark, ref, q, k=10)
+            .collect()
+        }
+    finally:
+        for s in ("", "_df", "_stats", "_manifest"):
+            shutil.rmtree(ref + s, ignore_errors=True)
+    assert got == want and got
+    assert not {d for d, _ in got.values()} & set(doomed)
+
+    # txn replay adopts every piece — no double correction
+    n_hist = len(V.history(bm25_table + "_stats"))
+    retrieval.delete_bm25_docs(spark, bm25_table, doomed, txn="d1")
+    assert len(V.history(bm25_table + "_stats")) == n_hist
+    # optimize folds tombstones + negative segments; scores unchanged
+    retrieval.optimize_bm25_index(spark, bm25_table, txn="o1")
+    after = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in retrieval.search_bm25_index(
+            spark, bm25_table, q, k=10
+        ).collect()
+    }
+    assert after == want
+    assert not V.live_dv_dirs(bm25_table)
+    # the folded stats are one positive segment again
+    srows = V.read_version(spark, bm25_table + "_stats").collect()
+    assert len(srows) == 1 and srows[0].n_docs > 0
+
+    # deleting ids that do not exist is a clean no-op
+    rep0 = retrieval.delete_bm25_docs(spark, bm25_table, [10**9], txn="d2")
+    assert rep0 == {"docs_deleted": 0, "postings_deleted": 0}
+
+
+def test_delete_docs_pre_delete_snapshot_stays_consistent(spark, bm25_table):
+    """The manifest-last discipline under deletion: a probe pinned to
+    the pre-delete manifest version reproduces the pre-delete ranking
+    exactly (tombstones are invisible below the delete commit, df/stats
+    resolve through the old triple)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    retrieval.build_bm25_index(docs, bm25_table, n_buckets=8, txn="b1")
+    mv = V.latest_version(bm25_table + "_manifest")
+    q = retrieval.corpus_queries(docs).filter(F.col("query_id") <= 62)
+    before = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in retrieval.search_bm25_index(
+            spark, bm25_table, q, k=5, version=mv
+        ).collect()
+    }
+    doomed = [r.doc_id for r in docs.select("doc_id").collect()
+              if r.doc_id % 2 == 0]
+    retrieval.delete_bm25_docs(spark, bm25_table, doomed, txn="d1")
+    pinned = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in retrieval.search_bm25_index(
+            spark, bm25_table, q, k=5, version=mv
+        ).collect()
+    }
+    assert pinned == before and pinned

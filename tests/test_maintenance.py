@@ -66,7 +66,8 @@ def test_bm25_segment_debt_fires_optimize_only(spark, table):
     before = len(V.history(table))
     rec = maintenance.maintain_index(spark, table, max_segments=4)
     assert rec == {
-        "action": "none", "kind": "bm25", "segments": 4, "max_segments": 4
+        "action": "none", "kind": "bm25", "segments": 4,
+        "max_segments": 4, "dv_debt": False,
     }
     assert len(V.history(table)) == before
     # over the threshold: optimize (and ONLY optimize) fires
@@ -183,3 +184,16 @@ def test_matview_freshness_debt_fires_refresh_only(spark, table):
         assert rec2["action"] == "none" and rec2["base_lag_commits"] == 0
     finally:
         shutil.rmtree(view, ignore_errors=True)
+
+
+def test_bm25_tombstone_debt_fires_optimize(spark, table):
+    """delete_bm25_docs leaves DV tombstones on the postings — the
+    unified tick folds them even when the segment count is fine."""
+    docs = _docs(spark)
+    retrieval.build_bm25_index(docs, table, n_buckets=8)
+    doomed = [r.doc_id for r in docs.select("doc_id").limit(40).collect()]
+    retrieval.delete_bm25_docs(spark, table, doomed, txn="d1")
+    rec = maintenance.maintain_index(spark, table, max_segments=10)
+    assert rec["action"] == "optimize" and rec["dv_debt"]
+    rec2 = maintenance.maintain_index(spark, table, max_segments=10)
+    assert rec2["action"] == "none" and not rec2["dv_debt"]
