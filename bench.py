@@ -45,10 +45,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from data_pipeline_zeal_spark.io import load_table  # noqa: E402
 from data_pipeline_zeal_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Quiet-box cost of the calibration kernel (median of 3, measured at the
+#: start of round 13 immediately after boot — see SCALE.md "bench
+#: calibration").  Row timings are reported both raw and normalized by
+#: (CALIBRATION_REF_SEC / observed calibration), so a suite run on a
+#: loaded box can be compared to a quiet-box run: if the calibration
+#: kernel ran 1.5x slow, every row's normalized number divides that
+#: drift out.  Normalization assumes roughly uniform slowdown (CPU
+#: contention), which is exactly the failure mode observed in r11/r12;
+#: it cannot correct per-row cache effects, so regression adjudication
+#: should still use BENCH_ONLY + BENCH_REPEAT>=3 isolation runs.
+CALIBRATION_REF_SEC = 0.46
 #: max entries in the final line's "queries" dict (keeps the line < ~1.5 kB)
 TOP_K = 25
 
@@ -261,6 +275,37 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _run_calibration(spark) -> float:
+    """Fixed-cost synthetic kernel: seeded 20M-row hash aggregate.
+
+    Pure `spark.range` -> xxhash64 -> groupBy(1000 keys), so its cost is
+    independent of every fixture table and every operator in the suite —
+    it measures only how fast this box runs a known Spark job right now.
+    Executed BEFORE and AFTER the timed suite (round-12 verdict directive
+    #2); both numbers land in the artifact so a reader can see whether
+    the box was loaded, and whether load changed mid-suite.  Median of 3.
+    """
+    reps = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        df = (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.xxhash64("id") % 1000).alias("k"),
+                # bounded so SUM over 20M rows cannot overflow long under
+                # ANSI mode
+                (F.xxhash64("id", F.lit(1)) % 1_000_000).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.count("*").alias("c"), F.sum("v").alias("s"))
+        )
+        t0 = time.perf_counter()
+        _force(df)
+        reps.append(time.perf_counter() - t0)
+    reps.sort()
+    return round(reps[1], 3)
+
+
 def main() -> None:
     import __spark_entry__ as em
 
@@ -306,6 +351,8 @@ def main() -> None:
         "retrieval_hybrid_rrf",
     }
 
+    cal_before = _run_calibration(spark)
+
     repeat = max(1, int(os.environ.get("BENCH_REPEAT", "1")))
     timings: dict[str, float] = {}
     for name in suite:
@@ -350,7 +397,15 @@ def main() -> None:
         missing = expected - set(timings)
         assert not missing, f"BENCH_FULL missed registry queries: {sorted(missing)}"
 
+    cal_after = _run_calibration(spark)
+    # normalization factor: <1 means the box ran SLOWER than the quiet-box
+    # reference, so normalized numbers shrink raw ones back toward it.
+    cal_mean = (cal_before + cal_after) / 2.0
+    norm = round(CALIBRATION_REF_SEC / cal_mean, 4) if cal_mean > 0 else 1.0
+    normalized = {k: round(v * norm, 3) for k, v in timings.items()}
+
     total = round(sum(timings.values()), 3)
+    total_norm = round(sum(normalized.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # Full per-query detail: printed FIRST (truncation-safe) + durable file.
@@ -371,6 +426,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # round-12 directive #2: fixed-cost kernel timed before/after the
+        # suite; normalized rows divide host-load drift out (see
+        # CALIBRATION_REF_SEC).  Compare rounds on these, adjudicate
+        # individual regressions with BENCH_ONLY+BENCH_REPEAT isolation.
+        "calibration_before": cal_before,
+        "calibration_after": cal_after,
+        "calibration_ref": CALIBRATION_REF_SEC,
+        "calibration_factor": norm,
+        "value_normalized": total_norm,
+        "queries_normalized": normalized,
         "warm_rows": warm_rows,
         "sf": sf_val,
         # methodology (round-10 directive #5): per-row value is the
@@ -399,6 +464,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in slowest.items()},
                 "queries_benched": len(timings),
+                "calibration_before": cal_before,
+                "calibration_after": cal_after,
+                "calibration_ref": CALIBRATION_REF_SEC,
+                "value_normalized": total_norm,
                 "warm_rows": warm_rows,
                 "detail": detail_name,
                 "sf": sf_val,
