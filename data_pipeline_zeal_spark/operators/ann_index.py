@@ -360,6 +360,7 @@ def search_ivf_index(
     k: int = 10,
     nprobe: int = 5,
     version: int | None = None,
+    reproducible: bool = False,
 ) -> DataFrame:
     """Probe the persisted index: per query, rank cells by centroid
     cosine driver-side (:func:`_rank_cells` — exact fold for bounded
@@ -371,8 +372,15 @@ def search_ivf_index(
     resolved from the main commit's recorded pointer, NOT by reusing the
     main version number verbatim — streaming appends advance only the
     main log, so verbatim pass-through broke time travel after any sink
-    batch (round-10 advice).  Returns (query_id, vec_id, cosine, rank)
-    — the :func:`~.similarity.ivf_topk` contract."""
+    batch (round-10 advice).  ``reproducible=True`` pins cell ranking to
+    the exact :func:`_dot_lr` fold regardless of batch size (round-12
+    advice: the automatic numpy crossover can differ from the fold in
+    the last ulp on near-ties, so the same query submitted in a larger
+    batch could probe different cells — callers doing snapshot-
+    reproducible search need shortlist choice independent of batching,
+    at the documented interpreted-fold cost).  Returns (query_id,
+    vec_id, cosine, rank) — the :func:`~.similarity.ivf_topk`
+    contract."""
     cv = _centroid_version_at(table, version)
     cent_rows = V.read_version(spark, table + "_centroids", cv).collect()
     cents = [
@@ -387,7 +395,10 @@ def search_ivf_index(
     ).select("vec_id", "embedding").collect()
     qrows = sorted(qrows, key=lambda r: r.vec_id)
     qvecs = [[float(x) for x in r.embedding] for r in qrows]
-    shortlists = _rank_cells(qvecs, cents, cnorms, nprobe)
+    shortlists = _rank_cells(
+        qvecs, cents, cnorms, nprobe,
+        force="exact" if reproducible else None,
+    )
     probes = [
         (int(r.vec_id), qv, cell)
         for r, qv, cells_ in zip(qrows, qvecs, shortlists)
@@ -581,6 +592,7 @@ def search_ivfadc_index(
     nprobe: int = 6,
     rerank: int = 200,
     version: int | None = None,
+    reproducible: bool = False,
 ) -> DataFrame:
     """Probe the persisted IVFADC index: rank cells per query
     driver-side (:func:`_rank_cells` — the bit-identical :func:`_dot_lr`
@@ -595,7 +607,10 @@ def search_ivfadc_index(
     result matches the in-plan kernel row for row — the persisted query
     shares its pinned oracle.  ``version`` time-travels the index; the
     model snapshot comes from the commit's recorded pointers, never the
-    version number verbatim.  Returns (query_id, vec_id, cosine, rank)."""
+    version number verbatim.  ``reproducible=True`` pins cell ranking to
+    the exact fold so shortlist choice cannot vary with probe batch size
+    (see :func:`search_ivf_index`).  Returns (query_id, vec_id, cosine,
+    rank)."""
     cents, books = _load_ivfadc_models(spark, table, version)
     cnorms = [math.sqrt(_dot_lr(c, c)) for c in cents]
 
@@ -606,7 +621,10 @@ def search_ivfadc_index(
     )
     qrows = sorted(qrows, key=lambda r: r.query_id)
     qvecs = [[float(x) for x in r.qv] for r in qrows]
-    shortlists = _rank_cells(qvecs, cents, cnorms, nprobe)
+    shortlists = _rank_cells(
+        qvecs, cents, cnorms, nprobe,
+        force="exact" if reproducible else None,
+    )
     probes = [
         (int(r.query_id), qv, cell)
         for r, qv, cells_ in zip(qrows, qvecs, shortlists)

@@ -855,7 +855,12 @@ def decode_wav_pcm(media: DataFrame) -> DataFrame:
                         "peak": peak,
                     }
                 )
-            yield pd.DataFrame(out)
+            # explicit columns: an all-junk batch yields zero rows, and a
+            # column-less empty frame crashes pyspark's by-name Arrow
+            # serializer (KeyError on the first schema field)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WAV_PCM_SCHEMA.fields]
+            )
 
     return media.select("media_id", "payload").mapInPandas(
         kernel, WAV_PCM_SCHEMA

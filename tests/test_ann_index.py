@@ -292,3 +292,38 @@ def test_drift_triggered_rebuild(spark, index_table):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"post-rebuild recall {recall:.2f} < 0.8"
+
+
+def test_reproducible_flag_pins_exact_cell_ranking(spark, index_table,
+                                                   monkeypatch):
+    """Round-12 advice: the automatic exact->numpy ranking crossover
+    makes cell shortlists depend on probe batch size (BLAS last-ulp
+    near-ties), so snapshot-reproducible callers need a public knob.
+    ``reproducible=True`` must force the exact fold regardless of batch
+    size — and return the same rows as the default on the fixture
+    (where both paths agree)."""
+    from data_pipeline_zeal_spark.operators import ann_index as ai
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qids = [r.vec_id for r in emb.limit(64).collect() if r.vec_id % 7 == 0]
+    ann_index.build_ivf_index(emb, index_table, n_cells=8)
+
+    seen: list = []
+    orig = ai._rank_cells
+
+    def spy(qvecs, cents, cnorms, nprobe, force=None):
+        seen.append(force)
+        return orig(qvecs, cents, cnorms, nprobe, force)
+
+    monkeypatch.setattr(ai, "_rank_cells", spy)
+    base = ann_index.search_ivf_index(
+        spark, index_table, qids, k=5, nprobe=4
+    ).collect()
+    repro = ann_index.search_ivf_index(
+        spark, index_table, qids, k=5, nprobe=4, reproducible=True
+    ).collect()
+    assert seen == [None, "exact"]
+    key = lambda rows: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.vec_id, r.cosine) for r in rows
+    )
+    assert key(base) == key(repro) and base

@@ -343,3 +343,47 @@ def test_delete_docs_pre_delete_snapshot_stays_consistent(spark, bm25_table):
         ).collect()
     }
     assert pinned == before and pinned
+
+
+def test_delete_crash_replay_republishes_manifest(spark, bm25_table,
+                                                  monkeypatch):
+    """Round-12 advice (the one crash window in the delete's
+    exactly-once claim): if the process dies after the DV commit lands
+    but before the manifest publish, a replay of the SAME txn re-reads
+    the table with the DVs already applied, finds n_del == 0 — and must
+    STILL republish the manifest, or probes keep serving the pre-delete
+    snapshot until some unrelated publish."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    retrieval.build_bm25_index(docs, bm25_table, n_buckets=8, txn="b1")
+    mv0 = V.latest_version(bm25_table + "_manifest")
+    doomed = [r.doc_id for r in docs.select("doc_id").collect()
+              if r.doc_id % 4 == 0]
+
+    orig = retrieval._commit_manifest
+
+    def dying(spark_, table_, txn=None):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(retrieval, "_commit_manifest", dying)
+    with pytest.raises(RuntimeError):
+        retrieval.delete_bm25_docs(spark, bm25_table, doomed, txn="dc1")
+    monkeypatch.setattr(retrieval, "_commit_manifest", orig)
+
+    # the crash left the DV landed but the manifest pre-delete
+    assert V.live_dv_dirs(bm25_table)
+    assert V.latest_version(bm25_table + "_manifest") == mv0
+
+    # replay: n_del == 0 (DVs applied), yet the manifest is republished
+    rep = retrieval.delete_bm25_docs(spark, bm25_table, doomed, txn="dc1")
+    assert rep["docs_deleted"] == 0
+    assert V.latest_version(bm25_table + "_manifest") > mv0
+    # and the served snapshot now excludes every deleted doc
+    q = retrieval.corpus_queries(docs).filter(F.col("query_id") <= 62)
+    hits = retrieval.search_bm25_index(spark, bm25_table, q, k=10).collect()
+    assert hits and not {r.doc_id for r in hits} & set(doomed)
+
+    # a txn-less no-op delete stays publish-free (no replay claim)
+    mv1 = V.latest_version(bm25_table + "_manifest")
+    rep0 = retrieval.delete_bm25_docs(spark, bm25_table, [10**9])
+    assert rep0["docs_deleted"] == 0
+    assert V.latest_version(bm25_table + "_manifest") == mv1

@@ -522,3 +522,18 @@ def test_wave_stdlib_zero_fill_is_silent(spark):
     media = mm.synth_wav_media(spark, 8)  # tone=False
     dec = mm.decode_wav_pcm(media).collect()
     assert dec and all(r.rms == 0.0 and r.peak == 0 for r in dec)
+
+
+def test_wave_stdlib_junk_only_partition(spark):
+    """Round-12 advice: an Arrow batch that is ENTIRELY junk must yield
+    an empty frame WITH the schema's columns — pyspark's mapInPandas
+    serializer selects columns by name, so a column-less empty
+    ``pd.DataFrame([])`` crashes the whole partition with
+    KeyError('media_id').  One junk payload in one partition is exactly
+    that batch."""
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"not-a-riff-container")),
+         (2, bytearray(b"RIFF\x00\x00truncated"))],
+        "media_id long, payload binary",
+    ).repartition(1)
+    assert mm.decode_wav_pcm(junk).collect() == []
