@@ -45,6 +45,8 @@ schedulers log uniformly, matching ``maintain_table``'s contract.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources import versioned as V
@@ -56,12 +58,16 @@ def _is_table(path: str) -> bool:
 
 
 def _appends_since_rebuild(table: str) -> int:
-    """Appended commits after the newest overwrite — pure log replay."""
+    """Data-changing commits after the newest overwrite — pure log
+    replay.  Counts every non-overwrite action that changes live rows
+    (``append``, ``delete_dv``, ``delete``/``update`` rewrites): deletes
+    shift live cell means exactly like appends do (round-12 advice), so
+    a delete-only workload must still arm the ANN drift canary."""
     n = 0
     for h in V.history(table):
         if h["action"] == "overwrite":
             n = 0
-        elif h["action"] == "append":
+        else:
             n += 1
     return n
 
@@ -89,6 +95,9 @@ def maintain_index(
     min_cosine: float = 0.9,
     source: DataFrame | None = None,
     txn: str | None = None,
+    vacuum_keep_history: int | None = None,
+    max_expired_dirs: int = 8,
+    retention_seconds: float = 0.0,
     **table_opts,
 ) -> dict:
     """One maintenance tick for any persisted structure at ``table``.
@@ -96,7 +105,50 @@ def maintain_index(
     decision dict either way.  ``source`` supplies full-precision
     embeddings for an IVFADC rebuild (the codes table cannot rebuild
     itself); ``table_opts`` pass through to
-    :func:`~..sources.versioned.maintain_table` for plain tables."""
+    :func:`~..sources.versioned.maintain_table` for plain tables.
+
+    ``vacuum_keep_history`` (r13, round-12 verdict directive #4) puts
+    RETENTION under the same tick: after the repair decision, the
+    expired-history debt — dirs no ``latest - keep_history`` snapshot
+    reaches, counted per component by log replay
+    (:func:`_reclaimable_dirs`) — is measured, and past
+    ``max_expired_dirs`` one :func:`vacuum_index` expires history
+    coherently across the structure's main + companion + quarantine
+    tables, never below any version the live manifest or model pointers
+    pin.  ``None`` (default) keeps retention hand-driven."""
+    rec = _repair_tick(
+        spark, table, max_segments=max_segments, min_cosine=min_cosine,
+        source=source, txn=txn, **table_opts,
+    )
+    if vacuum_keep_history is not None:
+        kind = rec["kind"]
+        debt = sum(
+            len(_reclaimable_dirs(c, _pin_floor(
+                table, kind, c,
+                _candidate_floor(c, vacuum_keep_history),
+                vacuum_keep_history,
+            )))
+            for c in index_components(table)
+        )
+        rec["vacuum_debt_dirs"] = debt
+        rec["max_expired_dirs"] = max_expired_dirs
+        if debt > max_expired_dirs:
+            rec["vacuum"] = vacuum_index(
+                spark, table, keep_history=vacuum_keep_history,
+                retention_seconds=retention_seconds,
+            )
+    return rec
+
+
+def _repair_tick(
+    spark: SparkSession,
+    table: str,
+    max_segments: int = 4,
+    min_cosine: float = 0.9,
+    source: DataFrame | None = None,
+    txn: str | None = None,
+    **table_opts,
+) -> dict:
     kind = classify_index(table)
     if kind == "plain":
         rec = V.maintain_table(spark, table, txn=txn, **table_opts)
@@ -150,3 +202,144 @@ def maintain_index(
         else ("rebuild_required" if d["rebuild_required"] else "none")
     )
     return {"action": action, **rec, **d}
+
+
+# ---------------------------------------------------------------------------
+# Retention under the tick (r13, round-12 verdict directive #4)
+# ---------------------------------------------------------------------------
+
+def index_components(table: str) -> list[str]:
+    """Every versioned table that makes up the structure at ``table`` —
+    the unit retention must treat coherently (vacuuming the postings but
+    not the df segments would leave a live manifest pointing at expired
+    history).  Always includes the write-time-expectations quarantine
+    table when one exists; matviews are a single table (their BASE's
+    retention belongs to the base's own tick — the view pins
+    ``base_version`` for refresh, which reads the base's CURRENT
+    snapshot plus its change feed, both above any sane base floor)."""
+    kind = classify_index(table)
+    comps = [table]
+    if kind == "bm25":
+        comps += [table + "_df", table + "_stats", table + "_manifest"]
+    elif kind == "ivfadc":
+        comps += [table + "_centroids", table + "_codebooks"]
+    elif kind == "ivf":
+        comps += [table + "_centroids"]
+    if _is_table(table + "_quarantine"):
+        comps.append(table + "_quarantine")
+    return comps
+
+
+def _reclaimable_dirs(table: str, floor: int) -> set[str]:
+    """Data + DV dirs reachable from NO retained snapshot (>= floor) —
+    exactly what ``vacuum(min_retained_version=floor)`` would reclaim.
+    Pure log replay, no data scan and no filesystem walk."""
+    versions = V._list_versions(table)
+    referenced: set[str] = set()
+    for v in versions:
+        if v >= floor:
+            referenced.update(
+                os.path.relpath(p, table) for p in V.live_dirs(table, v)
+            )
+            referenced.update(
+                os.path.relpath(p, table) for p in V.live_dv_dirs(table, v)
+            )
+    committed: set[str] = set()
+    for v in versions:
+        e = V._read_entry(table, v)
+        committed.update(e.get("dirs") or [])
+        committed.update(e.get("dv_dirs") or [])
+    # log entries are never rewritten, so dirs an earlier vacuum already
+    # reclaimed stay named forever — only STILL-PRESENT dirs are debt
+    # (one isdir stat per committed dir, no file listing)
+    return {
+        d for d in committed - referenced
+        if os.path.isdir(os.path.join(table, d))
+    }
+
+
+def _pin_floor(
+    table: str, kind: str, comp: str, candidate: int, keep_history: int
+) -> int:
+    """Clamp a component's candidate floor so no LIVE pointer dangles:
+
+    * BM25 — the live manifest's (postings, df, stats) triple must stay
+      readable: probes resolve through it, so expiring any pinned
+      version breaks the current index, not history.  The pinned triple
+      is read from the manifest's newest commit ENTRY stats (single-row
+      int columns record exact min==max) — metadata-only.
+    * IVF/IVFADC — every retained main snapshot resolves its quantizer
+      via the newest model pointer at-or-below it
+      (:func:`~.ann_index._meta_pointer_at`), so the companion floor
+      must not pass the smallest EFFECTIVE pointer over retained main
+      versions (a retained delete_dv commit inherits its pointer from
+      an earlier append — walking last-seen pointers captures that).
+    """
+    if kind == "bm25":
+        mt = table + "_manifest"
+        me = V._read_entry(mt, V.latest_version(mt))
+        pin_key = {
+            table: "postings_version",
+            table + "_df": "df_version",
+            table + "_stats": "stats_version",
+        }.get(comp)
+        if pin_key:
+            lo = (me.get("stats") or {}).get(pin_key, [None])[0]
+            if lo is not None:
+                candidate = min(candidate, int(lo))
+    elif kind in ("ivf", "ivfadc") and comp != table:
+        key = (
+            "centroid_version"
+            if comp.endswith("_centroids")
+            else "codebook_version"
+        )
+        main_floor = _candidate_floor(table, keep_history)
+        pins: list[int] = []
+        cur: int | None = None
+        for v in V._list_versions(table):
+            m = V.commit_meta(table, v).get(key)
+            if m is not None:
+                cur = m
+            if v >= main_floor and cur is not None:
+                pins.append(cur)
+        if pins:
+            candidate = min(candidate, min(pins))
+    return candidate
+
+
+def _candidate_floor(comp: str, keep_history: int) -> int:
+    return max(0, V.latest_version(comp) - keep_history)
+
+
+def vacuum_index(
+    spark: SparkSession,
+    table: str,
+    keep_history: int = 3,
+    retention_seconds: float = 0.0,
+) -> dict:
+    """Coherent retention for every component of the structure at
+    ``table``: each component's floor moves to ``latest - keep_history``,
+    clamped by the live pins (:func:`_pin_floor`), then one
+    :func:`~..sources.versioned.vacuum` per component reclaims the dirs
+    no retained snapshot reaches.  Floors persist BEFORE deletion (the
+    vacuum contract), so a crash mid-way leaves some components merely
+    un-vacuumed, never a readable version with missing data.  Returns
+    per-component floors and removed-path counts."""
+    kind = classify_index(table)
+    out: dict[str, dict] = {}
+    for comp in index_components(table):
+        cand = _pin_floor(
+            table, kind, comp, _candidate_floor(comp, keep_history),
+            keep_history,
+        )
+        floor = cand if cand > V._retention_floor(comp) else None
+        removed = V.vacuum(
+            comp,
+            retention_seconds=retention_seconds,
+            min_retained_version=floor if floor and floor > 0 else None,
+        )
+        out[comp] = {
+            "floor": V._retention_floor(comp),
+            "removed": len(removed),
+        }
+    return {"kind": kind, "components": out}

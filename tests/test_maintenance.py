@@ -197,3 +197,101 @@ def test_bm25_tombstone_debt_fires_optimize(spark, table):
     assert rec["action"] == "optimize" and rec["dv_debt"]
     rec2 = maintenance.maintain_index(spark, table, max_segments=10)
     assert rec2["action"] == "none" and not rec2["dv_debt"]
+
+
+def test_ivf_delete_only_workload_arms_drift_canary(spark, table):
+    """Round-12 advice: deletes shift live cell means exactly like
+    appends do, so an index that received ONLY delete_dv commits since
+    its build must still run the drift canary (appends==0 must not
+    short-circuit the gate)."""
+    emb = _emb(spark)
+    ann_index.build_ivf_index(emb, table, n_cells=8)
+    ids = [r.vec_id for r in emb.select("vec_id").limit(40).collect()]
+    V.delete_where_dv(spark, table, [("vec_id", "in", sorted(ids))],
+                      txn="d1")
+    rec = maintenance.maintain_index(spark, table)
+    # the canary RAN: its data-scan outputs are present in the decision
+    assert rec["appends_since_rebuild"] == 1
+    assert "worst_cell_cosine" in rec
+
+
+def test_retention_under_the_tick_vacuums_components_coherently(
+    spark, table
+):
+    """r13 directive #4: the tick measures expired-history debt from log
+    metadata and, past the threshold, vacuums the structure's main +
+    companion + quarantine tables coherently — floors advance on every
+    component, versions the live manifest pins survive, time travel
+    within the retained range still works, and reads below the floor
+    fail loudly."""
+    docs = _docs(spark)
+    retrieval.build_bm25_index(docs, table, n_buckets=4, txn="b1")
+    # history debt: two rebuilds supersede the originals' dirs entirely
+    retrieval.build_bm25_index(docs.limit(400), table, n_buckets=4,
+                               txn="b2")
+    retrieval.build_bm25_index(docs, table, n_buckets=4, txn="b3")
+    # a quarantine table rides along under the same floor contract
+    V.commit_write(
+        docs.limit(5), table + "_quarantine", mode="overwrite", txn="q1"
+    )
+    V.commit_write(
+        docs.limit(3), table + "_quarantine", mode="overwrite", txn="q2"
+    )
+
+    rec = maintenance.maintain_index(
+        spark, table, vacuum_keep_history=1, max_expired_dirs=0
+    )
+    assert rec["vacuum_debt_dirs"] > 0 and "vacuum" in rec
+    comps = rec["vacuum"]["components"]
+    assert set(comps) == {
+        table, table + "_df", table + "_stats", table + "_manifest",
+        table + "_quarantine",
+    }
+    # every component expired history (floor advanced) and the doomed
+    # rebuilds' superseded dirs were actually reclaimed on the big three
+    assert all(c["floor"] > 0 for c in comps.values())
+    assert sum(c["removed"] for c in comps.values()) > 0
+
+    # the live manifest's pinned triple SURVIVED the vacuum: the probe
+    # still serves the current snapshot
+    q = retrieval.corpus_queries(docs).filter(F.col("query_id") <= 62)
+    hits = retrieval.search_bm25_index(spark, table, q, k=5).collect()
+    assert hits
+    # time travel within the retained range works on every component
+    for comp, c in comps.items():
+        assert V.read_version(spark, comp, c["floor"]).count() >= 0
+    # reads below the floor fail loudly, not silently partially
+    with pytest.raises(V.VersionExpiredError):
+        V.read_version(spark, table, comps[table]["floor"] - 1).count()
+
+    # a second tick right after: debt is settled, no re-vacuum fires
+    rec2 = maintenance.maintain_index(
+        spark, table, vacuum_keep_history=1, max_expired_dirs=0
+    )
+    assert rec2["vacuum_debt_dirs"] == 0 and "vacuum" not in rec2
+
+
+def test_retention_keeps_ann_model_pointers_readable(spark, table):
+    """The IVF companion floor must never pass the smallest quantizer
+    version a retained main snapshot resolves through — even when that
+    pointer lives on a commit BELOW the main floor (a retained
+    delete_dv inherits it)."""
+    emb = _emb(spark)
+    all_ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    doomed, qids = all_ids[:10], all_ids[-3:]  # probes survive deletion
+    ann_index.build_ivf_index(emb, table, n_cells=4, txn="b1")  # cv=1
+    V.delete_where_dv(spark, table, [("vec_id", "in", doomed)], txn="d1")
+    ann_index.build_ivf_index(emb, table, n_cells=4, txn="b2")  # cv=2
+    V.delete_where_dv(spark, table, [("vec_id", "in", doomed[:4])],
+                      txn="d2")
+
+    rec = maintenance.vacuum_index(spark, table, keep_history=1)
+    comps = rec["components"]
+    main_floor = comps[table]["floor"]
+    # every retained main version still resolves its quantizer and
+    # serves a probe
+    for v in range(main_floor, V.latest_version(table) + 1):
+        got = ann_index.search_ivf_index(
+            spark, table, qids, k=3, nprobe=2, version=v
+        ).collect()
+        assert got
