@@ -387,3 +387,52 @@ def test_delete_crash_replay_republishes_manifest(spark, bm25_table,
     rep0 = retrieval.delete_bm25_docs(spark, bm25_table, [10**9])
     assert rep0["docs_deleted"] == 0
     assert V.latest_version(bm25_table + "_manifest") == mv1
+
+
+def test_session_build_cache_and_clone_isolation(spark, bm25_table):
+    """r13 directive #3: the session-scoped build cache returns the SAME
+    base for the same corpus (no second build), a DIFFERENT base for a
+    different slice, and hard-link forks isolate mutations — deleting on
+    a fork leaves the shared base's probes bit-identical."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    try:
+        base = retrieval.bm25_index_for(docs, n_buckets=8)
+        assert retrieval.bm25_index_for(docs, n_buckets=8) == base
+        # a different corpus slice gets its own base
+        half = retrieval.bm25_index_for(
+            docs.filter(F.col("doc_id") % 2 == 0), n_buckets=8
+        )
+        assert half != base
+        # and a different bucket layout too
+        assert retrieval.bm25_index_for(docs, n_buckets=4) not in (base,
+                                                                   half)
+
+        q = retrieval.corpus_queries(docs).filter(F.col("query_id") <= 62)
+        before = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in retrieval.search_bm25_index(spark, base, q, k=5)
+            .collect()
+        }
+        fork = retrieval.clone_bm25_index(spark, base, bm25_table)
+        doomed = [r.doc_id for r in docs.select("doc_id").collect()
+                  if r.doc_id % 3 == 0]
+        retrieval.delete_bm25_docs(spark, fork, doomed, txn="d1")
+        hits = retrieval.search_bm25_index(spark, fork, q, k=5).collect()
+        assert hits and not {r.doc_id for r in hits} & set(doomed)
+        # the shared base is untouched by the fork's DV + negative
+        # segments + manifest publish
+        after = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in retrieval.search_bm25_index(spark, base, q, k=5)
+            .collect()
+        }
+        assert after == before
+        # a mutated (multi-commit) table is not a valid clone source
+        with pytest.raises(ValueError):
+            retrieval.clone_bm25_index(spark, fork)
+    finally:
+        # drop this test's cache entries so later tests rebuild cleanly
+        for key, path in list(retrieval._BM25_BUILD_CACHE.items()):
+            for s in ("", "_df", "_stats", "_manifest"):
+                shutil.rmtree(path + s, ignore_errors=True)
+            del retrieval._BM25_BUILD_CACHE[key]
