@@ -1525,6 +1525,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["versioned_maintain"] = _versioned_maintain
 
+    def _versioned_vacuum_tick(s: SparkSession, d: str) -> DataFrame:
+        """Retention under the maintenance tick (r13 — round-12 verdict
+        directive #4): three overwrite commits leave version 1's data
+        dir reachable from no retained snapshot once keep_history=1, so
+        the tick's metadata-only debt probe reports exactly 1 expired
+        dir, fires `vacuum_index`, and the floor lands at 2.  Structural
+        pins: debt_dirs=1, floor=2, removed=1 (the superseded dir was
+        reclaimed), debt_after=0 (the tick settles), expired_raises=1
+        (reading v1 now fails LOUDLY with VersionExpiredError, never a
+        silent partial snapshot).  Content pins: the floor version's
+        snapshot recomputes as the first-half slice, the live snapshot
+        as the full slice — time travel within the retained range
+        survived the vacuum (operators/maintenance.py vacuum_index;
+        coherent multi-component floors + manifest/model-pointer pin
+        laws in tests/test_maintenance.py)."""
+        import shutil
+        import tempfile
+
+        from data_pipeline_zeal_spark.operators import maintenance as M
+        from data_pipeline_zeal_spark.sources import versioned as V
+
+        o = load_table(s, d, "orders").filter(F.col("o_orderkey") % 10 == 0)
+        half = o.filter(F.col("o_orderkey") % 20 == 0)
+        t = tempfile.mkdtemp(prefix="vactick_")
+        try:
+            V.commit_write(o.coalesce(1), t, mode="overwrite", txn="v1")
+            V.commit_write(half.coalesce(1), t, mode="overwrite", txn="v2")
+            V.commit_write(o.coalesce(1), t, mode="overwrite", txn="v3")
+            rec = M.maintain_index(
+                s, t, vacuum_keep_history=1, max_expired_dirs=0,
+                retention_seconds=0.0,
+            )
+            comp = rec["vacuum"]["components"][t]
+            rec2 = M.maintain_index(
+                s, t, vacuum_keep_history=1, max_expired_dirs=0,
+                retention_seconds=0.0,
+            )
+            try:
+                V.read_version(s, t, 1).count()
+                expired_raises = 0
+            except V.VersionExpiredError:
+                expired_raises = 1
+            cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            floor_rows = V.read_version(s, t, comp["floor"]).count()
+            agg = (
+                V.read_version(s, t)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.coalesce(F.sum(cents), F.lit(0)).alias("total_cents"),
+                )
+                .select(
+                    F.lit(rec["vacuum_debt_dirs"]).alias("debt_dirs"),
+                    F.lit(comp["floor"]).alias("floor_version"),
+                    F.lit(comp["removed"]).alias("removed_dirs"),
+                    F.lit(rec2["vacuum_debt_dirs"]).alias("debt_after"),
+                    F.lit(expired_raises).alias("expired_raises"),
+                    F.lit(floor_rows).cast("long").alias("floor_rows"),
+                    "n_rows",
+                    "total_cents",
+                )
+            )
+            return _eager(agg)
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
+
+    q["versioned_vacuum_tick"] = _versioned_vacuum_tick
+
     def _versioned_bloom_skipping(s: SparkSession, d: str) -> DataFrame:
         """Per-file Bloom skipping (r11 — the Delta bloom-filter-index
         analog): the orders slice lands HASH-partitioned into 8 files,
@@ -2494,8 +2561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: normalized/levenshtein dedup rows, the versioned DML ladder, funnel +
 #: sketch rows, asof/order-gaps/range-context, hybrid RRF, IVF+PQ) plus
 #: 13 slots from the r9 tail (tpch_q4, fingerprint/normalize/PII scrub,
-#: the events ladder).  After this window no registered query's last
-#: green is older than r9.
+#: the events ladder, minus one slot for the never-sampled r13
+#: addition versioned_vacuum_tick — retention under the maintenance
+#: tick).  After this window no registered query's last green is older
+#: than r9.
 _DRIVER_FIRST = [
     "asof_events_last_order",
     "order_gaps",
@@ -2546,7 +2615,7 @@ _DRIVER_FIRST = [
     "events_type_share",
     "events_top_users",
     "events_hour_profile",
-    "events_cohort_retention",
+    "versioned_vacuum_tick",
 ]
 
 
@@ -6873,6 +6942,25 @@ SELECT CAST(8 AS INTEGER) AS files_before,
                 0)::BIGINT AS total_cents
 FROM orders
 WHERE o_orderkey % 10 = 0 AND o_orderdate < TIMESTAMP '1997-07-01'
+"""
+    # versioned_vacuum_tick: debt_dirs=1/floor=2/removed=1/debt_after=0
+    # pin the metadata-only retention trigger and its settle law;
+    # expired_raises=1 pins the loud-expiry contract; floor_rows
+    # recomputes as the half slice (time travel within the retained
+    # range survived the vacuum), the live snapshot as the full slice.
+    o["versioned_vacuum_tick"] = """
+SELECT CAST(1 AS INTEGER) AS debt_dirs,
+       CAST(2 AS INTEGER) AS floor_version,
+       CAST(1 AS INTEGER) AS removed_dirs,
+       CAST(0 AS INTEGER) AS debt_after,
+       CAST(1 AS INTEGER) AS expired_raises,
+       (SELECT count(*) FROM orders
+        WHERE o_orderkey % 20 = 0)::BIGINT AS floor_rows,
+       count(*)::BIGINT AS n_rows,
+       coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
+                0)::BIGINT AS total_cents
+FROM orders
+WHERE o_orderkey % 10 = 0
 """
     # versioned_bloom_skipping: zone_kept=8 pins that hash layout makes
     # min/max useless for the point probe; bloom_kept=1 / absent_kept=0

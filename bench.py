@@ -268,6 +268,8 @@ HEADLINE = [
     "versioned_bloom_skipping",
     "versioned_auto_bloom",
     "versioned_restore",
+    # round-13: retention under the maintenance tick
+    "versioned_vacuum_tick",
 ]
 
 
