@@ -14,7 +14,11 @@ the way a production ingest loop would run it:
      (re-declaring the Bloom bitmaps through the rewrite),
   5. a Bloom-pruned point lookup (files kept vs the bloom-blind form),
   6. a bad overwrite undone by metadata-only RESTORE, and a zero-copy
-     CLONE forked for an experiment.
+     CLONE forked for an experiment,
+  7. the quarantine drained under a relaxed ruleset (r12),
+  8. one unified maintenance tick per structure (r12), and
+  9. retention under the same tick (r13): expired-history debt measured
+     from the log, vacuumed with floors persisted before deletion.
 
 Every step asserts its own invariant, so the script doubles as an
 executable tour.  Run:  python examples/run_lakehouse_pipeline.py [sf_dir]
@@ -170,6 +174,19 @@ def main() -> None:
             print(f"[8] maintain_index({want}): kind={rec['kind']} "
                   f"action={rec['action']}")
             assert rec["kind"] == want
+
+        # 9. (r13) retention under the same tick: the table accumulated
+        # superseded history (ingest -> DV delete -> compact); one tick
+        # with a keep-history window measures the expired-dir debt from
+        # the log and vacuums it, floors persisted before deletion
+        rec = maintenance.maintain_index(
+            spark, table, vacuum_keep_history=1, max_expired_dirs=0,
+            retention_seconds=0.0,
+        )
+        vac = rec.get("vacuum", {}).get("components", {}).get(table, {})
+        print(f"[9] retention tick: debt={rec['vacuum_debt_dirs']} dirs, "
+              f"floor={vac.get('floor')}, removed={vac.get('removed')}")
+        assert V.read_version(spark, table).count() > 0  # live snapshot ok
 
         # the commit log as quality ledger
         for h in V.history(table):
