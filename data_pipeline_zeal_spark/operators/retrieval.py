@@ -815,10 +815,29 @@ def delete_bm25_docs(
     doc_ids: list[int],
     txn: str | None = None,
 ) -> dict:
-    """DELETE documents from the persisted BM25 index — EXACTLY, not the
-    Lucene way.  Lucene marks deleted docs in a bitset and serves STALE
-    df / corpus stats until a segment merge; here the sum-decomposable
-    segment factoring lets the correction be exact at probe time:
+    """DELETE documents from the persisted BM25 index by id list —
+    EXACTLY, not the Lucene way (see :func:`delete_bm25_docs_where` for
+    the semantics, shared core, and the 100 TB predicate form; this
+    wrapper is the point-delete surface for bounded id sets — a
+    driver-side list of millions of ids belongs in a predicate
+    instead)."""
+    ids = sorted(int(d) for d in doc_ids)
+    return delete_bm25_docs_where(
+        spark, table, [("doc_id", "in", ids)], txn=txn
+    )
+
+
+def delete_bm25_docs_where(
+    spark: SparkSession,
+    table: str,
+    predicates: list[tuple],
+    txn: str | None = None,
+) -> dict:
+    """DELETE documents from the persisted BM25 index by PREDICATE —
+    EXACTLY, not the Lucene way.  Lucene marks deleted docs in a bitset
+    and serves STALE df / corpus stats until a segment merge; here the
+    sum-decomposable segment factoring lets the correction be exact at
+    probe time:
 
     1. the doomed postings rows are tombstoned with one merge-on-read
        ``delete_dv`` commit (cost ∝ deleted rows — probes anti-join
@@ -835,8 +854,18 @@ def delete_bm25_docs(
        pre-delete snapshot to the fully-corrected one, never observing
        a partial delete.
 
-    Scores after deletion therefore match a from-scratch rebuild on the
-    surviving corpus row for row (pytest-pinned).
+    ``predicates`` use the versioned-table triple form
+    (:func:`~..sources.versioned.read_where`) and MUST select whole
+    documents — predicates over ``doc_id`` (or any per-document
+    attribute materialized on every posting row): a predicate that
+    matched some of a document's postings but not others would corrupt
+    the df/dl accounting.  The predicate form is the 100 TB surface —
+    deletion cost is (pruned scan + deleted rows), with no driver-side
+    id list at all; :func:`delete_bm25_docs` wraps it for bounded id
+    sets.
+
+    Scores after deletion match a from-scratch rebuild on the surviving
+    corpus row for row (pytest-pinned; id-list == predicate == rebuild).
     :func:`optimize_bm25_index` folds the tombstones and negative
     segments away (compaction materializes the DV; df re-sum drops
     zeroed tokens).  Txn-idempotent end-to-end: every commit is keyed
@@ -844,8 +873,7 @@ def delete_bm25_docs(
     republishes the manifest."""
     from ..sources import versioned as V
 
-    ids = sorted(int(d) for d in doc_ids)
-    doomed = V.read_version(spark, table).filter(F.col("doc_id").isin(ids))
+    doomed = V.read_where(spark, table, predicates)
     stats = doomed.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0.0)).alias("sum_dl"),
@@ -882,9 +910,7 @@ def delete_bm25_docs(
         neg_stats.coalesce(1), table + "_stats", mode="append",
         txn=f"{txn}-stats" if txn else None,
     )
-    rep = V.delete_where_dv(
-        spark, table, [("doc_id", "in", ids)], txn=txn
-    )
+    rep = V.delete_where_dv(spark, table, predicates, txn=txn)
     _commit_manifest(spark, table, txn=f"{txn}-manifest" if txn else None)
     return {
         "docs_deleted": n_del,

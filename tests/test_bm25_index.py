@@ -436,3 +436,57 @@ def test_session_build_cache_and_clone_isolation(spark, bm25_table):
             for s in ("", "_df", "_stats", "_manifest"):
                 shutil.rmtree(path + s, ignore_errors=True)
             del retrieval._BM25_BUILD_CACHE[key]
+
+
+def test_delete_docs_where_predicate_equals_id_list(spark, bm25_table):
+    """r13: the predicate delete surface (the 100 TB form — no driver-
+    side id list) must produce EXACTLY the id-list delete's index state:
+    same probe scores, same df/stats corrections, both equal to the
+    from-scratch rebuild on the survivors."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    retrieval.build_bm25_index(docs, bm25_table, n_buckets=8, txn="b1")
+    cut = 60
+    rep = retrieval.delete_bm25_docs_where(
+        spark, bm25_table, [("doc_id", "<", cut)], txn="dw1"
+    )
+    assert rep["docs_deleted"] > 0 and rep["postings_deleted"] > 0
+
+    survivors = docs.filter(F.col("doc_id") >= cut)
+    q = retrieval.corpus_queries(survivors).filter(F.col("query_id") <= 93)
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in retrieval.search_bm25_index(
+            spark, bm25_table, q, k=10
+        ).collect()
+    }
+    # twin 1: the id-list wrapper on a fresh build
+    ids = [r.doc_id for r in docs.filter(F.col("doc_id") < cut)
+           .select("doc_id").collect()]
+    ref1 = tempfile.mkdtemp(prefix="bm25_idl_")
+    ref2 = tempfile.mkdtemp(prefix="bm25_reb_")
+    try:
+        retrieval.build_bm25_index(docs, ref1, n_buckets=8)
+        retrieval.delete_bm25_docs(spark, ref1, ids, txn="d1")
+        want1 = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in retrieval.search_bm25_index(spark, ref1, q, k=10)
+            .collect()
+        }
+        # twin 2: from-scratch rebuild on the survivors
+        retrieval.build_bm25_index(survivors, ref2, n_buckets=8)
+        want2 = {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in retrieval.search_bm25_index(spark, ref2, q, k=10)
+            .collect()
+        }
+    finally:
+        for base in (ref1, ref2):
+            for s in ("", "_df", "_stats", "_manifest"):
+                shutil.rmtree(base + s, ignore_errors=True)
+    assert got == want1 == want2 and got
+    # txn replay of the predicate form adopts (no double correction)
+    n_hist = len(V.history(bm25_table + "_stats"))
+    retrieval.delete_bm25_docs_where(
+        spark, bm25_table, [("doc_id", "<", cut)], txn="dw1"
+    )
+    assert len(V.history(bm25_table + "_stats")) == n_hist
