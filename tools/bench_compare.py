@@ -1,12 +1,16 @@
 """Diff two bench detail files (BENCH_DETAIL.json / BENCH_FULL_r*.json).
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [--threshold 0.25]
+       [--raw]
 
 Prints per-query deltas over the threshold (relative), the shared-set
 totals, and adds/removes — the exact readout the round-5 drift
-investigation needed (SCALE.md "Bench drift investigation").  Remember:
-absolute seconds drift ±15-35 % with host state across sessions; within
-one session the comparison is sound.
+investigation needed (SCALE.md "Bench drift investigation").  Since r13
+the artifacts carry CALIBRATION-NORMALIZED rows (`queries_normalized`),
+which divide uniform host-load drift out; this tool prefers them on
+each side when present (``--raw`` forces raw seconds).  Remember:
+normalization corrects the uniform component only — adjudicate any
+surviving single-row regression with BENCH_ONLY + BENCH_REPEAT>=3.
 """
 
 from __future__ import annotations
@@ -15,14 +19,22 @@ import json
 import sys
 
 
+def _rows(path: str, raw: bool) -> dict:
+    d = json.load(open(path))
+    if not raw and "queries_normalized" in d:
+        return d["queries_normalized"]
+    return d["queries"]
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 0.25
+    raw = "--raw" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--threshold"):
             thr = float(a.split("=", 1)[1]) if "=" in a else thr
-    old = json.load(open(args[0]))["queries"]
-    new = json.load(open(args[1]))["queries"]
+    old = _rows(args[0], raw)
+    new = _rows(args[1], raw)
     shared = sorted(set(old) & set(new))
     t_old = sum(old[k] for k in shared)
     t_new = sum(new[k] for k in shared)
