@@ -234,6 +234,10 @@ def _reclaimable_dirs(table: str, floor: int) -> set[str]:
     """Data + DV dirs reachable from NO retained snapshot (>= floor) —
     exactly what ``vacuum(min_retained_version=floor)`` would reclaim.
     Pure log replay, no data scan and no filesystem walk."""
+    # a candidate below the PERSISTED floor would replay already-expired
+    # versions (live_dirs raises on them, by contract) — and can never
+    # un-expire history anyway, so clamp up
+    floor = max(floor, V._retention_floor(table))
     versions = V._list_versions(table)
     referenced: set[str] = set()
     for v in versions:
@@ -287,7 +291,12 @@ def _pin_floor(
             lo = (me.get("stats") or {}).get(pin_key, [None])[0]
             if lo is not None:
                 candidate = min(candidate, int(lo))
-    elif kind in ("ivf", "ivfadc") and comp != table:
+    elif kind in ("ivf", "ivfadc") and comp in (
+        table + "_centroids", table + "_codebooks"
+    ):
+        # only the MODEL companions take pointer pins — a quarantine
+        # table riding along under an ANN index keeps its plain
+        # keep_history floor
         key = (
             "centroid_version"
             if comp.endswith("_centroids")

@@ -295,3 +295,21 @@ def test_retention_keeps_ann_model_pointers_readable(spark, table):
             spark, table, qids, k=3, nprobe=2, version=v
         ).collect()
         assert got
+
+
+def test_retention_debt_probe_survives_widened_keep_history(spark, table):
+    """Raising keep_history after a vacuum must not crash the debt
+    probe: the candidate floor falls below the PERSISTED floor, and a
+    naive replay would read expired versions (live_dirs raises on them
+    by contract).  The probe clamps up — expired history can never
+    un-expire."""
+    df = spark.range(50).selectExpr("id", "id * 2 as v")
+    for i in range(3):
+        V.commit_write(df.coalesce(1), table, mode="overwrite", txn=f"o{i}")
+    maintenance.vacuum_index(spark, table, keep_history=1)
+    assert V._retention_floor(table) == 2
+    # widened window: candidate floor 0 < persisted floor 2
+    rec = maintenance.maintain_index(
+        spark, table, vacuum_keep_history=5, max_expired_dirs=0
+    )
+    assert rec["vacuum_debt_dirs"] == 0 and "vacuum" not in rec
