@@ -205,6 +205,21 @@ def quality() -> None:
                 "recall_at_10": round(hit / (10 * len(qids)), 3),
                 "sec": sec,
             }))
+        # the recall CEILING knob: the ADC shortlist misses true
+        # neighbors the exact rerank never sees — deepening rerank at
+        # full probe width measures how much of the plateau it recovers
+        for rerank in (20, 50, 100, 200, 400, 800):
+            t0 = time.perf_counter()
+            got = ann_index.search_ivfadc_index(
+                spark, adc_t, emb10, qids, k=10, nprobe=64, rerank=rerank
+            ).collect()
+            sec = round(time.perf_counter() - t0, 2)
+            hit = sum(1 for r in got if r.vec_id in exact[r.query_id])
+            print(json.dumps({
+                "op": "ivfadc_rerank_curve", "rerank": rerank,
+                "recall_at_10": round(hit / (10 * len(qids)), 3),
+                "sec": sec,
+            }))
 
         docs10 = docs.select(
             (F.col("doc_id")).alias("doc_id"), "text"
