@@ -313,3 +313,73 @@ def test_retention_debt_probe_survives_widened_keep_history(spark, table):
         spark, table, vacuum_keep_history=5, max_expired_dirs=0
     )
     assert rec["vacuum_debt_dirs"] == 0 and "vacuum" not in rec
+
+
+def test_retention_randomized_trajectory_invariants(spark, table):
+    """Soak law for retention under the tick: a seeded random sequence
+    of overwrites / appends / DV deletes / retention ticks, asserting
+    at EVERY step that (a) the live snapshot is readable and equals the
+    logically expected row multiset, (b) the floor is monotone, (c)
+    every retained version reads without error, and (d) the version
+    just below the floor raises loudly once a floor exists."""
+    import random
+
+    rng = random.Random(0xC0FFEE13)
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id", "id % 7 as g", "(id * 31) % 1000 as v"
+        ).coalesce(1)
+
+    # logical model: the expected live rows as an id-interval list
+    V.commit_write(mk(0, 300), table, mode="overwrite", txn="init")
+    live = {(0, 300)}
+    deleted: set[int] = set()
+    floor_seen = 0
+    for step in range(10):
+        op = rng.choice(["overwrite", "append", "delete", "tick", "tick"])
+        if op == "overwrite":
+            lo = rng.randrange(0, 5000)
+            V.commit_write(mk(lo, lo + 300), table, mode="overwrite",
+                           txn=f"o{step}")
+            live, deleted = {(lo, lo + 300)}, set()
+        elif op == "append":
+            lo = 10_000 + step * 1000
+            V.commit_write(mk(lo, lo + 200), table, mode="append",
+                           txn=f"a{step}")
+            live.add((lo, lo + 200))
+        elif op == "delete":
+            los = sorted(l for l, _ in live)
+            lo = rng.choice(los)
+            V.delete_where_dv(
+                spark, table,
+                [("id", ">=", lo), ("id", "<", lo + 50)],
+                txn=f"d{step}",
+            )
+            deleted |= {i for i in range(lo, lo + 50)
+                        if any(a <= i < b for a, b in live)}
+        else:
+            rec = maintenance.maintain_index(
+                spark, table, vacuum_keep_history=2, max_expired_dirs=0,
+                retention_seconds=0.0,
+            )
+            if "vacuum" in rec:
+                f = rec["vacuum"]["components"][table]["floor"]
+                assert f >= floor_seen  # monotone
+                floor_seen = f
+        # (a) live snapshot always readable and logically right
+        got = sorted(r.id for r in
+                     V.read_version(spark, table).select("id").collect())
+        want = sorted(i for a, b in live for i in range(a, b)
+                      if i not in deleted)
+        assert got == want, (step, op)
+        # (c) every retained version reads; (d) below-floor raises
+        floor = V._retention_floor(table)
+        assert floor == floor_seen
+        for v in V._list_versions(table):
+            if v >= floor:
+                V.read_version(spark, table, v).count()
+        if floor > 1:
+            with pytest.raises(V.VersionExpiredError):
+                V.read_version(spark, table, floor - 1).count()
+    assert floor_seen > 0  # the trajectory actually vacuumed
