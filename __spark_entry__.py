@@ -881,6 +881,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_bm25_delete_search"] = _bm25_delete_search
 
+    def _bm25_delete_where_search(s: SparkSession, d: str) -> DataFrame:
+        """PREDICATE deletion on the persisted BM25 index (r13 — the
+        100 TB delete surface: no driver-side id list at all).  Fork the
+        session-cached full-corpus base, then `delete_bm25_docs_where`
+        tombstones every document with doc_id >= the 60%-of-max cut in
+        ONE stats-pruned pass (DV + negative df/stats segments, manifest
+        last), and the probe with the survivors' query set must equal
+        the from-scratch rebuild on `doc_id < cut` — the INDEPENDENT
+        DuckDB recompute computes the same cut from the corpus itself,
+        so a green hash is the driver seeing predicate deletion produce
+        the rebuild answer with zero ids ever collected."""
+        import shutil
+
+        docs = load_table(s, d, "documents")
+        cut = int(docs.agg(F.max("doc_id")).collect()[0][0]) * 3 // 5
+        base = retrieval.bm25_index_for(docs, n_buckets=16)
+        t = retrieval.clone_bm25_index(s, base)
+        try:
+            retrieval.delete_bm25_docs_where(
+                s, t, [("doc_id", ">=", cut)], txn="delw-q"
+            )
+            out = retrieval.search_bm25_index(
+                s,
+                t,
+                retrieval.corpus_queries(docs.filter(F.col("doc_id") < cut)),
+                k=10,
+            )
+            rows = out.collect()  # materialize before scratch cleanup
+            return s.createDataFrame(rows, out.schema)
+        finally:
+            for sfx in ("", "_df", "_stats", "_manifest"):
+                shutil.rmtree(t + sfx, ignore_errors=True)
+
+    q["text_bm25_delete_where_search"] = _bm25_delete_where_search
+
     def _retrieval_quality(s: SparkSession, d: str) -> DataFrame:
         docs = load_table(s, d, "documents")
         run = retrieval.bm25_search(docs, retrieval.corpus_queries(docs), k=10)
@@ -2561,10 +2596,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: normalized/levenshtein dedup rows, the versioned DML ladder, funnel +
 #: sketch rows, asof/order-gaps/range-context, hybrid RRF, IVF+PQ) plus
 #: 13 slots from the r9 tail (tpch_q4, fingerprint/normalize/PII scrub,
-#: the events ladder, minus one slot for the never-sampled r13
-#: addition versioned_vacuum_tick — retention under the maintenance
-#: tick).  After this window no registered query's last green is older
-#: than r9.
+#: the events ladder, minus two slots for the never-sampled r13
+#: additions versioned_vacuum_tick (retention under the maintenance
+#: tick) and text_bm25_delete_where_search (predicate deletion on the
+#: persisted index).  After this window no registered query's last
+#: green is older than r9.
 _DRIVER_FIRST = [
     "asof_events_last_order",
     "order_gaps",
@@ -2614,8 +2650,8 @@ _DRIVER_FIRST = [
     "events_sessionize",
     "events_type_share",
     "events_top_users",
-    "events_hour_profile",
     "versioned_vacuum_tick",
+    "text_bm25_delete_where_search",
 ]
 
 
@@ -6536,6 +6572,18 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
     # pushed into toks.
     o["text_bm25_delete_search"] = f"""
 WITH {_bm25_ranked.replace("FROM documents", "FROM documents WHERE doc_id % 2 = 0 AND doc_id % 20 <> 2")}
+SELECT query_id, doc_id, score, rank::INTEGER AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+    # predicate-delete probe == rebuild over doc_id < cut, where the
+    # cut ((max*3)//5) is recomputed from the corpus by BOTH engines —
+    # the oracle never sees an id list, exactly like the kernel.
+    o["text_bm25_delete_where_search"] = f"""
+WITH {_bm25_ranked.replace(
+    "FROM documents",
+    "FROM documents WHERE doc_id < "
+    "(SELECT (max(doc_id) * 3) // 5 FROM documents)",
+)}
 SELECT query_id, doc_id, score, rank::INTEGER AS rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """

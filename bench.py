@@ -268,8 +268,9 @@ HEADLINE = [
     "versioned_bloom_skipping",
     "versioned_auto_bloom",
     "versioned_restore",
-    # round-13: retention under the maintenance tick
+    # round-13: retention under the maintenance tick + predicate delete
     "versioned_vacuum_tick",
+    "text_bm25_delete_where_search",
 ]
 
 
