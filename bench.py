@@ -356,9 +356,26 @@ def main() -> None:
 
     cal_before = _run_calibration(spark)
 
+    # r13: the BM25 rows share one disk-backed base build per corpus
+    # fingerprint (retrieval.bm25_index_for — round-12 directive #3).
+    # Whichever of them runs FIRST in suite order pays the build; later
+    # ones are cache-served.  BENCH_FULL's cache-clean isolation does
+    # not (and should not) clear that cache, so flag the served rows —
+    # their numbers are amortized marginal cost, not standalone cost.
+    from data_pipeline_zeal_spark.operators import retrieval as _retrieval
+
+    BM25_CACHE_ROWS = {
+        "text_bm25_index_search",
+        "text_bm25_segment_search",
+        "text_bm25_delete_search",
+        "text_bm25_delete_where_search",
+    }
+    shared_build_rows: list[str] = []
+
     repeat = max(1, int(os.environ.get("BENCH_REPEAT", "1")))
     timings: dict[str, float] = {}
     for name in suite:
+        cache_keys_before = set(_retrieval._BM25_BUILD_CACHE)
         if is_full or name not in WARM:
             # Cache-clean isolation (round-7 directive #2): drop every
             # cached block a previous query left behind (e.g. the
@@ -387,6 +404,12 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         reps.sort()
         timings[name] = round(reps[len(reps) // 2], 3)
+        if (
+            name in BM25_CACHE_ROWS
+            and set(_retrieval._BM25_BUILD_CACHE) == cache_keys_before
+        ):
+            # needed no new base build: served from the shared cache
+            shared_build_rows.append(name)
 
     if is_full:
         # Completeness gate (round-5 verdict #3): the full-suite artifact
@@ -440,6 +463,9 @@ def main() -> None:
         "value_normalized": total_norm,
         "queries_normalized": normalized,
         "warm_rows": warm_rows,
+        # BM25 rows whose shared base build was served from the session
+        # cache (suite-order dependent — the first such row pays it)
+        "shared_build_rows": shared_build_rows,
         "sf": sf_val,
         # methodology (round-10 directive #5): per-row value is the
         # MEDIAN of `repeat` runs; repeat=1 artifacts are single-run and
