@@ -48,3 +48,24 @@ def test_full_exclude_is_documented_anchor_set():
     qs = set(entry_mod.queries())
     assert bench.FULL_EXCLUDE <= qs
     assert len(bench.FULL_EXCLUDE) <= 5
+
+
+def test_full_bench_artifact_carries_calibration_fields():
+    """Round-12 verdict directive #2's done-criterion, pinned so future
+    artifacts keep it: the committed full-suite artifact must carry the
+    before/after calibration kernel timings, the quiet-box reference,
+    and a normalized row for every raw row — the machinery that lets
+    round-over-round deltas be judged net of host-load drift."""
+    path = _newest_full_artifact()
+    with open(path) as f:
+        a = json.load(f)
+    for field in ("calibration_before", "calibration_after",
+                  "calibration_ref", "calibration_factor",
+                  "value_normalized"):
+        assert field in a, field
+        assert a[field] > 0
+    assert a["calibration_ref"] == bench.CALIBRATION_REF_SEC
+    assert set(a["queries_normalized"]) == set(a["queries"])
+    # the factor is ref / mean(before, after), within rounding
+    mean = (a["calibration_before"] + a["calibration_after"]) / 2.0
+    assert abs(a["calibration_factor"] - a["calibration_ref"] / mean) < 1e-3
