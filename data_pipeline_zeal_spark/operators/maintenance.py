@@ -58,14 +58,25 @@ def _is_table(path: str) -> bool:
 
 
 def _appends_since_rebuild(table: str) -> int:
-    """Data-changing commits after the newest overwrite — pure log
-    replay.  Counts every non-overwrite action that changes live rows
-    (``append``, ``delete_dv``, ``delete``/``update`` rewrites): deletes
+    """Data-changing commits after the newest REBUILD — pure log
+    replay.  Counts every commit that changes live rows (``append``,
+    ``delete_dv``, and COW ``delete``/``update`` rewrites): deletes
     shift live cell means exactly like appends do (round-12 advice), so
-    a delete-only workload must still arm the ANN drift canary."""
+    a delete-only workload must still arm the ANN drift canary.  COW DML
+    lands as an ``overwrite`` action (the rewrite kernel publishes one
+    whole-snapshot commit) but carries ``meta.cow_dml`` (round-13
+    advice) — without that flag a delete_where on an ANN index would
+    RESET accumulated drift debt instead of adding to it.  Compaction
+    overwrites carry ``meta.layout_only`` (rows unchanged): they neither
+    count nor reset.  Only true build/rebuild/restore overwrites zero
+    the counter."""
     n = 0
-    for h in V.history(table):
-        if h["action"] == "overwrite":
+    for v in V._list_versions(table):
+        e = V._read_entry(table, v)
+        m = e.get("meta") or {}
+        if m.get("layout_only"):
+            continue
+        if e["action"] == "overwrite" and not m.get("cow_dml"):
             n = 0
         else:
             n += 1
@@ -97,7 +108,7 @@ def maintain_index(
     txn: str | None = None,
     vacuum_keep_history: int | None = None,
     max_expired_dirs: int = 8,
-    retention_seconds: float = 0.0,
+    retention_seconds: float = 6 * 3600,
     **table_opts,
 ) -> dict:
     """One maintenance tick for any persisted structure at ``table``.
@@ -115,22 +126,42 @@ def maintain_index(
     ``max_expired_dirs`` one :func:`vacuum_index` expires history
     coherently across the structure's main + companion + quarantine
     tables, never below any version the live manifest or model pointers
-    pin.  ``None`` (default) keeps retention hand-driven."""
+    pin.  ``None`` (default) keeps retention hand-driven.
+
+    The debt probe honors the SAME ``retention_seconds`` age cutoff the
+    fired vacuum enforces (round-13 verdict #3): a superseded dir
+    younger than the retention window is counted as
+    ``vacuum_debt_deferred``, not as settleable debt — otherwise a tick
+    under the CLI default (6 h) would re-fire a vacuum it provably
+    cannot settle on every cron firing until the dirs age out."""
     rec = _repair_tick(
         spark, table, max_segments=max_segments, min_cosine=min_cosine,
         source=source, txn=txn, **table_opts,
     )
     if vacuum_keep_history is not None:
+        import time
+
         kind = rec["kind"]
-        debt = sum(
-            len(_reclaimable_dirs(c, _pin_floor(
+        cutoff = time.time() - retention_seconds
+        debt = deferred = 0
+        for c in index_components(table):
+            for d in _reclaimable_dirs(c, _pin_floor(
                 table, kind, c,
                 _candidate_floor(c, vacuum_keep_history),
                 vacuum_keep_history,
-            )))
-            for c in index_components(table)
-        )
+            )):
+                try:
+                    settleable = os.path.getmtime(
+                        os.path.join(c, d)
+                    ) < cutoff
+                except OSError:
+                    continue  # reclaimed by a concurrent vacuum: not debt
+                if settleable:
+                    debt += 1
+                else:
+                    deferred += 1
         rec["vacuum_debt_dirs"] = debt
+        rec["vacuum_debt_deferred"] = deferred
         rec["max_expired_dirs"] = max_expired_dirs
         if debt > max_expired_dirs:
             rec["vacuum"] = vacuum_index(
@@ -267,11 +298,15 @@ def _pin_floor(
 ) -> int:
     """Clamp a component's candidate floor so no LIVE pointer dangles:
 
-    * BM25 — the live manifest's (postings, df, stats) triple must stay
-      readable: probes resolve through it, so expiring any pinned
-      version breaks the current index, not history.  The pinned triple
-      is read from the manifest's newest commit ENTRY stats (single-row
-      int columns record exact min==max) — metadata-only.
+    * BM25 — every RETAINED manifest version's (postings, df, stats)
+      triple must stay readable: probes resolve through the live
+      manifest, and time travel resolves through retained older
+      manifests, so the floor takes the MIN pinned version across all
+      manifest commits at or above the manifest's own floor (round-13
+      advice — the logs fall out of lockstep under no-op crash-replay
+      manifest republishes, so the latest triple alone is not a safe
+      clamp).  Each pin is read from a manifest commit ENTRY's stats
+      (single-row int columns record exact min==max) — metadata-only.
     * IVF/IVFADC — every retained main snapshot resolves its quantizer
       via the newest model pointer at-or-below it
       (:func:`~.ann_index._meta_pointer_at`), so the companion floor
@@ -281,16 +316,26 @@ def _pin_floor(
     """
     if kind == "bm25":
         mt = table + "_manifest"
-        me = V._read_entry(mt, V.latest_version(mt))
         pin_key = {
             table: "postings_version",
             table + "_df": "df_version",
             table + "_stats": "stats_version",
         }.get(comp)
         if pin_key:
-            lo = (me.get("stats") or {}).get(pin_key, [None])[0]
-            if lo is not None:
-                candidate = min(candidate, int(lo))
+            mfloor = max(
+                _candidate_floor(mt, keep_history), V._retention_floor(mt)
+            )
+            pins: list[int] = []
+            for mv in V._list_versions(mt):
+                if mv < mfloor:
+                    continue
+                lo = (V._read_entry(mt, mv).get("stats") or {}).get(
+                    pin_key, [None]
+                )[0]
+                if lo is not None:
+                    pins.append(int(lo))
+            if pins:
+                candidate = min(candidate, min(pins))
     elif kind in ("ivf", "ivfadc") and comp in (
         table + "_centroids", table + "_codebooks"
     ):
@@ -324,7 +369,7 @@ def vacuum_index(
     spark: SparkSession,
     table: str,
     keep_history: int = 3,
-    retention_seconds: float = 0.0,
+    retention_seconds: float = 6 * 3600,
 ) -> dict:
     """Coherent retention for every component of the structure at
     ``table``: each component's floor moves to ``latest - keep_history``,

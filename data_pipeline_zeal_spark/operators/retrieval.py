@@ -623,18 +623,28 @@ _BM25_BUILD_CACHE: dict[tuple, str] = {}
 
 def corpus_fingerprint(documents: DataFrame) -> str:
     """Order-insensitive content fingerprint of a document slice: ONE
-    aggregate over (row count, bounded-sum of xxhash64(doc_id, text)).
-    A single corpus scan — the cheap admission price for skipping a
-    whole tokenize+shuffle index build on a cache hit.  Bounded per-row
-    hashes keep the ANSI-mode sum overflow-free at any corpus size."""
+    aggregate over (row count, bounded-sum of xxhash64(doc_id, text),
+    xor of the full 64-bit hashes, bounded-sum of a second independent
+    hash).  A single corpus scan — the cheap admission price for
+    skipping a whole tokenize+shuffle index build on a cache hit.
+    Bounded per-row hashes keep the ANSI-mode sums overflow-free at any
+    corpus size; the xor and second-seed components close the round-13
+    advice hole (equal-count corpora colliding on one bounded sum would
+    silently serve an index built over different documents — a collision
+    now needs all four order-insensitive aggregates to agree)."""
+    h = F.xxhash64("doc_id", "text")
+    h2 = F.xxhash64(F.lit("fp2"), "doc_id", "text")
     r = documents.select(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
-            F.sum(F.pmod(F.xxhash64("doc_id", "text"), F.lit(1 << 40))),
-            F.lit(0).cast("long"),
+            F.sum(F.pmod(h, F.lit(1 << 40))), F.lit(0).cast("long")
         ).alias("h"),
+        F.coalesce(F.bit_xor(h), F.lit(0).cast("long")).alias("x"),
+        F.coalesce(
+            F.sum(F.pmod(h2, F.lit(1 << 40))), F.lit(0).cast("long")
+        ).alias("h2"),
     ).collect()[0]
-    return f"{int(r['n'])}-{int(r['h'])}"
+    return f"{int(r['n'])}-{int(r['h'])}-{int(r['x'])}-{int(r['h2'])}"
 
 
 def bm25_index_for(documents: DataFrame, n_buckets: int = 16) -> str:

@@ -1033,6 +1033,10 @@ def compact(
         txn=txn,
         bloom_cols=bloom_cols,
         bloom_bits=bloom_bits,
+        # compaction rewrites LAYOUT, not rows: drift accounting must
+        # neither count it as a data change nor let it masquerade as a
+        # rebuild that would zero accumulated debt
+        meta={"layout_only": True},
     )
 
 
@@ -1146,7 +1150,11 @@ def merge_upsert(
     else:
         merged = merge_latest(base, updates, keys, order_col, tiebreak)
     return commit_write(
-        merged, table, mode="overwrite", txn=txn, read_version=basis
+        merged, table, mode="overwrite", txn=txn, read_version=basis,
+        # MERGE changes live rows; like the COW kernel it publishes a
+        # whole-snapshot overwrite, so it carries the same DML flag for
+        # drift accounting (_appends_since_rebuild)
+        meta={"cow_dml": True},
     )
 
 
@@ -1403,7 +1411,8 @@ def _cow_rewrite(
         out = transform(snap, pred)
         n_in = snap.count()
         version = commit_write(
-            out, table, mode="overwrite", txn=txn, read_version=basis
+            out, table, mode="overwrite", txn=txn, read_version=basis,
+            meta={"cow_dml": True},
         )
         n_new = _read_entry(table, version).get("n_rows")
         n_files = sum(
@@ -1499,6 +1508,11 @@ def _cow_rewrite(
         "stats": dir_stats,
         "file_stats": file_stats,
         count_key: n_affected,
+        # COW DML is a row-level edit published as a whole-snapshot
+        # overwrite: drift accounting (_appends_since_rebuild) must COUNT
+        # it as a data change, never mistake it for a rebuild that would
+        # zero accumulated debt (round-13 advice)
+        "meta": {"cow_dml": True},
     }
     version = _publish_entry(table, entry, txn, read_version=basis)
     return {

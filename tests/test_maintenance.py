@@ -239,7 +239,8 @@ def test_retention_under_the_tick_vacuums_components_coherently(
     )
 
     rec = maintenance.maintain_index(
-        spark, table, vacuum_keep_history=1, max_expired_dirs=0
+        spark, table, vacuum_keep_history=1, max_expired_dirs=0,
+        retention_seconds=0.0,
     )
     assert rec["vacuum_debt_dirs"] > 0 and "vacuum" in rec
     comps = rec["vacuum"]["components"]
@@ -266,7 +267,8 @@ def test_retention_under_the_tick_vacuums_components_coherently(
 
     # a second tick right after: debt is settled, no re-vacuum fires
     rec2 = maintenance.maintain_index(
-        spark, table, vacuum_keep_history=1, max_expired_dirs=0
+        spark, table, vacuum_keep_history=1, max_expired_dirs=0,
+        retention_seconds=0.0,
     )
     assert rec2["vacuum_debt_dirs"] == 0 and "vacuum" not in rec2
 
@@ -285,7 +287,8 @@ def test_retention_keeps_ann_model_pointers_readable(spark, table):
     V.delete_where_dv(spark, table, [("vec_id", "in", doomed[:4])],
                       txn="d2")
 
-    rec = maintenance.vacuum_index(spark, table, keep_history=1)
+    rec = maintenance.vacuum_index(spark, table, keep_history=1,
+                                   retention_seconds=0.0)
     comps = rec["components"]
     main_floor = comps[table]["floor"]
     # every retained main version still resolves its quantizer and
@@ -306,7 +309,8 @@ def test_retention_debt_probe_survives_widened_keep_history(spark, table):
     df = spark.range(50).selectExpr("id", "id * 2 as v")
     for i in range(3):
         V.commit_write(df.coalesce(1), table, mode="overwrite", txn=f"o{i}")
-    maintenance.vacuum_index(spark, table, keep_history=1)
+    maintenance.vacuum_index(spark, table, keep_history=1,
+                             retention_seconds=0.0)
     assert V._retention_floor(table) == 2
     # widened window: candidate floor 0 < persisted floor 2
     rec = maintenance.maintain_index(
@@ -383,3 +387,134 @@ def test_retention_randomized_trajectory_invariants(spark, table):
             with pytest.raises(V.VersionExpiredError):
                 V.read_version(spark, table, floor - 1).count()
     assert floor_seen > 0  # the trajectory actually vacuumed
+
+
+def test_cow_dml_counts_as_data_change_not_rebuild(spark, table):
+    """Round-13 advice: COW delete_where/update_where publish overwrite
+    commits, but they are row-level DML — the drift counter must COUNT
+    them, not reset; compaction is layout-only — it must do neither;
+    only a true rebuild overwrite zeroes the counter."""
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+    V.commit_write(df.coalesce(1), table, mode="overwrite", txn="init")
+    V.commit_write(df.limit(10).coalesce(1), table, mode="append", txn="a1")
+    V.commit_write(df.limit(10).coalesce(1), table, mode="append", txn="a2")
+    assert maintenance._appends_since_rebuild(table) == 2
+    V.delete_where(spark, table, [("id", "<", 5)], txn="d1")
+    assert maintenance._appends_since_rebuild(table) == 3
+    V.update_where(spark, table, [("id", ">=", 90)], {"v": "0"}, txn="u1")
+    assert maintenance._appends_since_rebuild(table) == 4
+    V.merge_upsert(
+        spark, table,
+        spark.range(5).selectExpr("id", "id as v"),
+        keys=["id"], order_col="v", txn="m1",
+    )
+    assert maintenance._appends_since_rebuild(table) == 5
+    V.compact(spark, table, txn="c1", num_files=1)
+    assert maintenance._appends_since_rebuild(table) == 5  # layout-only
+    V.commit_write(df.coalesce(1), table, mode="overwrite", txn="rebuild")
+    assert maintenance._appends_since_rebuild(table) == 0
+
+
+def test_cow_delete_arms_ivf_drift_canary(spark, table):
+    """The ANN-flavored half of the same advice: a COW delete on an IVF
+    index must leave the drift canary ARMED (the tick runs the data-scan
+    check), never disarm it by masquerading as a rebuild."""
+    emb = _emb(spark)
+    ann_index.build_ivf_index(emb, table, n_cells=8)
+    ids = sorted(r.vec_id for r in emb.select("vec_id").limit(30).collect())
+    V.delete_where(spark, table, [("vec_id", "in", ids)], txn="cd1")
+    rec = maintenance.maintain_index(spark, table)
+    assert rec["appends_since_rebuild"] == 1
+    assert "worst_cell_cosine" in rec  # the canary actually ran
+
+
+def test_retention_debt_probe_honors_retention_seconds(spark, table):
+    """Round-13 verdict #3: the tick's debt probe must apply the SAME
+    age cutoff the fired vacuum enforces.  Fresh expired history under
+    the CLI-default 6 h retention is DEFERRED debt (reported, no vacuum
+    fired — the old behavior re-fired a vacuum that could not settle on
+    every tick); once the dirs age past the window, one tick settles."""
+    import os
+    import time
+
+    df = spark.range(60).selectExpr("id", "id * 3 as v")
+    for i in range(3):
+        V.commit_write(df.coalesce(1), table, mode="overwrite", txn=f"o{i}")
+    # defaults: retention_seconds=6h — fresh superseded dirs are deferred
+    rec = maintenance.maintain_index(
+        spark, table, vacuum_keep_history=1, max_expired_dirs=0
+    )
+    assert "vacuum" not in rec
+    assert rec["vacuum_debt_dirs"] == 0
+    assert rec["vacuum_debt_deferred"] >= 1
+    # age every data dir past the window (what 6 h of wall clock does)
+    old = time.time() - 7 * 3600
+    data_root = os.path.join(table, V._DATA_DIR)
+    for name in os.listdir(data_root):
+        os.utime(os.path.join(data_root, name), (old, old))
+    rec2 = maintenance.maintain_index(
+        spark, table, vacuum_keep_history=1, max_expired_dirs=0
+    )
+    assert rec2["vacuum_debt_dirs"] >= 1 and "vacuum" in rec2
+    assert sum(
+        c["removed"] for c in rec2["vacuum"]["components"].values()
+    ) >= 1
+    rec3 = maintenance.maintain_index(
+        spark, table, vacuum_keep_history=1, max_expired_dirs=0
+    )
+    assert rec3["vacuum_debt_dirs"] == 0
+    assert rec3["vacuum_debt_deferred"] == 0
+    assert "vacuum" not in rec3
+
+
+def test_bm25_pin_floor_spans_retained_manifest_versions(
+    spark, table, monkeypatch
+):
+    """Round-13 advice: when the manifest log LAGS the components (a
+    deletion crashed between its component commits and the manifest
+    publish), a retained OLDER manifest version pins component versions
+    below the naive keep_history floor.  The floor must take the min
+    pinned triple across ALL retained manifest versions — clamping to
+    the live triple alone expires versions manifest v1 still pins, and
+    time travel through it raises VersionExpiredError."""
+    docs = _docs(spark)
+    retrieval.build_bm25_index(docs, table, n_buckets=4, txn="b1")
+    doomed = sorted(
+        r.doc_id for r in docs.select("doc_id").limit(20).collect()
+    )
+    # crash the first delete AFTER its df/stats/postings commits but
+    # BEFORE the manifest publish: the manifest now lags by one round
+    def _boom(*a, **k):
+        raise RuntimeError("crash before manifest publish")
+
+    monkeypatch.setattr(retrieval, "_commit_manifest", _boom)
+    with pytest.raises(RuntimeError):
+        retrieval.delete_bm25_docs(spark, table, doomed[:10], txn="d1")
+    monkeypatch.undo()
+    # a later delete lands normally: manifest v2 pins the NEW triple,
+    # manifest v1 still pins the ORIGINAL (1, 1, 1)
+    retrieval.delete_bm25_docs(spark, table, doomed[10:], txn="d2")
+    rec = maintenance.vacuum_index(
+        spark, table, keep_history=1, retention_seconds=0.0
+    )
+    man = table + "_manifest"
+    mfloor = rec["components"][man]["floor"] or V._retention_floor(man)
+    comp_of = {
+        "postings_version": table,
+        "df_version": table + "_df",
+        "stats_version": table + "_stats",
+    }
+    checked = 0
+    for mv in V._list_versions(man):
+        if mv < max(mfloor, V._retention_floor(man)):
+            continue
+        row = V.read_version(spark, man, mv).collect()[0]
+        for key, comp in comp_of.items():
+            # every retained manifest's pinned component version is
+            # still readable — no dangling pin, no VersionExpiredError
+            V.read_version(spark, comp, int(row[key])).count()
+            checked += 1
+    assert checked >= 6  # two retained manifests x three components
+    # the live probe still serves
+    q = retrieval.corpus_queries(docs).filter(F.col("query_id") <= 62)
+    assert retrieval.search_bm25_index(spark, table, q, k=5).collect()

@@ -537,3 +537,108 @@ def test_wave_stdlib_junk_only_partition(spark):
         "media_id long, payload binary",
     ).repartition(1)
     assert mm.decode_wav_pcm(junk).collect() == []
+
+
+def _mp4_parts():
+    import struct
+
+    def box(t, b):
+        return struct.pack(">I", 8 + len(b)) + t + b
+
+    def mvhd(v, ts, dur):
+        if v == 0:
+            body = b"\x00" * 4 + struct.pack(">IIII", 0, 0, ts, dur)
+        else:
+            body = b"\x01" + b"\x00" * 3 + struct.pack(">QQIQ", 0, 0, ts, dur)
+        return box(b"mvhd", body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    moov = box(b"moov", mvhd(0, 600, 1200))
+    mdat = box(b"mdat", b"\xab" * 17)
+    return box, mvhd, ftyp, moov, mdat
+
+
+def test_mp4_header_parse_real_bytes(spark):
+    from data_pipeline_zeal_spark.operators.multimodal import mp4_header_stats
+
+    box, mvhd, ftyp, moov, mdat = _mp4_parts()
+    import struct
+
+    largemdat = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + 9) + b"y" * 9
+    )
+    eofmdat = struct.pack(">I", 0) + b"mdat" + b"z" * 5
+    media = spark.createDataFrame(
+        [
+            (1, ftyp + moov + mdat),
+            # v1 mvhd, all three mdat size encodings in one file
+            (2, ftyp + box(b"moov", mvhd(1, 90000, 4500)) + mdat
+                + largemdat + eofmdat),
+            (3, b"definitely not an mp4 container"),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in mp4_header_stats(media).collect()}
+    assert out[1].valid and out[1].major_brand == "isom"
+    assert out[1].minor_version == 512 and out[1].n_compatible_brands == 2
+    assert (out[1].n_boxes, out[1].mdat_bytes) == (3, 17)
+    assert (out[1].timescale, out[1].duration) == (600, 1200)
+    assert out[2].valid and out[2].mdat_bytes == 17 + 9 + 5
+    assert (out[2].timescale, out[2].duration) == (90000, 4500)
+    assert not out[3].valid and out[3].major_brand is None
+
+
+def test_mp4_parser_rejects_malformed_boxes():
+    from data_pipeline_zeal_spark.operators.multimodal import parse_mp4_header
+
+    import struct
+
+    box, mvhd, ftyp, moov, mdat = _mp4_parts()
+    good = ftyp + moov + mdat
+    assert parse_mp4_header(good) is not None
+    # first box is not ftyp
+    assert parse_mp4_header(moov + ftyp + mdat) is None
+    # a box's declared size overruns EOF (truncation anywhere inside)
+    for cut in (len(good) - 3, len(ftyp) + 5, 10):
+        assert parse_mp4_header(good[:cut]) is None
+    # size below the 8-byte header length
+    bad = ftyp + struct.pack(">I", 4) + b"moov" + moov[8:] + mdat
+    assert parse_mp4_header(bad) is None
+    # truncated largesize word
+    assert parse_mp4_header(
+        ftyp + moov + struct.pack(">I", 1) + b"mdat" + b"\x00" * 4
+    ) is None
+    # non-printable box type
+    assert parse_mp4_header(
+        ftyp + struct.pack(">I", 8) + b"\x01\x02\x03\x04" + moov + mdat
+    ) is None
+    # mandatory-box violations: missing mdat / missing moov / moov
+    # without mvhd / zero timescale / duplicate ftyp
+    assert parse_mp4_header(ftyp + moov) is None
+    assert parse_mp4_header(ftyp + mdat) is None
+    assert parse_mp4_header(ftyp + box(b"moov", b"") + mdat) is None
+    assert parse_mp4_header(
+        ftyp + box(b"moov", mvhd(0, 0, 100)) + mdat
+    ) is None
+    assert parse_mp4_header(ftyp + ftyp + moov + mdat) is None
+    # truncated mvhd fullbox for its declared version
+    assert parse_mp4_header(
+        ftyp + box(b"moov", box(b"mvhd", b"\x01" + b"\x00" * 20)) + mdat
+    ) is None
+
+
+def test_mp4_synth_fixture_branches(spark):
+    from data_pipeline_zeal_spark.operators.multimodal import (
+        mp4_header_stats,
+        synth_mp4_media,
+    )
+
+    out = mp4_header_stats(synth_mp4_media(spark, 64)).collect()
+    valid = [r for r in out if r.valid]
+    assert len(out) == 64 and len(valid) == 48  # 3 of every 4 parse
+    # the fixture exercises both mvhd versions, all three brands, and
+    # duration stays an exact integer multiple of 600 model units
+    assert {r.major_brand for r in valid} == {"isom", "mp42", "avc1"}
+    assert {r.timescale for r in valid} == {600, 1000, 90000}
+    assert all(r.duration % 600 == 0 and r.mdat_bytes > 0 for r in valid)
+    assert all(r.n_boxes in (3, 4) for r in valid)
