@@ -681,6 +681,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(t + "_centroids", ignore_errors=True)
 
     q["sim_ivf_index_search"] = _sim_ivf_index_search
+
+    def _sim_ivf_segment_search(s: SparkSession, d: str) -> DataFrame:
+        """Streaming IVF index maintenance at the driver (r14 — round-13
+        verdict #6, the IVF twin of text_bm25_segment_search): build the
+        persisted index on THREE QUARTERS of the corpus, stream the held
+        -out quarter through `ivf_index_sink` as a real availableNow
+        Structured Streaming query (cells assigned by the index's OWN
+        frozen quantizer, one txn-idempotent append per micro-batch),
+        then probe the merged index with reproducible=True (exact-fold
+        cell ranking — shortlist choice independent of batch size).  The
+        output is a deterministic function of the fixtures, pinned as a
+        regression oracle (gen_pinned_oracles); semantic gates live in
+        tests/test_ann_index.py — streamed assignments equal the
+        quantizer rule, probes equal the direct-sink twin batch-for-
+        batch, and recall vs the exact kernel clears the ivf gate."""
+        import shutil
+        import tempfile
+
+        from data_pipeline_zeal_spark.operators import ann_index
+
+        emb = load_table(s, d, "embeddings")
+        t = tempfile.mkdtemp(prefix="ivf_seg_")
+        scratch = tempfile.mkdtemp(prefix="ivf_seg_src_")
+        try:
+            seed = emb.filter(F.col("vec_id") % 4 != 1)
+            rest = emb.filter(F.col("vec_id") % 4 == 1).select(
+                "vec_id", "embedding"
+            )
+            ann_index.build_ivf_index(seed, t, n_cells=8)
+            rest.coalesce(1).write.mode("overwrite").parquet(
+                scratch + "/in"
+            )
+            stream = s.readStream.schema(rest.schema).parquet(
+                scratch + "/in"
+            )
+            sq = (
+                stream.writeStream
+                .foreachBatch(ann_index.ivf_index_sink(t, "ivf-seg"))
+                .option("checkpointLocation", scratch + "/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination(300)
+            out = ann_index.search_ivf_index(
+                s, t, _SIM_QUERY_IDS, k=10, nprobe=5, reproducible=True
+            )
+            rows = out.collect()  # materialize before scratch cleanup
+            return s.createDataFrame(rows, out.schema)
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
+            shutil.rmtree(t + "_centroids", ignore_errors=True)
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    q["sim_ivf_segment_search"] = _sim_ivf_segment_search
     q["sim_filtered_topk"] = lambda s, d: similarity.filtered_topk(
         load_table(s, d, "embeddings"), _SIM_QUERY_IDS, labels=[0, 1, 2], k=10
     )
@@ -2598,69 +2652,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
-#: ROUND-13 WINDOW (tools/rotate_registry.py stalest-first; verified with
-#: `python tools/driver_sim.py <names>` before commit): 50 re-verifications
-#: — the entire 37-row r8-stale tail named by the round-12 verdict's
-#: directive #1 (the text-analysis family, corpus curation, the exact/
-#: normalized/levenshtein dedup rows, the versioned DML ladder, funnel +
-#: sketch rows, asof/order-gaps/range-context, hybrid RRF, IVF+PQ) plus
-#: 13 slots from the r9 tail (tpch_q4, fingerprint/normalize/PII scrub,
-#: the events ladder, minus two slots for the never-sampled r13
-#: additions versioned_vacuum_tick (retention under the maintenance
-#: tick) and text_bm25_delete_where_search (predicate deletion on the
-#: persisted index).  After this window no registered query's last
-#: green is older than r9.
+#: ROUND-14 WINDOW (tools/rotate_registry.py stalest-first; verified with
+#: `python tools/driver_sim.py <names>` before commit): 2 never-sampled —
+#: sim_ivf_segment_search (streaming IVF maintenance at the driver) and
+#: multimodal_mp4_headers (ISO-BMFF box-walk gate) — plus 48
+#: re-verifications covering the ENTIRE 39-row r9-stale tail named by the
+#: round-13 verdict's directive #1 (events ladder, sim_* family,
+#: multimodal stub trio, corpus curation, text bpe/repetition/unigram,
+#: asof/dq/substring/fuzzy-decontaminate, part_pagerank, sql_entry) and 9
+#: slots from the r10 tail.  After this window no registered query's last
+#: green is older than r10.
 _DRIVER_FIRST = [
-    "asof_events_last_order",
-    "order_gaps",
-    "events_funnel",
-    "range_error_context",
-    "sim_quantized_embeddings",
-    "text_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_lang_profile",
-    "text_source_token_totals",
-    "text_token_frequencies",
-    "text_tfidf_top_terms",
-    "text_rare_tokens",
-    "dedup_exact_groups",
-    "dedup_normalized_groups",
-    "dedup_levenshtein_pairs",
-    "corpus_hash_split",
-    "corpus_stratified_sample",
-    "corpus_source_cap",
-    "corpus_pack_chunks",
-    "corpus_quality_filter",
-    "corpus_mixture_weights",
-    "corpus_contamination",
-    "corpus_curation_summary",
-    "part_search",
-    "sim_ivf_pq_topk",
-    "retrieval_hybrid_rrf",
-    "versioned_time_travel",
-    "versioned_merge_upsert",
-    "versioned_change_feed",
-    "versioned_delete_where",
-    "versioned_update_where",
-    "events_user_cms_counts",
-    "dedup_pipeline",
-    "corpus_decontaminate_bloom",
-    "text_quality_classifier",
-    "events_heavy_hitters",
-    "tpch_q4_priority_check",
-    "text_fingerprint",
-    "text_normalize",
-    "text_scrub_pii",
-    "corpus_length_histogram",
-    "events_props_profile",
-    "events_daily_cube",
-    "events_daily_moving_avg",
-    "events_sessionize",
-    "events_type_share",
-    "events_top_users",
-    "versioned_vacuum_tick",
-    "text_bm25_delete_where_search",
+    "sim_ivf_segment_search",
+    "multimodal_mp4_headers",
+    "events_hour_profile",
+    "events_cohort_retention",
+    "events_value_histogram",
+    "events_daily_anomaly",
+    "orders_rfm",
+    "sql_entry_revenue_rank",
+    "events_user_counts_salted",
+    "events_session_window",
+    "events_sliding_window",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_scene_detect",
+    "sim_matryoshka_topk",
+    "sim_label_centroids",
+    "sim_embedding_norms",
+    "sim_filtered_topk",
+    "sim_centroid_pairs",
+    "sim_knn_label",
+    "events_type_transitions",
+    "basket_part_pairs",
+    "text_repetition_profile",
+    "text_unigram_logprob",
+    "text_bpe_encode",
+    "orders_grouping_sets",
+    "events_markov_steady",
+    "events_hour_uniformity",
+    "corpus_weighted_sample",
+    "customer_spend_deciles",
+    "events_hour_unpivot",
+    "events_cdc_merge",
+    "part_pagerank",
+    "corpus_boilerplate_profile",
+    "corpus_source_divergence",
+    "events_value_percentiles",
+    "events_scd2_history",
+    "dq_audit",
+    "asof_error_last_click_30m",
+    "dedup_substring_spans",
+    "corpus_decontaminate_fuzzy",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "events_funnel_rates",
+    "orders_pareto_share",
+    "sim_centroid_drift",
+    "text_readability",
+    "text_top_terms_per_source",
+    "text_feature_hash",
+    "text_chunk_overlap",
 ]
 
 
@@ -9156,6 +9208,224 @@ SELECT CAST(-999999 AS BIGINT) AS "query_id", CAST(-999999 AS BIGINT) AS "vec_id
     # same pinned regression oracle; its own structural claim (file
     # pruning at probe time) is pytest-pinned, not SQL-expressible.
     o["sim_ivf_index_search"] = o["sim_ivf_topk"]
+
+    # sim_ivf_segment_search: pinned regression oracle for the streaming
+    # maintenance composition (honesty label in tools/gen_pinned_oracles.py);
+    # semantic gates in tests/test_ann_index.py
+    o["sim_ivf_segment_search"] = """
+WITH which AS (
+  SELECT
+    max(CASE WHEN md5(text) = '3bf959bb4328351c94e543f4ec639ca2' THEN 1 ELSE 0 END) AS is_sf0001,
+    max(CASE WHEN md5(text) = '2f562b51617feb025bfa5d6d2e63d2f3' THEN 1 ELSE 0 END) AS is_sf001
+  FROM documents),
+t1("query_id", "vec_id", "cosine", "rank") AS (VALUES
+  (0,17,0.334456,1),
+  (0,225,0.315127,2),
+  (0,483,0.300451,3),
+  (0,260,0.298669,4),
+  (0,73,0.297238,5),
+  (0,212,0.281399,6),
+  (0,347,0.274508,7),
+  (0,402,0.2745,8),
+  (0,299,0.268713,9),
+  (0,232,0.267338,10),
+  (1,376,0.304811,1),
+  (1,440,0.299303,2),
+  (1,75,0.289978,3),
+  (1,479,0.268921,4),
+  (1,247,0.261462,5),
+  (1,260,0.255336,6),
+  (1,237,0.253512,7),
+  (1,248,0.24799,8),
+  (1,183,0.246152,9),
+  (1,208,0.236209,10),
+  (2,443,0.357569,1),
+  (2,62,0.289997,2),
+  (2,246,0.289771,3),
+  (2,185,0.282941,4),
+  (2,91,0.278916,5),
+  (2,234,0.277688,6),
+  (2,441,0.253966,7),
+  (2,309,0.252344,8),
+  (2,183,0.250606,9),
+  (2,132,0.246669,10),
+  (3,223,0.340915,1),
+  (3,205,0.336595,2),
+  (3,212,0.319721,3),
+  (3,84,0.319664,4),
+  (3,426,0.315098,5),
+  (3,156,0.311071,6),
+  (3,72,0.308943,7),
+  (3,278,0.269397,8),
+  (3,137,0.245957,9),
+  (3,326,0.236859,10),
+  (4,345,0.374941,1),
+  (4,98,0.339767,2),
+  (4,143,0.329711,3),
+  (4,343,0.312433,4),
+  (4,57,0.298747,5),
+  (4,357,0.295446,6),
+  (4,62,0.288641,7),
+  (4,229,0.267757,8),
+  (4,472,0.26634,9),
+  (4,100,0.260062,10),
+  (5,113,0.364433,1),
+  (5,234,0.304412,2),
+  (5,298,0.299073,3),
+  (5,448,0.279152,4),
+  (5,296,0.268568,5),
+  (5,31,0.262665,6),
+  (5,409,0.2548,7),
+  (5,218,0.244455,8),
+  (5,281,0.229728,9),
+  (5,326,0.226457,10),
+  (6,141,0.34588,1),
+  (6,434,0.305749,2),
+  (6,78,0.294073,3),
+  (6,280,0.285945,4),
+  (6,467,0.264866,5),
+  (6,495,0.260577,6),
+  (6,444,0.256031,7),
+  (6,312,0.255047,8),
+  (6,352,0.253827,9),
+  (6,486,0.235414,10),
+  (7,382,0.349854,1),
+  (7,209,0.30625,2),
+  (7,329,0.305111,3),
+  (7,220,0.299404,4),
+  (7,18,0.285971,5),
+  (7,167,0.273189,6),
+  (7,326,0.270095,7),
+  (7,198,0.257289,8),
+  (7,249,0.256074,9),
+  (7,341,0.252292,10),
+  (8,20,0.330079,1),
+  (8,385,0.326578,2),
+  (8,190,0.324204,3),
+  (8,231,0.323992,4),
+  (8,132,0.309926,5),
+  (8,142,0.283681,6),
+  (8,118,0.278424,7),
+  (8,375,0.275049,8),
+  (8,398,0.274684,9),
+  (8,61,0.249007,10),
+  (9,381,0.356692,1),
+  (9,107,0.329678,2),
+  (9,365,0.321149,3),
+  (9,396,0.279537,4),
+  (9,216,0.272537,5),
+  (9,327,0.259396,6),
+  (9,88,0.251826,7),
+  (9,463,0.251354,8),
+  (9,314,0.250929,9),
+  (9,95,0.248782,10)),
+t2("query_id", "vec_id", "cosine", "rank") AS (VALUES
+  (0,365,0.369994,1),
+  (0,334,0.362722,2),
+  (0,387,0.331139,3),
+  (0,423,0.296934,4),
+  (0,7,0.292842,5),
+  (0,320,0.287861,6),
+  (0,190,0.281795,7),
+  (0,464,0.276628,8),
+  (0,388,0.276301,9),
+  (0,323,0.256455,10),
+  (1,386,0.371485,1),
+  (1,27,0.348208,2),
+  (1,195,0.322744,3),
+  (1,64,0.316374,4),
+  (1,124,0.30275,5),
+  (1,402,0.292322,6),
+  (1,472,0.292109,7),
+  (1,220,0.289782,8),
+  (1,203,0.268155,9),
+  (1,363,0.263306,10),
+  (2,117,0.318143,1),
+  (2,450,0.266344,2),
+  (2,145,0.263494,3),
+  (2,188,0.263272,4),
+  (2,320,0.255043,5),
+  (2,471,0.247193,6),
+  (2,112,0.245311,7),
+  (2,350,0.240069,8),
+  (2,172,0.239829,9),
+  (2,197,0.233149,10),
+  (3,343,0.308472,1),
+  (3,174,0.303548,2),
+  (3,231,0.298788,3),
+  (3,207,0.291702,4),
+  (3,192,0.290803,5),
+  (3,437,0.280535,6),
+  (3,474,0.276738,7),
+  (3,363,0.268615,8),
+  (3,396,0.260965,9),
+  (3,349,0.248581,10),
+  (4,114,0.398513,1),
+  (4,496,0.341212,2),
+  (4,408,0.322753,3),
+  (4,482,0.313897,4),
+  (4,280,0.279826,5),
+  (4,249,0.279631,6),
+  (4,89,0.265964,7),
+  (4,470,0.252537,8),
+  (4,288,0.228625,9),
+  (4,332,0.227642,10),
+  (5,404,0.328403,1),
+  (5,419,0.319237,2),
+  (5,359,0.305821,3),
+  (5,316,0.291112,4),
+  (5,395,0.275599,5),
+  (5,464,0.270882,6),
+  (5,266,0.260944,7),
+  (5,453,0.240669,8),
+  (5,433,0.240255,9),
+  (5,133,0.23748,10),
+  (6,350,0.324518,1),
+  (6,430,0.32252,2),
+  (6,145,0.297696,3),
+  (6,386,0.275196,4),
+  (6,268,0.259942,5),
+  (6,395,0.25912,6),
+  (6,214,0.256941,7),
+  (6,252,0.25563,8),
+  (6,374,0.24758,9),
+  (6,371,0.241364,10),
+  (7,425,0.40752,1),
+  (7,209,0.394463,2),
+  (7,334,0.356901,3),
+  (7,381,0.345179,4),
+  (7,221,0.324678,5),
+  (7,302,0.314524,6),
+  (7,0,0.292842,7),
+  (7,49,0.288352,8),
+  (7,332,0.285446,9),
+  (7,156,0.279233,10),
+  (8,39,0.384696,1),
+  (8,138,0.356671,2),
+  (8,403,0.338238,3),
+  (8,380,0.304526,4),
+  (8,173,0.30203,5),
+  (8,207,0.285675,6),
+  (8,494,0.284058,7),
+  (8,447,0.280742,8),
+  (8,321,0.269311,9),
+  (8,102,0.266575,10),
+  (9,489,0.343538,1),
+  (9,414,0.3323,2),
+  (9,386,0.322118,3),
+  (9,107,0.284494,4),
+  (9,256,0.284474,5),
+  (9,259,0.251484,6),
+  (9,302,0.247664,7),
+  (9,330,0.242977,8),
+  (9,319,0.241903,9),
+  (9,340,0.233565,10))
+SELECT CAST("query_id" AS BIGINT) AS "query_id", CAST("vec_id" AS BIGINT) AS "vec_id", CAST("cosine" AS DOUBLE) AS "cosine", CAST("rank" AS INTEGER) AS "rank" FROM t1 WHERE (SELECT is_sf0001 FROM which) = 1
+UNION ALL
+SELECT CAST("query_id" AS BIGINT) AS "query_id", CAST("vec_id" AS BIGINT) AS "vec_id", CAST("cosine" AS DOUBLE) AS "cosine", CAST("rank" AS INTEGER) AS "rank" FROM t2 WHERE (SELECT is_sf001 FROM which) = 1
+UNION ALL
+SELECT CAST(-999999 AS BIGINT) AS "query_id", CAST(-999999 AS BIGINT) AS "vec_id", CAST(-999999.0 AS DOUBLE) AS "cosine", CAST(-999999 AS INTEGER) AS "rank" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
+"""
 
     o["sim_pq_topk"] = """
 WITH which AS (

@@ -308,6 +308,10 @@ HEADLINE = [
     # round-13: retention under the maintenance tick + predicate delete
     "versioned_vacuum_tick",
     "text_bm25_delete_where_search",
+    # round-14: MP4 box-walk gate + streaming IVF maintenance at the
+    # driver (build on a slice, availableNow sink append, probe)
+    "multimodal_mp4_headers",
+    "sim_ivf_segment_search",
 ]
 
 

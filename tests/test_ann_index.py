@@ -327,3 +327,58 @@ def test_reproducible_flag_pins_exact_cell_ranking(spark, index_table,
         (r.query_id, r.rank, r.vec_id, r.cosine) for r in rows
     )
     assert key(base) == key(repro) and base
+
+
+def test_segment_probe_matches_direct_sink_twin_and_recall(
+    spark, index_table
+):
+    """Semantic gates for the registered sim_ivf_segment_search row
+    (r14 — round-13 verdict #6): (a) BATCHING INDEPENDENCE — the probe
+    over an index whose held-out quarter streamed in as two micro-
+    batches equals, row for row, the probe over a twin whose quarter
+    landed as one direct sink call (the quantizer is frozen at build
+    time, so assignment and therefore probing cannot depend on how the
+    appends were batched); (b) the merged index clears the same
+    recall@10 floor as the in-plan IVF kernel."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 4 != 1)
+    rest = emb.filter(F.col("vec_id") % 4 == 1).select(
+        "vec_id", "embedding"
+    )
+    qids = list(range(10))
+
+    ann_index.build_ivf_index(seed, index_table, n_cells=8)
+    sink = ann_index.ivf_index_sink(index_table, "seg-two")
+    sink(rest.filter(F.col("vec_id") % 8 == 1), 0)
+    sink(rest.filter(F.col("vec_id") % 8 == 5), 1)
+    got = [
+        tuple(r)
+        for r in ann_index.search_ivf_index(
+            spark, index_table, qids, k=10, nprobe=5, reproducible=True
+        ).collect()
+    ]
+
+    twin = tempfile.mkdtemp(prefix="ivf_twin_")
+    try:
+        ann_index.build_ivf_index(seed, twin, n_cells=8)
+        ann_index.ivf_index_sink(twin, "seg-one")(rest, 0)
+        want = [
+            tuple(r)
+            for r in ann_index.search_ivf_index(
+                spark, twin, qids, k=10, nprobe=5, reproducible=True
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(twin, ignore_errors=True)
+        shutil.rmtree(twin + "_centroids", ignore_errors=True)
+
+    assert got == want and got
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    approx = {(r[0], r[1]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"segment-flow IVF recall {recall:.2f} < 0.8"

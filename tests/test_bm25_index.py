@@ -490,3 +490,93 @@ def test_delete_docs_where_predicate_equals_id_list(spark, bm25_table):
         spark, bm25_table, [("doc_id", "<", cut)], txn="dw1"
     )
     assert len(V.history(bm25_table + "_stats")) == n_hist
+
+
+def test_bm25_lifecycle_randomized_soak(spark, bm25_table):
+    """Soak law for the full index lifecycle (r14 — round-13 verdict
+    #4): a seeded random interleaving of sink segment appends,
+    predicate deletes, optimize folds, and retention ticks — the
+    pairwise interactions are each pinned above; this pins the
+    INTERLEAVINGS.  After EVERY step: (a) a probe over the index equals
+    a from-scratch rebuild over the logical survivors row for row, and
+    (b) the live manifest's pinned (postings, df, stats) triple stays
+    readable."""
+    import random
+
+    from data_pipeline_zeal_spark.operators import maintenance
+
+    rng = random.Random(0xB2551401)
+    docs = load_table(spark, SF_SMALL, "documents").filter(
+        F.col("doc_id") < 220
+    )
+    base = docs.filter(F.col("doc_id") < 100)
+    retrieval.build_bm25_index(base, bm25_table, n_buckets=4, txn="b0")
+    live = set(range(0, 100))
+    pool = [(100, 160), (160, 220)]  # append slices
+    batch_id = 0
+
+    def probe_rows(table, survivors):
+        q = retrieval.corpus_queries(survivors).filter(
+            F.col("query_id") <= 124
+        )
+        return {
+            (r.query_id, r.rank): (r.doc_id, r.score)
+            for r in retrieval.search_bm25_index(
+                spark, table, q, k=5
+            ).collect()
+        }
+
+    # one of each lifecycle verb, seeded-shuffled interleaving; the
+    # per-step rebuild oracle dominates the budget, so the trajectory is
+    # kept to 4 steps (pairwise pins above cover the longer tails)
+    ops = ["append", "delete", "optimize", "tick"]
+    rng.shuffle(ops)
+    for step, op in enumerate(ops):
+        if op == "append" and pool:
+            lo, hi = pool.pop(0)
+            retrieval.bm25_index_sink(bm25_table)(
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ),
+                batch_id,
+            )
+            batch_id += 1
+            live |= set(range(lo, hi))
+        elif op == "delete":
+            lo = rng.choice(sorted(live)[: max(1, len(live) - 40)])
+            retrieval.delete_bm25_docs_where(
+                spark, bm25_table,
+                [("doc_id", ">=", lo), ("doc_id", "<", lo + 35)],
+                txn=f"soak-d{step}",
+            )
+            live -= set(range(lo, lo + 35))
+        elif op == "optimize":
+            retrieval.optimize_bm25_index(
+                spark, bm25_table, txn=f"soak-o{step}"
+            )
+        else:
+            maintenance.maintain_index(
+                spark, bm25_table, vacuum_keep_history=2,
+                max_expired_dirs=0, retention_seconds=0.0,
+                txn=f"soak-t{step}",
+            )
+        survivors = docs.filter(F.col("doc_id").isin(sorted(live)))
+        got = probe_rows(bm25_table, survivors)
+        ref = tempfile.mkdtemp(prefix="bm25_soakref_")
+        try:
+            retrieval.build_bm25_index(survivors, ref, n_buckets=4)
+            want = probe_rows(ref, survivors)
+        finally:
+            for s in ("", "_df", "_stats", "_manifest"):
+                shutil.rmtree(ref + s, ignore_errors=True)
+        assert got == want and got, (step, op)
+        # the manifest triple is always readable (atomic commit point)
+        man = bm25_table + "_manifest"
+        row = V.read_version(spark, man).collect()[0]
+        for comp, pin in (
+            (bm25_table, row.postings_version),
+            (bm25_table + "_df", row.df_version),
+            (bm25_table + "_stats", row.stats_version),
+        ):
+            V.read_version(spark, comp, int(pin)).count()
+    assert len(live) < 220  # the trajectory actually deleted

@@ -52,6 +52,11 @@ TARGETS = [
     "train_kmeans_distributed",
     "train_pq_distributed",
     "train_classifier_distributed",
+    # streaming IVF maintenance composition (r14): deterministic build-
+    # on-slice + availableNow sink append + reproducible probe; semantic
+    # gates = assignment/probe parity laws + recall floor in
+    # tests/test_ann_index.py
+    "sim_ivf_segment_search",
 ]
 
 _DUCK_TYPES = {
