@@ -69,3 +69,29 @@ def test_full_bench_artifact_carries_calibration_fields():
     # the factor is ref / mean(before, after), within rounding
     mean = (a["calibration_before"] + a["calibration_after"]) / 2.0
     assert abs(a["calibration_factor"] - a["calibration_ref"] / mean) < 1e-3
+
+
+def test_full_bench_artifact_carries_heavy_repeat_fields():
+    """Round-13 verdict directive #2's done-criterion, pinned for future
+    artifacts: heavy rows (previous full-suite raw above the threshold)
+    must be repeat-medians, with the per-row counts recorded so a reader
+    can tell which numbers are medians.  Applies from r14 on — earlier
+    artifacts predate the mechanism."""
+    path = _newest_full_artifact()
+    rnd = int(re.search(r"_r(\d+)", path).group(1))
+    if rnd < 14:
+        import pytest
+
+        pytest.skip("pre-r14 artifact: heavy-repeat fields not yet emitted")
+    with open(path) as f:
+        a = json.load(f)
+    assert a["heavy_repeat"] >= 3
+    assert a["heavy_threshold_sec"] == bench.HEAVY_THRESHOLD_SEC
+    assert isinstance(a["repeats"], dict)
+    # every recorded count differs from the base and is the heavy count
+    assert all(
+        v == a["heavy_repeat"] and v != a["repeat"]
+        for v in a["repeats"].values()
+    )
+    # each repeat-median row exists in the artifact's query map
+    assert set(a["repeats"]) <= set(a["queries"])
