@@ -19,11 +19,16 @@ import json
 import sys
 
 
-def _rows(path: str, raw: bool) -> dict:
+def _rows(path: str, raw: bool) -> tuple[dict, dict]:
     d = json.load(open(path))
-    if not raw and "queries_normalized" in d:
-        return d["queries_normalized"]
-    return d["queries"]
+    rows = (
+        d["queries_normalized"]
+        if not raw and "queries_normalized" in d
+        else d["queries"]
+    )
+    base = d.get("repeat", 1)
+    reps = {k: d.get("repeats", {}).get(k, base) for k in rows}
+    return rows, reps
 
 
 def main() -> None:
@@ -33,8 +38,8 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--threshold"):
             thr = float(a.split("=", 1)[1]) if "=" in a else thr
-    old = _rows(args[0], raw)
-    new = _rows(args[1], raw)
+    old, old_reps = _rows(args[0], raw)
+    new, new_reps = _rows(args[1], raw)
     shared = sorted(set(old) & set(new))
     t_old = sum(old[k] for k in shared)
     t_new = sum(new[k] for k in shared)
@@ -48,7 +53,18 @@ def main() -> None:
         if old[k] > 0.05 and abs(new[k] / old[k] - 1) >= thr
     ]
     for k, a, b in sorted(moved, key=lambda x: x[2] / x[1]):
-        print(f"  {k:40s} {a:7.2f} -> {b:7.2f}  ({100 * (b / a - 1):+.0f}%)")
+        # a row whose per-row repeat count changed between artifacts
+        # compares methodology, not kernels (r14: heavy rows switched to
+        # medians-of-3) — flag it so nobody adjudicates it as a kernel
+        note = (
+            f"  [repeat {old_reps.get(k, 1)}->{new_reps.get(k, 1)}]"
+            if old_reps.get(k, 1) != new_reps.get(k, 1)
+            else ""
+        )
+        print(
+            f"  {k:40s} {a:7.2f} -> {b:7.2f}  "
+            f"({100 * (b / a - 1):+.0f}%){note}"
+        )
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     if added:
