@@ -735,6 +735,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(scratch, ignore_errors=True)
 
     q["sim_ivf_segment_search"] = _sim_ivf_segment_search
+
+    def _ann_maintain_tick(s: SparkSession, d: str) -> DataFrame:
+        """ANN index under the unified maintenance tick (r14): build the
+        persisted IVF index on half of a half-corpus universe, stream
+        the other half in through the sink, and tick — the tick must ARM
+        the drift canary (a data scan, appends_since_rebuild=1) and,
+        same distribution, decide NOT to rebuild.  Then COW-delete a
+        slice of the index and tick again: the delete publishes an
+        overwrite commit, and the round-13-advice fix
+        (meta.cow_dml in _appends_since_rebuild) is what makes the
+        counter read 2 instead of resetting to 0 — the structural pin
+        appends_after_delete=2 is this round's drift-accounting law at
+        the driver.  Content legs (surviving row count + vec_id
+        checksum) recompute independently in the oracle."""
+        import shutil
+        import tempfile
+
+        from data_pipeline_zeal_spark.operators import ann_index
+        from data_pipeline_zeal_spark.operators import maintenance as M
+        from data_pipeline_zeal_spark.sources import versioned as V
+
+        emb = load_table(s, d, "embeddings").filter(
+            F.col("vec_id") % 2 == 0
+        )
+        t = tempfile.mkdtemp(prefix="ann_tick_")
+        try:
+            ann_index.build_ivf_index(
+                emb.filter(F.col("vec_id") % 4 == 0), t, n_cells=8,
+                txn="b1",
+            )
+            ann_index.ivf_index_sink(t, "tick-app")(
+                emb.filter(F.col("vec_id") % 4 == 2).select(
+                    "vec_id", "embedding"
+                ),
+                0,
+            )
+            rec1 = M.maintain_index(s, t, min_cosine=0.5)
+            V.delete_where(s, t, [("vec_id", "<", 40)], txn="cd1")
+            rec2 = M.maintain_index(s, t, min_cosine=0.5)
+            snap = V.read_version(s, t)
+            agg = snap.agg(
+                F.count(F.lit(1)).alias("n_indexed"),
+                F.coalesce(F.sum("vec_id"), F.lit(0)).alias("vec_id_sum"),
+            ).select(
+                F.lit(rec1["appends_since_rebuild"]).alias(
+                    "appends_after_sink"
+                ),
+                F.lit(int("worst_cell_cosine" in rec1)).alias("canary1"),
+                F.lit(int(bool(rec1.get("rebuilt")))).alias("rebuilt1"),
+                F.lit(rec2["appends_since_rebuild"]).alias(
+                    "appends_after_delete"
+                ),
+                F.lit(int("worst_cell_cosine" in rec2)).alias("canary2"),
+                F.lit(int(bool(rec2.get("rebuilt")))).alias("rebuilt2"),
+                "n_indexed",
+                "vec_id_sum",
+            )
+            return _eager(agg)
+        finally:
+            shutil.rmtree(t, ignore_errors=True)
+            shutil.rmtree(t + "_centroids", ignore_errors=True)
+
+    q["ann_maintain_tick"] = _ann_maintain_tick
     q["sim_filtered_topk"] = lambda s, d: similarity.filtered_topk(
         load_table(s, d, "embeddings"), _SIM_QUERY_IDS, labels=[0, 1, 2], k=10
     )
@@ -2653,18 +2716,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
 #: ROUND-14 WINDOW (tools/rotate_registry.py stalest-first; verified with
-#: `python tools/driver_sim.py <names>` before commit): 2 never-sampled —
-#: sim_ivf_segment_search (streaming IVF maintenance at the driver) and
-#: multimodal_mp4_headers (ISO-BMFF box-walk gate) — plus 48
-#: re-verifications covering the ENTIRE 39-row r9-stale tail named by the
-#: round-13 verdict's directive #1 (events ladder, sim_* family,
-#: multimodal stub trio, corpus curation, text bpe/repetition/unigram,
-#: asof/dq/substring/fuzzy-decontaminate, part_pagerank, sql_entry) and 9
-#: slots from the r10 tail.  After this window no registered query's last
-#: green is older than r10.
+#: `python tools/driver_sim.py <names>` before commit): 3 never-sampled —
+#: sim_ivf_segment_search (streaming IVF maintenance at the driver),
+#: multimodal_mp4_headers (ISO-BMFF box-walk gate), and ann_maintain_tick
+#: (drift canary + COW-DML drift accounting under the unified tick) —
+#: plus 47 re-verifications covering the ENTIRE 39-row r9-stale tail
+#: named by the round-13 verdict's directive #1 (events ladder, sim_*
+#: family, multimodal stub trio, corpus curation, text
+#: bpe/repetition/unigram, asof/dq/substring/fuzzy-decontaminate,
+#: part_pagerank, sql_entry) and 8 slots from the r10 tail.  After this
+#: window no registered query's last green is older than r10.
 _DRIVER_FIRST = [
     "sim_ivf_segment_search",
     "multimodal_mp4_headers",
+    "ann_maintain_tick",
     "events_hour_profile",
     "events_cohort_retention",
     "events_value_histogram",
@@ -2712,7 +2777,6 @@ _DRIVER_FIRST = [
     "text_readability",
     "text_top_terms_per_source",
     "text_feature_hash",
-    "text_chunk_overlap",
 ]
 
 
@@ -9208,6 +9272,23 @@ SELECT CAST(-999999 AS BIGINT) AS "query_id", CAST(-999999 AS BIGINT) AS "vec_id
     # same pinned regression oracle; its own structural claim (file
     # pruning at probe time) is pytest-pinned, not SQL-expressible.
     o["sim_ivf_index_search"] = o["sim_ivf_topk"]
+
+    # ann_maintain_tick: structural ints are closed-form laws (one sink
+    # append arms the canary; a COW delete COUNTS as a data change —
+    # appends 2, never reset; same-distribution data never trips the
+    # 0.5-cosine rebuild gate); content legs recompute independently.
+    o["ann_maintain_tick"] = """
+SELECT CAST(1 AS INTEGER) AS appends_after_sink,
+       CAST(1 AS INTEGER) AS canary1,
+       CAST(0 AS INTEGER) AS rebuilt1,
+       CAST(2 AS INTEGER) AS appends_after_delete,
+       CAST(1 AS INTEGER) AS canary2,
+       CAST(0 AS INTEGER) AS rebuilt2,
+       count(*)::BIGINT AS n_indexed,
+       coalesce(sum(vec_id), 0)::BIGINT AS vec_id_sum
+FROM embeddings
+WHERE vec_id % 2 = 0 AND vec_id >= 40
+"""
 
     # sim_ivf_segment_search: pinned regression oracle for the streaming
     # maintenance composition (honesty label in tools/gen_pinned_oracles.py);

@@ -309,9 +309,11 @@ HEADLINE = [
     "versioned_vacuum_tick",
     "text_bm25_delete_where_search",
     # round-14: MP4 box-walk gate + streaming IVF maintenance at the
-    # driver (build on a slice, availableNow sink append, probe)
+    # driver (build on a slice, availableNow sink append, probe) + the
+    # ANN index under the unified tick (canary + COW-DML drift law)
     "multimodal_mp4_headers",
     "sim_ivf_segment_search",
+    "ann_maintain_tick",
 ]
 
 
