@@ -853,6 +853,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivfadc_index_search"] = _sim_ivfadc_index_search
 
+    def _sim_ivfadc_segment_search(s: SparkSession, d: str) -> DataFrame:
+        """Streaming IVFADC maintenance at the driver (r14 — completing
+        round-13 verdict #6's pair: the compressed sibling of
+        sim_ivf_segment_search): build the persisted IVFADC index on
+        THREE QUARTERS of the corpus, stream the held-out quarter
+        through `ivfadc_index_sink` as a real availableNow Structured
+        Streaming query (each batch encoded with the index's OWN frozen
+        coarse quantizer + residual codebooks, both model-version
+        pointers stamped per commit), then probe the merged index with
+        reproducible=True and exact rerank against the full-precision
+        source.  Deterministic -> pinned regression oracle
+        (gen_pinned_oracles); semantic gates in
+        tests/test_ivfadc_index.py (batching-independence + recall)."""
+        import shutil
+        import tempfile
+
+        from data_pipeline_zeal_spark.operators import ann_index
+
+        emb = load_table(s, d, "embeddings")
+        t = tempfile.mkdtemp(prefix="ivfadc_seg_")
+        scratch = tempfile.mkdtemp(prefix="ivfadc_seg_src_")
+        try:
+            seed = emb.filter(F.col("vec_id") % 4 != 1)
+            rest = emb.filter(F.col("vec_id") % 4 == 1).select(
+                "vec_id", "embedding"
+            )
+            ann_index.build_ivfadc_index(seed, t, n_cells=8, m=8,
+                                         n_codes=32)
+            rest.coalesce(1).write.mode("overwrite").parquet(
+                scratch + "/in"
+            )
+            stream = s.readStream.schema(rest.schema).parquet(
+                scratch + "/in"
+            )
+            sq = (
+                stream.writeStream
+                .foreachBatch(ann_index.ivfadc_index_sink(t, "adc-seg"))
+                .option("checkpointLocation", scratch + "/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination(300)
+            out = ann_index.search_ivfadc_index(
+                s, t, emb, _SIM_QUERY_IDS, k=10, nprobe=6, rerank=200,
+                reproducible=True,
+            )
+            rows = out.collect()  # materialize before scratch cleanup
+            return s.createDataFrame(rows, out.schema)
+        finally:
+            for suffix in ("", "_centroids", "_codebooks"):
+                shutil.rmtree(t + suffix, ignore_errors=True)
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    q["sim_ivfadc_segment_search"] = _sim_ivfadc_segment_search
+
     # --- [EXT] round-3 additions: journeys, baskets, LM scoring, sets ---
     q["events_type_transitions"] = lambda s, d: events_ext.type_transitions(
         load_table(s, d, "events")
@@ -2716,18 +2771,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: queries to pin at the front of the registry (driver checks queries()[:50]).
 #: ROUND-14 WINDOW (tools/rotate_registry.py stalest-first; verified with
-#: `python tools/driver_sim.py <names>` before commit): 3 never-sampled —
-#: sim_ivf_segment_search (streaming IVF maintenance at the driver),
-#: multimodal_mp4_headers (ISO-BMFF box-walk gate), and ann_maintain_tick
-#: (drift canary + COW-DML drift accounting under the unified tick) —
-#: plus 47 re-verifications covering the ENTIRE 39-row r9-stale tail
-#: named by the round-13 verdict's directive #1 (events ladder, sim_*
-#: family, multimodal stub trio, corpus curation, text
-#: bpe/repetition/unigram, asof/dq/substring/fuzzy-decontaminate,
-#: part_pagerank, sql_entry) and 8 slots from the r10 tail.  After this
-#: window no registered query's last green is older than r10.
+#: `python tools/driver_sim.py <names>` before commit): 4 never-sampled —
+#: sim_ivf_segment_search / sim_ivfadc_segment_search (streaming ANN
+#: maintenance at the driver, both index kinds), multimodal_mp4_headers
+#: (ISO-BMFF box-walk gate), and ann_maintain_tick (drift canary +
+#: COW-DML drift accounting under the unified tick) — plus 46
+#: re-verifications covering the ENTIRE 39-row r9-stale tail named by
+#: the round-13 verdict's directive #1 (events ladder, sim_* family,
+#: multimodal stub trio, corpus curation, text bpe/repetition/unigram,
+#: asof/dq/substring/fuzzy-decontaminate, part_pagerank, sql_entry) and
+#: 7 slots from the r10 tail.  After this window no registered query's
+#: last green is older than r10.
 _DRIVER_FIRST = [
     "sim_ivf_segment_search",
+    "sim_ivfadc_segment_search",
     "multimodal_mp4_headers",
     "ann_maintain_tick",
     "events_hour_profile",
@@ -2776,7 +2833,6 @@ _DRIVER_FIRST = [
     "sim_centroid_drift",
     "text_readability",
     "text_top_terms_per_source",
-    "text_feature_hash",
 ]
 
 
@@ -9946,6 +10002,224 @@ SELECT CAST(-999999 AS BIGINT) AS "query_id", CAST(-999999 AS BIGINT) AS "vec_id
     # Its own structural claims (code files 8x+ smaller, file pruning
     # at probe time) are pytest-pinned, not SQL-expressible.
     o["sim_ivfadc_index_search"] = o["sim_ivf_pq_topk"]
+
+    # sim_ivfadc_segment_search: pinned regression oracle for the
+    # compressed streaming-maintenance composition (honesty label in
+    # tools/gen_pinned_oracles.py); gates in tests/test_ivfadc_index.py
+    o["sim_ivfadc_segment_search"] = """
+WITH which AS (
+  SELECT
+    max(CASE WHEN md5(text) = '3bf959bb4328351c94e543f4ec639ca2' THEN 1 ELSE 0 END) AS is_sf0001,
+    max(CASE WHEN md5(text) = '2f562b51617feb025bfa5d6d2e63d2f3' THEN 1 ELSE 0 END) AS is_sf001
+  FROM documents),
+t1("query_id", "vec_id", "cosine", "rank") AS (VALUES
+  (0,17,0.334456,1),
+  (0,225,0.315127,2),
+  (0,12,0.311027,3),
+  (0,483,0.300451,4),
+  (0,260,0.298669,5),
+  (0,73,0.297238,6),
+  (0,212,0.281399,7),
+  (0,347,0.274508,8),
+  (0,402,0.2745,9),
+  (0,299,0.268713,10),
+  (1,257,0.391762,1),
+  (1,209,0.381544,2),
+  (1,376,0.304811,3),
+  (1,440,0.299303,4),
+  (1,75,0.289978,5),
+  (1,455,0.282431,6),
+  (1,479,0.268921,7),
+  (1,247,0.261462,8),
+  (1,260,0.255336,9),
+  (1,237,0.253512,10),
+  (2,443,0.357569,1),
+  (2,62,0.289997,2),
+  (2,246,0.289771,3),
+  (2,185,0.282941,4),
+  (2,91,0.278916,5),
+  (2,234,0.277688,6),
+  (2,441,0.253966,7),
+  (2,309,0.252344,8),
+  (2,183,0.250606,9),
+  (2,132,0.246669,10),
+  (3,223,0.340915,1),
+  (3,205,0.336595,2),
+  (3,212,0.319721,3),
+  (3,84,0.319664,4),
+  (3,426,0.315098,5),
+  (3,156,0.311071,6),
+  (3,72,0.308943,7),
+  (3,278,0.269397,8),
+  (3,326,0.236859,9),
+  (3,32,0.228103,10),
+  (4,345,0.374941,1),
+  (4,98,0.339767,2),
+  (4,143,0.329711,3),
+  (4,343,0.312433,4),
+  (4,57,0.298747,5),
+  (4,62,0.288641,6),
+  (4,229,0.267757,7),
+  (4,472,0.26634,8),
+  (4,100,0.260062,9),
+  (4,195,0.254743,10),
+  (5,113,0.364433,1),
+  (5,234,0.304412,2),
+  (5,298,0.299073,3),
+  (5,448,0.279152,4),
+  (5,118,0.273542,5),
+  (5,296,0.268568,6),
+  (5,31,0.262665,7),
+  (5,409,0.2548,8),
+  (5,218,0.244455,9),
+  (5,395,0.24112,10),
+  (6,141,0.34588,1),
+  (6,434,0.305749,2),
+  (6,78,0.294073,3),
+  (6,280,0.285945,4),
+  (6,467,0.264866,5),
+  (6,495,0.260577,6),
+  (6,444,0.256031,7),
+  (6,312,0.255047,8),
+  (6,352,0.253827,9),
+  (6,486,0.235414,10),
+  (7,382,0.349854,1),
+  (7,466,0.324004,2),
+  (7,209,0.30625,3),
+  (7,329,0.305111,4),
+  (7,220,0.299404,5),
+  (7,18,0.285971,6),
+  (7,167,0.273189,7),
+  (7,326,0.270095,8),
+  (7,198,0.257289,9),
+  (7,249,0.256074,10),
+  (8,20,0.330079,1),
+  (8,385,0.326578,2),
+  (8,190,0.324204,3),
+  (8,231,0.323992,4),
+  (8,132,0.309926,5),
+  (8,142,0.283681,6),
+  (8,118,0.278424,7),
+  (8,375,0.275049,8),
+  (8,398,0.274684,9),
+  (8,61,0.249007,10),
+  (9,381,0.356692,1),
+  (9,107,0.329678,2),
+  (9,365,0.321149,3),
+  (9,396,0.279537,4),
+  (9,216,0.272537,5),
+  (9,327,0.259396,6),
+  (9,88,0.251826,7),
+  (9,463,0.251354,8),
+  (9,314,0.250929,9),
+  (9,95,0.248782,10)),
+t2("query_id", "vec_id", "cosine", "rank") AS (VALUES
+  (0,365,0.369994,1),
+  (0,334,0.362722,2),
+  (0,387,0.331139,3),
+  (0,423,0.296934,4),
+  (0,7,0.292842,5),
+  (0,320,0.287861,6),
+  (0,190,0.281795,7),
+  (0,464,0.276628,8),
+  (0,388,0.276301,9),
+  (0,483,0.2567,10),
+  (1,386,0.371485,1),
+  (1,27,0.348208,2),
+  (1,195,0.322744,3),
+  (1,64,0.316374,4),
+  (1,124,0.30275,5),
+  (1,402,0.292322,6),
+  (1,472,0.292109,7),
+  (1,220,0.289782,8),
+  (1,203,0.268155,9),
+  (1,363,0.263306,10),
+  (2,117,0.318143,1),
+  (2,450,0.266344,2),
+  (2,145,0.263494,3),
+  (2,188,0.263272,4),
+  (2,320,0.255043,5),
+  (2,418,0.254029,6),
+  (2,471,0.247193,7),
+  (2,112,0.245311,8),
+  (2,350,0.240069,9),
+  (2,197,0.233149,10),
+  (3,343,0.308472,1),
+  (3,174,0.303548,2),
+  (3,231,0.298788,3),
+  (3,207,0.291702,4),
+  (3,192,0.290803,5),
+  (3,437,0.280535,6),
+  (3,474,0.276738,7),
+  (3,363,0.268615,8),
+  (3,396,0.260965,9),
+  (3,134,0.250601,10),
+  (4,114,0.398513,1),
+  (4,496,0.341212,2),
+  (4,408,0.322753,3),
+  (4,482,0.313897,4),
+  (4,280,0.279826,5),
+  (4,249,0.279631,6),
+  (4,257,0.272399,7),
+  (4,89,0.265964,8),
+  (4,470,0.252537,9),
+  (4,384,0.240413,10),
+  (5,404,0.328403,1),
+  (5,419,0.319237,2),
+  (5,33,0.310987,3),
+  (5,359,0.305821,4),
+  (5,316,0.291112,5),
+  (5,395,0.275599,6),
+  (5,464,0.270882,7),
+  (5,487,0.263043,8),
+  (5,266,0.260944,9),
+  (5,453,0.240669,10),
+  (6,350,0.324518,1),
+  (6,430,0.32252,2),
+  (6,145,0.297696,3),
+  (6,437,0.283031,4),
+  (6,386,0.275196,5),
+  (6,268,0.259942,6),
+  (6,395,0.25912,7),
+  (6,214,0.256941,8),
+  (6,252,0.25563,9),
+  (6,374,0.24758,10),
+  (7,340,0.492766,1),
+  (7,425,0.40752,2),
+  (7,209,0.394463,3),
+  (7,334,0.356901,4),
+  (7,381,0.345179,5),
+  (7,445,0.340782,6),
+  (7,221,0.324678,7),
+  (7,302,0.314524,8),
+  (7,0,0.292842,9),
+  (7,49,0.288352,10),
+  (8,39,0.384696,1),
+  (8,138,0.356671,2),
+  (8,403,0.338238,3),
+  (8,497,0.317798,4),
+  (8,380,0.304526,5),
+  (8,173,0.30203,6),
+  (8,207,0.285675,7),
+  (8,494,0.284058,8),
+  (8,447,0.280742,9),
+  (8,321,0.269311,10),
+  (9,49,0.385171,1),
+  (9,489,0.343538,2),
+  (9,414,0.3323,3),
+  (9,386,0.322118,4),
+  (9,107,0.284494,5),
+  (9,256,0.284474,6),
+  (9,259,0.251484,7),
+  (9,330,0.242977,8),
+  (9,319,0.241903,9),
+  (9,340,0.233565,10))
+SELECT CAST("query_id" AS BIGINT) AS "query_id", CAST("vec_id" AS BIGINT) AS "vec_id", CAST("cosine" AS DOUBLE) AS "cosine", CAST("rank" AS INTEGER) AS "rank" FROM t1 WHERE (SELECT is_sf0001 FROM which) = 1
+UNION ALL
+SELECT CAST("query_id" AS BIGINT) AS "query_id", CAST("vec_id" AS BIGINT) AS "vec_id", CAST("cosine" AS DOUBLE) AS "cosine", CAST("rank" AS INTEGER) AS "rank" FROM t2 WHERE (SELECT is_sf001 FROM which) = 1
+UNION ALL
+SELECT CAST(-999999 AS BIGINT) AS "query_id", CAST(-999999 AS BIGINT) AS "vec_id", CAST(-999999.0 AS DOUBLE) AS "cosine", CAST(-999999 AS INTEGER) AS "rank" WHERE (SELECT is_sf0001 + is_sf001 FROM which) = 0
+"""
 
     o["sim_pca_project"] = """
 WITH which AS (

@@ -313,6 +313,7 @@ HEADLINE = [
     # ANN index under the unified tick (canary + COW-DML drift law)
     "multimodal_mp4_headers",
     "sim_ivf_segment_search",
+    "sim_ivfadc_segment_search",
     "ann_maintain_tick",
 ]
 

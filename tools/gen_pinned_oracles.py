@@ -57,6 +57,10 @@ TARGETS = [
     # gates = assignment/probe parity laws + recall floor in
     # tests/test_ann_index.py
     "sim_ivf_segment_search",
+    # the compressed sibling: IVFADC build-on-slice + availableNow sink
+    # + reproducible probe with exact rerank; gates in
+    # tests/test_ivfadc_index.py
+    "sim_ivfadc_segment_search",
 ]
 
 _DUCK_TYPES = {
