@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipeline_zeal_spark.io import load_table
+from data_pipeline_zeal_spark.io import load_table, local_frame
 from data_pipeline_zeal_spark.operators import (
     api,
     asof,
@@ -675,7 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             # materialize before the scratch table is deleted
             rows = out.collect()
-            return s.createDataFrame(rows, out.schema)
+            return local_frame(s, rows, out.schema)
         finally:
             shutil.rmtree(t, ignore_errors=True)
             shutil.rmtree(t + "_centroids", ignore_errors=True)
@@ -728,7 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 s, t, _SIM_QUERY_IDS, k=10, nprobe=5, reproducible=True
             )
             rows = out.collect()  # materialize before scratch cleanup
-            return s.createDataFrame(rows, out.schema)
+            return local_frame(s, rows, out.schema)
         finally:
             shutil.rmtree(t, ignore_errors=True)
             shutil.rmtree(t + "_centroids", ignore_errors=True)
@@ -846,7 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             # materialize before the scratch table is deleted
             rows = out.collect()
-            return s.createDataFrame(rows, out.schema)
+            return local_frame(s, rows, out.schema)
         finally:
             for suffix in ("", "_centroids", "_codebooks"):
                 shutil.rmtree(t + suffix, ignore_errors=True)
@@ -900,7 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 reproducible=True,
             )
             rows = out.collect()  # materialize before scratch cleanup
-            return s.createDataFrame(rows, out.schema)
+            return local_frame(s, rows, out.schema)
         finally:
             for suffix in ("", "_centroids", "_codebooks"):
                 shutil.rmtree(t + suffix, ignore_errors=True)
@@ -996,7 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 s, t, retrieval.corpus_queries(docs), k=10
             )
             rows = out.collect()  # materialize before scratch cleanup
-            return s.createDataFrame(rows, out.schema)
+            return local_frame(s, rows, out.schema)
         finally:
             for sfx in ("", "_df", "_stats", "_manifest"):
                 shutil.rmtree(t + sfx, ignore_errors=True)
@@ -1046,7 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 k=10,
             )
             rows = out.collect()  # materialize before scratch cleanup
-            return s.createDataFrame(rows, out.schema)
+            return local_frame(s, rows, out.schema)
         finally:
             for sfx in ("", "_df", "_stats", "_manifest"):
                 shutil.rmtree(t + sfx, ignore_errors=True)
@@ -1081,7 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 k=10,
             )
             rows = out.collect()  # materialize before scratch cleanup
-            return s.createDataFrame(rows, out.schema)
+            return local_frame(s, rows, out.schema)
         finally:
             for sfx in ("", "_df", "_stats", "_manifest"):
                 shutil.rmtree(t + sfx, ignore_errors=True)
@@ -1215,7 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tables under /tmp and must not leak them across bench/driver
         invocations (the returned frame is lazily consumed AFTER the
         query function returns, so cleanup requires eager collection)."""
-        return df.sparkSession.createDataFrame(df.collect(), df.schema)
+        return local_frame(df.sparkSession, df.collect(), df.schema)
 
     def _versioned_time_travel(s: SparkSession, d: str) -> DataFrame:
         """Commit-log table format end-to-end: v1 = overwrite with the
@@ -1910,7 +1910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             finally:
                 shutil.rmtree(t, ignore_errors=True)
         return _eager(
-            s.createDataFrame(
+            local_frame(
+                s,
                 [(
                     out["sat_m"], out["sat_kept"], out["sat_absent"],
                     out["auto_m"], out["auto_kept"], out["auto_absent"],

@@ -57,5 +57,5 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 def marker_overlap(tok: Column, lang: str) -> Column:
     """Distinct-overlap count between the token set and a language profile."""
-    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    markers = F.lit(list(LANG_MARKERS[lang]))
     return F.size(F.array_intersect(tok, markers))

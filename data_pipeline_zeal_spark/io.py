@@ -78,6 +78,54 @@ def _parse_bytes(v: str) -> int:
     return int(s) * mult
 
 
+def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """Arrow-backed local DataFrame: same contents and schema as
+    ``spark.createDataFrame(rows, schema)`` but planned as a JVM-only
+    ``LocalTableScan`` instead of ``Scan ExistingRDD`` over pickled rows.
+
+    The classic list-input path ships every partition through a Python
+    worker at SCAN time (optimization guide §4 — the JVM<->Python
+    boundary): measured on this box, each of the 32 default slices pays
+    ~0.2 s of worker round-trip, so ``coalesce(1)`` over such a relation
+    serializes them into one ~7 s task, and even the parallel form costs
+    ~1 s per action.  Converting driver-side to ONE pyarrow table makes
+    the scan pure JVM (~0.05 s), which matters because model frames
+    (centroids, codebooks, probe batches) and eagerly-materialized
+    results are re-scanned by joins, writes and the bench's noop force.
+
+    Value fidelity is pinned by tests/test_io.py: ints/floats (incl.
+    NaN), strings, arrays, structs, decimals, timestamps (session-UTC),
+    dates, binary and NULLs collect identically to the classic path.
+    Any conversion surprise falls back to ``spark.createDataFrame``.
+    """
+    if not isinstance(schema, T.StructType):
+        schema = T._parse_datatype_string(schema)
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        names = schema.fieldNames()
+        if len(set(names)) != len(names):
+            # dict-shaped conversion would silently drop duplicates
+            raise ValueError("duplicate column names")
+        data = [
+            r.asDict(recursive=True) if hasattr(r, "asDict")
+            else dict(zip(names, r))
+            for r in rows
+        ]
+        tbl = pa.Table.from_pylist(data, schema=to_arrow_schema(schema))
+        df = spark.createDataFrame(tbl)
+        # paranoia: the arrow path must reproduce the declared schema
+        # exactly (nullable flags can differ harmlessly; types must not)
+        if [f.dataType for f in df.schema.fields] != [
+            f.dataType for f in schema.fields
+        ]:
+            raise ValueError("arrow schema drift")
+        return df
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def with_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition only if the scan would yield fewer splits than cores.
 

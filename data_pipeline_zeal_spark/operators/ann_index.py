@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine
-from ..io import with_min_parallelism
+from ..io import local_frame, with_min_parallelism
 from ..sources import versioned as V
 from .similarity import (
     _query_set,
@@ -84,12 +84,13 @@ def build_ivf_index(
     # merely unreferenced: every existing main entry still points at the
     # quantizer it was actually assigned under.
     spark = embeddings.sparkSession
-    cents_df = spark.createDataFrame(
+    cents_df = local_frame(
+        spark,
         [(i, c) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     )
     cv = V.commit_write(
-        cents_df.coalesce(1),
+        cents_df,
         table + "_centroids",
         mode="overwrite",
         txn=f"{txn}-centroids" if txn else None,
@@ -412,8 +413,8 @@ def search_ivf_index(
             F.lit(0.0).alias("cosine"),
             F.lit(0).alias("rank"),
         )
-    probe_df = spark.createDataFrame(
-        probes, "query_id long, qv array<double>, cell int"
+    probe_df = local_frame(
+        spark, probes, "query_id long, qv array<double>, cell int"
     )
     cells = sorted({c for _, _, c in probes})
     cand = V.read_where(spark, table, [("cell", "in", cells)], version)
@@ -478,22 +479,24 @@ def build_ivfadc_index(
         embeddings, cents, m, n_codes, train_iters, sample_size
     )
     spark = embeddings.sparkSession
-    cents_df = spark.createDataFrame(
+    cents_df = local_frame(
+        spark,
         [(i, c) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     )
     cv = V.commit_write(
-        cents_df.coalesce(1),
+        cents_df,
         table + "_centroids",
         mode="overwrite",
         txn=f"{txn}-centroids" if txn else None,
     )
-    books_df = spark.createDataFrame(
+    books_df = local_frame(
+        spark,
         [(j, i, c) for j, b in enumerate(books) for i, c in enumerate(b)],
         "sub int, code int, vec array<double>",
     )
     bv = V.commit_write(
-        books_df.coalesce(1),
+        books_df,
         table + "_codebooks",
         mode="overwrite",
         txn=f"{txn}-codebooks" if txn else None,
@@ -631,11 +634,11 @@ def search_ivfadc_index(
         for cell in cells_
     ]
     if not probes:
-        return spark.createDataFrame(
-            [], "query_id long, vec_id long, cosine double, rank int"
+        return local_frame(
+            spark, [], "query_id long, vec_id long, cosine double, rank int"
         )
-    probe_df = spark.createDataFrame(
-        probes, "query_id long, qv array<double>, cell int"
+    probe_df = local_frame(
+        spark, probes, "query_id long, qv array<double>, cell int"
     )
     cells = sorted({c for _, _, c in probes})
     cand = V.read_where(spark, table, [("cell", "in", cells)], version)

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textfn import tokens, word_shingles
-from ..io import with_min_parallelism
+from ..io import local_frame, with_min_parallelism
 
 _LOG = logging.getLogger(__name__)
 
@@ -431,7 +431,7 @@ def _union_find_labels(und: DataFrame) -> DataFrame:
             T.StructField("cluster_id", node_type),
         ]
     )
-    return spark.createDataFrame(labels, schema).orderBy("doc_id")
+    return local_frame(spark, labels, schema).orderBy("doc_id")
 
 
 def connected_components_star(

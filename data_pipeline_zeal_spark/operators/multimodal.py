@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..io import local_frame
+
 #: Typed metadata carried alongside every media payload.
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -792,7 +794,7 @@ def synth_wav_media(spark, count: int = 64, tone: bool = False) -> DataFrame:
                 n_samples=400 + 100 * (i % 5),
             )
         rows.append((i, payload))
-    return spark.createDataFrame(rows, "media_id long, payload binary")
+    return local_frame(spark, rows, "media_id long, payload binary")
 
 
 WAV_PCM_SCHEMA = T.StructType(
@@ -994,7 +996,7 @@ def synth_png_media(spark, count: int = 64) -> DataFrame:
         else:
             payload = good
         rows.append((i, payload))
-    return spark.createDataFrame(rows, "media_id long, payload binary")
+    return local_frame(spark, rows, "media_id long, payload binary")
 
 
 JPEG_HEADER_SCHEMA = T.StructType(
@@ -1133,7 +1135,7 @@ def synth_jpeg_media(spark, count: int = 64) -> DataFrame:
         else:
             payload = good
         rows.append((i, payload))
-    return spark.createDataFrame(rows, "media_id long, payload binary")
+    return local_frame(spark, rows, "media_id long, payload binary")
 
 
 MP4_HEADER_SCHEMA = T.StructType(
@@ -1337,4 +1339,4 @@ def synth_mp4_media(spark, count: int = 64) -> DataFrame:
         else:
             payload = good
         rows.append((i, payload))
-    return spark.createDataFrame(rows, "media_id long, payload binary")
+    return local_frame(spark, rows, "media_id long, payload binary")

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textfn import tokens
 from ..functions.vector import as_double, cosine_from_parts, dot, norm
-from ..io import with_min_parallelism
+from ..io import local_frame, with_min_parallelism
 
 
 def corpus_queries(documents: DataFrame, query_mod: int = 31) -> DataFrame:
@@ -609,8 +609,13 @@ def build_bm25_index(
         df_, table + "_df", mode="overwrite",
         txn=f"{txn}-df" if txn else None,
     )
+    # r14: collect the ONE stats row and commit it as an arrow local
+    # frame — the write job becomes a driver-side single-file commit and
+    # the stats read-back job disappears (commit_write's local fast
+    # path); the aggregate job itself is unchanged
+    stats_frame = _bm25_segment_stats(docs, n_buckets)
     V.commit_write(
-        _bm25_segment_stats(docs, n_buckets).coalesce(1),
+        local_frame(spark, stats_frame.collect(), stats_frame.schema),
         table + "_stats",
         mode="overwrite",
         txn=f"{txn}-stats" if txn else None,
@@ -721,10 +726,10 @@ def _commit_manifest(
         V.latest_version(table + "_df"),
         V.latest_version(table + "_stats"),
     )]
-    df = spark.createDataFrame(
-        row, "postings_version int, df_version int, stats_version int"
+    df = local_frame(
+        spark, row, "postings_version int, df_version int, stats_version int"
     )
-    V.commit_write(df.coalesce(1), table + "_manifest", mode="overwrite", txn=txn)
+    V.commit_write(df, table + "_manifest", mode="overwrite", txn=txn)
 
 
 def _bm25_segment_stats(docs: DataFrame, n_buckets: int) -> DataFrame:
@@ -807,8 +812,9 @@ def bm25_index_sink(table: str, query_name: str = "bm25-append"):
             seg_df, table + "_df", mode="append",
             txn=f"{query_name}-df-{batch_id}",
         )
+        seg_stats = _bm25_segment_stats(batch, n_buckets)
         V.commit_write(
-            _bm25_segment_stats(batch, n_buckets).coalesce(1),
+            local_frame(spark, seg_stats.collect(), seg_stats.schema),
             table + "_stats",
             mode="append",
             txn=f"{query_name}-stats-{batch_id}",
@@ -912,12 +918,13 @@ def delete_bm25_docs_where(
         neg_df.coalesce(1), table + "_df", mode="append",
         txn=f"{txn}-df" if txn else None,
     )
-    neg_stats = spark.createDataFrame(
+    neg_stats = local_frame(
+        spark,
         [(-float(stats["n_docs"]), -float(stats["sum_dl"]), n_buckets)],
         "n_docs double, sum_dl double, n_buckets int",
     )
     V.commit_write(
-        neg_stats.coalesce(1), table + "_stats", mode="append",
+        neg_stats, table + "_stats", mode="append",
         txn=f"{txn}-stats" if txn else None,
     )
     rep = V.delete_where_dv(spark, table, predicates, txn=txn)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine, norm
-from ..io import with_min_parallelism
+from ..io import local_frame, with_min_parallelism
 
 
 def _query_set(embeddings: DataFrame, query_ids: list[int]) -> DataFrame:
@@ -80,7 +80,7 @@ def lsh_bucket_expr(vec_col, dim: int, planes: int = 8, plane_offset: int = 0):
     banded near-dup variant: band b uses planes [b*r, (b+1)*r))."""
     bucket = F.lit(0)
     for p in range(planes):
-        hp = F.array(*[F.lit(w) for w in _hyperplane(dim, plane_offset + p)])
+        hp = F.lit(list(_hyperplane(dim, plane_offset + p)))
         proj = F.aggregate(
             F.zip_with(vec_col, hp, lambda x, y: x * y),
             F.lit(0.0),
@@ -560,7 +560,7 @@ def train_kmeans_centroids_distributed(
             *[
                 F.struct(
                     _dot(
-                        F.col("v"), F.array(*[F.lit(float(x)) for x in c])
+                        F.col("v"), F.lit([float(x) for x in c])
                     ).alias("d"),
                     F.lit(-j).alias("negcell"),
                 )
@@ -685,7 +685,7 @@ def pq_code_histogram_distributed(
                     (
                         _dot(
                             F.col("sv"),
-                            F.array(*[F.lit(float(x)) for x in c]),
+                            F.lit([float(x) for x in c]),
                         )
                         - F.lit(0.5 * float(np.dot(c, c)))
                     ).alias("sc"),
@@ -711,7 +711,7 @@ def cell_assign_expr(vec_col, centroids: list[list[float]]):
     scored = F.array(
         *[
             F.struct(
-                cosine(vec_col, F.array(*[F.lit(x) for x in c])).alias("cos"),
+                cosine(vec_col, F.lit([float(x) for x in c])).alias("cos"),
                 F.lit(-i).alias("negcell"),
             )
             for i, c in enumerate(centroids)
@@ -830,7 +830,8 @@ def ivf_topk(
     n_cells = _resolve_n_cells(embeddings, n_cells)
     cents = train_kmeans_centroids(embeddings, n_cells, train_iters, sample_size)
     spark = embeddings.sparkSession
-    cents_df = spark.createDataFrame(
+    cents_df = local_frame(
+        spark,
         [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
     )
     q = _query_set(embeddings, query_ids)
@@ -1055,7 +1056,7 @@ def train_pq_codebooks_distributed(
     )
     if centroids is not None:
         carrs = [
-            F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+            F.lit([float(x) for x in c]) for c in centroids
         ]
         cscored = F.array(
             *[
@@ -1110,7 +1111,7 @@ def train_pq_codebooks_distributed(
                         (
                             _dot(
                                 F.col("sv"),
-                                F.array(*[F.lit(float(x)) for x in c]),
+                                F.lit([float(x) for x in c]),
                             )
                             - F.lit(0.5 * float(np.dot(c, c)))
                         ).alias("sc"),
@@ -1468,7 +1469,8 @@ def ivf_pq_topk(
     )
 
     spark = embeddings.sparkSession
-    cents_df = spark.createDataFrame(
+    cents_df = local_frame(
+        spark,
         [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
     )
     q = _query_set(embeddings, query_ids)

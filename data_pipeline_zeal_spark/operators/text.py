@@ -12,7 +12,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..io import with_min_parallelism
+from ..io import local_frame, with_min_parallelism
 from ..functions.textfn import (
     LANG_MARKERS,
     marker_overlap,
@@ -860,7 +860,7 @@ def gopher_flags(documents: DataFrame) -> DataFrame:
     stop_hits = F.size(
         F.array_intersect(
             F.transform(tok, F.lower),
-            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            F.lit(list(GOPHER_STOPWORDS)),
         )
     )
     flags = {
@@ -1116,7 +1116,7 @@ def bpe_train_merges(
             T.StructField("pair_count", T.LongType()),
         ]
     )
-    return spark.createDataFrame(merges, schema).orderBy("merge_rank")
+    return local_frame(spark, merges, schema).orderBy("merge_rank")
 
 
 def bpe_train_merges_inmem(
@@ -1576,7 +1576,8 @@ def train_quality_classifier_distributed(
     b = 0.0
     for _ in range(iters):
         nz = np.nonzero(w)[0]
-        wdf = spark.createDataFrame(
+        wdf = local_frame(
+            spark,
             [(int(k), float(w[k])) for k in nz] or [(-1, 0.0)],
             "feat long, w double",
         )
@@ -1594,18 +1595,36 @@ def train_quality_classifier_distributed(
                 - F.col("y")
             ).alias("g"),
         )
-        # both collects are bounded by the MODEL: <= dim gradient rows
-        # and one bias scalar — never by the number of documents
+        # ONE model-bounded collect per iteration (<= dim+1 rows): the
+        # weight gradient rows plus a sentinel feat=-1 row carrying the
+        # bias gradient.  Joining the sentinel frame (one x=1.0 row per
+        # labeled doc — zero-token docs included) makes sum(x*g) at
+        # feat=-1 equal sum(g), so the bias no longer needs its own
+        # aggregate job — which previously ALSO recomputed the whole
+        # sigmoid pipeline a second time per iteration (r14, guide §1.2:
+        # remove duplicate passes).  gb = sum(g)/n_docs equals the old
+        # F.avg("g") up to float summation order, inside the trainer's
+        # documented nondeterminism envelope (pytest parity atol 1e-8).
         grad_rows = (
-            feats.join(g, "doc_id")
+            feats.unionByName(
+                labels.select(
+                    "doc_id",
+                    F.lit(-1).cast("long").alias("feat"),
+                    F.lit(1.0).alias("x"),
+                )
+            )
+            .join(g, "doc_id")
             .groupBy("feat")
             .agg(F.sum(F.col("x") * F.col("g")).alias("gw"))
             .collect()
         )
-        gb = g.agg(F.avg("g").alias("gb")).collect()[0].gb
         gvec = np.zeros(dim)
+        gb = 0.0
         for r in grad_rows:
-            gvec[r.feat] = r.gw
+            if r.feat < 0:
+                gb = r.gw / n_docs
+            else:
+                gvec[r.feat] = r.gw
         w -= lr * (gvec / n_docs + l2 * w)
         b -= lr * float(gb)
     nz = {int(k): float(w[k]) for k in np.nonzero(w)[0]}
@@ -1690,7 +1709,8 @@ def quality_classifier_scores(
     (training itself is a regression-pinned driver-side kernel, gated
     in pytest by held-out accuracy)."""
     spark = documents.sparkSession
-    wdf = spark.createDataFrame(
+    wdf = local_frame(
+        spark,
         [(int(k), float(v)) for k, v in sorted(weights.items())] or
         [(-1, 0.0)],
         "feat long, w double",

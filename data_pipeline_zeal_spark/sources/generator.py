@@ -46,8 +46,8 @@ def _u(seed: int, k: int):
 
 def _event_columns(df: DataFrame, num_users: int, seed: int) -> DataFrame:
     """Project generator columns onto a DataFrame with ``id`` and ``ts``."""
-    types = F.array(*[F.lit(t) for t in REFERENCE_EVENT_TYPES])
-    pages = F.array(*[F.lit(p) for p in REFERENCE_PAGE_URLS])
+    types = F.lit(list(REFERENCE_EVENT_TYPES))
+    pages = F.lit(list(REFERENCE_PAGE_URLS))
 
     user_n = F.floor(_u(seed, 0) * num_users).cast("long")
     etype = F.element_at(types, (F.floor(_u(seed, 1) * 10) + 1).cast("int"))

@@ -164,6 +164,69 @@ def _check_not_expired(table: str, version: int | None) -> None:
 _STAT_NUMERIC = ("byte", "short", "int", "bigint", "float", "double")
 
 
+def _local_staged_stats(df: DataFrame, data_dir: str):
+    """Driver-side twin of :func:`_staged_stats` for LOCAL single-file
+    commits (r14 optimization, guide §1.2: remove whole passes).  Model
+    frames — centroids, codebooks, manifests, negative-stats rows — are
+    arrow local relations whose values already sit on the driver, yet
+    the generic path re-read them back from disk with a full Spark
+    aggregate job just to learn min/max over a handful of rows.  When
+    the staged directory holds exactly ONE parquet file and the frame is
+    local (``df.isLocal()``), compute the same (n_rows, dir_stats,
+    file_stats) in Python instead: one job saved per model commit.
+
+    Restricted to commits whose stat-eligible columns are all numeric /
+    date / timestamp — Python string ordering (code points) differs from
+    Java's (UTF-16 code units) for supplementary-plane characters, so
+    string-bearing commits keep the Spark path.  NaN replicates Spark's
+    ordering (NaN sorts above everything: max picks it when present,
+    min only when all values are NaN).  Returns None when not eligible.
+    """
+    try:
+        if not df.isLocal():
+            return None
+        parts = [
+            f for f in os.listdir(data_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        if len(parts) != 1:
+            return None
+        stat_cols, iso = [], set()
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t in _STAT_NUMERIC:
+                stat_cols.append(f.name)
+            elif t in ("date", "timestamp", "timestamp_ntz"):
+                stat_cols.append(f.name)
+                iso.add(f.name)
+            elif t == "string":
+                return None  # string ordering: keep the Spark path
+        rows = df.collect()  # local relation: no job, driver-only
+
+        def _mm(vals):
+            vals = [v for v in vals if v is not None]
+            if not vals:
+                return [None, None]
+            nan = [v for v in vals if isinstance(v, float) and v != v]
+            num = [v for v in vals if not (isinstance(v, float) and v != v)]
+            lo = min(num) if num else nan[0]
+            hi = nan[0] if nan else max(num)
+            return [lo, hi]
+
+        dir_stats: dict[str, list] = {}
+        per_file: dict[str, list] = {}
+        for c in stat_cols:
+            lo, hi = _mm([r[c] for r in rows])
+            if c in iso:
+                lo = None if lo is None else str(lo)
+                hi = None if hi is None else str(hi)
+            dir_stats[c] = [lo, hi]
+            per_file[c] = [lo, hi]
+        return len(rows), dir_stats, {parts[0]: per_file}
+    except Exception:
+        return None
+
+
 def _staged_stats(spark: SparkSession, data_dir: str):
     """One aggregate job over a freshly staged directory: row count plus
     per-column [min, max] for every numeric / string / date / timestamp
@@ -530,14 +593,44 @@ def commit_write(
         return existing
     staging = f"v{uuid.uuid4().hex[:12]}"
     data_dir = os.path.join(table, _DATA_DIR, staging)
-    df.write.mode("error").parquet(data_dir)
+    # A LOCAL (arrow/driver-built) model frame always writes as one
+    # file: multiple near-empty part files would only fragment the
+    # commit, and single-file staging is what unlocks the driver-side
+    # stats fast path below (r14).
+    is_local = df.isLocal()
+    (df.coalesce(1) if is_local else df).write.mode("error").parquet(data_dir)
     # ONE aggregate job over the files just written computes the commit's
     # row count AND per-column min/max together.  This is a real Spark
     # job (plain count() is too — parquet footer-only counting needs the
     # v2 scan + aggregate pushdown, which Spark does not use by default),
     # but it is paid once at write time so that table_stats() and
     # predicate pruning (read_where) stay metadata-only forever after.
-    n_rows, stats, file_stats = _staged_stats(df.sparkSession, data_dir)
+    # r14 optimizations: local single-file model commits compute the
+    # same stats driver-side (no job — _local_staged_stats), and when a
+    # Bloom pass is requested the stats and bloom jobs run CONCURRENTLY
+    # from two driver threads (guide §2.6 — independent jobs overlap;
+    # both scan the same freshly staged files).
+    spark = df.sparkSession
+    staged = _local_staged_stats(df, data_dir) if is_local else None
+    bloom = None
+    if bloom_cols and staged is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_stats = pool.submit(_staged_stats, spark, data_dir)
+            f_bloom = pool.submit(
+                _staged_bloom, spark, data_dir, bloom_cols, bloom_bits,
+                bloom_hashes,
+            )
+            staged = f_stats.result()
+            bloom = f_bloom.result()
+    elif bloom_cols:
+        bloom = _staged_bloom(
+            spark, data_dir, bloom_cols, bloom_bits, bloom_hashes
+        )
+    elif staged is None:
+        staged = _staged_stats(spark, data_dir)
+    n_rows, stats, file_stats = staged
     entry = {
         "action": mode,
         "dirs": [f"{_DATA_DIR}/{staging}"],
@@ -545,10 +638,8 @@ def commit_write(
         "stats": stats,
         "file_stats": file_stats,
     }
-    if bloom_cols:
-        entry["bloom"] = _staged_bloom(
-            df.sparkSession, data_dir, bloom_cols, bloom_bits, bloom_hashes
-        )
+    if bloom is not None:
+        entry["bloom"] = bloom
     if meta:
         entry["meta"] = meta
     return _publish_entry(table, entry, txn, max_retries, read_version)
