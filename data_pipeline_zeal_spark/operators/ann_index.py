@@ -47,7 +47,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine
+from ..functions.vector import as_double, cosine_from_parts, dot, norm
 from ..io import local_frame, with_min_parallelism
 from ..sources import versioned as V
 from .similarity import (
@@ -418,15 +418,28 @@ def search_ivf_index(
     )
     cells = sorted({c for _, _, c in probes})
     cand = V.read_where(spark, table, [("cell", "in", cells)], version)
+    # r14: factored-norm scoring (cosine_from_parts — bit-identical by
+    # construction): each side's norm is computed ONCE per row before
+    # the join instead of once per (candidate x probe) pair, cutting
+    # the per-pair work from three array folds to one dot product
     scored = (
-        cand.join(F.broadcast(probe_df), "cell")
+        cand.withColumn("__vn", norm(F.col("embedding")))
+        .join(
+            F.broadcast(probe_df.withColumn("__qn", norm(F.col("qv")))),
+            "cell",
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("embedding")),
+                    F.col("__qn"),
+                    F.col("__vn"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -646,12 +659,23 @@ def search_ivfadc_index(
         ivfadc_decoder(cents, books), "vec_id long, cell int, rv array<double>"
     )
     scored = (
-        decoded.join(F.broadcast(probe_df), "cell")
+        decoded.withColumn("__rn", norm(F.col("rv")))
+        .join(
+            F.broadcast(probe_df.withColumn("__qn", norm(F.col("qv")))),
+            "cell",
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("rv")), 6).alias("pq_cosine"),
+            F.round(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("rv")),
+                    F.col("__qn"),
+                    F.col("__rn"),
+                ),
+                6,
+            ).alias("pq_cosine"),
         )
     )
     ws = Window.partitionBy("query_id").orderBy(
@@ -666,11 +690,19 @@ def search_ivfadc_index(
     full = source.select("vec_id", as_double(F.col("embedding")).alias("v"))
     refined = (
         full.join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(q), "query_id")
+        .withColumn("__vn", norm(F.col("v")))
+        .join(F.broadcast(q.withColumn("__qn", norm(F.col("qv")))), "query_id")
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("v")),
+                    F.col("__qn"),
+                    F.col("__vn"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -580,6 +580,8 @@ def build_bm25_index(
     """
     from ..sources import versioned as V
 
+    from pyspark import StorageLevel
+
     docs = with_min_parallelism(documents)
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("token"))
@@ -590,37 +592,68 @@ def build_bm25_index(
         "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("double")
     )
     bucket = F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
+    # r14: persist the postings across the three derived computations
+    # (write, df aggregate, sum_dl) — the write materializes the cache,
+    # so df/stats read memory instead of re-scanning the just-written
+    # files (guide §5: reuse IS recompute-avoidance here; released
+    # below).  Derivations are value-identical to the previous
+    # read-back-from-disk forms: the commit writes exactly these rows.
     postings = (
         tf.withColumn("bucket", bucket)
         .repartition(n_buckets, "bucket")
         .sortWithinPartitions("bucket", "token", "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    V.commit_write(postings, table, mode="overwrite", txn=txn)
-    spark = documents.sparkSession
-    # df from the persisted postings: the corpus is NOT re-tokenized
-    df_ = (
-        V.read_version(spark, table)
-        .groupBy("bucket", "token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .repartition(n_buckets, "bucket")
-        .sortWithinPartitions("bucket", "token")
-    )
-    V.commit_write(
-        df_, table + "_df", mode="overwrite",
-        txn=f"{txn}-df" if txn else None,
-    )
-    # r14: collect the ONE stats row and commit it as an arrow local
-    # frame — the write job becomes a driver-side single-file commit and
-    # the stats read-back job disappears (commit_write's local fast
-    # path); the aggregate job itself is unchanged
-    stats_frame = _bm25_segment_stats(docs, n_buckets)
-    V.commit_write(
-        local_frame(spark, stats_frame.collect(), stats_frame.schema),
-        table + "_stats",
-        mode="overwrite",
-        txn=f"{txn}-stats" if txn else None,
-    )
-    _commit_manifest(spark, table, txn=f"{txn}-manifest" if txn else None)
+    try:
+        V.commit_write(postings, table, mode="overwrite", txn=txn)
+        spark = documents.sparkSession
+        # df from the persisted postings: the corpus is NOT re-tokenized
+        df_ = (
+            postings
+            .groupBy("bucket", "token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .repartition(n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "token")
+        )
+        V.commit_write(
+            df_, table + "_df", mode="overwrite",
+            txn=f"{txn}-df" if txn else None,
+        )
+        # r14: the segment-stats row no longer re-tokenizes the corpus —
+        # sum_dl == Σtf over the postings (total token count, exactly
+        # what Σ greatest(size(tokens(text)), 0) computed: zero-token and
+        # NULL docs contribute 0 rows here and 0 there), and n_docs is a
+        # tokenization-free count of the document slice.  Both stay
+        # integer-valued doubles, so probe-time segment merging is
+        # unchanged.  One corpus scan saved per build; the row commits
+        # as an arrow local frame (driver-side stats fast path).
+        n_docs = docs.count()
+        sum_row = postings.agg(
+            F.sum("tf").cast("double").alias("sum_dl")
+        ).collect()[0]
+        # edge parity with the Σ greatest(...) form: a non-empty doc
+        # slice whose every doc is token-free summed to 0.0 there (zero
+        # rows reach the postings, so Σtf is NULL); an EMPTY slice
+        # summed to NULL in both forms
+        sum_dl = (
+            None if n_docs == 0
+            else (0.0 if sum_row.sum_dl is None else float(sum_row.sum_dl))
+        )
+        V.commit_write(
+            local_frame(
+                spark,
+                [(float(n_docs), sum_dl, n_buckets)],
+                "n_docs double, sum_dl double, n_buckets int",
+            ),
+            table + "_stats",
+            mode="overwrite",
+            txn=f"{txn}-stats" if txn else None,
+        )
+        _commit_manifest(
+            spark, table, txn=f"{txn}-manifest" if txn else None
+        )
+    finally:
+        postings.unpersist(False)
 
 
 _BM25_BUILD_CACHE: dict[tuple, str] = {}
@@ -812,9 +845,23 @@ def bm25_index_sink(table: str, query_name: str = "bm25-append"):
             seg_df, table + "_df", mode="append",
             txn=f"{query_name}-df-{batch_id}",
         )
-        seg_stats = _bm25_segment_stats(batch, n_buckets)
+        # r14: segment stats without re-tokenizing the batch — n_docs is
+        # a plain count, sum_dl is Σtf over the persisted segment (same
+        # value-parity argument as build_bm25_index)
+        n_docs = batch.count()
+        sum_row = seg.agg(
+            F.sum("tf").cast("double").alias("sum_dl")
+        ).collect()[0]
+        sum_dl = (
+            None if n_docs == 0
+            else (0.0 if sum_row.sum_dl is None else float(sum_row.sum_dl))
+        )
         V.commit_write(
-            local_frame(spark, seg_stats.collect(), seg_stats.schema),
+            local_frame(
+                spark,
+                [(float(n_docs), sum_dl, n_buckets)],
+                "n_docs double, sum_dl double, n_buckets int",
+            ),
             table + "_stats",
             mode="append",
             txn=f"{query_name}-stats-{batch_id}",
@@ -889,7 +936,14 @@ def delete_bm25_docs_where(
     republishes the manifest."""
     from ..sources import versioned as V
 
-    doomed = V.read_where(spark, table, predicates)
+    from pyspark import StorageLevel
+
+    # r14: the doomed slice feeds two aggregations (corpus-stats
+    # correction + negative df segment); persist it so the pruned scan
+    # runs once (released before return)
+    doomed = V.read_where(spark, table, predicates).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     stats = doomed.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0.0)).alias("sum_dl"),
@@ -905,6 +959,7 @@ def delete_bm25_docs_where(
         # duplicate publish adopts: republishing is idempotent and closes
         # the window.  (txn=None callers carry no replay claim, so a plain
         # no-op delete stays publish-free.)
+        doomed.unpersist(False)
         if txn is not None:
             _commit_manifest(spark, table, txn=f"{txn}-manifest")
         return {"docs_deleted": 0, "postings_deleted": 0}
@@ -927,6 +982,7 @@ def delete_bm25_docs_where(
         neg_stats, table + "_stats", mode="append",
         txn=f"{txn}-stats" if txn else None,
     )
+    doomed.unpersist(False)
     rep = V.delete_where_dv(spark, table, predicates, txn=txn)
     _commit_manifest(spark, table, txn=f"{txn}-manifest" if txn else None)
     return {
@@ -971,8 +1027,11 @@ def optimize_bm25_index(
         F.sum("sum_dl").alias("sum_dl"),
         F.max("n_buckets").alias("n_buckets"),
     )
+    # r14: 1-row fold — collect and commit as an arrow local frame
+    # (driver-side stats, no read-back job)
     V.commit_write(
-        merged_stats.coalesce(1), table + "_stats", mode="overwrite",
+        local_frame(spark, merged_stats.collect(), merged_stats.schema),
+        table + "_stats", mode="overwrite",
         txn=f"{txn}-stats" if txn else None,
     )
     _commit_manifest(spark, table, txn=f"{txn}-manifest" if txn else None)

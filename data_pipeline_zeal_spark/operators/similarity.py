@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine, norm
+from ..functions.vector import as_double, cosine, cosine_from_parts, dot, norm
 from ..io import local_frame, with_min_parallelism
 
 
@@ -44,12 +44,23 @@ def cosine_topk(
     cand = with_min_parallelism(embeddings).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
+    # r14: factored norms (cosine_from_parts, bit-identical) — one dot
+    # per pair instead of three array folds
     scored = (
-        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        cand.withColumn("__vn", norm(F.col("v")))
+        .join(
+            F.broadcast(q.withColumn("__qn", norm(F.col("qv")))),
+            F.col("vec_id") != F.col("query_id"),
+        )
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("v")), F.col("__qn"), F.col("__vn")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -124,10 +135,18 @@ def matryoshka_topk(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     coarse_cos = F.round(
-        cosine(F.col("qc"), F.slice(F.col("v"), 1, coarse_dim)), 6
+        cosine_from_parts(
+            dot(F.col("qc"), F.col("__vc")), F.col("__qn"), F.col("__vn")
+        ),
+        6,
     )
     coarse = (
-        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        cand.withColumn("__vc", F.slice(F.col("v"), 1, coarse_dim))
+        .withColumn("__vn", norm(F.col("__vc")))
+        .join(
+            F.broadcast(q.withColumn("__qn", norm(F.col("qc")))),
+            F.col("vec_id") != F.col("query_id"),
+        )
         .select("query_id", "vec_id", coarse_cos.alias("coarse_cosine"))
     )
     w1 = Window.partitionBy("query_id").orderBy(
@@ -365,12 +384,18 @@ def lsh_topk(
         "bucket", lsh_bucket_expr(F.col("qv"), dim, planes)
     )
     scored = (
-        cand.join(F.broadcast(q), "bucket")
+        cand.withColumn("__vn", norm(F.col("v")))
+        .join(F.broadcast(q.withColumn("__qn", norm(F.col("qv")))), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("v")), F.col("__qn"), F.col("__vn")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -540,15 +565,24 @@ def train_kmeans_centroids_distributed(
         ).limit(sample_size)
     # L2-normalize once (zero vectors pass through, like the driver
     # kernel's nrm==0 -> 1 guard); checkpoint so iterations re-read a
-    # materialized frame instead of re-scanning the corpus
+    # materialized frame instead of re-scanning the corpus.  r14: the
+    # norm is hoisted into its own column — embedding the aggregate in
+    # the transform lambda re-evaluated it per ELEMENT (dim x dim ops
+    # per row, measured ~5 s of the trainer's fixed cost) — and the scan
+    # is spread across cores (single-file fixture = one task otherwise);
+    # the quotient arithmetic is unchanged
     nrm = norm(F.col("v"))
-    X = base.select(
-        "vec_id",
-        F.transform(
-            "v",
-            lambda x: x / F.when(nrm == 0, F.lit(1.0)).otherwise(nrm),
-        ).alias("v"),
-    ).localCheckpoint(eager=True)
+    X = (
+        with_min_parallelism(base)
+        .withColumn(
+            "__nrm", F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
+        )
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("__nrm")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
 
     init = X.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id")).limit(
         n_cells
@@ -658,10 +692,10 @@ def pq_code_histogram_distributed(
         as_double(F.col("embedding")).alias("v")
     )
     nrm = norm(F.col("v"))
-    Xn = base.select(
-        F.transform(
-            "v", lambda x: x / F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
-        ).alias("v")
+    Xn = base.withColumn(
+        "__nrm", F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
+    ).select(
+        F.transform("v", lambda x: x / F.col("__nrm")).alias("v")
     )
     d_sub = len(books[0][0])
     subs = Xn.select(
@@ -850,12 +884,20 @@ def ivf_topk(
         as_double(F.col("embedding")).alias("v"),
     ).withColumn("cell", cell_assign_expr(F.col("v"), cents))
     scored = (
-        cand.join(F.broadcast(probes), "cell")
+        cand.withColumn("__vn", norm(F.col("v")))
+        .join(
+            F.broadcast(probes.withColumn("__qn", norm(F.col("qv")))), "cell"
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("v")), F.col("__qn"), F.col("__vn")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -884,11 +926,19 @@ def filtered_topk(
     cand = with_min_parallelism(
         embeddings.filter(F.col("label").isin(labels))
     ).select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
-    scored = cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+    scored = cand.withColumn("__vn", norm(F.col("v"))).join(
+        F.broadcast(q.withColumn("__qn", norm(F.col("qv")))),
+        F.col("vec_id") != F.col("query_id"),
+    ).select(
         "query_id",
         "vec_id",
         "label",
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        F.round(
+            cosine_from_parts(
+                dot(F.col("qv"), F.col("v")), F.col("__qn"), F.col("__vn")
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -937,11 +987,19 @@ def knn_label(
     cand = with_min_parallelism(embeddings).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
-    scored = cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+    scored = cand.withColumn("__vn", norm(F.col("v"))).join(
+        F.broadcast(q.withColumn("__qn", norm(F.col("qv")))),
+        F.col("vec_id") != F.col("query_id"),
+    ).select(
         "query_id",
         "vec_id",
         "label",
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        F.round(
+            cosine_from_parts(
+                dot(F.col("qv"), F.col("v")), F.col("__qn"), F.col("__vn")
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     votes = (
@@ -1048,11 +1106,15 @@ def train_pq_codebooks_distributed(
             F.xxhash64(F.col("vec_id")), F.col("vec_id")
         ).limit(sample_size)
     nrm = norm(F.col("v"))
-    Xn = base.select(
-        "vec_id",
-        F.transform(
-            "v", lambda x: x / F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
-        ).alias("v"),
+    Xn = (
+        with_min_parallelism(base)
+        .withColumn(
+            "__nrm", F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
+        )
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("__nrm")).alias("v"),
+        )
     )
     if centroids is not None:
         carrs = [
@@ -1240,12 +1302,18 @@ def pq_topk(
         "vec_id", rec(as_double(F.col("embedding"))).alias("rv")
     )
     q = _query_set(embeddings, query_ids)
-    scored = encoded.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    scored = encoded.withColumn("__rn", norm(F.col("rv"))).join(
+        F.broadcast(q.withColumn("__qn", norm(F.col("qv")))),
+        F.col("vec_id") != F.col("query_id"),
     ).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("qv"), F.col("rv")), 6).alias("pq_cosine"),
+        F.round(
+            cosine_from_parts(
+                dot(F.col("qv"), F.col("rv")), F.col("__qn"), F.col("__rn")
+            ),
+            6,
+        ).alias("pq_cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("pq_cosine"), F.asc("vec_id"))
     shortlist = (
@@ -1259,11 +1327,19 @@ def pq_topk(
     full = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
     refined = (
         full.join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(q), "query_id")
+        .withColumn("__vn", norm(F.col("v")))
+        .join(
+            F.broadcast(q.withColumn("__qn", norm(F.col("qv")))), "query_id"
+        )
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("v")), F.col("__qn"), F.col("__vn")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1484,12 +1560,20 @@ def ivf_pq_topk(
         .select("query_id", "qv", "cell")
     )
     scored = (
-        encoded.join(F.broadcast(probes), "cell")
+        encoded.withColumn("__rn", norm(F.col("rv")))
+        .join(
+            F.broadcast(probes.withColumn("__qn", norm(F.col("qv")))), "cell"
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("rv")), 6).alias("pq_cosine"),
+            F.round(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("rv")), F.col("__qn"), F.col("__rn")
+                ),
+                6,
+            ).alias("pq_cosine"),
         )
     )
     ws = Window.partitionBy("query_id").orderBy(
@@ -1503,11 +1587,19 @@ def ivf_pq_topk(
     full = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
     refined = (
         full.join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(q), "query_id")
+        .withColumn("__vn", norm(F.col("v")))
+        .join(
+            F.broadcast(q.withColumn("__qn", norm(F.col("qv")))), "query_id"
+        )
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                cosine_from_parts(
+                    dot(F.col("qv"), F.col("v")), F.col("__qn"), F.col("__vn")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
