@@ -733,12 +733,16 @@ def embedding_near_dup_pairs(
     # arithmetic on the candidate set, which dominates at low-selectivity
     # band layouts.  Zero vectors stay unnormalized (dot 0 == cosine 0).
     # Persisted: the two verification sides are its only consumers.
+    # r14: norm hoisted out of the per-element lambda (it re-evaluated
+    # the whole aggregate per element — dim x dim work per row); dividing
+    # the zero-vector branch by 1.0 is IEEE-exact, so the emitted arrays
+    # are bit-identical to the old when(nrm==0, v) form
     nrm = norm(F.col("v"))
-    e = e.select(
+    e = e.withColumn(
+        "__nrm", F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
+    ).select(
         "vec_id",
-        F.when(nrm == 0, F.col("v"))
-        .otherwise(F.transform("v", lambda x: x / nrm))
-        .alias("v"),
+        F.transform("v", lambda x: x / F.col("__nrm")).alias("v"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     return _verify_one(cand, e, threshold)
 
