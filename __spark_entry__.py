@@ -1695,13 +1695,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         o = load_table(s, d, "orders").filter(F.col("o_orderkey") % 10 == 0)
         t = tempfile.mkdtemp(prefix="maintain_")
         try:
-            for b in range(8):
-                V.commit_write(
-                    o.filter(F.pmod(F.floor(F.col("o_orderkey") / 10), 8) == b)
-                    .coalesce(1),
+            # r14 (guide §2.6): the eight slice appends are independent
+            # jobs on disjoint data — APPEND+APPEND commutes by the
+            # commit protocol's own contract (hard-link CAS, pytest- and
+            # process-torture-pinned), so they overlap from a small
+            # driver pool instead of serializing 16 write+stats jobs.
+            # The table content and every structural pin (8 files
+            # before, 2 after) are commit-order-independent.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _append(b: int) -> int:
+                return V.commit_write(
+                    o.filter(
+                        F.pmod(F.floor(F.col("o_orderkey") / 10), 8) == b
+                    ).coalesce(1),
                     t,
                     mode="append",
                 )
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                list(pool.map(_append, range(8)))
             V.delete_where_dv(
                 s, t, [("o_orderdate", ">=", "1997-07-01 00:00:00")]
             )

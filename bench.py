@@ -445,6 +445,9 @@ def main() -> None:
                 rdd.unpersist(False)
         n_reps = max(repeat, heavy_repeat if name in heavy else 1)
         repeats[name] = n_reps
+        # guide §1.5: label the row's jobs so the UI / event log maps
+        # stages back to the registered query
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         reps: list[tuple[float, bool]] = []
         for _ in range(n_reps):
             # per-REP cache snapshot (round-13 advice): with repeats the
@@ -480,6 +483,7 @@ def main() -> None:
         missing = expected - set(timings)
         assert not missing, f"BENCH_FULL missed registry queries: {sorted(missing)}"
 
+    spark.sparkContext.setJobDescription(None)
     cal_after = _run_calibration(spark)
     # normalization factor: <1 means the box ran SLOWER than the quiet-box
     # reference, so normalized numbers shrink raw ones back toward it.
