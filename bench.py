@@ -421,6 +421,15 @@ def main() -> None:
     heavy = _prior_heavy_rows() if heavy_repeat > repeat else set()
     repeats: dict[str, int] = {}
     timings: dict[str, float] = {}
+    # r15 (r14 verdict #6): when a BM25-cache row's MEDIAN rep is
+    # cache-served, the artifact must also carry a build-paying number so
+    # cross-round comparisons can be like-for-like against rounds whose
+    # singles paid the base build.  rep 1 in EXECUTION order is the rep
+    # that pays the build when this row is the first of its fingerprint
+    # in the suite; record its raw seconds (and flag the rows where even
+    # rep 1 was served because an earlier row already paid).
+    build_rep_sec: dict[str, float] = {}
+    build_rep_served: list[str] = []
     for name in suite:
         if is_full or name not in WARM:
             # Cache-clean isolation (round-7 directive #2): drop every
@@ -463,6 +472,7 @@ def main() -> None:
                 and set(_retrieval._BM25_BUILD_CACHE) == rep_keys_before
             )
             reps.append((elapsed, served))
+        first_time, first_served = reps[0]  # execution order, before sort
         reps.sort()
         med_time, med_served = reps[len(reps) // 2]
         timings[name] = round(med_time, 3)
@@ -470,6 +480,9 @@ def main() -> None:
             # the reported median needed no new base build: it is
             # amortized marginal cost, served from the shared cache
             shared_build_rows.append(name)
+            build_rep_sec[name] = round(first_time, 3)
+            if first_served:
+                build_rep_served.append(name)
 
     if is_full:
         # Completeness gate (round-5 verdict #3): the full-suite artifact
@@ -527,6 +540,13 @@ def main() -> None:
         # BM25 rows whose shared base build was served from the session
         # cache (suite-order dependent — the first such row pays it)
         "shared_build_rows": shared_build_rows,
+        # r15: for each cache-served row above, rep 1's raw seconds (the
+        # rep that pays the base build when this row is the first of its
+        # fingerprint) — the like-for-like number vs single-run rounds.
+        # Rows in build_rep_served had even rep 1 served (an earlier row
+        # already paid the build), so no build-paying number exists.
+        "build_rep_sec": build_rep_sec,
+        "build_rep_served": build_rep_served,
         "sf": sf_val,
         # methodology (round-10 directive #5): per-row value is the
         # MEDIAN of `repeat` runs; repeat=1 artifacts are single-run and

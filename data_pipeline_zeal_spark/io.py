@@ -93,11 +93,16 @@ def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
     (centroids, codebooks, probe batches) and eagerly-materialized
     results are re-scanned by joins, writes and the bench's noop force.
 
-    Value fidelity is pinned by tests/test_io.py: ints/floats (incl.
-    NaN), strings, arrays, structs, decimals, timestamps (session-UTC),
-    dates, binary and NULLs collect identically to the classic path.
-    Any conversion surprise falls back to ``spark.createDataFrame``.
+    Value fidelity is pinned by tests/test_local_frame.py: ints/floats
+    (incl. NaN), strings, arrays, structs, decimals, timestamps
+    (session-UTC), dates, binary and NULLs collect identically to the
+    classic path.  Any conversion surprise falls back to
+    ``spark.createDataFrame`` (coalesced to one partition so callers
+    that rely on single-file staging — ``commit_write``'s local model
+    commits — keep their layout on the fallback path too).
     """
+    from collections.abc import Mapping
+
     if not isinstance(schema, T.StructType):
         schema = T._parse_datatype_string(schema)
     try:
@@ -108,11 +113,24 @@ def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
         if len(set(names)) != len(names):
             # dict-shaped conversion would silently drop duplicates
             raise ValueError("duplicate column names")
-        data = [
-            r.asDict(recursive=True) if hasattr(r, "asDict")
-            else dict(zip(names, r))
-            for r in rows
-        ]
+
+        def _as_dict(r):
+            # Row first (has asDict), then plain mappings BY KEY —
+            # zip(names, dict) would silently pair names with the
+            # dict's KEYS (r14 advice); sequences must match the schema
+            # width exactly or from_pylist would null-fill/truncate
+            # where the classic path raises.
+            if hasattr(r, "asDict"):
+                return r.asDict(recursive=True)
+            if isinstance(r, Mapping):
+                return dict(r)
+            if len(r) != len(names):
+                raise ValueError(
+                    f"row width {len(r)} != schema width {len(names)}"
+                )
+            return dict(zip(names, r))
+
+        data = [_as_dict(r) for r in rows]
         tbl = pa.Table.from_pylist(data, schema=to_arrow_schema(schema))
         df = spark.createDataFrame(tbl)
         # paranoia: the arrow path must reproduce the declared schema
@@ -123,7 +141,7 @@ def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
             raise ValueError("arrow schema drift")
         return df
     except Exception:
-        return spark.createDataFrame(rows, schema)
+        return spark.createDataFrame(rows, schema).coalesce(1)
 
 
 def with_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -67,7 +67,14 @@ def bm25_search(
     itself first).  ``max_df_ratio`` < 1 prunes hub tokens from the
     posting join — the same sum(df²) control as
     :func:`text.doc_similarity_topk`; the default keeps exact semantics
-    for oracle parity at fixture scale."""
+    for oracle parity at fixture scale.
+
+    CACHE CONTRACT (caller-owned release): the internal tf frame is
+    ``persist()``-ed so the df aggregate and the posting join share one
+    tokenize+shuffle; the cache lives until the caller (or the bench's
+    per-row isolation) calls ``spark.catalog.clearCache()`` — a
+    long-lived session invoking this repeatedly without cache cleaning
+    accumulates one cached tf frame per call."""
     from pyspark import StorageLevel
 
     docs = with_min_parallelism(documents)

@@ -85,3 +85,22 @@ def test_coalesce_one_stays_cheap(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" in plan
     assert df.count() == 8
+
+
+def test_mapping_rows_bind_by_key(spark):
+    # r14 advice (medium): dict rows must bind values BY KEY — the old
+    # zip(names, dict) paired names with the dict's keys, so a
+    # string-coercible schema silently collected the KEY strings
+    rows = [{"x": "hello", "y": "world"}, {"y": "b", "x": "a"}]
+    df = local_frame(spark, rows, "x string, y string")
+    got = sorted((r.x, r.y) for r in df.collect())
+    assert got == [("a", "b"), ("hello", "world")]
+
+
+def test_short_tuple_raises_like_classic(spark):
+    # r14 advice (low): a malformed sequence row must surface an error
+    # (the classic path raises), never silent NULL-fill
+    import pytest
+
+    with pytest.raises(Exception):
+        local_frame(spark, [(1,)], "a int, b int").collect()

@@ -71,9 +71,12 @@ def test_local_commit_string_columns_fall_back(spark, tmp_path):
     from data_pipeline_zeal_spark.sources import versioned as V
 
     lf = local_frame(spark, [(1, "a"), (2, "\U0001F600")], "a int, s string")
-    assert V._local_staged_stats(lf, "/nonexistent") is None or True
     t = str(tmp_path / "t")
     v = V.commit_write(lf, t, mode="overwrite")
+    # the fast path must have declined (string stat column): pointing it
+    # at the real staged dir returns None, not a stats tuple
+    [d] = V.live_dirs(t)
+    assert V._local_staged_stats(lf, d) is None
     e = V._read_entry(t, v)
     assert e["stats"]["s"][0] == "a"  # computed by the Spark path
 

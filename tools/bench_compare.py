@@ -19,7 +19,7 @@ import json
 import sys
 
 
-def _rows(path: str, raw: bool) -> tuple[dict, dict]:
+def _rows(path: str, raw: bool) -> tuple[dict, dict, dict]:
     d = json.load(open(path))
     rows = (
         d["queries_normalized"]
@@ -28,7 +28,34 @@ def _rows(path: str, raw: bool) -> tuple[dict, dict]:
     )
     base = d.get("repeat", 1)
     reps = {k: d.get("repeats", {}).get(k, base) for k in rows}
-    return rows, reps
+    # r15: build-treatment metadata — rows whose reported median was
+    # served from the shared BM25 base-build cache, plus (when the
+    # artifact carries it) the build-PAYING rep-1 raw seconds for each.
+    norm = 1.0 if raw else d.get("calibration_factor", 1.0)
+    served = set(d.get("shared_build_rows", []))
+    build = {
+        k: round(v * norm, 3)
+        for k, v in d.get("build_rep_sec", {}).items()
+        if k not in set(d.get("build_rep_served", []))
+    }
+    return rows, reps, {"served": served, "build": build}
+
+
+def _match_treatments(old, new, old_t, new_t) -> list[str]:
+    """When exactly one side's median was cache-served and that side
+    recorded a build-paying rep, substitute it so both sides compare the
+    SAME treatment (build-inclusive).  Returns the substituted keys."""
+    subbed = []
+    for k in set(old) & set(new):
+        o_served = k in old_t["served"]
+        n_served = k in new_t["served"]
+        if o_served == n_served:
+            continue
+        side_t, side = (old_t, old) if o_served else (new_t, new)
+        if k in side_t["build"]:
+            side[k] = side_t["build"][k]
+            subbed.append(k)
+    return subbed
 
 
 def main() -> None:
@@ -38,8 +65,14 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--threshold"):
             thr = float(a.split("=", 1)[1]) if "=" in a else thr
-    old, old_reps = _rows(args[0], raw)
-    new, new_reps = _rows(args[1], raw)
+    old, old_reps, old_t = _rows(args[0], raw)
+    new, new_reps, new_t = _rows(args[1], raw)
+    subbed = _match_treatments(old, new, old_t, new_t)
+    if subbed:
+        print(
+            "treatment-matched (build-paying rep substituted):",
+            ", ".join(sorted(subbed)),
+        )
     shared = sorted(set(old) & set(new))
     t_old = sum(old[k] for k in shared)
     t_new = sum(new[k] for k in shared)
