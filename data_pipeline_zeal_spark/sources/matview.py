@@ -238,14 +238,36 @@ def refresh_matview(
                 "no keys — recreate the view with keys=[...] to enable "
                 "the keyed-diff path"
             )
-        feed = V.change_feed(spark, base_table, base_old, base_new, keys)
-        # ship every payload column the feed carries — column pruning
-        # below the struct happens in the optimizer; the row COUNT
-        # (changed keys only) is what bounds the work
-        payload_cols = [
-            f.name for f in feed.schema["old_values"].dataType.fields
-        ]
-        rows = _signed_rows_from_feed(feed, keys, payload_cols)
+        # r15: a range whose commits are ALL positional deletes needs no
+        # full-outer snapshot diff — the tombstones name the deleted
+        # rows, so the signed delta is one semi-join over the
+        # from-snapshot (V.dv_only_deleted_rows); other ranges take the
+        # general keyed diff as before.
+        deleted = V.dv_only_deleted_rows(spark, base_table, base_old, base_new)
+        if deleted is not None:
+            payload_cols = [c for c in deleted.columns if c not in keys]
+            rows = deleted.select(
+                *keys, *payload_cols, F.lit(-1).alias("__sign")
+            )
+        else:
+            feed = V.change_feed(
+                spark, base_table, base_old, base_new, keys
+            )
+            # ship every payload column the feed carries — column
+            # pruning below the struct happens in the optimizer; the
+            # row COUNT (changed keys only) is what bounds the work
+            payload_cols = [
+                f.name for f in feed.schema["old_values"].dataType.fields
+            ]
+            rows = _signed_rows_from_feed(feed, keys, payload_cols)
+        # r15 (guide §5): the signed rows feed up to THREE consumers
+        # (positive partials, negative partials, the shrunk-group set) —
+        # lazily the diff re-ran per consumer.  Persist for the
+        # refresh's lifetime (released below); size is bounded by
+        # CHANGED keys, the same bound the refresh already relies on.
+        from pyspark import StorageLevel
+
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
         has_minmax = any(kind in ("min", "max") for _, kind, _ in measures)
         if not has_minmax:
             parts = [
@@ -317,13 +339,17 @@ def refresh_matview(
         )
         merged = kept.unionByName(recomputed.select(kept.columns))
     new_spec = dict(spec, base_version=base_new)
-    view_version = V.commit_write(
-        merged.coalesce(1),
-        view_table,
-        mode="overwrite",
-        txn=txn,
-        meta={"matview": new_spec},
-    )
+    try:
+        view_version = V.commit_write(
+            merged.coalesce(1),
+            view_table,
+            mode="overwrite",
+            txn=txn,
+            meta={"matview": new_spec},
+        )
+    finally:
+        if path == "keyed-diff":
+            rows.unpersist(blocking=False)
     return {
         "path": path,
         "from_version": base_old,

@@ -1014,6 +1014,59 @@ def read_changes_since(
     return spark.read.parquet(*[os.path.join(table, d) for d in new_dirs])
 
 
+def dv_only_deleted_rows(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int,
+) -> "DataFrame | None":
+    """The FULL rows deleted by a ``(from_version, to_version]`` range
+    consisting solely of ``delete_dv`` commits — ``None`` when the range
+    contains any other commit kind (callers fall back to the general
+    keyed :func:`change_feed`).
+
+    The positional tombstones NAME the deleted rows, so the delta is one
+    left-semi join of the from-snapshot scan against the range's new
+    tombstone files — no full-outer snapshot diff and no to-snapshot
+    scan (r15, the Delta-CDF DV shortcut; guide §1.2: don't recompute
+    what the metadata already records).  Exactness: ``delete_where_dv``
+    excludes already-tombstoned rows from every new commit, so the new
+    tombstones reference only rows live at ``from_version`` and the raw
+    live-dirs scan needs no old-DV anti-join."""
+    from pyspark.sql import functions as F
+
+    versions = _list_versions(table)
+    rng = [v for v in versions if from_version < v <= to_version]
+    if not rng:
+        return None
+    new_dvs: list[str] = []
+    for v in rng:
+        entry = _read_entry(table, v)
+        if entry["action"] != "delete_dv":
+            return None
+        new_dvs.extend(entry.get("dv_dirs", []))
+    if not new_dvs:
+        return None
+    tomb = spark.read.parquet(
+        *[os.path.join(table, d) for d in new_dvs]
+    ).select(
+        F.col("file_path").alias("__dv_fp"),
+        F.col("row_index").alias("__dv_ri"),
+    )
+    df = spark.read.parquet(*live_dirs(table, from_version))
+    return (
+        df.withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+        .join(
+            tomb,
+            (F.col("__fp") == F.col("__dv_fp"))
+            & (F.col("__ri") == F.col("__dv_ri")),
+            "left_semi",
+        )
+        .drop("__fp", "__ri")
+    )
+
+
 def change_feed(
     spark: SparkSession,
     table: str,
