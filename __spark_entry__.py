@@ -2271,7 +2271,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_cdc_merge"] = _cdc_merge
 
     def _part_pagerank(s: SparkSession, d: str) -> DataFrame:
-        pairs = etl.part_basket_pairs(load_table(s, d, "lineitem"), min_support=2)
+        """r15: the pair frame feeds four lazy subtrees inside the trans
+        checkpoint build (fwd/rev union x out-weight aggregate + join) —
+        persist it; and pagerank re-keys immediately, so the pair
+        kernel's presentation sort is skipped (ordered=False, guide
+        §2.4).  Rank arithmetic and output are unchanged."""
+        pairs = etl.part_basket_pairs(
+            load_table(s, d, "lineitem"), min_support=2, ordered=False
+        )
+        from pyspark import StorageLevel
+
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         fwd = pairs.select(
             F.col("part_a").alias("src"),
             F.col("part_b").alias("dst"),

@@ -55,10 +55,36 @@ def _ensure_read_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+#: inferred-schema cache keyed on the parquet path's (mtime_ns, size) —
+#: METADATA caching only (the catalog role SCALE.md prescribes for
+#: production tables): schema inference re-reads footers on every
+#: spark.read.parquet call, measured ~90 ms of driver time per
+#: load_table at sf0.1 (~400 calls over a full bench suite ≈ 35 s of
+#: pure fixed cost, guide §6 file-listing/planning).  A stale file is
+#: detected by the stat key; values are never cached.
+_SCHEMA_CACHE: dict = {}
+
+
+def _fixture_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is None:
+        hit = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = hit
+    return hit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one fixture table (nano-timestamps normalized)."""
     _ensure_read_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    schema = _fixture_schema(spark, path)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    df = reader.parquet(path)
     for c in NANO_TS_COLS.get(name, []):
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))

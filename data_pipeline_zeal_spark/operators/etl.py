@@ -700,7 +700,9 @@ def rfm_segments(
     ).orderBy("o_custkey")
 
 
-def part_basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
+def part_basket_pairs(
+    lineitem: DataFrame, min_support: int = 2, ordered: bool = True
+) -> DataFrame:
     """Market-basket co-occurrence: pairs of parts appearing in the same
     order, kept when they co-occur in at least ``min_support`` orders.
 
@@ -720,10 +722,12 @@ def part_basket_pairs(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .filter(F.size("parts") >= 2)
     )
-    return _pairs_from_baskets(baskets, min_support=min_support)
+    return _pairs_from_baskets(baskets, min_support=min_support, ordered=ordered)
 
 
-def _pairs_from_baskets(baskets: DataFrame, min_support: int) -> DataFrame:
+def _pairs_from_baskets(
+    baskets: DataFrame, min_support: int, ordered: bool = True
+) -> DataFrame:
     """The pair-expansion + support-count stage of
     :func:`part_basket_pairs` over an already-built basket frame —
     factored out (r15) so :func:`basket_association_rules` can feed it
@@ -739,12 +743,16 @@ def _pairs_from_baskets(baskets: DataFrame, min_support: int) -> DataFrame:
             )
         ).alias("p")
     ).select("p.part_a", "p.part_b")
-    return (
+    out = (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= min_support)
-        .orderBy(F.desc("n_orders"), "part_a", "part_b")
     )
+    # ordered=False skips the presentation sort (a rangepartition
+    # exchange + global sort) for consumers that immediately re-key —
+    # pagerank's edge normalization, the rules join (r15, guide §2.4:
+    # an orderBy used only to make output deterministic is a shuffle)
+    return out.orderBy(F.desc("n_orders"), "part_a", "part_b") if ordered else out
 
 
 def basket_association_rules(

@@ -1339,11 +1339,18 @@ def bpe_encode_lengths(
     n_words, n_chars, n_bpe_tokens, chars_per_token), chars_per_token =
     NULL on wordless documents."""
     if merges is None:
+        # r15 (guide §1.2): self-train through the in-memory trainer —
+        # table-exact with the distributed loop (pytest-pinned, same
+        # word-count weighting / tie-breaks / greedy application) for
+        # ONE word-count job + a driver loop, where the distributed
+        # loop pays two scheduled jobs per merge round.  The distributed
+        # loop remains the registered text_bpe_train_merges row (the
+        # unbounded-vocab oracle of the split).
         merges = [
-            (r["left"], r["right"])
-            for r in bpe_train_merges(
+            (left, right)
+            for left, right, _ in bpe_train_merges_inmem(
                 documents, n_merges=n_merges, max_word_len=max_word_len
-            ).collect()
+            )
         ]
     mode = encoder
     if mode == "auto":

@@ -138,3 +138,19 @@ def test_kmeans_kernel_partials_match_jvm_aggregate(spark):
         ref_sums[r.cell][r.pos] = r.s
     assert (counts == ref_counts).all()
     assert np.allclose(sums, ref_sums, atol=1e-9)
+
+
+def test_load_table_schema_cache_matches_inference(spark):
+    """load_table's pinned-schema read must be schema- and value-equal
+    to bare inference (the cache is metadata-only, keyed on the file's
+    stat identity)."""
+    from data_pipeline_zeal_spark.io import load_table, table_path
+
+    sf = "/root/testdata/sf0.001"
+    df = load_table(spark, sf, "nation")
+    raw = spark.read.parquet(table_path(sf, "nation"))
+    assert df.schema == raw.schema
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, raw.collect()))
+    # events carries the nano-ts conversion on top of the cached schema
+    ev = load_table(spark, sf, "events")
+    assert str(ev.schema["ts"].dataType) == "TimestampType()"
